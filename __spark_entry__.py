@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference app's main query
+re-expressed, ``/root/reference/app/app.py:65-74``: projection +
+IS NOT NULL + equality filter + broadcast dim enrichment + ORDER BY id
+LIMIT 1000) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` are generated from the operator
+registry (``transit_scrape_spark.queries.registry``) — one entry per
+implemented SURVEY.md §2 op; SQL-expressible ops carry a DuckDB oracle,
+the rest (streaming-only/LSH internals) run the rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +16,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    orders = spark.read.parquet(f"{SF0001}/orders.parquet")
+    customer = spark.read.parquet(f"{SF0001}/customer.parquet")
+    dim = customer.select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        orders.filter(
+            F.col("o_orderstatus").isNotNull() & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            "o_totalprice",
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from transit_scrape_spark.queries.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from transit_scrape_spark.queries.registry import all_oracles
+
+    return all_oracles()

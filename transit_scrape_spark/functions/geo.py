@@ -1,0 +1,217 @@
+"""Geometry expression library (SURVEY.md §2.2 geo ops).
+
+Design decision (SURVEY §1.1): geometry is represented as
+- a coordinate array column ``array<array<double>>`` (a LineString; a
+  MultiLineString is ``array<array<array<double>>>``), and
+- a WKT string column at system boundaries,
+matching the reference's own interchange format (WKT at every boundary:
+``process_cycle_networks.py:158``, ``db_helpers.py:174-176``,
+``app/app.py:81``).
+
+Everything here is built-in higher-order Column functions
+(transform / zip_with / aggregate / slice) — codegen'd, no UDF — except
+``reproject_bng_to_wgs84`` which is a vectorized pandas_udf (numpy
+implementation of the OSGB36 inverse transverse-Mercator + Helmert
+transform, public formulas from the OS coordinate-systems guide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --- length ---------------------------------------------------------------
+
+def linestring_length(coords: Column) -> Column:
+    """Planar length of a LineString given coords array<array<double>>.
+
+    Reference: per-row ``geometry.length`` (process_cycle_networks.py:88).
+    Sum of per-segment Euclidean lengths via zip_with over the array and
+    its tail — pure codegen, no explode (no row-count blowup at scale).
+    """
+    segs = F.zip_with(
+        F.slice(coords, 1, F.size(coords) - 1),
+        F.slice(coords, 2, F.size(coords) - 1),
+        lambda a, b: F.sqrt(
+            F.pow(b[0] - a[0], F.lit(2)) + F.pow(b[1] - a[1], F.lit(2))
+        ),
+    )
+    return F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# --- WKT emit / parse -----------------------------------------------------
+
+def linestring_to_wkt(coords: Column) -> Column:
+    """coords array<array<double>> -> 'LINESTRING (x y, x y, ...)'.
+
+    Reference: shapely ``.wkt`` at process_cycle_networks.py:158.
+    Uses cast(double->string); callers wanting fixed decimals should
+    round/cast coords first (integer-valued coords round-trip exactly).
+    """
+    pts = F.transform(
+        coords,
+        lambda p: F.concat_ws(" ", p[0].cast("string"), p[1].cast("string")),
+    )
+    return F.concat(F.lit("LINESTRING ("), F.array_join(pts, ", "), F.lit(")"))
+
+
+def wkt_to_linestring(wkt: Column) -> Column:
+    """'LINESTRING (x y, x y)' -> coords array<array<double>>.
+
+    Reference: ``GeoSeries.from_wkt`` at app/app.py:81-83.
+    Pure string ops: strip envelope, split on ',', then on whitespace.
+    """
+    body = F.regexp_replace(wkt, r"^\s*LINESTRING\s*\(|\)\s*$", "")
+    return F.transform(
+        F.split(body, ","),
+        lambda pt: F.transform(
+            F.split(F.trim(pt), r"\s+"), lambda v: v.cast("double")
+        ),
+    )
+
+
+def to_ewkt(wkt: Column, srid: int = 4326) -> Column:
+    """WKT -> EWKT 'SRID=<srid>;<wkt>' (reference db_helpers.py:172-176)."""
+    return F.concat(F.lit(f"SRID={srid};"), wkt)
+
+
+def from_ewkt(ewkt: Column) -> Column:
+    """EWKT -> bare WKT (drop the SRID=...; prefix)."""
+    return F.regexp_replace(ewkt, r"^SRID=\d+;", "")
+
+
+# --- coordinate manipulation ---------------------------------------------
+
+def swap_coords(coords: Column) -> Column:
+    """Per-vertex (x,y)->(y,x) swap (reference folium lat/lon swap,
+    app/app.py:139-141) via nested transform."""
+    return F.transform(coords, lambda p: F.array(p[1], p[0]))
+
+
+def bounding_box(coords: Column) -> Column:
+    """Per-row envelope struct(minx,miny,maxx,maxy) over a coords array
+    (building block for agg-bounds, reference total_bounds app/app.py:94-99)."""
+    xs = F.transform(coords, lambda p: p[0])
+    ys = F.transform(coords, lambda p: p[1])
+    return F.struct(
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
+    )
+
+
+# --- reprojection (the one pandas_udf) ------------------------------------
+
+def reproject_bng_to_wgs84_udf():
+    """Vectorized EPSG:27700 (British National Grid / OSGB36) -> EPSG:4326.
+
+    Reference: whole-column ``to_crs`` (process_cycle_networks.py:112).
+    Implemented from the public OS 'A guide to coordinate systems in
+    Great Britain' formulas: inverse transverse Mercator on the Airy
+    1830 ellipsoid, then a 7-parameter Helmert shift to WGS84 (~1 m
+    accuracy vs the OSTN15 grid — documented tolerance, SURVEY §7 M2).
+
+    Returns a pandas_udf: (easting: double, northing: double) ->
+    struct<lon: double, lat: double>; operates on Arrow batches with
+    numpy — no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_t = StructType(
+        [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def _reproject(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+        E = e.to_numpy(dtype=np.float64)
+        N = n.to_numpy(dtype=np.float64)
+
+        # Airy 1830 ellipsoid + National Grid projection constants (public)
+        a, b = 6377563.396, 6356256.909
+        F0 = 0.9996012717
+        lat0 = np.radians(49.0)
+        lon0 = np.radians(-2.0)
+        N0, E0 = -100000.0, 400000.0
+        e2 = 1 - (b * b) / (a * a)
+        n_ = (a - b) / (a + b)
+
+        # iterative meridional-arc inversion
+        lat = (N - N0) / (a * F0) + lat0
+        M = np.zeros_like(lat)
+        for _ in range(8):
+            dlat = lat - lat0
+            slat = lat + lat0
+            M = (
+                b
+                * F0
+                * (
+                    (1 + n_ + 1.25 * n_**2 + 1.25 * n_**3) * dlat
+                    - (3 * n_ + 3 * n_**2 + 2.625 * n_**3)
+                    * np.sin(dlat)
+                    * np.cos(slat)
+                    + (1.875 * n_**2 + 1.875 * n_**3)
+                    * np.sin(2 * dlat)
+                    * np.cos(2 * slat)
+                    - (35 / 24) * n_**3 * np.sin(3 * dlat) * np.cos(3 * slat)
+                )
+            )
+            lat = lat + (N - N0 - M) / (a * F0)
+
+        sin_lat, cos_lat, tan_lat = np.sin(lat), np.cos(lat), np.tan(lat)
+        nu = a * F0 / np.sqrt(1 - e2 * sin_lat**2)
+        rho = a * F0 * (1 - e2) / (1 - e2 * sin_lat**2) ** 1.5
+        eta2 = nu / rho - 1
+
+        VII = tan_lat / (2 * rho * nu)
+        VIII = (
+            tan_lat
+            / (24 * rho * nu**3)
+            * (5 + 3 * tan_lat**2 + eta2 - 9 * tan_lat**2 * eta2)
+        )
+        IX = tan_lat / (720 * rho * nu**5) * (61 + 90 * tan_lat**2 + 45 * tan_lat**4)
+        X = 1.0 / (cos_lat * nu)
+        XI = (nu / rho + 2 * tan_lat**2) / (6 * cos_lat * nu**3)
+        XII = (5 + 28 * tan_lat**2 + 24 * tan_lat**4) / (120 * cos_lat * nu**5)
+        XIIA = (61 + 662 * tan_lat**2 + 1320 * tan_lat**4 + 720 * tan_lat**6) / (
+            5040 * cos_lat * nu**7
+        )
+        dE = E - E0
+        lat_osgb = lat - VII * dE**2 + VIII * dE**4 - IX * dE**6
+        lon_osgb = lon0 + X * dE - XI * dE**3 + XII * dE**5 - XIIA * dE**7
+
+        # OSGB36 geodetic -> cartesian (h=0), Helmert -> WGS84, -> geodetic
+        sin_p, cos_p = np.sin(lat_osgb), np.cos(lat_osgb)
+        nu2 = a / np.sqrt(1 - e2 * sin_p**2)
+        x = nu2 * cos_p * np.cos(lon_osgb)
+        y = nu2 * cos_p * np.sin(lon_osgb)
+        z = (1 - e2) * nu2 * sin_p
+
+        # OSGB36 -> WGS84 Helmert parameters (public, OS guide, ~5 m datum acc.)
+        tx, ty, tz = 446.448, -125.157, 542.060
+        rx = np.radians(0.1502 / 3600)
+        ry = np.radians(0.2470 / 3600)
+        rz = np.radians(0.8421 / 3600)
+        s = -20.4894e-6
+        x2 = tx + (1 + s) * x - rz * y + ry * z
+        y2 = ty + rz * x + (1 + s) * y - rx * z
+        z2 = tz - ry * x + rx * y + (1 + s) * z
+
+        # WGS84 ellipsoid
+        a84, b84 = 6378137.0, 6356752.3142
+        e2_84 = 1 - (b84 * b84) / (a84 * a84)
+        p = np.sqrt(x2**2 + y2**2)
+        lat_w = np.arctan2(z2, p * (1 - e2_84))
+        for _ in range(6):
+            nu_w = a84 / np.sqrt(1 - e2_84 * np.sin(lat_w) ** 2)
+            lat_w = np.arctan2(z2 + e2_84 * nu_w * np.sin(lat_w), p)
+        lon_w = np.arctan2(y2, x2)
+
+        return pd.DataFrame(
+            {"lon": np.degrees(lon_w), "lat": np.degrees(lat_w)}
+        )
+
+    return _reproject

@@ -1,0 +1,299 @@
+"""Geometry operator surface (SURVEY.md §2.2) oracled on synthesized
+integer-valued coordinates derived from fixture keys (coords built from
+``nation``/``lineitem`` numerics so DuckDB can build the identical
+geometry and string results match exactly).
+
+The GeoJSON scan/sink round-trip ops materialize a small deterministic
+GeoJSON/CSV corpus under /tmp from the ``nation`` table, exercise the
+real distributed reader/writer, and oracle the result against the
+originating table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.functions.geo import (
+    bounding_box,
+    linestring_length,
+    linestring_to_wkt,
+    swap_coords,
+    to_ewkt,
+    wkt_to_linestring,
+)
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.geojson import read_geojson_features
+from transit_scrape_spark.sources.tables import load_table
+
+
+def _synth_coords(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic 3-point LineString per row from an integer key.
+
+    Integer-valued doubles so WKT strings are formatted identically by
+    Spark and DuckDB ('123.0').
+    """
+    k = F.col(key).cast("long")
+    pt = lambda dx, dy: F.array(  # noqa: E731
+        ((k * 13 + dx) % 700000).cast("double"), ((k * 29 + dy) % 1000000).cast("double")
+    )
+    return df.withColumn("coordinates", F.array(pt(0, 0), pt(1000, 2000), pt(5000, 3000)))
+
+
+_SYNTH_SQL = """
+    SELECT n_nationkey,
+           [
+             [CAST((n_nationkey * 13) % 700000 AS DOUBLE), CAST((n_nationkey * 29) % 1000000 AS DOUBLE)],
+             [CAST((n_nationkey * 13 + 1000) % 700000 AS DOUBLE), CAST((n_nationkey * 29 + 2000) % 1000000 AS DOUBLE)],
+             [CAST((n_nationkey * 13 + 5000) % 700000 AS DOUBLE), CAST((n_nationkey * 29 + 3000) % 1000000 AS DOUBLE)]
+           ] AS coordinates
+    FROM nation
+"""
+
+
+@query(
+    "derive-route-length",
+    oracle=f"""
+        SELECT n_nationkey,
+               round(
+                 sqrt(pow(coordinates[2][1] - coordinates[1][1], 2) + pow(coordinates[2][2] - coordinates[1][2], 2))
+               + sqrt(pow(coordinates[3][1] - coordinates[2][1], 2) + pow(coordinates[3][2] - coordinates[2][2], 2)),
+               6) AS route_length_m
+        FROM ({_SYNTH_SQL})
+    """,
+    doc="Planar LineString length (reference geometry.length, "
+    "process_cycle_networks.py:88) as zip_with(slice,slice)+aggregate — "
+    "higher-order functions, no explode, no UDF.",
+)
+def derive_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.round(linestring_length(F.col("coordinates")), 6).alias("route_length_m"),
+    )
+
+
+@query(
+    "geom-to-wkt",
+    oracle=f"""
+        SELECT n_nationkey,
+               concat('LINESTRING (',
+                      array_to_string(list_transform(coordinates,
+                          p -> concat(CAST(p[1] AS VARCHAR), ' ', CAST(p[2] AS VARCHAR))), ', '),
+                      ')') AS wkt,
+               concat('SRID=4326;', concat('LINESTRING (',
+                      array_to_string(list_transform(coordinates,
+                          p -> concat(CAST(p[1] AS VARCHAR), ' ', CAST(p[2] AS VARCHAR))), ', '),
+                      ')')) AS ewkt
+        FROM ({_SYNTH_SQL})
+    """,
+    doc="Geometry -> WKT/EWKT serialization (reference "
+    "process_cycle_networks.py:158, db_helpers.py:172-176) via "
+    "transform+array_join+concat.",
+)
+def geom_to_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    wkt = linestring_to_wkt(F.col("coordinates"))
+    return n.select("n_nationkey", wkt.alias("wkt"), to_ewkt(wkt).alias("ewkt"))
+
+
+@query(
+    "wkt-to-geom",
+    oracle=f"""
+        SELECT n_nationkey, coordinates AS coords_roundtrip
+        FROM ({_SYNTH_SQL})
+    """,
+    doc="WKT string -> coordinate arrays (reference GeoSeries.from_wkt, "
+    "app/app.py:81-83) via regexp strip + nested split/cast; oracled as "
+    "an exact round-trip wkt_to_linestring(linestring_to_wkt(c)) == c.",
+)
+def wkt_to_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    wkt = linestring_to_wkt(F.col("coordinates"))
+    return n.select(
+        "n_nationkey", wkt_to_linestring(wkt).alias("coords_roundtrip")
+    )
+
+
+@query(
+    "coord-swap",
+    oracle=f"""
+        SELECT n_nationkey,
+               list_transform(coordinates, p -> [p[2], p[1]]) AS latlon
+        FROM ({_SYNTH_SQL})
+    """,
+    doc="Per-vertex (lon,lat)->(lat,lon) swap (reference app/app.py:139-141) "
+    "via nested transform.",
+)
+def coord_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    return n.select("n_nationkey", swap_coords(F.col("coordinates")).alias("latlon"))
+
+
+@query(
+    "explode-multigeom",
+    oracle=f"""
+        SELECT n_nationkey, CAST(part_idx AS BIGINT) AS part_idx, part
+        FROM (
+          SELECT n_nationkey,
+                 generate_subscripts(parts, 1) AS part_idx,
+                 unnest(parts) AS part
+          FROM (SELECT n_nationkey,
+                       [coordinates, list_transform(coordinates, p -> [p[1] + 10000, p[2] + 20000])] AS parts
+                FROM ({_SYNTH_SQL}))
+        )
+    """,
+    doc="MultiLineString -> constituent LineStrings (reference "
+    "geometry.geoms flatten, app/app.py:137-139) via posexplode.",
+)
+def explode_multigeom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    multi = n.withColumn(
+        "parts",
+        F.array(
+            F.col("coordinates"),
+            F.transform(
+                F.col("coordinates"), lambda p: F.array(p[0] + 10000, p[1] + 20000)
+            ),
+        ),
+    )
+    ex = multi.select(
+        "n_nationkey", F.posexplode("parts").alias("part_idx0", "part")
+    )
+    return ex.select(
+        "n_nationkey",
+        (F.col("part_idx0") + 1).cast("long").alias("part_idx"),
+        "part",
+    )
+
+
+@query(
+    "agg-geo-bounds",
+    oracle=f"""
+        SELECT round(min(minx), 6) AS minx, round(min(miny), 6) AS miny,
+               round(max(maxx), 6) AS maxx, round(max(maxy), 6) AS maxy,
+               round((min(minx) + max(maxx)) / 2, 6) AS center_x,
+               round((min(miny) + max(maxy)) / 2, 6) AS center_y
+        FROM (
+          SELECT list_min(list_transform(coordinates, p -> p[1])) AS minx,
+                 list_min(list_transform(coordinates, p -> p[2])) AS miny,
+                 list_max(list_transform(coordinates, p -> p[1])) AS maxx,
+                 list_max(list_transform(coordinates, p -> p[2])) AS maxy
+          FROM ({_SYNTH_SQL})
+        )
+    """,
+    doc="total_bounds + map center (reference app/app.py:94-99): per-row "
+    "envelope expressions then a tiny global min/max agg.",
+)
+def agg_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    env = n.select(bounding_box(F.col("coordinates")).alias("bb")).select("bb.*")
+    return env.agg(
+        F.round(F.min("minx"), 6).alias("minx"),
+        F.round(F.min("miny"), 6).alias("miny"),
+        F.round(F.max("maxx"), 6).alias("maxx"),
+        F.round(F.max("maxy"), 6).alias("maxy"),
+        F.round((F.min("minx") + F.max("maxx")) / 2, 6).alias("center_x"),
+        F.round((F.min("miny") + F.max("maxy")) / 2, 6).alias("center_y"),
+    )
+
+
+# --- GeoJSON scan round-trip (real file I/O through the engine) -----------
+
+def _geojson_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic FeatureCollection from `nation` once per
+    (sf_dir) under /tmp; returns the file path."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/tss_geojson_{tag}/nation.geojson"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "nation")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        feats = []
+        for r in rows:
+            k = r["n_nationkey"]
+            coords = [
+                [float((k * 13) % 700000), float((k * 29) % 1000000)],
+                [float((k * 13 + 1000) % 700000), float((k * 29 + 2000) % 1000000)],
+            ]
+            feats.append(
+                {
+                    "type": "Feature",
+                    "properties": {
+                        "n_nationkey": k,
+                        "n_name": r["n_name"],
+                        "n_regionkey": r["n_regionkey"],
+                    },
+                    "geometry": {"type": "LineString", "coordinates": coords},
+                }
+            )
+        with open(path + ".tmp", "w") as f:
+            json.dump({"type": "FeatureCollection", "features": feats}, f)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+@query(
+    "scan-geojson",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               'LineString' AS geometry_type,
+               CAST(2 AS BIGINT) AS n_points,
+               'nation.geojson' AS source_file
+        FROM nation
+    """,
+    doc="GeoJSON FeatureCollection scan (reference import_json_data, "
+    "process_cycle_networks.py:18-55): multiLine json read -> explode "
+    "features -> flatten properties + geometry; provenance via "
+    "input_file_name (reference :95). Round-trips a deterministic "
+    "fixture built from `nation`.",
+)
+def scan_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _geojson_fixture_path(spark, sf_dir)
+    feats = read_geojson_features(spark, path)
+    return feats.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        "geometry_type",
+        F.size("coordinates").cast("long").alias("n_points"),
+        "source_file",
+    )
+
+
+@query(
+    "sink-csv-wkt",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               concat('LINESTRING (',
+                      CAST(CAST((n_nationkey * 13) % 700000 AS DOUBLE) AS VARCHAR), ' ',
+                      CAST(CAST((n_nationkey * 29) % 1000000 AS DOUBLE) AS VARCHAR), ', ',
+                      CAST(CAST((n_nationkey * 13 + 1000) % 700000 AS DOUBLE) AS VARCHAR), ' ',
+                      CAST(CAST((n_nationkey * 29 + 2000) % 1000000 AS DOUBLE) AS VARCHAR),
+                      ')') AS geometry_wkt
+        FROM nation
+    """,
+    doc="CSV sink with WKT-serialized geometry, then read back (reference "
+    "process_cycle_networks.py:155-162): withColumn(wkt).drop(geometry) "
+    ".write.csv — full write+scan through the engine.",
+)
+def sink_csv_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.sinks import write_csv_wkt
+
+    path = _geojson_fixture_path(spark, sf_dir)
+    feats = read_geojson_features(spark, path).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "coordinates"
+    )
+    out_dir = os.path.dirname(path) + "/csv_out"
+    write_csv_wkt(feats, out_dir)
+    back = spark.read.option("header", "true").csv(out_dir)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "geometry_wkt"
+    )

@@ -1,0 +1,76 @@
+"""Operator registry: op_id -> (Spark plan builder, DuckDB oracle SQL).
+
+This is the single source of truth the driver contract
+(``__spark_entry__.py``) is generated from. Every operator from
+SURVEY.md §2 that is implemented registers here; SQL-expressible ops
+carry an ANSI-SQL oracle string (run by DuckDB on the same parquet),
+non-SQL-expressible ops (streaming, LSH, reprojection) register with
+``oracle=None`` and get the driver's weaker rows-only check.
+
+Conventions (driver compares row count + schema + order-insensitive
+value hash, sorting columns by name):
+
+- Alias EVERY computed column identically on both sides.
+- Type discipline: Spark ``size``/``length``/``row_number``/``ascii``
+  return int — cast to long; DuckDB ``sum(BIGINT)`` returns HUGEINT —
+  cast to BIGINT; double aggregates are rounded identically on both
+  sides to absorb summation-order last-bit drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    op_id: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(op_id: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark, sf_dir) -> DataFrame plan builder."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if op_id in _REGISTRY:
+            raise ValueError(f"duplicate op_id {op_id!r}")
+        _REGISTRY[op_id] = QuerySpec(op_id, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every query module so registrations run."""
+    from transit_scrape_spark.queries import (  # noqa: F401
+        geo,
+        relational,
+        scalar,
+        streaming,
+        text,
+        vectors,
+    )
+
+
+def registry() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {k: v.fn for k, v in registry().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {k: v.oracle for k, v in registry().items() if v.oracle is not None}

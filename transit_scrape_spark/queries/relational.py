@@ -1,0 +1,634 @@
+"""Relational operator surface (SURVEY.md §2.3-2.8).
+
+Re-expresses the reference's Postgres-delegated SQL surface
+(``/root/reference/app/app.py:46-77``: DISTINCT / IS NOT NULL / equality
+filter / ORDER BY / LIMIT) and its implicit union/join/window needs as
+native Catalyst plans. Scale notes per op in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (reference: app/app.py:50,71-72)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter-eq",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="Equality predicate, reference app/app.py:71-72 (dynamic WHERE). "
+    "Filter + projection both push into the parquet scan (PushedFilters).",
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "filter-not-null",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL
+    """,
+    doc="IS NOT NULL predicate, reference app/app.py:50.",
+)
+def filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "filter-range",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_quantity BETWEEN 10 AND 20
+    """,
+    doc="Range predicates (date + numeric BETWEEN); pushed to parquet "
+    "row-group min/max stats at scale.",
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_quantity").between(10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@query(
+    "filter-in",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="IN-list predicate (reference sidebar selection generalized).",
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference: app/app.py:50, push_to_db.py:109-111, app/app.py:94-99)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg-distinct-sorted",
+    oracle="""
+        SELECT DISTINCT c_mktsegment
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL
+        ORDER BY c_mktsegment
+    """,
+    doc="SELECT DISTINCT ... ORDER BY, reference app/app.py:50. "
+    "Distinct is a partial-agg shuffle on the one column after pruning.",
+)
+def agg_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg-count",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped counts, reference push_to_db.py:42-44 running totals "
+    "re-expressed as one grouped agg (map-side partial combine).",
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg-running-totals",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag)
+    """,
+    doc="Per-group + grand-total accumulation (reference push_to_db.py:109-111 "
+    "sequential counters) as a ROLLUP — one pass, partial aggregation.",
+)
+def agg_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg-stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Full agg battery incl. count-distinct (distinct agg = extra "
+    "shuffle keyed on (group, distinct-col); at 100 TB prefer "
+    "approx_count_distinct unless exactness is required).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg-bounds",
+    oracle="""
+        SELECT round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               min(l_shipdate) AS min_ship,
+               max(l_shipdate) AS max_ship,
+               round((min(l_extendedprice) + max(l_extendedprice)) / 2, 2) AS mid_price
+        FROM lineitem
+    """,
+    doc="Global bounds + midpoint, reference total_bounds app/app.py:94-99. "
+    "Single-row global agg: partial min/max per partition, tiny final reduce.",
+)
+def agg_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.round((F.min("l_extendedprice") + F.max("l_extendedprice")) / 2, 2).alias(
+            "mid_price"
+        ),
+    )
+
+
+@query(
+    "agg-pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_o,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_f
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pivot on a known value domain — compiles to conditional aggregates, "
+    "one shuffle (no per-value pass).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return df.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+    )
+
+
+@query(
+    "tpch-q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary — the canonical wide-agg scan. "
+    "Whole-stage-codegen single pass; no join; partial aggs map-side.",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (reference: app/app.py:50,74)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort-by-key",
+    oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+    doc="ORDER BY string asc, reference app/app.py:50. Global sort = "
+    "range-partitioned exchange; avoid at scale unless output order matters.",
+)
+def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+@query(
+    "topk-by-id",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    doc="ORDER BY id LIMIT 1000, reference app/app.py:74. Spark plans "
+    "TakeOrderedAndProject: per-partition top-k then merge — no global sort.",
+)
+def topk_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "topk-by-value",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc="Top-k by measure with deterministic tie-break; "
+    "TakeOrderedAndProject (partition-local heap + merge).",
+)
+def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference: app/app.py:110-122 broadcast-dim; db_models FK intent)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join-broadcast-dim",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Dimension enrichment (reference route_colors lookup app/app.py:110-122) "
+    "as an explicit broadcast hash join — no shuffle of the fact side.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+
+
+@query(
+    "join-fk-chain",
+    oracle="""
+        SELECT r.r_name AS region_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc="FK chain customer->nation->region (reference db_models.py:39-40 "
+    "admin hierarchy). Both dims broadcast: zero shuffles before the agg.",
+)
+def join_fk_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "join-fact-fact",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact equi-join orders⋈lineitem. At 100 TB this is the "
+    "shuffle that dominates: both sides hash-partition on orderkey "
+    "(or are pre-bucketed on it to skip the exchange); AQE handles skew.",
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join-semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+    """,
+    doc="Left-semi join (EXISTS): customers with at least one big order. "
+    "Semi-join ships only the join key of the right side.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join-anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders — the "
+    "idempotent-reload dedup primitive (SURVEY §7 replaces drop_existing).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Set ops (reference: append-across-files, push_to_db.py:87-106)
+# ---------------------------------------------------------------------------
+
+@query(
+    "union-by-name",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    doc="UNION ALL by column name (reference per-file append loop "
+    "push_to_db.py:87-106). unionByName tolerates column-order drift "
+    "across input files; no shuffle — partitions concatenate.",
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # deliberately different column order on the second branch
+    b = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_totalprice", "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Windows (reference: db_models.py:24 serial PK; created_at latest-wins)
+# ---------------------------------------------------------------------------
+
+@query(
+    "derive-surrogate-key",
+    oracle="""
+        SELECT CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS id,
+               event_id, user_id
+        FROM events
+    """,
+    doc="Serial-PK assignment (reference db_models.py:24) as row_number. "
+    "NOTE: a global row_number forces a single-partition sort — at 100 TB "
+    "use zipWithIndex-style per-partition offsets or monotonically_increasing_id; "
+    "kept here for oracle determinism.",
+)
+def derive_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return ev.select(
+        F.row_number().over(w).cast("long").alias("id"), "event_id", "user_id"
+    )
+
+
+@query(
+    "window-latest-per-key",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Latest row per key (reference created_at latest-wins dedup, "
+    "db_models.py:54-55). Partitioned window — scales: one shuffle on "
+    "user_id, per-partition sort, no global order.",
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "window-topk-per-group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer — windowed top-k; Spark pushes the "
+    "rank filter into the window sort (WindowGroupLimit) so per-group "
+    "state stays bounded.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window-running-sum",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events
+    """,
+    doc="Running per-key sum ordered by time — sequential fold per key, "
+    "identical order on both engines so doubles match bit-for-bit "
+    "(rounded for safety).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query(
+    "window-lag-delta",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               round(value - coalesce(lag(value) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id), 0), 4)
+                   AS delta
+        FROM events
+    """,
+    doc="lag() delta per key — sessionization building block "
+    "(gap detection per SURVEY §2.10 / guide sessionization pattern).",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map lookup with default (reference: app/app.py:110-122 route_colors)
+# ---------------------------------------------------------------------------
+
+@query(
+    "map-lookup-default",
+    oracle="""
+        SELECT event_id, event_type,
+               CASE event_type
+                   WHEN 'click' THEN '#e41a1c'
+                   WHEN 'view' THEN '#377eb8'
+                   WHEN 'purchase' THEN '#4daf4a'
+                   WHEN 'signup' THEN '#984ea3'
+                   ELSE '#3388ff'
+               END AS color
+        FROM events
+    """,
+    doc="Categorical dict lookup with fallback (reference route_colors.get, "
+    "app/app.py:110-122) as create_map[key] + coalesce — pure codegen, "
+    "no join, no UDF.",
+)
+def map_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    colors = F.create_map(
+        F.lit("click"), F.lit("#e41a1c"),
+        F.lit("view"), F.lit("#377eb8"),
+        F.lit("purchase"), F.lit("#4daf4a"),
+        F.lit("signup"), F.lit("#984ea3"),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(colors[F.col("event_type")], F.lit("#3388ff")).alias("color"),
+    )

@@ -1,0 +1,267 @@
+"""Scalar-function surface (SURVEY.md §2.2, §2.9): string / date / math /
+map / JSON projections, schema alignment, and the OS-grid-reference
+function — all pure built-in Column expressions (whole-stage codegen;
+zero Python UDFs in any of these paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.functions.gridref import (
+    os_grid_reference,
+    os_grid_reference_oracle_sql,
+)
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+@query(
+    "proj-string-funcs",
+    oracle="""
+        SELECT doc_id,
+               upper(lang) AS lang_uc,
+               CAST(length(text) AS BIGINT) AS n_chars_computed,
+               substring(text, 1, 20) AS head,
+               concat(source, ':', lang) AS source_lang,
+               replace(lang, 'e', 'E') AS lang_sub
+        FROM documents
+    """,
+    doc="String scalar battery (reference f-string assembly app/app.py:124-131, "
+    "geotiles rjust/indexing) — upper/length/substring/concat/replace.",
+)
+def proj_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.substring("text", 1, 20).alias("head"),
+        F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("source_lang"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("lang_sub"),
+    )
+
+
+@query(
+    "fn-basename-splitext",
+    oracle="""
+        SELECT doc_id,
+               path,
+               list_extract(string_split(path, '/'), -1) AS basename,
+               regexp_replace(list_extract(string_split(path, '/'), -1),
+                              '\\.[^.]+$', '') AS stem
+        FROM (SELECT doc_id, concat('data/raw/', source, '/doc_', CAST(doc_id AS VARCHAR), '.geojson') AS path
+              FROM documents)
+    """,
+    doc="basename/splitext provenance derivation (reference "
+    "process_cycle_networks.py:95,145) via split/element_at/regexp_replace.",
+)
+def fn_basename_splitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("data/raw/"), F.col("source"), F.lit("/doc_"),
+        F.col("doc_id").cast("string"), F.lit(".geojson"),
+    )
+    base = F.element_at(F.split(path, "/"), -1)
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        base.alias("basename"),
+        F.regexp_replace(base, r"\.[^.]+$", "").alias("stem"),
+    )
+
+
+@query(
+    "fn-date-funcs",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y%m%d_%H%M%S') AS stamp,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(date_part('day', o_orderdate) AS BIGINT) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts
+        FROM orders
+    """,
+    doc="Date/time scalar battery (reference strftime %Y%m%d_%H%M%S naming "
+    "process_cycle_networks.py:146; now() defaults db_models.py:54-55).",
+)
+def fn_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd_HHmmss").alias("stamp"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )
+
+
+@query(
+    "fn-math-funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net_price,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+               CAST(l_partkey % 97 AS BIGINT) AS pmod97,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               round(pow(l_discount, 2), 8) AS disc_sq,
+               abs(l_quantity - 25) AS dev_from_25
+        FROM lineitem
+    """,
+    doc="Math scalar battery (reference floor/% geotiles.py:24-43, round "
+    "app/app.py:130, sqrt/pow length math process_cycle_networks.py:88).",
+)
+def fn_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_bucket"),
+        (F.col("l_partkey") % 97).alias("pmod97"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("dev_from_25"),
+    )
+
+
+@query(
+    "fn-format-popup",
+    oracle="""
+        SELECT event_id,
+               concat('<b>Event:</b> ', event_type,
+                      '<br><b>User:</b> ', CAST(user_id AS VARCHAR),
+                      '<br><b>Value:</b> ', coalesce(CAST(round(value, 2) AS VARCHAR), 'N/A'))
+                   AS popup
+        FROM events
+    """,
+    doc="Per-row HTML popup interpolation with N/A defaults (reference "
+    "app/app.py:124-131) as concat + coalesce — codegen, no Python loop.",
+)
+def fn_format_popup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<b>Event:</b> "), F.col("event_type"),
+            F.lit("<br><b>User:</b> "), F.col("user_id").cast("string"),
+            F.lit("<br><b>Value:</b> "),
+            F.coalesce(F.round(F.col("value"), 2).cast("string"), F.lit("N/A")),
+        ).alias("popup"),
+    )
+
+
+@query(
+    "json-extract",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        FROM events
+    """,
+    doc="JSON property extraction (reference GeoJSON envelope dissection "
+    "process_cycle_networks.py:33-43; unused JSONB intent db_models.py:9) "
+    "via get_json_object on events.props.",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("long").alias("k_int"))
+
+
+@query(
+    "json-to-map",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+        FROM events
+    """,
+    doc="from_json into MapType then key access — the dynamic-property-bag "
+    "pattern (reference from_features dynamic properties "
+    "process_cycle_networks.py:50).",
+)
+def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,double>")
+    return ev.select("event_id", m.getItem("k").alias("k_val"))
+
+
+@query(
+    "rename-type-to-route-type",
+    oracle="SELECT event_id, event_type AS route_type FROM events",
+    doc="Column rename at load (reference db_helpers.py:163-165 "
+    "type -> route_type).",
+)
+def rename_type_to_route_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type").withColumnRenamed("event_type", "route_type")
+
+
+@query(
+    "schema-align",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type,
+               CAST(NULL AS DOUBLE) AS score
+        FROM events
+    """,
+    doc="Align a dynamic source schema to a fixed target: keep known "
+    "columns, drop unknowns, add missing as typed NULLs (reference "
+    "db_helpers.py:167-169 silent attribute filter).",
+)
+def schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    target = [
+        ("event_id", "long"),
+        ("ts", "timestamp"),
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("score", "double"),  # not in source -> typed NULL
+    ]
+    cols = [
+        (F.col(name).cast(dtype) if name in ev.columns else F.lit(None).cast(dtype)).alias(name)
+        for name, dtype in target
+    ]
+    return ev.select(*cols)
+
+
+# --- OS grid reference over synthesized eastings/northings ----------------
+
+_E_EXPR = "(l_partkey * 37) % 800000"   # some values exceed the 0..699999 valid band
+_N_EXPR = "(l_orderkey * 53) % 1000000"
+
+
+@query(
+    "fn-os-grid-ref",
+    oracle=f"""
+        SELECT pk, e, n,
+               {os_grid_reference_oracle_sql('e', 'n', 10)} AS ref10,
+               {os_grid_reference_oracle_sql('e', 'n', 8)} AS ref8,
+               {os_grid_reference_oracle_sql('e', 'n', 6)} AS ref6
+        FROM (SELECT l_orderkey * 10 + l_linenumber AS pk,
+                     CAST({_E_EXPR} AS DOUBLE) AS e,
+                     CAST({_N_EXPR} AS DOUBLE) AS n
+              FROM lineitem)
+    """,
+    doc="OS easting/northing -> grid reference at precision 6/8/10 "
+    "(reference geotiles.py:8-59) as pure floor/pmod/substring/lpad "
+    "expressions; invalid domain -> '' exercised by the synthesized range.",
+)
+def fn_os_grid_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pk"),
+        ((F.col("l_partkey") * 37) % 800000).cast("double").alias("e"),
+        ((F.col("l_orderkey") * 53) % 1000000).cast("double").alias("n"),
+    )
+    return base.select(
+        "pk",
+        "e",
+        "n",
+        os_grid_reference(F.col("e"), F.col("n"), 10).alias("ref10"),
+        os_grid_reference(F.col("e"), F.col("n"), 8).alias("ref8"),
+        os_grid_reference(F.col("e"), F.col("n"), 6).alias("ref6"),
+    )

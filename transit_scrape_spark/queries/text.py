@@ -1,0 +1,230 @@
+"""Text-analysis + deduplication surface (SURVEY.md §2.12 extension ops,
+BASELINE.json north star: LLM-data-pipeline operators at 100 TB scale).
+
+All ops below are pure built-in expressions over the ``documents``
+fixture — tokenization via split, higher-order array functions for
+ratios and rolling hashes. No Python UDFs: at 100 TB these run inside
+whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+_STOPWORDS = ("a", "the")
+
+
+@query(
+    "dedup-exact",
+    oracle="""
+        SELECT DISTINCT doc_id, text, lang, source, n_chars
+        FROM (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        )
+    """,
+    doc="Exact dedup: full-row distinct over a corpus that is doubled "
+    "(simulating the reference's re-run append hazard, "
+    "push_to_db.py:29-30,91-92). Hash-partition on all columns, partial "
+    "dedup map-side; at 100 TB dedup on sha2(text) instead of raw text "
+    "to shrink shuffle payload (see dedup-exact-hash).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.unionByName(d).distinct()
+
+
+@query(
+    "dedup-exact-hash",
+    oracle="""
+        SELECT sha256(text) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        GROUP BY sha256(text)
+    """,
+    doc="Content-hash dedup with deterministic survivor (min doc_id): "
+    "group on sha2(text,256) — the 100 TB pattern: shuffle 32-byte "
+    "digests, not document bodies.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return doubled.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "text-token-count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_text
+        FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) — split + size + "
+    "array_distinct; the BPE-ish regex variant is text-token-regex.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+@query(
+    "text-token-regex",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    doc="BPE-ish regex token counting: letter-runs / digit-runs / "
+    "single punctuation as separate tokens, via regexp_extract_all.",
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text-quality-score",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+                   AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS ttr
+        FROM documents
+    """,
+    doc="Document quality scoring: length, avg token length, stopword "
+    "ratio, type-token ratio — the C4/Gopher-style filter features as "
+    "one codegen'd projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6).alias("ttr"),
+    )
+
+
+@query(
+    "text-lang-id",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE
+                   WHEN len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and'))) >= 3 THEN 'en'
+                   WHEN length(text) > 400 THEN 'long'
+                   ELSE 'other'
+               END AS lang_guess
+        FROM documents
+    """,
+    doc="n-gram/stopword language-ID heuristic (deterministic scoring; "
+    "parity-oracled — accuracy is a model property, not an engine one). "
+    "Real corpora swap the word lists per language; same plan shape.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en_hits >= 3, "en")
+        .when(F.length("text") > 400, "long")
+        .otherwise("other")
+        .alias("lang_guess"),
+    )
+
+
+@query(
+    "text-fingerprint",
+    oracle="""
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           t -> CAST(ascii(substring(t, 1, 1)) * 31 + length(t) AS BIGINT))),
+                   (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    doc="Rolling polynomial document fingerprint over the token stream "
+    "(per-token code = ascii(first char)*31 + len, folded mod 2^31-1) — "
+    "F.aggregate, sequential per row, identical fold order on both "
+    "engines; integer math so bit-exact.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split("text", " "),
+        lambda t: (F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 1000003 + x) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text-lang-agg",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Corpus rollup per language — grouped agg over computed token "
+    "counts (the per-source summary of push_to_db.py:109-111 generalized).",
+)
+def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 6).alias(
+                "avg_tokens"
+            ),
+        )
+    )

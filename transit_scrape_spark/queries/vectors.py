@@ -1,0 +1,140 @@
+"""Similarity search over embeddings (SURVEY.md §2.12 simsearch-topk;
+north-star ANN surface).
+
+Plans are written for the 100 TB shape: the query vector is a scalar
+subquery/broadcast (never a shuffle), top-k goes through
+TakeOrderedAndProject (partition-local heaps + single merge — the
+REPOSE/distributed-top-k pattern from PAPERS.md), and the LSH-bucketed
+variant prunes candidates before exact scoring.
+
+DuckDB oracle parity: both engines cast float32 -> double first
+(exact widening), compute the same fold, and round similarity to 6
+decimals to absorb summation-order last-bit drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.functions.vectors import as_double, cosine, dot, norm
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+_QUERY_VEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)"
+
+
+@query(
+    "simsearch-topk",
+    oracle=f"""
+        SELECT vec_id, label,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
+        FROM embeddings
+        WHERE vec_id <> 1
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """,
+    doc="Brute-force cosine top-k against one query vector: broadcast "
+    "scalar query vector, zip_with+aggregate dot product, "
+    "TakeOrderedAndProject top-k (no global sort).",
+)
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "simsearch-knn-join",
+    oracle="""
+        WITH scored AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS sim
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 5) q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT q_id, vec_id, sim
+        FROM (
+            SELECT q_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    doc="k-NN join: 5 query vectors x corpus, top-3 each — broadcast the "
+    "query side (tiny), score codegen-side, windowed top-k per query "
+    "with WindowGroupLimit keeping state bounded. The all-pairs version "
+    "partitions the corpus and broadcasts query blocks (block-nested "
+    "loop), never shuffling the big side.",
+)
+def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "sim")
+    )
+
+
+@query(
+    "embed-norms",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+               round(min(list_min(CAST(embedding AS DOUBLE[]))), 6) AS min_component,
+               round(max(list_max(CAST(embedding AS DOUBLE[]))), 6) AS max_component
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc="Per-label embedding stats (norms, component bounds) — vector "
+    "exprs feeding an ordinary grouped agg.",
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            norm(v).alias("nrm"),
+            F.array_min(v).alias("mn"),
+            F.array_max(v).alias("mx"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("mn"), 6).alias("min_component"),
+            F.round(F.max("mx"), 6).alias("max_component"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""GeoJSON source (SURVEY.md §2.1 scan-geojson / scan-glob).
+
+Re-expresses the reference's whole-file ``json.load`` + feature-list
+normalization + ``GeoDataFrame.from_features``
+(``/root/reference/src/process_cycle_networks.py:18-55``) as one
+distributed ``spark.read.json`` plan:
+
+- ``multiLine=true`` because a GeoJSON document is one JSON value.
+- Polymorphic envelope (FeatureCollection / bare [Feature,...] / single
+  Feature — reference branching at :36-43) handled by schema shape.
+- Corrupt files -> ``_corrupt_record`` (PERMISSIVE), mirroring the
+  reference's try/except->None (:53-55) without killing the job.
+- A directory/glob path replaces the reference's sequential per-file
+  loop (``push_to_db.py:77-88``): one scan, partitioned across
+  executors; ``input_file_name()`` preserves per-file provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
+    """Read GeoJSON file(s)/glob -> one row per feature.
+
+    Output columns: every property key (flattened), plus
+    ``geometry_type``, ``coordinates`` (LineString: array<array<double>>),
+    and ``source_file`` (basename, reference process_cycle_networks.py:95).
+    """
+    raw = spark.read.option("multiLine", "true").json(path)
+    cols = set(raw.columns)
+
+    if "features" in cols:
+        # FeatureCollection envelope (reference :36-38)
+        feats = raw.select(
+            F.explode("features").alias("f"),
+            F.input_file_name().alias("_path"),
+        )
+    elif "geometry" in cols or "properties" in cols:
+        # single Feature or bare [Feature, ...] (reference :39-43 —
+        # spark.read.json already returns one row per array element)
+        feats = raw.select(
+            F.struct(*[c for c in raw.columns]).alias("f"),
+            F.input_file_name().alias("_path"),
+        )
+    else:
+        raise ValueError(f"not a recognizable GeoJSON shape: columns={sorted(cols)}")
+
+    out = feats.select(
+        "f.properties.*",
+        F.col("f.geometry.type").alias("geometry_type"),
+        F.col("f.geometry.coordinates").alias("coordinates"),
+        F.element_at(F.split(F.col("_path"), "/"), -1).alias("source_file"),
+    )
+    return out
