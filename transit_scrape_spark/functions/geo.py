@@ -15,8 +15,8 @@ implementation of the OSGB36 inverse transverse-Mercator + Helmert
 transform, public formulas from the OS coordinate-systems guide).
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — stringified type
+# hints break pandas_udf signature inspection for the reprojection UDF.
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

@@ -57,6 +57,7 @@ def _load_all() -> None:
         geo,
         relational,
         scalar,
+        sources_sinks,
         streaming,
         text,
         vectors,

@@ -1,0 +1,353 @@
+"""Source/sink/DDL operator surface (SURVEY.md §2.1, §2.3 validity ops,
+plus derive/projection ops tied to scans).
+
+These ops exercise REAL engine I/O: files are materialized
+deterministically under /tmp from fixture tables, pushed through the
+distributed readers/writers, and the read-back result is oracled
+against the originating table.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.queries.geo import _geojson_fixture_path
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.geojson import read_geojson_features
+from transit_scrape_spark.sources.tables import load_table
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_")
+
+
+def _glob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One GeoJSON file per region (nation split by n_regionkey) — the
+    reference's timestamped per-scrape file corpus (push_to_db.py:77-88)."""
+    import json
+
+    d = f"/tmp/tss_glob_{_tag(sf_dir)}"
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        by_region: dict[int, list] = {}
+        for r in rows:
+            by_region.setdefault(r["n_regionkey"], []).append(r)
+        for rk, rs in by_region.items():
+            feats = [
+                {
+                    "type": "Feature",
+                    "properties": {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"]},
+                    "geometry": {
+                        "type": "LineString",
+                        "coordinates": [
+                            [float(r["n_nationkey"]), 0.0],
+                            [float(r["n_nationkey"]) + 1.0, 1.0],
+                        ],
+                    },
+                }
+                for r in rs
+            ]
+            with open(os.path.join(d, f"nation_{rk}.geojson"), "w") as f:
+                json.dump({"type": "FeatureCollection", "features": feats}, f)
+        open(done, "w").close()
+    return d
+
+
+@query(
+    "scan-glob",
+    oracle="""
+        SELECT concat('nation_', CAST(n_regionkey AS VARCHAR), '.geojson') AS source_file,
+               count(*) AS n
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="Directory+glob ingestion (reference glob loop push_to_db.py:77-88) "
+    "as ONE distributed multi-file scan — per-file counts from "
+    "input_file_name, no Python loop.",
+)
+def scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _glob_fixture_dir(spark, sf_dir)
+    feats = read_geojson_features(spark, f"{d}/*.geojson")
+    return feats.groupBy("source_file").agg(F.count("*").alias("n"))
+
+
+@query(
+    "derive-source-file",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               concat('nation_', CAST(n_regionkey AS VARCHAR), '.geojson') AS source_file
+        FROM nation
+    """,
+    doc="Per-row provenance column = basename(input file) "
+    "(reference process_cycle_networks.py:95).",
+)
+def derive_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _glob_fixture_dir(spark, sf_dir)
+    feats = read_geojson_features(spark, f"{d}/*.geojson")
+    return feats.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "source_file"
+    )
+
+
+@query(
+    "scan-geojson-lib",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               'LineString' AS geometry_type
+        FROM nation
+    """,
+    doc="Processed-GeoJSON read path (reference gpd.read_file, "
+    "db_helpers.py:214) — same single GeoJSON reader as scan-geojson "
+    "(SURVEY §2.1 'one GeoJSON reader in our engine').",
+)
+def scan_geojson_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _geojson_fixture_path(spark, sf_dir)
+    feats = read_geojson_features(spark, path)
+    return feats.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        "geometry_type",
+    )
+
+
+@query(
+    "scan-sql",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey
+        LIMIT 500
+    """,
+    doc="SQL-text entry point (reference pd.read_sql pushing SQL strings "
+    "to Postgres, app/app.py:52,77): spark.sql over registered views — "
+    "same Catalyst plan as the DataFrame chain.",
+)
+def scan_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("tss_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM tss_customer
+        WHERE c_mktsegment IS NOT NULL AND c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey
+        LIMIT 500
+        """
+    )
+
+
+@query(
+    "sink-geojson",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               'LineString' AS geometry_type,
+               CAST(2 AS BIGINT) AS n_points
+        FROM nation
+    """,
+    doc="GeoJSON sink (reference to_file, process_cycle_networks.py:149-153) "
+    "as newline-delimited Feature objects, then read back through the "
+    "GeoJSON scanner — full write+read round-trip.",
+)
+def sink_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.sinks import write_geojson
+
+    path = _geojson_fixture_path(spark, sf_dir)
+    feats = read_geojson_features(spark, path).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "coordinates"
+    )
+    out_dir = os.path.dirname(path) + "/geojson_out"
+    write_geojson(feats, out_dir)
+    back = read_geojson_features(spark, out_dir, multiline=False)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "geometry_type",
+        F.size("coordinates").cast("long").alias("n_points"),
+    )
+
+
+@query(
+    "sink-jdbc-batch",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus
+    """,
+    doc="Batched table append (reference 64k-row ORM batches, "
+    "db_helpers.py:125-192): write.mode(overwrite) parquet with "
+    "batchsize-equivalent row-group sizing, then read back and "
+    "aggregate. The JDBC form is df.write.option('batchsize', 64000)"
+    ".jdbc(...) — no JDBC server in this environment, parquet target "
+    "exercises the identical plan shape.",
+)
+def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = f"/tmp/tss_jdbc_{_tag(sf_dir)}"
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o.write.mode("overwrite").option("parquet.block.size", 64 * 1024 * 1024).parquet(
+        target
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "sink-ddl",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="DDL management (reference create_tables/drop/introspect, "
+    "db_helpers.py:94-123): DROP TABLE IF EXISTS + CTAS USING parquet "
+    "+ catalog verification + read back via spark.table.",
+)
+def sink_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = f"/tmp/tss_ddl_{_tag(sf_dir)}"
+    shutil.rmtree(loc, ignore_errors=True)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("tss_customer_src")
+    spark.sql("DROP TABLE IF EXISTS tss_ddl_table")
+    spark.sql(
+        f"""
+        CREATE TABLE tss_ddl_table USING parquet LOCATION '{loc}'
+        AS SELECT c_custkey, c_mktsegment FROM tss_customer_src
+        """
+    )
+    assert any(t.name == "tss_ddl_table" for t in spark.catalog.listTables())
+    return spark.table("tss_ddl_table").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "project-drop-geometry",
+    oracle="SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation",
+    doc="Property extraction = all columns except geometry (reference "
+    "process_cycle_networks.py:84, app/app.py:180).",
+)
+def project_drop_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _geojson_fixture_path(spark, sf_dir)
+    feats = read_geojson_features(spark, path)
+    keep = [c for c in feats.columns if c not in ("coordinates", "geometry_type")]
+    return feats.select(*keep).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+
+
+@query(
+    "derive-timestamps",
+    oracle="""
+        SELECT event_id, TRUE AS has_created, TRUE AS has_updated, TRUE AS stamps_equal
+        FROM events
+    """,
+    doc="Load-time created_at/updated_at = now() defaults (reference "
+    "db_models.py:54-55) via current_timestamp(); oracled on the "
+    "deterministic properties (non-null, equal) since wall-clock values "
+    "can't hash-match across engines.",
+)
+def derive_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stamped = ev.select("event_id").withColumn(
+        "created_at", F.current_timestamp()
+    ).withColumn("updated_at", F.current_timestamp())
+    return stamped.select(
+        "event_id",
+        F.col("created_at").isNotNull().alias("has_created"),
+        F.col("updated_at").isNotNull().alias("has_updated"),
+        (F.col("created_at") == F.col("updated_at")).alias("stamps_equal"),
+    )
+
+
+def _corrupt_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    d = f"/tmp/tss_corrupt_{_tag(sf_dir)}"
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(_geojson_fixture_path(spark, sf_dir), os.path.join(d, "good.geojson"))
+        with open(os.path.join(d, "bad.geojson"), "w") as f:
+            f.write('{"type": "FeatureCollection", "features": [ {broken')
+        open(done, "w").close()
+    return d
+
+
+@query(
+    "filter-valid-rows",
+    oracle="""
+        SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_valid,
+               CAST(1 AS BIGINT) AS n_corrupt
+    """,
+    doc="Row-level error tolerance (reference per-feature try/except-skip, "
+    "process_cycle_networks.py:86-102): PERMISSIVE read routes corrupt "
+    "files to _corrupt_record instead of failing the scan; valid rows "
+    "keep flowing.",
+)
+def filter_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _corrupt_fixture_dir(spark, sf_dir)
+    raw = (
+        spark.read.option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{d}/*.geojson")
+        .cache()  # Spark disallows filtering on only the corrupt column otherwise
+    )
+    n_corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+    valid = read_geojson_features(spark, f"{d}/good.geojson")
+    return valid.agg(F.count("*").alias("n_valid")).select(
+        "n_valid", F.lit(n_corrupt).cast("long").alias("n_corrupt")
+    )
+
+
+@query(
+    "guard-empty",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'NO_SUCH_SEGMENT'
+    """,
+    doc="Empty-input short-circuit (reference guards "
+    "process_cycle_networks.py:45-47, db_helpers.py:215-217): Catalyst's "
+    "PropagateEmptyRelation + df.isEmpty() driver gate — returns the "
+    "empty frame with intact schema.",
+)
+def guard_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = c.filter(F.col("c_mktsegment") == "NO_SUCH_SEGMENT").select(
+        "c_custkey", "c_name"
+    )
+    # the guard the reference implements imperatively; schema survives
+    assert out.isEmpty()
+    return out
+
+
+@query(
+    "geo-reproject",
+    oracle=None,  # numpy transverse-Mercator math is not SQL-expressible
+    doc="EPSG:27700 -> EPSG:4326 reprojection (reference to_crs, "
+    "process_cycle_networks.py:112) as an Arrow-vectorized pandas_udf "
+    "(numpy inverse TM + Helmert, ~1-5 m vs OSTN15 — golden-point tests "
+    "in tests/test_pipelines.py). Rows-only driver check.",
+)
+def geo_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.geo import reproject_bng_to_wgs84_udf
+
+    rep = reproject_bng_to_wgs84_udf()
+    n = load_table(spark, sf_dir, "nation")
+    pts = n.select(
+        "n_nationkey",
+        (300000.0 + F.col("n_nationkey") * 1000).alias("e"),
+        (600000.0 + F.col("n_nationkey") * 1000).alias("n"),
+    )
+    out = pts.withColumn("ll", rep(F.col("e"), F.col("n")))
+    return out.select(
+        "n_nationkey",
+        F.round(F.col("ll.lon"), 8).alias("lon"),
+        F.round(F.col("ll.lat"), 8).alias("lat"),
+    )

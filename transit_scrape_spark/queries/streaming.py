@@ -104,6 +104,119 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream-append-sink",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exactly-once append to a parquet table (reference commit-per-batch "
+    "db_helpers.py:181-182 + drop-only-first-file hazard "
+    "push_to_db.py:91-92): writeStream.parquet + checkpoint. Re-running "
+    "with the same checkpoint appends NOTHING new — the checkpoint "
+    "replaces the reference's fragile drop_existing flag.",
+)
+def stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/tmp/tss_stream_append_{tag}/data"
+    ckpt = f"/tmp/tss_stream_append_{tag}/ckpt"
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@query(
+    "stream-watermark",
+    oracle="""
+        WITH on_time AS (
+            SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ), wm AS (
+            SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM on_time
+        )
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               count(*) AS n
+        FROM on_time
+        GROUP BY date_trunc('hour', ts)
+        HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+               <= (SELECT w FROM wm)
+    """,
+    doc="Watermark semantics on a staged two-batch replay (late half "
+    "arrives after on-time half): append-mode windowed agg drops every "
+    "late row (ts < watermark after batch 1) and emits only windows "
+    "whose end <= final watermark. Deterministic, so fully oracled — "
+    "the SQL reproduces Spark's watermark algebra.",
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from transit_scrape_spark.sources.tables import load_events
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/tss_stream_wm_{tag}"
+    stage, ckpt, out = f"{base}/stage", f"{base}/ckpt", f"{base}/out"
+    split = "2024-01-16"
+
+    def _stage_one(df, name: str) -> None:
+        tmp = f"{base}/{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(stage, name))
+        shutil.rmtree(tmp)
+
+    def _run_phase() -> None:
+        sdf = (
+            spark.readStream.schema(load_events(spark, sf_dir).schema)
+            .parquet(stage)
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.select(F.col("window.start").alias("window_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.exists(f"{base}/_DONE"):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        ev = load_events(spark, sf_dir)
+        # phase 1: only the on-time (later) half is present
+        _stage_one(ev.filter(F.col("ts") >= split), "01_ontime.parquet")
+        _run_phase()
+        # phase 2: the late (earlier) half arrives after the watermark has
+        # already advanced past it -> every late row is dropped, and only
+        # on-time windows with end <= final watermark were emitted
+        _stage_one(ev.filter(F.col("ts") < split), "02_late.parquet")
+        _run_phase()
+        open(f"{base}/_DONE", "w").close()
+
+    return spark.read.parquet(out)
+
+
+@query(
     "stream-dedup",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_unique

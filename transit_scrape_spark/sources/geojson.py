@@ -21,36 +21,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
+def read_geojson_features(
+    spark: SparkSession, path: str, multiline: bool = True
+) -> DataFrame:
     """Read GeoJSON file(s)/glob -> one row per feature.
 
     Output columns: every property key (flattened), plus
     ``geometry_type``, ``coordinates`` (LineString: array<array<double>>),
     and ``source_file`` (basename, reference process_cycle_networks.py:95).
     """
-    raw = spark.read.option("multiLine", "true").json(path)
+    raw = spark.read.option("multiLine", "true" if multiline else "false").json(path)
     cols = set(raw.columns)
 
+    def _flatten(feats: DataFrame) -> DataFrame:
+        return feats.select(
+            "f.properties.*",
+            F.col("f.geometry.type").alias("geometry_type"),
+            F.col("f.geometry.coordinates").alias("coordinates"),
+            F.element_at(F.split(F.col("_path"), "/"), -1).alias("source_file"),
+        )
+
+    parts: list[DataFrame] = []
     if "features" in cols:
         # FeatureCollection envelope (reference :36-38)
-        feats = raw.select(
-            F.explode("features").alias("f"),
-            F.input_file_name().alias("_path"),
+        parts.append(
+            _flatten(
+                raw.filter(F.col("features").isNotNull()).select(
+                    F.explode("features").alias("f"),
+                    F.input_file_name().alias("_path"),
+                )
+            )
         )
-    elif "geometry" in cols or "properties" in cols:
+    if "geometry" in cols or "properties" in cols:
         # single Feature or bare [Feature, ...] (reference :39-43 —
-        # spark.read.json already returns one row per array element)
-        feats = raw.select(
-            F.struct(*[c for c in raw.columns]).alias("f"),
-            F.input_file_name().alias("_path"),
+        # spark.read.json already returns one row per array element).
+        # A mixed multi-file scan hits BOTH branches; the null filters
+        # route each row to the branch matching its file's shape.
+        direct = raw
+        if "features" in cols:
+            direct = direct.filter(F.col("features").isNull())
+        parts.append(
+            _flatten(
+                direct.filter(F.col("geometry").isNotNull()).select(
+                    F.struct(*[c for c in raw.columns if c != "features"]).alias("f"),
+                    F.input_file_name().alias("_path"),
+                )
+            )
         )
-    else:
+    if not parts:
         raise ValueError(f"not a recognizable GeoJSON shape: columns={sorted(cols)}")
 
-    out = feats.select(
-        "f.properties.*",
-        F.col("f.geometry.type").alias("geometry_type"),
-        F.col("f.geometry.coordinates").alias("coordinates"),
-        F.element_at(F.split(F.col("_path"), "/"), -1).alias("source_file"),
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
