@@ -1,0 +1,168 @@
+"""Near-duplicate detection operators (SURVEY.md §2.12 north star).
+
+Everything is built from deterministic integer hash math expressible as
+built-in Column expressions, so the whole MinHash/SimHash pipeline is
+(a) whole-stage-codegen'd JVM-side — no Python in the hot path — and
+(b) bit-for-bit reproducible in ANSI SQL, which is what lets the driver
+oracle an op that is normally 'too custom to check'.
+
+Scale design:
+- shingling/hashing is a projection (no shuffle);
+- LSH banding turns the O(n^2) pair space into groupBy(band_hash)
+  buckets — one shuffle keyed on (band_id, band_hash);
+- candidate pairs come from an equi-join on band keys (never a cross
+  join); exact Jaccard verification runs only on candidates.
+
+Hash family: polynomial char hash mod P (P = 2^31-1), then K universal
+hashes (a_k*h + b_k) mod P. All intermediates < 2^62, safe in BIGINT.
+"""
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 2147483647  # 2^31 - 1
+CHAR_MULT = 131
+TOKEN_SPLIT = " "
+
+
+def hash_params(k: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for permutation k."""
+    a = (2654435761 * (k + 1)) % P
+    b = (40503 * (k + 7) + 17) % P
+    return (a or 1), b
+
+
+def char_hash(s: Column) -> Column:
+    """Polynomial rolling hash of a string: fold (h*131 + ascii(c)) % P.
+
+    Cross-engine contract: DuckDB mirror is
+    list_reduce(list_prepend(0, list_transform(generate_series(1, length(s)),
+    j -> ascii(substring(s, j, 1)))), (h, c) -> (h * 131 + c) % P).
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda j: F.ascii(F.substring(s, j, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda h, c: (h * CHAR_MULT + c) % P
+    )
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles: ['a','b','c','d'] -> ['a b c', 'b c d']."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            TOKEN_SPLIT, *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct shingle hash set for a document."""
+    toks = F.split(text, TOKEN_SPLIT)
+    return F.array_distinct(
+        F.transform(shingles(toks, k), lambda s: char_hash(s))
+    )
+
+
+def _perm_hash(a: int, b: int):
+    # factory (not default-arg closure): PySpark derives lambda arity
+    # from the Python signature, so extra bound params would break it
+    return lambda h: (h * a + b) % P
+
+
+def minhash_signature(hashes: Column, num_perm: int = 12) -> Column:
+    """MinHash signature: per permutation k, min((a_k*h + b_k) % P)."""
+    parts = []
+    for kk in range(num_perm):
+        a, b = hash_params(kk)
+        parts.append(F.array_min(F.transform(hashes, _perm_hash(a, b))))
+    return F.array(*parts)
+
+
+def band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: signature -> `bands` band keys, each folding `rows`
+    consecutive signature values into one bucket hash."""
+    out = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for r in range(rows):
+            h = (h * 1000003 + F.element_at(sig, b * rows + r + 1)) % P
+        out.append(h)
+    return F.array(*out)
+
+
+def jaccard(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    return F.size(F.array_intersect(sa, sb)).cast("double") / F.size(
+        F.array_union(sa, sb)
+    )
+
+
+def simhash(token_hashes: Column, bits: int = 16) -> Column:
+    """SimHash: per bit j, sum +-1 over token hashes' bit j; set bit j of
+    the output when the sum is positive."""
+    def _bit_vote(pw: int):
+        return lambda acc, h: acc + ((h / pw).cast("long") % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        pw = 1 << j
+        bit_sum = F.aggregate(
+            token_hashes, F.lit(0).cast("long"), _bit_vote(pw)
+        )
+        out = out + F.when(bit_sum > 0, F.lit(pw)).otherwise(F.lit(0))
+    return out
+
+
+# --- SQL mirrors (oracle side) --------------------------------------------
+
+def sql_char_hash(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({s})), "
+        f"j -> CAST(ascii(substring({s}, j, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * {CHAR_MULT} + c) % {P})"
+    )
+
+
+def sql_shingle_hashes(text: str, k: int = 3) -> str:
+    tok = f"string_split({text}, ' ')"
+    joined = " || ' ' || ".join(f"{tok}[i + {j}]" for j in range(k))
+    sh = (
+        f"list_transform(generate_series(1, greatest(len({tok}) - {k - 1}, 0)), "
+        f"i -> {joined})"
+    )
+    return f"list_distinct(list_transform({sh}, s -> {sql_char_hash('s')}))"
+
+
+def sql_minhash_signature(hashes: str, num_perm: int = 12) -> str:
+    parts = []
+    for kk in range(num_perm):
+        a, b = hash_params(kk)
+        parts.append(f"list_min(list_transform({hashes}, h -> (h * {a} + {b}) % {P}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_band_hashes(sig: str, bands: int, rows: int) -> str:
+    out = []
+    for b in range(bands):
+        h = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            h = f"(({h}) * 1000003 + {sig}[{b * rows + r + 1}]) % {P}"
+        out.append(h)
+    return "[" + ", ".join(out) + "]"
+
+
+def sql_simhash(token_hashes: str, bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        pw = 1 << j
+        bit_sum = (
+            f"list_sum(list_transform({token_hashes}, "
+            f"h -> (CAST(floor(h / {pw}) AS BIGINT) % 2) * 2 - 1))"
+        )
+        terms.append(f"CASE WHEN {bit_sum} > 0 THEN {pw} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -1,0 +1,252 @@
+"""Near-duplicate detection queries (SURVEY.md §2.12): MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine — each over a corpus where
+``documents`` is unioned with a mutated copy (last two tokens dropped,
+doc_id + 1000000), so every document has exactly one planted near-dup.
+
+Every op here is FULLY ORACLED: the hash math is deterministic integer
+arithmetic reproduced in DuckDB SQL (see operators/dedup.py sql_*
+mirrors) — including the LSH banding and the candidate-pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.operators.dedup import (
+    band_hashes,
+    char_hash,
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash,
+    sql_band_hashes,
+    sql_char_hash,
+    sql_minhash_signature,
+    sql_shingle_hashes,
+    sql_simhash,
+)
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+NUM_PERM = 12
+BANDS = 4
+ROWS = 3
+
+# corpus: original docs + near-dup mutations (drop last 2 tokens)
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(string_split(text, ' ')[1 : greatest(len(string_split(text, ' ')) - 2, 1)], ' ') AS text
+    FROM documents
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+@query(
+    "dedup-minhash-signature",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+        )
+        SELECT doc_id, {sql_minhash_signature('sh', NUM_PERM)} AS signature
+        FROM hashed
+    """,
+    doc="MinHash signatures (12 permutations over 3-token shingle char "
+    "hashes) as pure codegen expressions — the projection stage of "
+    "near-dup detection; no shuffle, no UDF.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        minhash_signature(shingle_hashes(F.col("text")), NUM_PERM).alias("signature"),
+    )
+
+
+@query(
+    "dedup-near-minhash",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+        ),
+        banded AS (
+            SELECT doc_id, sh,
+                   unnest({sql_band_hashes(f"{sql_minhash_signature('sh', NUM_PERM)}", BANDS, ROWS)}) AS band_hash,
+                   unnest(generate_series(1, {BANDS})) AS band_id
+            FROM hashed
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard_sim
+        FROM candidates
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    """,
+    doc="Full MinHash+LSH near-dup pipeline: shingle -> signature -> "
+    "band buckets (groupBy shuffle on band key, never a cross join) -> "
+    "candidate pairs via equi-join -> exact Jaccard verify >= 0.5. "
+    "At 100 TB the band join is the only shuffle and its key space is "
+    "uniform by construction; candidates are a tiny fraction of n^2.",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    hashed = c.select(
+        "doc_id", shingle_hashes(F.col("text")).alias("sh")
+    )
+    banded = hashed.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            band_hashes(minhash_signature(F.col("sh"), NUM_PERM), BANDS, ROWS)
+        ).alias("band_id0", "band_hash"),
+    ).select(
+        "doc_id", "sh", (F.col("band_id0") + 1).alias("band_id"), "band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return cands.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard_sim")
+    )
+
+
+@query(
+    "dedup-ngram-jaccard",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+        )
+        SELECT o.doc_id AS doc_id,
+               round(CAST(len(list_intersect(o.sh, m.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(o.sh, m.sh))), 6) AS jaccard_sim
+        FROM hashed o JOIN hashed m ON m.doc_id = o.doc_id + 1000000
+    """,
+    doc="Exact n-gram (3-token shingle) Jaccard between each document and "
+    "its planted near-dup — the verification primitive of the LSH "
+    "pipeline in isolation.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    hashed = c.select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+    o = hashed.alias("o")
+    m = hashed.alias("m")
+    jac = jaccard(F.col("o.sh"), F.col("m.sh"))
+    return o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + 1000000).select(
+        F.col("o.doc_id").alias("doc_id"), F.round(jac, 6).alias("jaccard_sim")
+    )
+
+
+@query(
+    "dedup-simhash",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        sims AS (
+            SELECT doc_id,
+                   {sql_simhash(f"list_transform(string_split(text, ' '), t -> {sql_char_hash('t')})")} AS sh16
+            FROM corpus
+        )
+        SELECT o.doc_id AS doc_id, o.sh16 AS simhash_orig, m.sh16 AS simhash_mut,
+               CAST(bit_count(xor(o.sh16, m.sh16)) AS BIGINT) AS hamming
+        FROM sims o JOIN sims m ON m.doc_id = o.doc_id + 1000000
+    """,
+    doc="16-bit SimHash fingerprints + Hamming distance between each doc "
+    "and its near-dup mutation — bit-exact across engines (integer "
+    "majority vote per bit, bit_count(xor) distance).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    token_hashes = F.transform(F.split("text", " "), lambda t: char_hash(t))
+    sims = c.select("doc_id", simhash(token_hashes).alias("sh16"))
+    o = sims.alias("o")
+    m = sims.alias("m")
+    return o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + 1000000).select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.sh16").alias("simhash_orig"),
+        F.col("m.sh16").alias("simhash_mut"),
+        F.bit_count(F.col("o.sh16").bitwiseXOR(F.col("m.sh16")))
+        .cast("long")
+        .alias("hamming"),
+    )
+
+
+@query(
+    "dedup-near-embedding",
+    oracle="""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b
+          ON b.vec_id = a.vec_id + 1000000
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+    """,
+    doc="Embedding-cosine near-dup over a doubled corpus: planted "
+    "duplicates found at cosine >= 0.999. Scale path: LSH/IVF bucketing "
+    "before pairing (see simsearch ops) — the pair join here is keyed, "
+    "not a cross join.",
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    doubled = e.unionByName(
+        e.select((F.col("vec_id") + 1000000).alias("vec_id"), "v")
+    )
+    a = doubled.alias("a")
+    b = doubled.alias("b")
+    cs = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1000000)
+        .filter(cs >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cs, 6).alias("cos_sim"),
+        )
+    )
