@@ -4,8 +4,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {op_id: sec, ...}, "sf": ...}.
 
-Timing = wall-clock of the full action (plan + execute + collect-count)
-after one warm-up of the flagship to absorb JVM/session startup.
+Timing = wall-clock of the full action (plan + execute + materialize
+every output column via the noop datasource — a bare count() would let
+Catalyst prune the projections being measured) after one warm-up to
+absorb JVM/session startup.
 """
 
 from __future__ import annotations
@@ -35,11 +37,11 @@ def main() -> None:
     for op_id, spec in sorted(registry().items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[op_id] = round(dt, 4)
         total += dt
-        print(f"# {op_id}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {op_id}: {dt:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

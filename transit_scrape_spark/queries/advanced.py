@@ -1,0 +1,267 @@
+"""Advanced relational + ANN scale-path operators.
+
+- sign-LSH bucketed similarity search (the 100 TB path promised in
+  SURVEY §2.12: bucket first, rank within bucket — bucket id doubles as
+  a partition key so candidate generation never shuffles vectors);
+- sessionization (lag + cumulative gap counter);
+- set operations, cube, exact percentiles, unpivot.
+
+All fully oracled: LSH hyperplanes use deterministic integer weights so
+DuckDB reproduces buckets bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transit_scrape_spark.functions.vectors import as_double, cosine
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+# --- deterministic sign-LSH hyperplanes -----------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_weight(k: int, i: int) -> int:
+    return ((1103515245 * (k * DIM + i) + 12345) % 2001) - 1000
+
+
+def _plane_lit(k: int):
+    return F.array(*[F.lit(float(_plane_weight(k, i))) for i in range(DIM)])
+
+
+def _sql_plane(k: int) -> str:
+    return "[" + ", ".join(str(float(_plane_weight(k, i))) for i in range(DIM)) + "]"
+
+
+def lsh_bucket(v) -> F.Column:
+    """Sign-LSH bucket id: bit j set when dot(v, plane_j) > 0."""
+    out = F.lit(0).cast("long")
+    for k in range(N_PLANES):
+        d = F.aggregate(
+            F.zip_with(v, _plane_lit(k), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return out
+
+
+def _sql_bucket(v: str) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({v}, {_sql_plane(k)}) > 0 THEN {1 << k} ELSE 0 END"
+        for k in range(N_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "simsearch-lsh-bucket",
+    oracle=f"""
+        SELECT {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket,
+               count(*) AS n_vectors
+        FROM embeddings
+        GROUP BY 1
+    """,
+    doc="Sign-LSH bucketing (8 deterministic hyperplanes -> 256 buckets): "
+    "the partition key of the ANN scale path. At 100 TB the table is "
+    "written partitioned by bucket; a query probes one partition "
+    "(plus neighbors for recall) instead of scanning everything.",
+)
+def simsearch_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(lsh_bucket(as_double(F.col("embedding"))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@query(
+    "simsearch-lsh-probe",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ), q AS (SELECT v AS qv, bucket AS qbucket FROM tagged WHERE vec_id = 1)
+        SELECT vec_id,
+               round(list_dot_product(v, (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS sim
+        FROM tagged
+        WHERE bucket = (SELECT qbucket FROM q) AND vec_id <> 1
+        ORDER BY sim DESC, vec_id
+        LIMIT 5
+    """,
+    doc="LSH-probed ANN search: score ONLY the query vector's bucket "
+    "(candidate set ~ n/256), then exact cosine top-k inside it. "
+    "Approximate by construction (single-probe recall < 1); brute-force "
+    "twin is simsearch-topk. Bucket equality is a pushable predicate -> "
+    "partition pruning at scale.",
+)
+def simsearch_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(as_double(F.col("embedding"))).alias("bucket"),
+    )
+    q = tagged.filter(F.col("vec_id") == 1).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        tagged.join(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 1))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+                   AS session_id
+        FROM gaps
+    """,
+    doc="Sessionization: lag(ts) gap > 30 min starts a new session; "
+    "session_id = running count of session starts per user (guide "
+    "pattern). One shuffle on user_id; both windows share the sort.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        F.coalesce(gap, F.lit(0)) > 30 * 60, F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(new_session).over(running) + 1).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "set-intersect",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (distinct): customers having both F and O orders.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "set-except",
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="EXCEPT (distinct): customer keys with no orders — the set-op "
+    "twin of join-anti.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.subtract(o)  # subtract == EXCEPT DISTINCT
+
+
+@query(
+    "agg-cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions — grouping-set expansion in one pass.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg-percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation) per group. At 100 TB "
+    "switch to approx_percentile (t-digest sketch, mergeable map-side) — "
+    "exact percentile materializes per-group value buffers.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # one percentile pass over the sorted buffer, not three
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+        )
+    )
+
+
+@query(
+    "unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS value
+        FROM lineitem
+    """,
+    doc="Unpivot wide measures to long form via stack() — no shuffle, "
+    "row expansion inside codegen.",
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'discount', l_discount) AS (measure, value)"
+        ),
+    )

@@ -201,6 +201,40 @@ def agg_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from transit_scrape_spark.functions.gridref import os_grid_reference_oracle_sql
+
+_GRID_SQL = os_grid_reference_oracle_sql("e", "n", 6)
+
+
+@query(
+    "geo-partition-key",
+    oracle=f"""
+        SELECT substring({_GRID_SQL}, 1, 2) AS grid_sq, count(*) AS n_points
+        FROM (SELECT CAST((l_partkey * 37) % 700000 AS DOUBLE) AS e,
+                     CAST((l_orderkey * 53) % 1000000 AS DOUBLE) AS n
+              FROM lineitem)
+        GROUP BY 1
+    """,
+    doc="Spatial partition key derivation (SURVEY §4 item 2: data layout "
+    "replaces the reference's B-tree indexes, db_models.py:27-39): "
+    "grid square at 100 km/100 m precision from the OS grid reference "
+    "expression; writing partitionBy(grid_sq) turns bbox predicates "
+    "into partition pruning. Returns per-square route counts.",
+)
+def geo_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.gridref import os_grid_reference
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_partkey") * 37) % 700000).cast("double").alias("e"),
+        ((F.col("l_orderkey") * 53) % 1000000).cast("double").alias("n"),
+    )
+    keyed = pts.select(
+        F.substring(os_grid_reference(F.col("e"), F.col("n"), 6), 1, 2).alias("grid_sq")
+    )
+    return keyed.groupBy("grid_sq").agg(F.count("*").alias("n_points"))
+
+
 # --- GeoJSON scan round-trip (real file I/O through the engine) -----------
 
 def _geojson_fixture_path(spark: SparkSession, sf_dir: str) -> str:

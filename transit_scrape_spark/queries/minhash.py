@@ -15,13 +15,14 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import (
     band_hashes,
-    char_hash,
+    token_hashes,
+    sql_shingle_hashes_from_tokens,
+    sql_token_hashes,
     jaccard,
     minhash_signature,
     shingle_hashes,
     simhash,
     sql_band_hashes,
-    sql_char_hash,
     sql_minhash_signature,
     sql_shingle_hashes,
     sql_simhash,
@@ -59,8 +60,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup-minhash-signature",
     oracle=f"""
         WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
         hashed AS (
-            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
         )
         SELECT doc_id, {sql_minhash_signature('sh', NUM_PERM)} AS signature
         FROM hashed
@@ -70,10 +74,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup detection; no shuffle, no UDF.",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    return c.select(
-        "doc_id",
-        minhash_signature(shingle_hashes(F.col("text")), NUM_PERM).alias("signature"),
+    # materialize the shingle-hash array through a shuffle boundary before
+    # the 12 permutation transforms: interpreted HOF lambdas re-evaluate
+    # their input EXPRESSION per reference, so feed them a bound column
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+        .repartition(par, "doc_id")
+    )
+    return hashed.select(
+        "doc_id", minhash_signature(F.col("sh"), NUM_PERM).alias("signature")
     )
 
 
@@ -81,8 +92,11 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup-near-minhash",
     oracle=f"""
         WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
         hashed AS (
-            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
         ),
         banded AS (
             SELECT doc_id, sh,
@@ -111,21 +125,27 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uniform by construction; candidates are a tiny fraction of n^2.",
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    hashed = c.select(
-        "doc_id", shingle_hashes(F.col("text")).alias("sh")
+    # hashed + banded are persisted: each is consumed by 2+ subplans
+    # (self-join sides, verify re-attach) and AQE defeats ReuseExchange
+    # here. Cache build is cheap because the shingle pipeline evaluates
+    # via zip_with-over-slices (bound columns), not element_at chains.
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+        .repartition(par, "doc_id")
+        .persist()
     )
     banded = hashed.select(
         "doc_id",
-        "sh",
         F.posexplode(
             band_hashes(minhash_signature(F.col("sh"), NUM_PERM), BANDS, ROWS)
         ).alias("band_id0", "band_hash"),
-    ).select(
-        "doc_id", "sh", (F.col("band_id0") + 1).alias("band_id"), "band_hash"
-    )
+    ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_hash").persist()
     a = banded.alias("a")
     b = banded.alias("b")
+    # candidate pairs carry ONLY ids through the shuffle + distinct —
+    # shingle sets re-attach afterwards (cheap: ids are tiny, arrays big)
     cands = (
         a.join(
             b,
@@ -133,16 +153,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = cands.join(sh_a, "doc_a").join(sh_b, "doc_b")
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return cands.filter(jac >= 0.5).select(
+    return pairs.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard_sim")
     )
 
@@ -151,8 +169,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup-ngram-jaccard",
     oracle=f"""
         WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
         hashed AS (
-            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM corpus
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
         )
         SELECT o.doc_id AS doc_id,
                round(CAST(len(list_intersect(o.sh, m.sh)) AS DOUBLE)
@@ -165,7 +186,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _corpus(spark, sf_dir)
-    hashed = c.select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+    par = spark.sparkContext.defaultParallelism
+    # shuffle boundary: materializes sh once; both join sides read the
+    # same exchange output (ReuseExchange)
+    hashed = c.select(
+        "doc_id", shingle_hashes(F.col("text")).alias("sh")
+    ).repartition(par, "doc_id")
     o = hashed.alias("o")
     m = hashed.alias("m")
     jac = jaccard(F.col("o.sh"), F.col("m.sh"))
@@ -180,7 +206,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH corpus AS ({_CORPUS_SQL}),
         sims AS (
             SELECT doc_id,
-                   {sql_simhash(f"list_transform(string_split(text, ' '), t -> {sql_char_hash('t')})")} AS sh16
+                   {sql_simhash(sql_token_hashes('text'))} AS sh16
             FROM corpus
         )
         SELECT o.doc_id AS doc_id, o.sh16 AS simhash_orig, m.sh16 AS simhash_mut,
@@ -192,9 +218,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "majority vote per bit, bit_count(xor) distance).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    token_hashes = F.transform(F.split("text", " "), lambda t: char_hash(t))
-    sims = c.select("doc_id", simhash(token_hashes).alias("sh16"))
+    par = spark.sparkContext.defaultParallelism
+    # materialize token hashes through the shuffle: simhash references its
+    # input 16 times (once per bit)
+    tok = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", token_hashes(F.col("text")).alias("th"))
+        .repartition(par, "doc_id")
+    )
+    # persist: both self-join sides consume sims, and AQE defeats
+    # ReuseExchange — without this the 16-bit vote evaluates twice
+    sims = tok.select("doc_id", simhash(F.col("th")).alias("sh16")).persist()
     o = sims.alias("o")
     m = sims.alias("m")
     return o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + 1000000).select(

@@ -54,6 +54,7 @@ def query(op_id: str, oracle: str | None = None, doc: str = "", tags: tuple[str,
 def _load_all() -> None:
     """Import every query module so registrations run."""
     from transit_scrape_spark.queries import (  # noqa: F401
+        advanced,
         geo,
         minhash,
         multimodal,

@@ -204,6 +204,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text-split-sentences",
+    oracle="""
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, '.'), 1) AS BIGINT) AS sentence_idx,
+               trim(unnest(string_split(text, '.'))) AS sentence
+        FROM documents
+    """,
+    doc="Sentence splitting -> one row per sentence (the table-valued "
+    "expansion of SURVEY §2.11; Spark's explode subsumes the UDTF — "
+    "row expansion happens inside codegen, no Python).",
+)
+def text_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(F.split("text", r"\.")).alias("idx0", "raw")
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("idx0") + 1).cast("long").alias("sentence_idx"),
+        F.trim(F.col("raw")).alias("sentence"),
+    )
+
+
+@query(
     "text-lang-agg",
     oracle="""
         SELECT lang,
