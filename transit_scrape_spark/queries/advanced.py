@@ -123,6 +123,80 @@ def simsearch_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+def _sql_centroid(c: int) -> str:
+    return f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {c * 7 + 2})"
+
+
+@query(
+    "simsearch-ivf-probe",
+    oracle=f"""
+        WITH dists AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   [{", ".join(
+                       f"list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_centroid(c)})"
+                       for c in range(N_CENTROIDS)
+                   )}] AS cd
+            FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, v, list_position(cd, list_max(cd)) AS cell FROM dists
+        ), q AS (SELECT v AS qv, cell AS qcell FROM assigned WHERE vec_id = 1)
+        SELECT vec_id,
+               round(list_dot_product(v, (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS sim
+        FROM assigned
+        WHERE cell = (SELECT qcell FROM q) AND vec_id <> 1
+        ORDER BY sim DESC, vec_id
+        LIMIT 5
+    """,
+    doc="IVF-style ANN probe: 8 deterministic centroids (sampled by "
+    "vec_id), each vector assigned to its max-dot-product cell, query "
+    "probes only its own cell then ranks exact cosine top-k. The "
+    "centroid list is a broadcast; cell is a partition key at scale "
+    "(train real centroids with k-means offline, same plan shape).",
+)
+def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        e.filter(F.col("vec_id") == c * 7 + 2)
+        .select(as_double(F.col("embedding")).alias("cv"))
+        .collect()[0]["cv"]
+        for c in range(N_CENTROIDS)
+    ]
+
+    def _dot_lit(v, cv):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in cv]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = as_double(F.col("embedding"))
+    tagged = e.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array(*[_dot_lit(F.col("v"), cv) for cv in cents]).alias("cd"),
+    )
+    assigned = tagged.select(
+        "vec_id",
+        "v",
+        (F.array_position(F.col("cd"), F.array_max(F.col("cd")))).alias("cell"),
+    )
+    q = assigned.filter(F.col("vec_id") == 1).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.join(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 1))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 @query(
     "sessionize",
     oracle="""

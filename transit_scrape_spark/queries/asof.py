@@ -1,0 +1,133 @@
+"""As-of join (PAPERS.md / guide 'common OLAP patterns' — Spark lacks a
+native one). Two scalable strategies implemented:
+
+1. union + window (this module's oracled op): tag both sides, union,
+   per-key window ordered by time carries the last-seen right-side row
+   forward onto each left row. ONE shuffle on the key, no per-group
+   pandas, no range explosion — the preferred 100 TB shape when the
+   right side fits the same key partitioning.
+2. applyInPandas + pd.merge_asof per key group (guide fallback) — kept
+   as a twin for parity testing in tests/, since it exercises the
+   grouped-map path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+def asof_join_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same key."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_vals],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal timestamps (side 0 < 1),
+    # so an equal-ts right row IS visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_vals
+        ],
+    )
+    keep = [f.name for f in left.schema.fields] + [f"asof_{c}" for c in right_vals]
+    return carried.filter(F.col("_side") == 1).select(*keep)
+
+
+@query(
+    "join-asof",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT max(o.o_orderdate)
+                FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                   AS asof_o_orderdate
+        FROM events e
+    """,
+    doc="As-of join: each event gets the latest order date at-or-before "
+    "its timestamp for the same key (events.user_id ~ orders.o_custkey). "
+    "union + per-key window carry-forward: one shuffle, no range "
+    "explosion, no pandas. Oracle uses the equivalent correlated max.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join_union_window(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_vals=["o_orderdate"],
+    )
+    return out.select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
+def asof_join_pandas(
+    left: DataFrame, right: DataFrame, key: str, left_ts: str, right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """applyInPandas twin using pd.merge_asof per key group (tests only —
+    exercises the grouped-map path; the union-window form is the
+    production one)."""
+    import pandas as pd
+
+    out_schema = f"{left.schema.simpleString()[7:-1]}, asof_{right_val} timestamp"
+
+    l_cols = [f.name for f in left.schema.fields]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = (
+            pdf[pdf["_side"] == 1][l_cols + ["_ts"]]
+            .sort_values("_ts", kind="mergesort")
+        )
+        r = (
+            pdf[pdf["_side"] == 0][["_ts", right_val]]
+            .sort_values("_ts", kind="mergesort")
+            .rename(columns={right_val: f"asof_{right_val}"})
+        )
+        m = pd.merge_asof(l, r, on="_ts", direction="backward")
+        return m.drop(columns=["_ts"])
+
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_tag = right.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields
+          if f.name != key],
+        F.col(key),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_val),
+    )
+    l_full = l_tag.withColumn(right_val, F.lit(None).cast("timestamp"))
+    unioned = l_full.unionByName(r_tag)
+    return unioned.groupBy(key).applyInPandas(merge, out_schema)

@@ -104,6 +104,38 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream-sliding-agg",
+    oracle="""
+        WITH slides AS (
+            SELECT e.*,
+                   CAST(time_bucket(INTERVAL 15 MINUTE, e.ts)
+                        - to_minutes(15 * s.i) AS TIMESTAMP) AS window_start
+            FROM events e
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+        )
+        SELECT window_start, count(*) AS n
+        FROM slides
+        GROUP BY window_start
+    """,
+    doc="Sliding-window aggregation (1 h window, 15 min slide): each event "
+    "lands in the 4 windows starting at floor15(ts) - {0,15,30,45} min; "
+    "the oracle reproduces Spark's epoch-aligned window assignment with "
+    "time_bucket.",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = _run_stream_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n"
+    )
+
+
+@query(
     "stream-append-sink",
     oracle="""
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
