@@ -228,6 +228,44 @@ def schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(*cols)
 
 
+@query(
+    "fn-strftime",
+    oracle="""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S') AS stamp
+        FROM orders
+    """,
+    doc="Timestamp -> %Y%m%d_%H%M%S string (reference output-file naming, "
+    "process_cycle_networks.py:146) — the SURVEY §2.2 op in isolation "
+    "(battery version: fn-date-funcs).",
+)
+def fn_strftime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd_HHmmss").alias("stamp")
+    )
+
+
+@query(
+    "fn-round",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * 2, 0) AS rounded_price
+        FROM lineitem
+    """,
+    doc="round() for display (reference app/app.py:130) — rounding at a "
+    "digit where the doubled 2-decimal inputs are exact, so HALF_UP vs "
+    "binary-representation rounding cannot diverge (the battery version "
+    "fn-math-funcs documents the general-case hazard).",
+)
+def fn_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 2, 0).alias("rounded_price"),
+    )
+
+
 # --- OS grid reference over synthesized eastings/northings ----------------
 
 _E_EXPR = "(l_partkey * 37) % 800000"   # some values exceed the 0..699999 valid band

@@ -204,6 +204,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text-analyze",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               CASE
+                   WHEN len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and'))) >= 3 THEN 'en'
+                   ELSE 'other'
+               END AS lang_guess
+        FROM documents
+    """,
+    doc="SURVEY §2.12 `text-analyze` umbrella op: tokenization + length "
+    "stats + stopword ratio + language heuristic in one codegen'd "
+    "projection (components broken out in text-token-count / "
+    "text-quality-score / text-lang-id).",
+)
+def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.when(en_hits >= 3, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@query(
     "text-split-sentences",
     oracle="""
         SELECT doc_id,
