@@ -61,7 +61,9 @@ def _load_all() -> None:
         multimodal,
         relational,
         scalar,
+        scale_demo,
         sources_sinks,
+        tpch,
         streaming,
         text,
         vectors,

@@ -1,0 +1,100 @@
+"""Scale-technique demonstration ops: each implements a 100 TB pattern
+on the local fixtures with an oracle proving it changes the PLAN, not
+the ANSWER.
+
+- bucketed co-located join: bucketBy + sortBy table layout removes the
+  per-query shuffle from recurring fact-fact joins (the warehouse
+  'pay the shuffle once at write time' move).
+- salted skew aggregation: two-stage agg via a synthetic salt key —
+  identical result, bounded per-task key cardinality under skew.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+N_BUCKETS = 8
+
+
+@query(
+    "join-bucketed",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS n_items,
+               round(sum(l.l_quantity), 2) AS sum_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Co-located fact-fact join via bucketed table layout: both sides "
+    "written bucketBy(8, orderkey) + sortBy -> the recurring join "
+    "compiles to SortMergeJoin with ZERO exchanges (bucket pruning of "
+    "the shuffle). At 100 TB this converts the dominant per-query "
+    "shuffle into a one-time write-layout cost.",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = f"/tmp/tss_bucketed_{tag}"
+    ot, lt = f"tss_orders_b_{tag}", f"tss_lineitem_b_{tag}"
+
+    def _ensure(table: str, df: DataFrame, key: str) -> None:
+        if not spark.catalog.tableExists(table):
+            path = f"{base}/{table}"
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(table)
+            )
+
+    _ensure(ot, load_table(spark, sf_dir, "orders"), "o_orderkey")
+    _ensure(lt, load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    o = spark.table(ot)
+    li = spark.table(lt)
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    out = joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    # the point of the exercise: no shuffle before the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    return out
+
+
+N_SALTS = 8
+
+
+@query(
+    "agg-salted-skew",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Skew-resistant two-stage aggregation: stage 1 groups on "
+    "(key, salt) — a hot key spreads over 8 reducers — stage 2 merges "
+    "partials per key. Identical result to the direct groupBy (the "
+    "oracle proves it); the manual form of what AQE skew handling does "
+    "for joins, needed when one groupBy key dominates.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum("l_extendedprice").alias("_s"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_s"), 2).alias("total"),
+    )

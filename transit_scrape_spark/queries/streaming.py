@@ -249,6 +249,105 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream-session-window",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts - INTERVAL 1 DAY)
+                             > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), tagged AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM gaps
+        ), sessions AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end_ts,
+                   count(*) AS n
+            FROM tagged GROUP BY user_id, sid
+        )
+        SELECT user_id, CAST(session_start AS TIMESTAMP) AS session_start, n
+        FROM sessions
+        WHERE session_end_ts + INTERVAL 30 MINUTE
+              < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+    doc="Streaming session windows (30 min gap) with watermark: sessions "
+    "merge while events arrive within the gap; append mode emits a "
+    "session once the watermark passes its end (last event + gap). The "
+    "oracle rebuilds the identical session algebra with window "
+    "functions and applies the same emission cutoff.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    name = _run_stream_to_memory(agg, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n",
+    )
+
+
+@query(
+    "stream-stateful-count",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Arbitrary stateful streaming op (applyInPandasWithState, SURVEY "
+    "§2.10/§2.11): per-user running totals held in explicit state, "
+    "emitted per batch — the custom-operator escape hatch when "
+    "built-in windows can't express the semantics. A single "
+    "availableNow replay makes the final state equal the batch agg.",
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _run_stream_to_memory(out, "update")
+    # update-mode memory sink keeps every emission; last per key wins
+    t = spark.table(name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@query(
     "stream-dedup",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_unique

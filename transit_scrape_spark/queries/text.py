@@ -265,6 +265,40 @@ def text_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text-udtf-bigrams",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS idx,
+               concat(t[i], ' ', t[i + 1]) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i)
+    """,
+    doc="Python UDTF (SURVEY §2.11, Spark 3.5+/4 table function): emits "
+    "token bigrams as rows via LATERAL — the row-at-a-time Python path, "
+    "kept OFF hot paths (the codegen twin is posexplode over "
+    "shingle arrays); registered to prove the API surface.",
+)
+def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx bigint, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("tss_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("tss_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.idx, b.bigram
+        FROM tss_docs_udtf d, LATERAL tss_bigrams(d.text) b
+        """
+    )
+
+
+@query(
     "text-lang-agg",
     oracle="""
         SELECT lang,
