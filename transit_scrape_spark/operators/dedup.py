@@ -144,6 +144,76 @@ def simhash(token_hashes: Column, bits: int = 16) -> Column:
     return out
 
 
+# --- codegen (explode/window/groupBy) formulation -------------------------
+#
+# Spark evaluates HOF lambdas interpreted; for the hash-heavy dedup
+# pipeline the row-relational formulation below stays inside whole-stage
+# codegen end to end and is several times faster at scale. Values are
+# IDENTICAL to the array formulation (same fold constants), so the same
+# SQL oracles hold.
+
+def shingle_hash_rows(corpus, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3):
+    """corpus[id, text] -> distinct rows (id, sh): one row per distinct
+    k-shingle hash. explode -> per-token md5 hash (codegen) -> window
+    lead() to fold the k-gram -> distinct. One shuffle on id (the window
+    sort); the groupBys layered on top reuse that partitioning."""
+    from pyspark.sql.window import Window
+
+    tok = corpus.select(
+        id_col, F.posexplode(F.split(text_col, TOKEN_SPLIT)).alias("_i", "_t")
+    ).select(id_col, "_i", string_hash(F.col("_t")).alias("_h"))
+    w = Window.partitionBy(id_col).orderBy("_i")
+    h = F.col("_h")
+    folded = h
+    for j in range(1, k):
+        folded = (folded * SHINGLE_MULT + F.lead("_h", j).over(w)) % P
+    return (
+        tok.select(id_col, folded.alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+
+
+def signature_columns(num_perm: int = 12):
+    """Aggregate expressions: min((a_k*sh + b_k) % P) per permutation —
+    plain codegen'd aggs over shingle rows."""
+    cols = []
+    for kk in range(num_perm):
+        a, b = hash_params(kk)
+        cols.append(F.min((F.col("sh") * a + b) % P).alias(f"_m{kk}"))
+    return cols
+
+
+def band_hash_columns(bands: int, rows: int):
+    """Band-bucket hashes folded directly from the _m{k} signature
+    columns — column arithmetic, no arrays."""
+    out = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for r in range(rows):
+            h = (h * 1000003 + F.col(f"_m{b * rows + r}")) % P
+        out.append(h.alias(f"_band{b}"))
+    return out
+
+
+def simhash_columns(bits: int = 16):
+    """SimHash via per-token rows: 16 codegen'd conditional sums, then
+    the bit assembly; use over groupBy(id) of token-hash rows."""
+    sums = [
+        F.sum(((F.col("_h") / (1 << j)).cast("long") % 2) * 2 - 1).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    return sums
+
+
+def simhash_assemble(bits: int = 16):
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
 # --- SQL mirrors (oracle side) --------------------------------------------
 
 def sql_token_hashes(text: str) -> str:

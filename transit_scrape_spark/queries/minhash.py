@@ -14,17 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import (
-    band_hashes,
-    token_hashes,
+    band_hash_columns,
+    shingle_hash_rows,
+    signature_columns,
+    simhash_assemble,
+    simhash_columns,
+    string_hash,
     sql_shingle_hashes_from_tokens,
     sql_token_hashes,
     jaccard,
-    minhash_signature,
-    shingle_hashes,
-    simhash,
     sql_band_hashes,
     sql_minhash_signature,
-    sql_shingle_hashes,
     sql_simhash,
 )
 from transit_scrape_spark.queries.registry import query
@@ -74,17 +74,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup detection; no shuffle, no UDF.",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize the shingle-hash array through a shuffle boundary before
-    # the 12 permutation transforms: interpreted HOF lambdas re-evaluate
-    # their input EXPRESSION per reference, so feed them a bound column
-    par = spark.sparkContext.defaultParallelism
-    hashed = (
-        _corpus(spark, sf_dir)
-        .select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
-        .repartition(par, "doc_id")
-    )
-    return hashed.select(
-        "doc_id", minhash_signature(F.col("sh"), NUM_PERM).alias("signature")
+    # explode/window/groupBy formulation: the whole pipeline stays in
+    # whole-stage codegen (HOF lambdas would run interpreted), one
+    # shuffle on doc_id reused by the final agg
+    sh = shingle_hash_rows(_corpus(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(*signature_columns(NUM_PERM))
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"_m{k}") for k in range(NUM_PERM)]).alias("signature"),
     )
 
 
@@ -125,23 +122,28 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uniform by construction; candidates are a tiny fraction of n^2.",
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hashed + banded are persisted: each is consumed by 2+ subplans
-    # (self-join sides, verify re-attach) and AQE defeats ReuseExchange
-    # here. Cache build is cheap because the shingle pipeline evaluates
-    # via zip_with-over-slices (bound columns), not element_at chains.
-    par = spark.sparkContext.defaultParallelism
+    # explode/window/groupBy formulation (codegen end to end); ONE pass
+    # computes both the signature columns (-> band keys) and the shingle
+    # set (-> Jaccard verify). Persisted: consumed by both self-join
+    # sides and both verify re-attach joins (AQE defeats ReuseExchange),
+    # and the cache build is cheap — plain longs + one array, no
+    # interpreted lambdas.
+    sh_rows = shingle_hash_rows(_corpus(spark, sf_dir))
     hashed = (
-        _corpus(spark, sf_dir)
-        .select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
-        .repartition(par, "doc_id")
+        sh_rows.groupBy("doc_id")
+        .agg(*signature_columns(NUM_PERM), F.collect_list("sh").alias("sh"))
         .persist()
     )
-    banded = hashed.select(
-        "doc_id",
-        F.posexplode(
-            band_hashes(minhash_signature(F.col("sh"), NUM_PERM), BANDS, ROWS)
-        ).alias("band_id0", "band_hash"),
-    ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_hash").persist()
+    banded = (
+        hashed.select("doc_id", *band_hash_columns(BANDS, ROWS))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"_band{b}") for b in range(BANDS)])
+            ).alias("band_id0", "band_hash"),
+        )
+        .select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_hash")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     # candidate pairs carry ONLY ids through the shuffle + distinct —
@@ -185,13 +187,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline in isolation.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    # shuffle boundary: materializes sh once; both join sides read the
-    # same exchange output (ReuseExchange)
-    hashed = c.select(
-        "doc_id", shingle_hashes(F.col("text")).alias("sh")
-    ).repartition(par, "doc_id")
+    # codegen formulation; persist the tiny (doc_id, sh-set) relation
+    # for the two join sides
+    hashed = (
+        shingle_hash_rows(_corpus(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("sh"))
+        .persist()
+    )
     o = hashed.alias("o")
     m = hashed.alias("m")
     jac = jaccard(F.col("o.sh"), F.col("m.sh"))
@@ -218,17 +221,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "majority vote per bit, bit_count(xor) distance).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    par = spark.sparkContext.defaultParallelism
-    # materialize token hashes through the shuffle: simhash references its
-    # input 16 times (once per bit)
-    tok = (
-        _corpus(spark, sf_dir)
-        .select("doc_id", token_hashes(F.col("text")).alias("th"))
-        .repartition(par, "doc_id")
+    # explode + 16 codegen'd conditional sums (the HOF form runs
+    # interpreted); persist: both self-join sides consume sims
+    tok = _corpus(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("_t")
+    ).select("doc_id", string_hash(F.col("_t")).alias("_h"))
+    sims = (
+        tok.groupBy("doc_id")
+        .agg(*simhash_columns(16))
+        .select("doc_id", simhash_assemble(16).alias("sh16"))
+        .persist()
     )
-    # persist: both self-join sides consume sims, and AQE defeats
-    # ReuseExchange — without this the 16-bit vote evaluates twice
-    sims = tok.select("doc_id", simhash(F.col("th")).alias("sh16")).persist()
     o = sims.alias("o")
     m = sims.alias("m")
     return o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + 1000000).select(
