@@ -236,6 +236,116 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join-range-bucketized",
+    oracle="""
+        SELECT b.band_name, count(*) AS n, round(sum(l.l_extendedprice), 2) AS total
+        FROM lineitem l
+        JOIN (VALUES ('low', 0, 30000), ('mid', 30000, 70000), ('high', 70000, 120000))
+             AS b(band_name, lo, hi)
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY b.band_name
+    """,
+    doc="Range join (guide pattern — Spark has no native one): price "
+    "bands resolved by bucketizing the probe value to the band "
+    "granularity -> broadcast equi-join on bucket + residual filter. "
+    "At 100 TB this turns an O(n*bands) theta join into a broadcast "
+    "hash join; the residual filter is codegen.",
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = [("low", 0, 30000), ("mid", 30000, 70000), ("high", 70000, 120000)]
+    step = 10000  # gcd of band bounds: each bucket maps to exactly one band
+    bucket_rows = [
+        (name, b)
+        for name, lo, hi in bands
+        for b in range(lo // step, hi // step)
+    ]
+    dim = spark.createDataFrame(bucket_rows, "band_name string, bucket long")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", F.floor(F.col("l_extendedprice") / step)
+    )
+    return (
+        li.join(F.broadcast(dim), "bucket")
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "window-rank-battery",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS prank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking battery: rank / dense_rank / ntile / percent_rank over a "
+    "deterministic order — one shuffle + sort serves all four.",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "agg-grouping-sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): three groupings in "
+    "one pass via the expand operator.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tss_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM tss_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "corr-subquery-agg",
+    oracle="""
+        SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="Correlated scalar subquery (customers above their nation's mean "
+    "balance): Catalyst decorrelates to an aggregate + equi-join — no "
+    "per-row re-execution, unlike the reference's hand-issued SQL.",
+)
+def corr_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nat_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.join(F.broadcast(nat_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    )
+
+
+@query(
     "set-intersect",
     oracle="""
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
