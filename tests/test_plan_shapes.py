@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale properties README promises,
+asserted against the actual physical plans (a correct answer through
+the wrong plan is a perf bug waiting for 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+
+from transit_scrape_spark.queries.registry import registry
+
+
+def _plan(spark, sf_dir, op_id: str) -> str:
+    df = registry()[op_id].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    p = _plan(spark, sf_dir, "filter-eq")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    p = _plan(spark, sf_dir, "filter-eq")
+    # only the 4 projected columns are read
+    assert "ReadSchema" in p
+    sch = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in sch and "c_nationkey" not in sch
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "topk-by-id")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join-fk-chain")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_windowed_topk_uses_group_limit(spark, sf_dir):
+    p = _plan(spark, sf_dir, "window-topk-per-group")
+    assert "WindowGroupLimit" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join-bucketed")
+    join_part = p.split("HashAggregate")[-1]  # below the agg: the join subtree
+    assert "Exchange hashpartitioning" not in join_part
+    assert "SelectedBucketsCount" in p  # scans really are bucketed
+
+
+def test_dedup_pipeline_has_no_python_udf(spark, sf_dir):
+    for op in ("dedup-near-minhash", "dedup-simhash", "dedup-minhash-signature"):
+        p = _plan(spark, sf_dir, op)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, op
+
+
+def test_reproject_is_arrow_vectorized(spark, sf_dir):
+    p = _plan(spark, sf_dir, "geo-reproject")
+    assert "ArrowEvalPython" in p  # pandas_udf, not row-at-a-time Python
+    assert "BatchEvalPython" not in p
+
+
+def test_lsh_candidates_never_cross_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dedup-near-minhash")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

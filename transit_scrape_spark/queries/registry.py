@@ -39,13 +39,38 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every op depends on, set defensively because the
+    driver supplies its OWN session:
+
+    - UTC session timezone: timestamp literals in filters and collected
+      timestamp values are session-TZ-dependent; the DuckDB oracle is
+      TZ-naive UTC, so a non-UTC session would shift every timestamp.
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) (see
+      sources/tables.py).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def query(op_id: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame plan builder."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if op_id in _REGISTRY:
             raise ValueError(f"duplicate op_id {op_id!r}")
-        _REGISTRY[op_id] = QuerySpec(op_id, fn, oracle, doc, tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__module__ = fn.__module__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[op_id] = QuerySpec(op_id, wrapped, oracle, doc, tags)
         return fn
 
     return deco
