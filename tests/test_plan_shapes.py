@@ -6,12 +6,12 @@ from __future__ import annotations
 
 import pytest
 
+from transit_scrape_spark.plans.inspect import exchange_count, executed_plan
 from transit_scrape_spark.queries.registry import registry
 
 
 def _plan(spark, sf_dir, op_id: str) -> str:
-    df = registry()[op_id].fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(registry()[op_id].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -67,3 +67,15 @@ def test_lsh_candidates_never_cross_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "dedup-near-minhash")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scan_agg_has_single_shuffle(spark, sf_dir):
+    """tpch-q1: one exchange for the group-by (plus the sort's range
+    partitioning) — partial aggregation happened map-side."""
+    df = registry()["tpch-q1"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 2
+
+
+def test_fk_chain_shuffles_only_for_final_agg(spark, sf_dir):
+    df = registry()["join-fk-chain"].fn(spark, sf_dir)
+    assert exchange_count(df) == 1  # both joins broadcast

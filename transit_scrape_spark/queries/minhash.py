@@ -244,6 +244,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_lsh_oracle() -> str:
+    from transit_scrape_spark.queries.advanced import _sql_bucket
+
+    return _EMB_LSH_ORACLE_TEMPLATE.format(bucket=_sql_bucket("v"))
+
+
+_EMB_LSH_ORACLE_TEMPLATE = """
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), tagged AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM corpus
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM tagged a JOIN tagged b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= 0.999
+    """
+
+
+@query(
+    "dedup-near-embedding-lsh",
+    oracle=_emb_lsh_oracle(),
+    doc="Embedding near-dup AT SCALE: sign-LSH bucket as the blocking key "
+    "-> within-bucket pair join (equi-join on bucket, never all-pairs) "
+    "-> exact cosine verify >= 0.999. Identical planted duplicates "
+    "always share a bucket (identical vectors, identical signs), so "
+    "recall on exact dups is 1.0; the oracle replays bucket + verify.",
+)
+def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.vectors import as_double, cosine
+    from transit_scrape_spark.queries.advanced import lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 1000000).alias("vec_id"), "v")
+    )
+    tagged = corpus.select("vec_id", "v", lsh_bucket(F.col("v")).alias("bucket")).persist()
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cs = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cs >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cs, 6).alias("cos_sim"),
+        )
+    )
+
+
 @query(
     "dedup-near-embedding",
     oracle="""

@@ -249,6 +249,60 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream-foreach-batch-upsert",
+    oracle="""
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    doc="foreachBatch exactly-once custom sink (guide CDC/MERGE pattern, "
+    "emulated without Delta): each micro-batch upserts into a parquet "
+    "table via anti-join + union rewrite keyed on (user_id, event_type). "
+    "Re-running with the same checkpoint is a no-op — the batch-id gate "
+    "inside foreachBatch is the idempotency contract.",
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/tss_febatch_{tag}"
+    target, ckpt = f"{base}/table", f"{base}/ckpt"
+    os.makedirs(base, exist_ok=True)
+
+    counts = _events_stream(spark, sf_dir).groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        # MERGE INTO emulation: replace matched keys, append the rest
+        new = batch_df.select("user_id", "event_type", "n")
+        if os.path.isdir(target) and any(
+            f.endswith(".parquet") for f in os.listdir(target)
+        ):
+            cur = batch_df.sparkSession.read.parquet(target)
+            merged = cur.join(
+                new.select("user_id", "event_type"), ["user_id", "event_type"], "left_anti"
+            ).unionByName(new)
+        else:
+            merged = new
+        tmp = f"{base}/tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
+@query(
     "stream-session-window",
     oracle="""
         WITH gaps AS (

@@ -265,6 +265,89 @@ def text_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus-stats",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4)
+                   AS p50_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    """,
+    doc="Whole-corpus summary (docs, tokens, char bounds, median tokens, "
+    "language count) — the dataset-card numbers a training-data "
+    "pipeline reports; one pass, partial aggs map-side.",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.percentile(n_tokens.cast("double"), F.lit(0.5)), 4).alias("p50_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+@query(
+    "corpus-filter-pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens BETWEEN 20 AND 500
+              AND stop_ratio < 0.3
+              AND lang IN ('en', 'de', 'fr')
+        ), deduped AS (
+            SELECT sha256(text) AS h, min(doc_id) AS doc_id, min(lang) AS lang,
+                   min(n_tokens) AS n_tokens
+            FROM kept GROUP BY sha256(text)
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM deduped
+        GROUP BY lang
+    """,
+    doc="End-to-end corpus cleaning pipeline: quality gates (token count "
+    "band, stopword ratio) + language allowlist + exact dedup on "
+    "content hash + per-language yield report — the C4-style filter "
+    "chain as ONE lazy plan (filters fuse into the scan; the only "
+    "shuffles are the dedup group and the final rollup).",
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tokens
+    )
+    kept = d.select("doc_id", "text", "lang", n_tokens.alias("n_tokens")).filter(
+        n_tokens.between(20, 500)
+        & (stop_ratio < 0.3)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    deduped = kept.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "text-udtf-bigrams",
     oracle="""
         SELECT doc_id,
