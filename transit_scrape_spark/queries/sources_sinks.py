@@ -327,13 +327,25 @@ def guard_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+from transit_scrape_spark.functions.geo_oracle import bng_to_wgs84_oracle_sql
+
+_REPROJ_SRC = """
+    SELECT n_nationkey,
+           CAST(300000 + n_nationkey * 1000 AS DOUBLE) AS e,
+           CAST(600000 + n_nationkey * 1000 AS DOUBLE) AS n
+    FROM nation
+"""
+
+
 @query(
     "geo-reproject",
-    oracle=None,  # numpy transverse-Mercator math is not SQL-expressible
+    oracle=bng_to_wgs84_oracle_sql(_REPROJ_SRC),
     doc="EPSG:27700 -> EPSG:4326 reprojection (reference to_crs, "
     "process_cycle_networks.py:112) as an Arrow-vectorized pandas_udf "
     "(numpy inverse TM + Helmert, ~1-5 m vs OSTN15 — golden-point tests "
-    "in tests/test_pipelines.py). Rows-only driver check.",
+    "in tests/test_pipelines.py). Oracled by a CTE chain that unrolls "
+    "the same iteration (functions/geo_oracle.py) — at 8-decimal "
+    "rounding both engines' libm doubles agree.",
 )
 def geo_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.geo import reproject_bng_to_wgs84_udf
