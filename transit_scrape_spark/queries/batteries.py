@@ -1,0 +1,222 @@
+"""Breadth batteries: remaining SQL-surface corners (outer/cross joins,
+range window frames, sorted collects) and consolidated scalar batteries
+for arrays / maps / regex / null-handling (SURVEY §2.9 completeness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+@query(
+    "join-full-outer",
+    oracle="""
+        SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+               coalesce(f.n, 0) AS n_f, coalesce(o.n, 0) AS n_o
+        FROM (SELECT o_custkey, count(*) AS n FROM orders WHERE o_orderstatus = 'F'
+              GROUP BY o_custkey) f
+        FULL OUTER JOIN
+             (SELECT o_custkey, count(*) AS n FROM orders WHERE o_orderstatus = 'O'
+              GROUP BY o_custkey) o
+          ON f.o_custkey = o.o_custkey
+    """,
+    doc="Full outer join: per-customer F/O order counts with zero-fill on "
+    "either side — the reconciliation-report shape.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_f"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_o"))
+    )
+    joined = f.join(o, "o_custkey", "full_outer")
+    return joined.select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n_f", F.lit(0)).alias("n_f"),
+        F.coalesce("n_o", F.lit(0)).alias("n_o"),
+    )
+
+
+@query(
+    "join-cross",
+    oracle="""
+        SELECT r1.r_name AS from_region, r2.r_name AS to_region
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    doc="Explicit cross join of two tiny dims (route matrix shape) — "
+    "legitimate only when both sides are small; plans as broadcast "
+    "nested loop.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return (
+        r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+    )
+
+
+@query(
+    "window-range-frame",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS n_last_hour
+        FROM events
+    """,
+    doc="RANGE frame window: events per user in the trailing hour — the "
+    "time-based frame (vs ROWS) the sessionize/rate-limit family needs.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.count("*").over(w).alias("n_last_hour")
+    )
+
+
+@query(
+    "agg-collect-sorted",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="collect_list + array_sort: deterministic grouped collection "
+    "(raw collect order is partition-dependent — always sort before "
+    "comparing or emitting).",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "fn-array-battery",
+    oracle="""
+        SELECT doc_id,
+               list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
+               list_reverse(string_split(text, ' '))[1:3] AS last3_reversed,
+               CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT)
+                   AS n_long_tokens,
+               array_to_string(string_split(text, ' ')[1:3], '|') AS head_joined,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark
+        FROM documents
+    """,
+    doc="Array battery (§2.9): sort/slice/reverse/filter/join/contains "
+    "over token arrays — all codegen'd array primitives (filter is the "
+    "one HOF; bounded work per row).",
+)
+def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
+        F.slice(F.reverse(toks), 1, 3).alias("last3_reversed"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias(
+            "n_long_tokens"
+        ),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "fn-map-battery",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
+               ['k'] AS prop_keys,
+               [CAST(json_extract_string(props, '$.k') AS DOUBLE)] AS prop_vals,
+               CAST(1 AS BIGINT) AS n_props
+        FROM events
+    """,
+    doc="Map battery (§2.9): from_json -> MapType, map_keys / map_values "
+    "/ size — the dynamic-property-bag surface (reference GeoJSON "
+    "properties, db_models JSONB intent).",
+)
+def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,double>")
+    return ev.select(
+        "event_id",
+        m.getItem("k").alias("k_val"),
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_vals"),
+        F.size(F.map_keys(m)).cast("long").alias("n_props"),
+    )
+
+
+@query(
+    "fn-regex-battery",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+               regexp_matches(text, 'table.*table') AS has_double_table,
+               regexp_replace(text, '\\s+', '_', 'g') AS snaked_head
+        FROM (SELECT doc_id, substring(text, 1, 40) AS text FROM documents)
+    """,
+    doc="Regex battery (§2.9): extract / match-test / global replace — "
+    "JVM regex, codegen'd, applied to a bounded prefix.",
+)
+def fn_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_word"),
+        F.col("text").rlike("table.*table").alias("has_double_table"),
+        F.regexp_replace("text", r"\s+", "_").alias("snaked_head"),
+    )
+
+
+@query(
+    "fn-null-battery",
+    oracle="""
+        SELECT e.event_id,
+               coalesce(c.c_name, 'UNKNOWN') AS who,
+               (c.c_custkey IS NULL) AS is_orphan,
+               nullif(e.event_type, 'error') AS type_or_null,
+               CASE WHEN c.c_custkey IS NOT NULL THEN 'matched' ELSE 'unmatched' END
+                   AS match_status
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="NULL-handling battery (§2.9 / reference N/A defaults and "
+    "IS NOT NULL filters): coalesce / nullif / null tests over a "
+    "left join that manufactures NULLs.",
+)
+def fn_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    j = ev.join(F.broadcast(c), ev.user_id == c.c_custkey, "left")
+    return j.select(
+        "event_id",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("who"),
+        F.col("c_custkey").isNull().alias("is_orphan"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.when(F.col("c_custkey").isNotNull(), "matched")
+        .otherwise("unmatched")
+        .alias("match_status"),
+    )

@@ -81,6 +81,7 @@ def _load_all() -> None:
     from transit_scrape_spark.queries import (  # noqa: F401
         advanced,
         asof,
+        batteries,
         geo,
         minhash,
         multimodal,
