@@ -429,6 +429,40 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg-approx-sketch",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                <= 0.05 * count(DISTINCT l_partkey)) AS hll_within_5pct,
+               (abs(approx_quantile(l_extendedprice, 0.5)
+                    - quantile_cont(l_extendedprice, 0.5))
+                <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS p50_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Sketch aggregates — the 100 TB substitutes for exact "
+    "count-distinct and percentiles (HLL and t-digest/KLL are mergeable "
+    "map-side; exact forms buffer per-group values). Sketch values "
+    "differ across engines by construction, so the oracle contract is "
+    "the TOLERANCE: each engine's sketch lands within 5% of its own "
+    "exact answer (deterministic booleans — sketch inserts are "
+    "order-insensitive).",
+)
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
+    p50_exact = F.percentile("l_extendedprice", F.lit(0.5))
+    p50_approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        exact.cast("long").alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
+        (F.abs(p50_approx - p50_exact) <= 0.05 * p50_exact).alias("p50_within_5pct"),
+    )
+
+
+@query(
     "unpivot",
     oracle="""
         SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value

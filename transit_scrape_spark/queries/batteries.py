@@ -82,10 +82,12 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # unix_micros, not cast-to-seconds: the frame boundary must match the
+    # oracle's INTERVAL arithmetic at full timestamp precision
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "user_id", "event_id", "ts", F.count("*").over(w).alias("n_last_hour")
