@@ -80,6 +80,7 @@ def _load_all() -> None:
     """Import every query module so registrations run."""
     from transit_scrape_spark.queries import (  # noqa: F401
         advanced,
+        analytics,
         asof,
         batteries,
         geo,
