@@ -13,7 +13,15 @@ the rest (streaming-only/LSH internals) run the rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# defensive: the driver may import this module by file path; make the
+# sibling package importable regardless of cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
