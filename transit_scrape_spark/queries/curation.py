@@ -1,0 +1,160 @@
+"""Corpus-curation operators: reproducible sampling/splits and
+benchmark decontamination — training-data-pipeline staples that must be
+deterministic at 100 TB (no rand(): hash-based assignment is stable
+across reruns, partitionings, and engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.operators.dedup import (
+    shingle_hash_rows,
+    sql_shingle_hashes,
+    string_hash,
+    sql_string_hash,
+)
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+@query(
+    "sample-hash-split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   ({sql_string_hash("CAST(doc_id AS VARCHAR) || ':split-salt-r1'")}) % 10
+                       AS slot
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN slot < 8 THEN 'train' WHEN slot = 8 THEN 'val' ELSE 'test' END
+                   AS split,
+               count(*) AS n_docs
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: md5-hash of "
+    "(id, salt) mod 10 — reproducible across reruns/engines/cluster "
+    "sizes (rand()-based sampling is not), stratification visible per "
+    "language. The same mechanism does p%% sampling at any scale "
+    "without a shuffle.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    slot = string_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split-salt-r1"))
+    ) % 10
+    split = (
+        F.when(slot < 8, "train").when(slot == 8, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "dedup-decontaminate",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, {sql_shingle_hashes('text')} AS sh FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(sh) AS s FROM hashed WHERE doc_id % 97 = 0
+        ),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM hashed WHERE doc_id % 97 <> 0) t
+            WHERE s IN (SELECT s FROM bench)
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean
+        FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 97 <> 0
+        GROUP BY d.lang
+    """,
+    doc="Benchmark decontamination: drop training documents sharing any "
+    "3-token shingle with the held-out set (doc_id %% 97 == 0 plays the "
+    "benchmark). Bench shingles form a (broadcastable) probe set; "
+    "contamination detection is a semi-join on shingle hash — shuffles "
+    "8-byte hashes, never text. Per-language removal report.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = shingle_hash_rows(d.select("doc_id", "text"))
+    bench_sh = hashed.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    contaminated = (
+        hashed.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    cand = d.filter(F.col("doc_id") % 97 != 0).join(contaminated, "doc_id", "left")
+    return cand.groupBy("lang").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("_dirty").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("_dirty").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+    )
+
+
+def _multiprobe_oracle() -> str:
+    from transit_scrape_spark.queries.advanced import _sql_bucket
+
+    return _MULTIPROBE_TEMPLATE.format(bucket=_sql_bucket("CAST(embedding AS DOUBLE[])"))
+
+
+_MULTIPROBE_TEMPLATE = """
+        WITH tagged AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+            FROM embeddings
+        ), q AS (SELECT v AS qv, bucket AS qbucket FROM tagged WHERE vec_id = 1),
+        probes AS (
+            SELECT xor((SELECT qbucket FROM q), p.f) AS pb
+            FROM (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) p(f)
+        )
+        SELECT vec_id,
+               round(list_dot_product(v, (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS sim
+        FROM tagged
+        WHERE bucket IN (SELECT pb FROM probes) AND vec_id <> 1
+        ORDER BY sim DESC, vec_id
+        LIMIT 5
+    """
+
+
+@query(
+    "simsearch-lsh-multiprobe",
+    oracle=_multiprobe_oracle(),
+    doc="Multi-probe LSH ANN: probe the query bucket plus all 8 one-bit "
+    "neighbor buckets (the planes whose sign the query was closest to "
+    "flipping) — ~9/256 of the data for substantially better recall "
+    "than single-probe; still partition-prunable.",
+)
+def simsearch_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.vectors import as_double, cosine
+    from transit_scrape_spark.queries.advanced import N_PLANES, lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(as_double(F.col("embedding"))).alias("bucket"),
+    )
+    qrow = tagged.filter(F.col("vec_id") == 1).select("v", "bucket").collect()[0]
+    probes = [qrow["bucket"]] + [qrow["bucket"] ^ (1 << k) for k in range(N_PLANES)]
+    qv = F.array(*[F.lit(x) for x in qrow["v"]])
+    return (
+        tagged.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != 1))
+        .select("vec_id", F.round(cosine(F.col("v"), qv), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )

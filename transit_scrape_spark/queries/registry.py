@@ -83,6 +83,7 @@ def _load_all() -> None:
         analytics,
         asof,
         batteries,
+        curation,
         geo,
         minhash,
         multimodal,
