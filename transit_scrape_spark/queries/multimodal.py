@@ -50,6 +50,48 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped-map-zscore",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               round((l_extendedprice - avg(l_extendedprice) OVER w)
+                     / stddev_samp(l_extendedprice) OVER w, 6) AS price_z
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    doc="Grouped-map applyInPandas (the per-group pandas escape hatch, "
+    "guide pattern): per-returnflag z-score normalization — each group "
+    "arrives as one pandas DataFrame, vectorized numpy inside. Built-in "
+    "window aggs express this too (the oracle does); applyInPandas is "
+    "for logic that genuinely needs pandas (rank transforms, model "
+    "scoring). Groups must fit one executor's memory — the documented "
+    "contract of the API.",
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_extendedprice"].mean()
+        sd = pdf["l_extendedprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(6),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_returnflag string, l_orderkey long, l_linenumber int, price_z double",
+    )
+
+
+@query(
     "multimodal-decode",
     oracle="""
         WITH codes AS (
