@@ -1,0 +1,124 @@
+"""Iterative graph algorithm on DataFrames (the driver-loop pattern).
+
+Spark has no recursive SQL; iterative algorithms (connected components,
+label propagation, PageRank) run as a driver loop over DataFrame
+transformations, with the iteration count bounded by graph diameter.
+At scale: localCheckpoint every few iterations to truncate lineage,
+partition the edge list by src so the per-iteration join is co-located.
+
+Oracled via DuckDB's WITH RECURSIVE transitive closure — the fixpoint
+both computations converge to is the same min-label assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation-trade graph: an edge when some order links a
+    customer nation to a supplier nation (restricted to low-key lineitems
+    so the graph is sparse enough to have several components)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 13 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("a"),
+            F.col("s_nationkey").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT a, b FROM (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS a, CAST(s.s_nationkey AS BIGINT) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_partkey % 13 = 0 AND c.c_nationkey <> s.s_nationkey
+        UNION ALL
+        SELECT CAST(s.s_nationkey AS BIGINT) AS a, CAST(c.c_nationkey AS BIGINT) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_partkey % 13 = 0 AND c.c_nationkey <> s.s_nationkey
+    )
+"""
+
+
+@query(
+    "graph-components-iterative",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        nodes AS (
+            SELECT DISTINCT n_nationkey AS node FROM (
+                SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey FROM nation
+            )
+        ),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT node, CAST(min(r) AS BIGINT) AS component
+        FROM reach
+        GROUP BY node
+    """,
+    doc="Connected components by min-label propagation: driver loop of "
+    "join-with-edges + groupBy-min until fixpoint (bounded by graph "
+    "diameter). Isolated nations form their own components. Oracle is "
+    "DuckDB's recursive transitive closure — same fixpoint. At scale: "
+    "checkpoint lineage every few rounds; large-star/small-star "
+    "contraction cuts the iteration count to O(log n).",
+)
+def graph_components_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("node"))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node")).persist()
+    for _ in range(25):  # diameter bound: <= |V| of the 25-node graph
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")

@@ -85,6 +85,7 @@ def _load_all() -> None:
         batteries,
         curation,
         geo,
+        graph,
         minhash,
         multimodal,
         relational,

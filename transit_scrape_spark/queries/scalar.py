@@ -229,6 +229,29 @@ def schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json-variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_variant,
+               json_extract_string(props, '$.missing') AS missing_key
+        FROM events
+    """,
+    doc="VariantType path (Spark 4): parse_json -> open-schema variant, "
+    "typed extraction via variant_get — the shredded-JSON storage model "
+    "that replaces string-JSON reparsing at scale (parse once at "
+    "ingest, store the variant in parquet, extract columnar).",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "double").alias("k_variant"),
+        F.variant_get(v, "$.missing", "string").alias("missing_key"),
+    )
+
+
+@query(
     "fn-strftime",
     oracle="""
         SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d_%H%M%S') AS stamp

@@ -43,16 +43,28 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ot, lt = f"tss_orders_b_{tag}", f"tss_lineitem_b_{tag}"
 
     def _ensure(table: str, df: DataFrame, key: str) -> None:
-        if not spark.catalog.tableExists(table):
-            path = f"{base}/{table}"
-            shutil.rmtree(path, ignore_errors=True)
-            (
-                df.write.mode("overwrite")
-                .option("path", path)
-                .bucketBy(N_BUCKETS, key)
-                .sortBy(key)
-                .saveAsTable(table)
+        if spark.catalog.tableExists(table):
+            return
+        path = f"{base}/{table}"
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # data written by a previous session: register the external
+            # bucketed table over it instead of rewriting (the bucketed
+            # file layout is already on disk)
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
             )
+            return
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
 
     _ensure(ot, load_table(spark, sf_dir, "orders"), "o_orderkey")
     _ensure(lt, load_table(spark, sf_dir, "lineitem"), "l_orderkey")
