@@ -429,6 +429,35 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2-intervals",
+    oracle="""
+        SELECT user_id, event_type AS state, ts AS effective_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31') AS effective_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                   AS is_current
+        FROM events
+    """,
+    doc="SCD2 history build (guide CDC/SCD2 pattern, emulated without "
+    "MERGE): each state change becomes an [effective_from, effective_to) "
+    "interval via lead(); the open interval is the current row. One "
+    "window shuffle; at scale this materializes a queryable "
+    "point-in-time dimension.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.coalesce(nxt, F.lit("9999-12-31").cast("timestamp")).alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
     "agg-approx-sketch",
     oracle="""
         SELECT l_returnflag,

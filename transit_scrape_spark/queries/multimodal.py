@@ -50,6 +50,50 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal-frame-sample",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id, octet_length(encode(text)) AS blen, text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, least(blen % 7 + 1, 4) - 1)) AS BIGINT)
+                   AS frame_idx,
+               lower(hex(encode(substring(text,
+                   1 + CAST(unnest(generate_series(0, least(blen % 7 + 1, 4) - 1))
+                       * floor(blen / least(blen % 7 + 1, 4)) AS INT), 4))))
+                   AS frame_head_hex
+        FROM meta
+    """,
+    doc="Frame sampling over binary media (the brief's frame-sample op): "
+    "up to 4 evenly-spaced 'frames' per payload via sequence+explode of "
+    "computed offsets and byte-slices — pure column ops, the real "
+    "plumbing for video keyframe extraction (swap the slice for a "
+    "decoder call in the mapInPandas stage at production).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_bin = attach_binary_payload(d)
+    n_frames = F.least(F.col("media_meta.byte_len") % 7 + 1, F.lit(4))
+    stride = F.floor(F.col("media_meta.byte_len") / n_frames)
+    ex = with_bin.select(
+        "doc_id",
+        "payload",
+        stride.alias("stride"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lower(
+            F.hex(
+                F.expr("substring(payload, CAST(1 + frame_idx * stride AS INT), 4)")
+            )
+        ).alias("frame_head_hex"),
+    )
+
+
+@query(
     "grouped-map-zscore",
     oracle="""
         SELECT l_returnflag, l_orderkey, l_linenumber,

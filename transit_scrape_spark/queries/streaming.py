@@ -249,6 +249,60 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream-stream-join",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id, p.event_id AS purchase_id,
+               v.ts AS view_ts, p.ts AS purchase_ts
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream inner join: views joined to purchases by the same "
+    "user within 1 hour — watermarks on BOTH sides + the time-range "
+    "join condition bound the buffered state (Spark evicts rows older "
+    "than watermark+range). A full availableNow replay emits every "
+    "qualifying pair, equal to the batch interval join.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = _run_stream_to_memory(joined, "append")
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
+
+
+@query(
     "stream-foreach-batch-upsert",
     oracle="""
         SELECT user_id, event_type, count(*) AS n
