@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run the Spark plan and
 the DuckDB oracle side-by-side, compare row count + column names +
 order-insensitive values (floats with tolerance, everything else exact).
+
+Also replicates the driver's pandas canonicalizer failure modes (the r1
+harness gap — it tuple-ized lists, so ops whose output columns the
+driver cannot hash passed locally and failed the real gate):
+- ArrayType/MapType/StructType output columns -> pandas "unhashable
+  type" crash: rejected up front by schema inspection.
+- Timestamps outside pandas' ns range (1677-09-21 .. 2262-04-11) ->
+  OutOfBoundsDatetime: every datetime value is bounds-checked.
 """
 
 from __future__ import annotations
@@ -10,6 +18,11 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+
+# pandas datetime64[ns] representable range (driver canonicalizes
+# through ns-resolution pandas timestamps); bounds slightly conservative
+_PD_TS_MIN = datetime(1677, 9, 22)
+_PD_TS_MAX = datetime(2262, 4, 11)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -26,7 +39,7 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, op_id="?"):
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
@@ -37,18 +50,41 @@ def _norm(v):
         # quantize to 9 significant digits so last-bit drift can't differ
         return float(f"{v:.9g}")
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # driver canonicalizes through pandas ns timestamps — a value
+        # outside this range crashes its gate (OutOfBoundsDatetime)
+        assert _PD_TS_MIN <= v <= _PD_TS_MAX, (
+            f"[{op_id}] timestamp {v} outside pandas ns range "
+            f"({_PD_TS_MIN.date()}..{_PD_TS_MAX.date()}) — driver gate would crash"
+        )
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, dict)):
+        # driver's pandas canonicalizer hashes cell values — lists/dicts
+        # are unhashable and crash it (the 7 red rows of round 1)
+        raise AssertionError(
+            f"[{op_id}] complex-typed cell value {type(v).__name__} — driver "
+            "gate would crash (unhashable); serialize with to_json/array_join"
+        )
     return v
+
+
+def assert_driver_safe_schema(sdf, op_id: str = "?") -> None:
+    """Reject output schemas the driver's pandas canonicalizer can't hash."""
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+            f"[{op_id}] output column '{f.name}' is {f.dataType.simpleString()} — "
+            "driver's pandas canonicalizer crashes on complex types; "
+            "serialize with to_json/array_join before returning"
+        )
 
 
 def compare(spark_df, con, sql: str, op_id: str = "?") -> None:
     sdf = spark_df
+    assert_driver_safe_schema(sdf, op_id)
     spark_cols = sorted(sdf.columns)
     srows = sdf.collect()
 
@@ -65,10 +101,10 @@ def compare(spark_df, con, sql: str, op_id: str = "?") -> None:
     )
 
     s_set = sorted(
-        (tuple(_norm(r[c]) for c in spark_cols) for r in srows), key=repr
+        (tuple(_norm(r[c], op_id) for c in spark_cols) for r in srows), key=repr
     )
     idx = [duck_colnames.index(c) for c in duck_cols]
-    d_set = sorted((tuple(_norm(r[i]) for i in idx) for r in drows), key=repr)
+    d_set = sorted((tuple(_norm(r[i], op_id) for i in idx) for r in drows), key=repr)
     if s_set != d_set:
         diffs = [
             (a, b) for a, b in zip(s_set, d_set) if a != b

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.oracle_harness import compare, duck_conn
+from tests.oracle_harness import assert_driver_safe_schema, compare, duck_conn
 from transit_scrape_spark.queries.registry import registry
 
 
@@ -25,7 +25,9 @@ def con(sf_dir):
 def test_oracle_parity(spec, spark, sf_dir, con):
     df = spec.fn(spark, sf_dir)
     if spec.oracle is None:
-        # rows-only check (matches the driver's weaker gate)
+        # rows-only check (matches the driver's weaker gate); schema must
+        # still be driver-safe — the driver materializes these results too
+        assert_driver_safe_schema(df, spec.op_id)
         assert df.count() >= 0
         assert len(df.schema.fields) > 0
     else:

@@ -433,7 +433,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id, event_type AS state, ts AS effective_from,
                coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                        TIMESTAMP '9999-12-31') AS effective_to,
+                        TIMESTAMP '2200-01-01') AS effective_to,
                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
                    AS is_current
         FROM events
@@ -442,7 +442,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MERGE): each state change becomes an [effective_from, effective_to) "
     "interval via lead(); the open interval is the current row. One "
     "window shuffle; at scale this materializes a queryable "
-    "point-in-time dimension.",
+    "point-in-time dimension. Open-interval sentinel is 2200-01-01 — "
+    "inside pandas' ns-timestamp range (max 2262-04-11), so downstream "
+    "pandas/Arrow consumers never overflow; is_current carries the "
+    "semantics regardless of sentinel choice.",
 )
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -452,7 +455,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("state"),
         F.col("ts").alias("effective_from"),
-        F.coalesce(nxt, F.lit("9999-12-31").cast("timestamp")).alias("effective_to"),
+        F.coalesce(nxt, F.lit("2200-01-01").cast("timestamp")).alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
 

@@ -98,18 +98,19 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-collect-sorted",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations
+               array_to_string(list_sort(list(n_name)), '|') AS nations
         FROM nation
         GROUP BY n_regionkey
     """,
     doc="collect_list + array_sort: deterministic grouped collection "
     "(raw collect order is partition-dependent — always sort before "
-    "comparing or emitting).",
+    "comparing or emitting). Output joined to a scalar string so the "
+    "driver canonicalizer never sees an ArrayType column.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations")
     )
 
 
@@ -117,8 +118,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn-array-battery",
     oracle="""
         SELECT doc_id,
-               list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
-               list_reverse(string_split(text, ' '))[1:3] AS last3_reversed,
+               array_to_string(list_sort(string_split(text, ' '))[1:5], '|') AS first5_sorted,
+               array_to_string(list_reverse(string_split(text, ' '))[1:3], '|') AS last3_reversed,
                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT)
                    AS n_long_tokens,
                array_to_string(string_split(text, ' ')[1:3], '|') AS head_joined,
@@ -127,15 +128,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Array battery (§2.9): sort/slice/reverse/filter/join/contains "
     "over token arrays — all codegen'd array primitives (filter is the "
-    "one HOF; bounded work per row).",
+    "one HOF; bounded work per row). Array outputs joined to scalar "
+    "strings for the driver canonicalizer.",
 )
 def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
-        F.slice(F.reverse(toks), 1, 3).alias("last3_reversed"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 5), "|").alias("first5_sorted"),
+        F.array_join(F.slice(F.reverse(toks), 1, 3), "|").alias("last3_reversed"),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias(
             "n_long_tokens"
         ),
@@ -149,14 +151,17 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
-               ['k'] AS prop_keys,
-               [CAST(json_extract_string(props, '$.k') AS DOUBLE)] AS prop_vals,
+               'k' AS prop_keys,
+               CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
+                   AS prop_vals,
                CAST(1 AS BIGINT) AS n_props
         FROM events
     """,
     doc="Map battery (§2.9): from_json -> MapType, map_keys / map_values "
     "/ size — the dynamic-property-bag surface (reference GeoJSON "
-    "properties, db_models JSONB intent).",
+    "properties, db_models JSONB intent). Keys/values joined to scalar "
+    "strings for the driver canonicalizer (values are integer-valued "
+    "doubles, so double->string formats identically in both engines).",
 )
 def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -164,8 +169,10 @@ def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         m.getItem("k").alias("k_val"),
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_vals"),
+        F.array_join(F.map_keys(m), "|").alias("prop_keys"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")), "|"
+        ).alias("prop_vals"),
         F.size(F.map_keys(m)).cast("long").alias("n_props"),
     )
 

@@ -103,18 +103,25 @@ def geom_to_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "wkt-to-geom",
     oracle=f"""
-        SELECT n_nationkey, coordinates AS coords_roundtrip
+        SELECT n_nationkey,
+               concat('LINESTRING (',
+                      array_to_string(list_transform(coordinates,
+                          p -> concat(CAST(p[1] AS VARCHAR), ' ', CAST(p[2] AS VARCHAR))), ', '),
+                      ')') AS wkt_roundtrip
         FROM ({_SYNTH_SQL})
     """,
     doc="WKT string -> coordinate arrays (reference GeoSeries.from_wkt, "
     "app/app.py:81-83) via regexp strip + nested split/cast; oracled as "
-    "an exact round-trip wkt_to_linestring(linestring_to_wkt(c)) == c.",
+    "an exact round-trip wkt -> coords -> wkt (the re-serialized string "
+    "proves the parse was lossless; output kept scalar-typed for the "
+    "driver canonicalizer — nested arrays stay internal).",
 )
 def wkt_to_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
     wkt = linestring_to_wkt(F.col("coordinates"))
     return n.select(
-        "n_nationkey", wkt_to_linestring(wkt).alias("coords_roundtrip")
+        "n_nationkey",
+        linestring_to_wkt(wkt_to_linestring(wkt)).alias("wkt_roundtrip"),
     )
 
 
@@ -122,21 +129,32 @@ def wkt_to_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coord-swap",
     oracle=f"""
         SELECT n_nationkey,
-               list_transform(coordinates, p -> [p[2], p[1]]) AS latlon
+               concat('LINESTRING (',
+                      array_to_string(list_transform(coordinates,
+                          p -> concat(CAST(p[2] AS VARCHAR), ' ', CAST(p[1] AS VARCHAR))), ', '),
+                      ')') AS latlon_wkt
         FROM ({_SYNTH_SQL})
     """,
     doc="Per-vertex (lon,lat)->(lat,lon) swap (reference app/app.py:139-141) "
-    "via nested transform.",
+    "via nested transform; emitted as the swapped WKT string (scalar "
+    "output for the driver canonicalizer — the array form is internal).",
 )
 def coord_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
-    return n.select("n_nationkey", swap_coords(F.col("coordinates")).alias("latlon"))
+    return n.select(
+        "n_nationkey",
+        linestring_to_wkt(swap_coords(F.col("coordinates"))).alias("latlon_wkt"),
+    )
 
 
 @query(
     "explode-multigeom",
     oracle=f"""
-        SELECT n_nationkey, CAST(part_idx AS BIGINT) AS part_idx, part
+        SELECT n_nationkey, CAST(part_idx AS BIGINT) AS part_idx,
+               concat('LINESTRING (',
+                      array_to_string(list_transform(part,
+                          p -> concat(CAST(p[1] AS VARCHAR), ' ', CAST(p[2] AS VARCHAR))), ', '),
+                      ')') AS part_wkt
         FROM (
           SELECT n_nationkey,
                  generate_subscripts(parts, 1) AS part_idx,
@@ -147,7 +165,8 @@ def coord_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     """,
     doc="MultiLineString -> constituent LineStrings (reference "
-    "geometry.geoms flatten, app/app.py:137-139) via posexplode.",
+    "geometry.geoms flatten, app/app.py:137-139) via posexplode; each "
+    "part emitted as its WKT string (scalar output for the driver).",
 )
 def explode_multigeom(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
@@ -166,7 +185,7 @@ def explode_multigeom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         "n_nationkey",
         (F.col("part_idx0") + 1).cast("long").alias("part_idx"),
-        "part",
+        linestring_to_wkt(F.col("part")).alias("part_wkt"),
     )
 
 

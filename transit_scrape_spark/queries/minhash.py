@@ -66,12 +66,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed AS (
             SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
         )
-        SELECT doc_id, {sql_minhash_signature('sh', NUM_PERM)} AS signature
+        SELECT doc_id, array_to_string({sql_minhash_signature('sh', NUM_PERM)}, '-')
+                   AS signature
         FROM hashed
     """,
     doc="MinHash signatures (12 permutations over 3-token shingle char "
     "hashes) as pure codegen expressions — the projection stage of "
-    "near-dup detection; no shuffle, no UDF.",
+    "near-dup detection; no shuffle, no UDF. Signature emitted as a "
+    "'-'-joined string (scalar output for the driver canonicalizer).",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode/window/groupBy formulation: the whole pipeline stays in
@@ -81,7 +83,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(*signature_columns(NUM_PERM))
     return sig.select(
         "doc_id",
-        F.array(*[F.col(f"_m{k}") for k in range(NUM_PERM)]).alias("signature"),
+        F.concat_ws(
+            "-", *[F.col(f"_m{k}").cast("string") for k in range(NUM_PERM)]
+        ).alias("signature"),
     )
 
 
