@@ -79,3 +79,24 @@ def test_scan_agg_has_single_shuffle(spark, sf_dir):
 def test_fk_chain_shuffles_only_for_final_agg(spark, sf_dir):
     df = registry()["join-fk-chain"].fn(spark, sf_dir)
     assert exchange_count(df) == 1  # both joins broadcast
+
+
+def test_surrogate_key_has_no_global_sort_over_data(spark, sf_dir):
+    # the distributed zipWithIndex shape: bucket-local windows only —
+    # every row_number is partitioned by pid, never a global OVER ().
+    # (The tiny offsets table legitimately funnels #buckets rows.)
+    p = _plan(spark, sf_dir, "derive-surrogate-key")
+    assert "pid" in p
+    windows = [seg for seg in p.splitlines() if "row_number" in seg]
+    assert windows and all("pid" in w for w in windows), windows
+    assert "rangepartitioning(event_id" not in p.lower()
+
+
+def test_graph_components_releases_caches(spark, sf_dir):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    registry()["graph-components-iterative"].fn(spark, sf_dir).collect()
+    after = jsc.getPersistentRDDs().size()
+    # converged run must not hold one generation per iteration: at most
+    # the final labels (persist or localCheckpoint backing) + slack
+    assert after - before <= 3, f"leaked {after - before} persisted RDDs"

@@ -160,12 +160,16 @@ def _sql_centroid(c: int) -> str:
 )
 def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cents = [
-        e.filter(F.col("vec_id") == c * 7 + 2)
-        .select(as_double(F.col("embedding")).alias("cv"))
-        .collect()[0]["cv"]
-        for c in range(N_CENTROIDS)
-    ]
+    # one driver job for all centroids (a per-centroid collect loop is
+    # N_CENTROIDS sequential round-trips — the r1 bench's slowest op)
+    cent_ids = [c * 7 + 2 for c in range(N_CENTROIDS)]
+    fetched = {
+        r["vec_id"]: r["cv"]
+        for r in e.filter(F.col("vec_id").isin(cent_ids))
+        .select("vec_id", as_double(F.col("embedding")).alias("cv"))
+        .collect()
+    }
+    cents = [fetched[i] for i in cent_ids]
 
     def _dot_lit(v, cv):
         return F.aggregate(

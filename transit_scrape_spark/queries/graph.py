@@ -95,22 +95,25 @@ def graph_components_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("component", F.col("node")).persist()
-    for _ in range(25):  # diameter bound: <= |V| of the 25-node graph
+    for it in range(25):  # diameter bound: <= |V| of the 25-node graph
         neighbor_min = (
             labels.join(edges, labels.node == edges.a)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
         )
+        if (it + 1) % 5 == 0:
+            # truncate lineage: without this the plan doubles every
+            # iteration and executors replay the whole chain on any
+            # cache eviction (localCheckpoint materializes eagerly)
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -118,7 +121,9 @@ def graph_components_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()  # superseded generation — don't hold every round
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("node", "component")

@@ -479,16 +479,44 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_id, user_id
         FROM events
     """,
-    doc="Serial-PK assignment (reference db_models.py:24) as row_number. "
-    "NOTE: a global row_number forces a single-partition sort — at 100 TB "
-    "use zipWithIndex-style per-partition offsets or monotonically_increasing_id; "
-    "kept here for oracle determinism.",
+    doc="Serial-PK assignment (reference db_models.py:24) with the SAME "
+    "result as a global row_number, but no single-partition sort: bin "
+    "the key into fixed-width ordered buckets (pid is a PURE function "
+    "of the key — sampled repartitionByRange is a trap here, its "
+    "boundaries are seeded per-RDD-id so the counts branch and the "
+    "probe branch of this self-referencing plan can disagree), rank "
+    "locally within each bucket, then add cumulative per-bucket count "
+    "offsets (a window over only #buckets rows). Distributed "
+    "zipWithIndex: every stage over the data is parallel; the only "
+    "global sort touches the tiny bucket-count table. Cost: one extra "
+    "map-side min/max job. Skew caveat: uniform bins assume a roughly "
+    "uniform key — for skewed keys compute approx-quantile bin edges "
+    "instead (same plan shape).",
 )
 def derive_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return ev.select(
-        F.row_number().over(w).cast("long").alias("id"), "event_id", "user_id"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    n_buckets = 16
+    width = max((int(hi) - int(lo) + n_buckets) // n_buckets, 1)
+    # pid ascends with event_id range, so
+    # global_rank = per-bucket rank + sum(counts of earlier buckets)
+    parted = ev.withColumn(
+        "pid", F.floor((F.col("event_id") - F.lit(int(lo))) / F.lit(width))
+    )
+    w_local = Window.partitionBy("pid").orderBy("event_id")
+    local = parted.withColumn("local_rn", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("offset") + F.col("local_rn")).cast("long").alias("id"),
+            "event_id",
+            "user_id",
+        )
     )
 
 
