@@ -101,6 +101,28 @@ def geom_to_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "geom-to-ewkt",
+    oracle=f"""
+        SELECT n_nationkey,
+               concat('SRID=4326;', 'LINESTRING (',
+                      array_to_string(list_transform(coordinates,
+                          p -> concat(CAST(p[1] AS VARCHAR), ' ', CAST(p[2] AS VARCHAR))), ', '),
+                      ')') AS ewkt
+        FROM ({_SYNTH_SQL})
+    """,
+    doc="Geometry -> EWKT with SRID prefix (reference db_helpers.py:172-176 "
+    "geometry_to_ewkt) — its own registry key per the SURVEY §2 "
+    "one-key-per-op contract; shares the WKT serializer with geom-to-wkt.",
+)
+def geom_to_ewkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _synth_coords(load_table(spark, sf_dir, "nation"), "n_nationkey")
+    return n.select(
+        "n_nationkey",
+        to_ewkt(linestring_to_wkt(F.col("coordinates"))).alias("ewkt"),
+    )
+
+
+@query(
     "wkt-to-geom",
     oracle=f"""
         SELECT n_nationkey,

@@ -15,6 +15,7 @@ watermark-dropped, so the streaming result equals the batch aggregate.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,18 +24,54 @@ from transit_scrape_spark.queries.registry import query
 from transit_scrape_spark.sources.tables import load_table
 
 
+@contextmanager
+def _state_partitions_sized_to_cluster(spark: SparkSession):
+    """Clamp spark.sql.shuffle.partitions while a streaming query starts.
+
+    A streaming query pins its state-store partition count at start from
+    this conf, and every state partition pays a fixed per-micro-batch
+    cost (store open, delta commit, snapshot/maintenance) regardless of
+    how much state it holds. With fixture-scale state that fixed cost
+    dominates: measured stream-stream join at sf0.1 on local[32] runs
+    13.8s with 32 state partitions, 4.8s with 16, 3.1s with 8 — and a
+    vanilla 200-partition session was ~10x worse still. So size state
+    partitions down when state volume is small: max(8, parallelism/4)
+    by default, overridable via TSS_STREAM_STATE_PARTITIONS for
+    deployments whose per-key state actually needs the fan-out (state
+    partitions should grow with state bytes, not with the session's
+    batch-shuffle setting). Restored afterward so batch ops keep the
+    session's setting.
+    """
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    target = int(
+        os.environ.get(
+            "TSS_STREAM_STATE_PARTITIONS",
+            max(8, spark.sparkContext.defaultParallelism // 4),
+        )
+    )
+    spark.conf.set(key, str(min(int(old), target)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _run_stream_to_memory(sdf, out_mode: str) -> str:
     """Run a streaming DataFrame to completion into a memory sink;
     returns the sink table name."""
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        sdf.writeStream.outputMode(out_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions_sized_to_cluster(sdf.sparkSession):
+        q = (
+            sdf.writeStream.outputMode(out_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return name
 
 
@@ -155,16 +192,17 @@ def stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = f"/tmp/tss_stream_append_{tag}/data"
     ckpt = f"/tmp/tss_stream_append_{tag}/ckpt"
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions_sized_to_cluster(spark):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
@@ -220,16 +258,17 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 hour"))
             .agg(F.count("*").alias("n"))
         )
-        q = (
-            agg.select(F.col("window.start").alias("window_start"), "n")
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions_sized_to_cluster(spark):
+            q = (
+                agg.select(F.col("window.start").alias("window_start"), "n")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     if not os.path.exists(f"{base}/_DONE"):
         shutil.rmtree(base, ignore_errors=True)
@@ -345,14 +384,15 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(target, ignore_errors=True)
         os.replace(tmp, target)
 
-    q = (
-        counts.writeStream.outputMode("complete")
-        .foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions_sized_to_cluster(spark):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(target)
 
 
