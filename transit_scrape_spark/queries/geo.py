@@ -280,9 +280,12 @@ def geo_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _geojson_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a deterministic FeatureCollection from `nation` once per
-    (sf_dir) under /tmp; returns the file path."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/tss_geojson_{tag}/nation.geojson"
+    (sf_dir CONTENT) under /tmp; returns the file path. Content-keyed so
+    changed fixtures at the same path never serve stale data; the write
+    below is already atomic (os.replace)."""
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    path = f"/tmp/tss_geojson_{content_tag(sf_dir)}/nation.geojson"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         rows = (

@@ -38,7 +38,11 @@ N_BUCKETS = 8
     "shuffle into a one-time write-layout cost.",
 )
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    # content-keyed: a changed fixture set yields new table names/paths
+    # instead of reusing a stale bucketed layout
+    tag = content_tag(sf_dir)
     base = f"/tmp/tss_bucketed_{tag}"
     ot, lt = f"tss_orders_b_{tag}", f"tss_lineitem_b_{tag}"
 

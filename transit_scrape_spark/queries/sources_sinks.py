@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.queries.geo import _geojson_fixture_path
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.fixtures import content_tag, fixture_dir
 from transit_scrape_spark.sources.geojson import read_geojson_features
 from transit_scrape_spark.sources.tables import load_table
 
@@ -31,11 +32,7 @@ def _glob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     reference's timestamped per-scrape file corpus (push_to_db.py:77-88)."""
     import json
 
-    d = f"/tmp/tss_glob_{_tag(sf_dir)}"
-    done = os.path.join(d, "_DONE")
-    if not os.path.exists(done):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
+    def build(d: str) -> None:
         rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
         by_region: dict[int, list] = {}
         for r in rows:
@@ -57,8 +54,8 @@ def _glob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             ]
             with open(os.path.join(d, f"nation_{rk}.geojson"), "w") as f:
                 json.dump({"type": "FeatureCollection", "features": feats}, f)
-        open(done, "w").close()
-    return d
+
+    return fixture_dir("tss_glob", sf_dir, build)
 
 
 @query(
@@ -189,7 +186,9 @@ def sink_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exercises the identical plan shape.",
 )
 def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = f"/tmp/tss_jdbc_{_tag(sf_dir)}"
+    # scratch output (rewritten every call): per-process path so two
+    # sessions can't interleave an overwrite with a read-back
+    target = f"/tmp/tss_jdbc_{_tag(sf_dir)}_{os.getpid()}"
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     o.write.mode("overwrite").option("parquet.block.size", 64 * 1024 * 1024).parquet(
         target
@@ -212,7 +211,8 @@ def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ catalog verification + read back via spark.table.",
 )
 def sink_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    loc = f"/tmp/tss_ddl_{_tag(sf_dir)}"
+    # scratch CTAS location (dropped/recreated every call): per-process
+    loc = f"/tmp/tss_ddl_{_tag(sf_dir)}_{os.getpid()}"
     shutil.rmtree(loc, ignore_errors=True)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("tss_customer_src")
     spark.sql("DROP TABLE IF EXISTS tss_ddl_table")
@@ -268,16 +268,14 @@ def derive_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corrupt_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    d = f"/tmp/tss_corrupt_{_tag(sf_dir)}"
-    done = os.path.join(d, "_DONE")
-    if not os.path.exists(done):
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        shutil.copy(_geojson_fixture_path(spark, sf_dir), os.path.join(d, "good.geojson"))
+    def build(d: str) -> None:
+        shutil.copy(
+            _geojson_fixture_path(spark, sf_dir), os.path.join(d, "good.geojson")
+        )
         with open(os.path.join(d, "bad.geojson"), "w") as f:
             f.write('{"type": "FeatureCollection", "features": [ {broken')
-        open(done, "w").close()
-    return d
+
+    return fixture_dir("tss_corrupt", sf_dir, build)
 
 
 @query(

@@ -188,7 +188,12 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    # content-keyed (stale-fixture-proof) but built in place: streaming
+    # checkpoints and _spark_metadata pin absolute paths, so the atomic
+    # rename pattern is off-limits here
+    tag = content_tag(sf_dir)
     out_dir = f"/tmp/tss_stream_append_{tag}/data"
     ckpt = f"/tmp/tss_stream_append_{tag}/ckpt"
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
@@ -236,8 +241,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transit_scrape_spark.sources.tables import load_events
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/tss_stream_wm_{tag}"
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    # content-keyed, in-place build (checkpoints pin absolute paths)
+    base = f"/tmp/tss_stream_wm_{content_tag(sf_dir)}"
     stage, ckpt, out = f"{base}/stage", f"{base}/ckpt", f"{base}/out"
     split = "2024-01-16"
 
@@ -358,8 +365,9 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/tss_febatch_{tag}"
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    base = f"/tmp/tss_febatch_{content_tag(sf_dir)}"
     target, ckpt = f"{base}/table", f"{base}/ckpt"
     os.makedirs(base, exist_ok=True)
 
