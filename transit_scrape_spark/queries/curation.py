@@ -158,3 +158,47 @@ def simsearch_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "sample-stratified",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_lang
+            FROM documents
+        )
+        SELECT doc_id, lang
+        FROM ranked
+        WHERE rn <= ceil(0.2 * n_lang)
+    """,
+    doc="Stratified sampling for train/eval splits: exactly ceil(20%) of "
+    "each language stratum, selected by ranking on a deterministic "
+    "content hash (md5 of the id) so the sample is reproducible across "
+    "runs and engines — no RNG, no seed drift. One shuffle on the "
+    "stratum key; per-stratum sort only (no global order). The "
+    "hash-rank trick is the scalable exact-fraction sampler: "
+    "sample-hash-split gives approximate fractions, this gives exact "
+    "per-stratum counts.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_cnt = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_cnt).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")))
+        .select("doc_id", "lang")
+    )

@@ -89,9 +89,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup-near-minhash",
-    oracle=f"""
+# full MinHash+LSH verified-pairs query (shared by dedup-near-minhash
+# and the clustering/survivor op's recursive oracle)
+_NEAR_DUP_PAIRS_SQL = f"""
         WITH corpus AS ({_CORPUS_SQL}),
         tokens AS (
             SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
@@ -118,7 +118,12 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM candidates
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
-    """,
+"""
+
+
+@query(
+    "dedup-near-minhash",
+    oracle=_NEAR_DUP_PAIRS_SQL,
     doc="Full MinHash+LSH near-dup pipeline: shingle -> signature -> "
     "band buckets (groupBy shuffle on band key, never a cross join) -> "
     "candidate pairs via equi-join -> exact Jaccard verify >= 0.5. "
@@ -355,4 +360,82 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cs, 6).alias("cos_sim"),
         )
+    )
+
+
+@query(
+    "dedup-cluster-keep",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_NEAR_DUP_PAIRS_SQL})
+        ),
+        docs AS (SELECT doc_id FROM ({_CORPUS_SQL})),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM docs
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(r) AS BIGINT) AS canonical_id,
+               (min(r) = node) AS is_kept
+        FROM reach
+        GROUP BY node
+    """,
+    doc="Near-dup survivor selection — the step after pair detection in "
+    "a corpus-dedup pipeline: verified MinHash+LSH pairs become an "
+    "undirected graph, connected components collapse transitive "
+    "near-dup chains (A~B~C is ONE cluster even if A,C never paired), "
+    "and the min-doc_id member of each cluster is the deterministic "
+    "survivor. Components by iterative min-label propagation (bounded "
+    "by cluster diameter, which is tiny for dedup graphs); oracle is "
+    "DuckDB's recursive transitive closure over the same pairs. At "
+    "100 TB: edges ~ verified pairs << n^2, each iteration is one "
+    "join+groupBy shuffle, superseded label generations unpersisted.",
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _corpus(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = docs.withColumn("component", F.col("node")).persist()
+    for it in range(15):  # bound: diameter of the largest near-dup chain
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+        (F.col("component") == F.col("node")).alias("is_kept"),
     )

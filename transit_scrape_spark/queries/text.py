@@ -406,3 +406,106 @@ def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text-pii-scrub",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com or +44', CAST(doc_id * 7 AS VARCHAR),
+                          ' now') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               substring(
+                   regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9]+', '<NUM>', 'g'),
+                   1, 80) AS scrubbed_head,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                    + len(regexp_extract_all(
+                          regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                          '\\+?[0-9][0-9]+')) AS BIGINT) AS n_pii
+        FROM raw
+    """,
+    doc="PII scrubbing for training corpora: email and phone-number "
+    "patterns masked with typed placeholders, per-doc PII hit count for "
+    "audit. Pure JVM regex (regexp_replace / regexp_count) — codegen, "
+    "no UDF, embarrassingly parallel at 100 TB. The fixture text has no "
+    "PII, so deterministic synthetic contact strings are appended "
+    "first and the oracle applies the identical pipeline.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    num_re = r"\+?[0-9][0-9]+"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +44"),
+        (F.col("doc_id") * 7).cast("string"),
+        F.lit(" now"),
+    )
+    no_email = F.regexp_replace(raw, email_re, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(no_email, num_re, "<NUM>"), 1, 80
+        ).alias("scrubbed_head"),
+        (
+            F.regexp_count(raw, F.lit(email_re))
+            + F.regexp_count(no_email, F.lit(num_re))
+        ).cast("long").alias("n_pii"),
+    )
+
+
+@query(
+    "corpus-ngram-topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])
+                   )) AS ngram
+            FROM toks
+        )
+        SELECT ngram, count(*) AS n
+        FROM grams
+        GROUP BY ngram
+        ORDER BY n DESC, ngram
+        LIMIT 20
+    """,
+    doc="Corpus-wide top-k token trigrams — the boilerplate/template "
+    "detector of corpus curation (over-represented n-grams flag "
+    "machine-generated or duplicated content). Explode is a row x ngram "
+    "blowup, but the count aggregate partial-combines map-side so only "
+    "distinct ngrams shuffle, and top-k is TakeOrderedAndProject — no "
+    "global sort.",
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # guard: sequence(0, n) REVERSES when n < 0 instead of returning
+    # empty, so short docs must map to an empty array explicitly
+    trigrams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(F.explode(trigrams).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )

@@ -138,3 +138,82 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mx"), 6).alias("max_component"),
         )
     )
+
+
+@query(
+    "simsearch-range",
+    oracle=f"""
+        SELECT vec_id, label,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
+        FROM embeddings
+        WHERE vec_id <> 1
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+              / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))) >= 0.3
+    """,
+    doc="Range similarity search (the threshold dual of top-k): every "
+    "vector with cosine >= 0.3 of the query. Same broadcast-query / "
+    "codegen-score shape as simsearch-topk but the selection is a "
+    "FILTER, not a heap — no ordering state at all, fully parallel, "
+    "and the natural form for near-duplicate blocking at 100 TB "
+    "(emit-all-above-threshold, then group).",
+)
+def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    cs = cosine(as_double(F.col("embedding")), F.col("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(qvec))
+        .filter(cs >= 0.3)
+        .select("vec_id", "label", F.round(cs, 6).alias("sim"))
+    )
+
+
+@query(
+    "embed-centroid",
+    oracle="""
+        WITH dims AS (
+            SELECT label,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, dim, avg(val) AS mean_val, count(*) AS n
+            FROM dims
+            GROUP BY label, dim
+        )
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               CAST(count(*) AS BIGINT) AS dim,
+               round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_norm
+        FROM per_dim
+        GROUP BY label
+    """,
+    doc="Per-label embedding centroid (the k-means update step / class "
+    "prototype builder) with NO UDF: posexplode to (label, dim, value) "
+    "rows, per-dim mean, then reassembled into the centroid norm. The "
+    "explode is a row x dim blowup but the mean partial-aggregates "
+    "map-side, so only |labels| x dim rows shuffle — the standard "
+    "scalable dense-vector aggregation (mirrors Spark MLlib's own "
+    "summarizer shape).",
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("dim0", "val")
+    )
+    per_dim = dims.groupBy("label", "dim0").agg(
+        F.avg("val").alias("mean_val"), F.count("*").alias("n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6).alias(
+            "centroid_norm"
+        ),
+    )
