@@ -100,3 +100,20 @@ def test_graph_components_releases_caches(spark, sf_dir):
     # converged run must not hold one generation per iteration: at most
     # the final labels (persist or localCheckpoint backing) + slack
     assert after - before <= 3, f"leaked {after - before} persisted RDDs"
+
+
+def test_ngram_topk_is_take_ordered_with_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "corpus-ngram-topk")
+    assert "TakeOrderedAndProject" in p          # no global sort for top-k
+    assert p.count("HashAggregate") == 2         # map-side partial + final
+
+
+def test_simsearch_range_broadcasts_and_never_sorts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "simsearch-range")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Sort" not in p                       # pure filter: no ordering state
+
+
+def test_stratified_sample_has_no_global_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sample-stratified")
+    assert "SinglePartition" not in p            # per-stratum windows only
