@@ -361,3 +361,40 @@ def geo_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ll.lon"), 8).alias("lon"),
         F.round(F.col("ll.lat"), 8).alias("lat"),
     )
+
+
+@query(
+    "scan-python-datasource",
+    oracle="""
+        SELECT CAST(region AS INT) AS region,
+               CAST(count(*) AS BIGINT) AS n_routes,
+               round(sum(CAST((i * 37) % 100000 AS DOUBLE) / 10.0), 2) AS total_len,
+               CAST(max(2 + (i * 13) % 40) AS INT) AS max_stops
+        FROM (SELECT range AS i, CAST(range % 9 AS INT) AS region FROM range(0, 1000))
+        GROUP BY region
+    """,
+    doc="Custom Python DataSource scan (Spark 4 pyspark.sql.datasource; "
+    "reference scrape feed src/scrape.py re-expressed as a partition-"
+    "parallel connector, sources/routes_datasource.py): the source "
+    "declares 8 InputPartitions, each executor generates its slice, "
+    "and the result aggregates like any scan. The oracle regenerates "
+    "the deterministic feed from range().",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.routes_datasource import RouteFeedDataSource
+
+    try:
+        spark.dataSource.register(RouteFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    feed = (
+        spark.read.format("route_feed")
+        .option("n", "1000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return feed.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_routes"),
+        F.round(F.sum("length_m"), 2).alias("total_len"),
+        F.max("n_stops").alias("max_stops"),
+    )

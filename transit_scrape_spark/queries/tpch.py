@@ -368,3 +368,157 @@ def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "tpch-q12",
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 (shipping-priority distribution, adapted to the "
+    "fixture's o_orderpriority): conditional aggregation over one "
+    "orders x lineitem join — the CASE WHEN inside sum() computes both "
+    "counters in a single pass (no per-priority scans); the date "
+    "filter pushes into the lineitem parquet scan.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch-q13",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                               AND o.o_orderstatus <> 'F'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): left join keeps "
+    "zero-order customers, count(o_orderkey) ignores the manufactured "
+    "NULLs, then a second aggregation histograms the counts. Two "
+    "shuffles total (custkey, then c_count); the second input is "
+    "already one row per customer so the histogram shuffle is tiny.",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch-q18",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 (large-volume orders): the HAVING subquery becomes a "
+    "grouped aggregate semi-joined back to orders (left_semi ships keys "
+    "only), then the detail join + final group. Top-20 via "
+    "TakeOrderedAndProject. The big-orders key set is a tiny fraction "
+    "of orders, so the semi-join prunes the fact join's probe side.",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        o_big.join(F.broadcast(c), o_big.o_custkey == c.c_custkey)
+        .join(li, o_big.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch-q22",
+    oracle="""
+        WITH rich AS (
+            SELECT c_custkey, c_nationkey % 5 AS cntry, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+        )
+        SELECT CAST(cntry AS BIGINT) AS cntry,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+        GROUP BY cntry
+    """,
+    doc="TPC-H Q22 (global sales opportunity, country code adapted to "
+    "c_nationkey %% 5): scalar-subquery average (one tiny broadcast "
+    "value), NOT EXISTS compiled to a left_anti join (ships keys only, "
+    "never materializes the complement), grouped rollup of the "
+    "no-order rich customers.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select(
+            "c_custkey", (F.col("c_nationkey") % 5).alias("cntry"), "c_acctbal"
+        )
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("cntry").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    ).select(F.col("cntry").cast("long").alias("cntry"), "numcust", "totacctbal")

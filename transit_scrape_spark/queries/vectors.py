@@ -217,3 +217,50 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm"
         ),
     )
+
+
+@query(
+    "embed-normalize-arrow",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS nrm,
+               round(CAST(embedding[1] AS DOUBLE)
+                     / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6)
+                   AS first_unit
+        FROM embeddings
+    """,
+    doc="mapInArrow batch kernel (SURVEY §2.11 API family, the third "
+    "Python-batch surface besides pandas_udf and applyInPandas): "
+    "embeddings L2-normalized with zero-copy Arrow -> numpy reshape "
+    "(flatten the list column, reshape to (rows, dim) — no per-row "
+    "Python objects, unlike to_pylist). The built-in expression form "
+    "exists (embed-norms); this op exists to pin the Arrow-batch "
+    "plumbing: schema, batch shape, float64 widening BEFORE the "
+    "kernel so numpy and the SQL oracle agree bit-for-bit.",
+)
+def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            vec_ids = b.column("v_id")
+            flat = b.column("emb").flatten().to_numpy(zero_copy_only=False)
+            arr = flat.reshape(len(b), -1)  # constant-dim embeddings
+            nrm = np.sqrt((arr * arr).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(np.round(nrm, 6), type=pa.float64()),
+                    pa.array(np.round(arr[:, 0] / nrm, 6), type=pa.float64()),
+                ],
+                ["vec_id", "nrm", "first_unit"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v_id"),
+        as_double(F.col("embedding")).alias("emb"),  # widen pre-kernel
+    )
+    return emb.mapInArrow(kernel, "vec_id long, nrm double, first_unit double")

@@ -1,0 +1,63 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a partition-parallel synthetic route feed.
+
+Re-expresses the reference's scrape step (``src/scrape.py`` intent: pull
+route features from an external feed) as a FIRST-CLASS Spark source
+instead of a driver-side download loop: the source declares N input
+partitions, each executor generates its own deterministic slice, and
+Catalyst treats the result like any other scan (prunable, joinable).
+This is the pattern a real WFS/API connector follows — swap the
+deterministic generator for paged HTTP fetches per partition and the
+plan shape is unchanged (each InputPartition = one page range, fetched
+where the data is consumed, never through the driver).
+
+Rows are pure functions of route_id so the DuckDB oracle regenerates
+the identical feed from range().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class RouteFeedDataSource(DataSource):
+    """``spark.read.format("route_feed").option("n", ...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "route_feed"
+
+    def schema(self) -> str:
+        return "route_id bigint, region int, length_m double, n_stops int"
+
+    def reader(self, schema) -> "RouteFeedReader":
+        return RouteFeedReader(self.options)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RouteFeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.num_partitions = int(options.get("numPartitions", "8"))
+
+    def partitions(self):
+        step = max(1, (self.n + self.num_partitions - 1) // self.num_partitions)
+        return [
+            _Slice(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Slice):
+        # deterministic per-id feature synthesis — executor-side, no
+        # driver round-trip; a real connector pages an API here instead
+        for rid in range(partition.start, partition.end):
+            yield (
+                rid,
+                rid % 9,
+                float((rid * 37) % 100000) / 10.0,
+                2 + (rid * 13) % 40,
+            )
