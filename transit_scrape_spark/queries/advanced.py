@@ -526,3 +526,40 @@ def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'quantity', l_quantity, 'discount', l_discount) AS (measure, value)"
         ),
     )
+
+
+@query(
+    "merge-upsert",
+    oracle="""
+        WITH target AS (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        ), updates AS (
+            SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT t.o_orderkey, t.o_totalprice, 'kept' AS src
+        FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'upserted' AS src FROM updates
+    """,
+    doc="Batch MERGE/upsert emulation without a table format (guide CDC "
+    "pattern; reference's append-vs-replace dilemma push_to_db.py:29-30): "
+    "matched target rows are replaced and unmatched update rows inserted "
+    "via left_anti + unionByName — the exact plan Delta/Iceberg MERGE "
+    "lowers to when every match updates. The anti-join ships only keys; "
+    "at 100 TB partition both sides on the merge key so the rewrite "
+    "touches only affected partitions (partition overwrite mode).",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice")
+    )
+    kept = target.join(updates, "o_orderkey", "left_anti").withColumn(
+        "src", F.lit("kept")
+    )
+    return kept.unionByName(updates.withColumn("src", F.lit("upserted")))

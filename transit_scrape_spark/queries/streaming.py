@@ -517,3 +517,47 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = _events_stream(spark, sf_dir).dropDuplicates(["event_id"])
     name = _run_stream_to_memory(dedup, "append")
     return spark.table(name).agg(F.count("*").cast("long").alias("n_unique"))
+
+
+@query(
+    "stream-dedup-watermarked",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_unique,
+               CAST((SELECT count(*) * 2 FROM events) AS BIGINT) AS n_ingested
+        FROM (SELECT DISTINCT event_id FROM events)
+    """,
+    doc="Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+    "keyed on event_id over a doubled ingest (the fixture staged twice — "
+    "the reference's exact re-run double-load hazard, push_to_db.py:29-30). "
+    "Unlike plain dropDuplicates (state grows forever), the watermark lets "
+    "Spark evict dedup state older than the horizon — the only "
+    "continuous-operation-safe form at 100 TB. All duplicates here share "
+    "one batch/timestamp, so none escape eviction and the result equals "
+    "batch DISTINCT.",
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from transit_scrape_spark.sources.fixtures import fixture_dir
+    from transit_scrape_spark.sources.tables import load_events_raw
+
+    def build(d: str) -> None:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "events_a.parquet"))
+        shutil.copy(src, os.path.join(d, "events_b.parquet"))
+
+    stage = fixture_dir("tss_dedup_wm", sf_dir, build)
+    raw = load_events_raw(spark, sf_dir)
+    sdf = spark.readStream.schema(raw.schema).parquet(stage)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    total = sdf.sparkSession.read.parquet(stage).count()
+    dedup = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = _run_stream_to_memory(dedup, "append")
+    return spark.table(name).agg(
+        F.count("*").cast("long").alias("n_unique"),
+        F.lit(total).cast("long").alias("n_ingested"),
+    )
