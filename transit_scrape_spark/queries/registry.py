@@ -93,6 +93,7 @@ def _load_all() -> None:
         scale_demo,
         sources_sinks,
         tpch,
+        tpch_full,
         streaming,
         text,
         vectors,
