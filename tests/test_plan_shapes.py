@@ -117,3 +117,41 @@ def test_simsearch_range_broadcasts_and_never_sorts(spark, sf_dir):
 def test_stratified_sample_has_no_global_sort(spark, sf_dir):
     p = _plan(spark, sf_dir, "sample-stratified")
     assert "SinglePartition" not in p            # per-stratum windows only
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS rewrite must not re-scan lineitem per subquery
+    p = _plan(spark, sf_dir, "tpch-q21")
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p  # supplier joins broadcast
+
+
+def test_q8_dims_all_broadcast_single_agg_shuffle(spark, sf_dir):
+    # 8-table join: every dim broadcasts; lineitem is never exchange-
+    # partitioned before the final year group-by
+    p = _plan(spark, sf_dir, "tpch-q8")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q2_correlated_min_is_decorrelated(spark, sf_dir):
+    # per-part min joined back, not a per-row subquery: exactly the
+    # lineitem group-by shuffles + the min-cost equi-join, no cartesian
+    p = _plan(spark, sf_dir, "tpch-q2")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q11_threshold_is_broadcast_not_recompute(spark, sf_dir):
+    # the scalar global-sum subquery must arrive as a broadcast single
+    # row (nested-loop join against ONE row is fine), and the per-part
+    # aggregate must be computed from one lineitem scan on each side of
+    # the reuse (Spark plans the CTE twice; both prune to 3 columns)
+    p = _plan(spark, sf_dir, "tpch-q11")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_partition_prune_reaches_directory_level(spark, sf_dir):
+    p = _plan(spark, sf_dir, "scan-partition-prune")
+    assert "PartitionFilters: [isnotnull(o_year" in p or "PartitionFilters: [(o_year" in p
+    assert "(o_year" in p.split("PartitionFilters:")[1].splitlines()[0]

@@ -375,3 +375,121 @@ def sink_csv_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "geometry_wkt"
     )
+
+
+# --- point-in-polygon classification -----------------------------------------
+
+# Small fixed zone set (a convex triangle, a convex quad, a CONCAVE L);
+# integer-valued vertices so every constant folds identically in Spark
+# and DuckDB. Zones are geofence-sized (handfuls, not millions), so the
+# scale-correct plan compiles them INTO the projection (unrolled
+# ray-cast arithmetic, whole-stage codegen, zero joins/shuffles) rather
+# than cross-joining a zone table — the same reasoning Catalyst applies
+# when it constant-folds a literal IN-list. An interpreted HOF fold
+# (F.aggregate over an edges array) or a zone cross-join would re-read
+# the polygon per row and drop out of codegen.
+_PIP_ZONES: list[tuple[str, list[tuple[float, float]]]] = [
+    ("tri", [(100.0, 100.0), (500.0, 100.0), (300.0, 450.0)]),
+    ("quad", [(550.0, 500.0), (950.0, 520.0), (900.0, 900.0), (600.0, 870.0)]),
+    (
+        "ell",
+        [
+            (50.0, 600.0),
+            (350.0, 600.0),
+            (350.0, 750.0),
+            (200.0, 750.0),
+            (200.0, 950.0),
+            (50.0, 950.0),
+        ],
+    ),
+]
+
+
+def _pip_inside_col(px, py, poly):
+    """Unrolled even-odd ray cast as a single codegen boolean Column."""
+    total = None
+    n = len(poly)
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[(i + 1) % n]
+        crosses = ((F.lit(yi) > py) != (F.lit(yj) > py)) & (
+            px < (F.lit(xj - xi) * (py - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi))
+        )
+        term = F.when(crosses, 1).otherwise(0)
+        total = term if total is None else total + term
+    return total % 2 == 1
+
+
+def _pip_inside_sql(px: str, py: str, poly) -> str:
+    """The byte-identical arithmetic as ANSI SQL (same constant deltas,
+    same parenthesization, so doubles round-trip bit-exactly)."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {py}) <> ({yj} > {py}))"
+            f" AND ({px} < ({xj - xi} * ({py} - {yi}) / {yj - yi} + {xi}))"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _pip_oracle() -> str:
+    zone_case = "CASE"
+    for name, poly in _PIP_ZONES:
+        zone_case += f" WHEN {_pip_inside_sql('px', 'py', poly)} THEN '{name}'"
+    zone_case += " ELSE 'none' END"
+    hits = " + ".join(
+        f"(CASE WHEN {_pip_inside_sql('px', 'py', poly)} THEN 1 ELSE 0 END)"
+        for _, poly in _PIP_ZONES
+    )
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 17) % 1000 AS DOUBLE) AS px,
+                   CAST((c_custkey * 31) % 1000 AS DOUBLE) AS py
+            FROM customer
+        )
+        SELECT c_custkey, px, py,
+               {zone_case} AS zone,
+               CAST({hits} AS BIGINT) AS zones_hit
+        FROM pts
+    """
+
+
+@query(
+    "geo-point-in-polygon",
+    oracle=_pip_oracle(),
+    doc="Point-in-polygon classification (even-odd ray cast) of one "
+    "synthesized point per customer against a 3-zone geofence set "
+    "(incl. a concave polygon). The zone set is compiled into the "
+    "projection as unrolled edge-crossing arithmetic: single scan, "
+    "whole-stage codegen, no join/shuffle/HOF — the plan a geofence "
+    "lookup should have when zones are dim-sized. Degenerate edges "
+    "(yi=yj) are guarded by the crossing parity test before the "
+    "division on both sides. Re-expresses the containment queries a "
+    "transit engine runs against route service areas "
+    "(reference src/utils/geotiles.py:8-59 tiles the same plane).",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    px = (F.col("c_custkey") * 17 % 1000).cast("double")
+    py = (F.col("c_custkey") * 31 % 1000).cast("double")
+    zone = None
+    for name, poly in _PIP_ZONES:
+        cond = _pip_inside_col(px, py, poly)
+        zone = F.when(cond, name) if zone is None else zone.when(cond, name)
+    zone = zone.otherwise("none")
+    hits = None
+    for _, poly in _PIP_ZONES:
+        t = F.when(_pip_inside_col(px, py, poly), 1).otherwise(0)
+        hits = t if hits is None else hits + t
+    return c.select(
+        "c_custkey",
+        px.alias("px"),
+        py.alias("py"),
+        zone.alias("zone"),
+        hits.cast("long").alias("zones_hit"),
+    )

@@ -110,7 +110,12 @@ def graph_components_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         if (it + 1) % 5 == 0:
             # truncate lineage: without this the plan doubles every
             # iteration and executors replay the whole chain on any
-            # cache eviction (localCheckpoint materializes eagerly)
+            # cache eviction (localCheckpoint materializes eagerly).
+            # NOTE the persist/unpersist below recomputes between cuts:
+            # DataFrame.unpersist cascades into dependent caches. Cheap
+            # here (25 nodes, driver-side overhead dominates); at data
+            # scale use localCheckpoint EVERY round — see
+            # dedup_cluster_keep and SCALING.md.
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()

@@ -398,44 +398,62 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join+groupBy shuffle, superseded label generations unpersisted.",
 )
 def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Iterative generations use eager localCheckpoint, NOT
+    # persist/unpersist: DataFrame.unpersist CASCADES — dropping
+    # generation N also invalidates generation N+1's cache (it was
+    # built over N's plan), so a persist-based loop silently recomputes
+    # the whole chain every round (measured 2.4s -> 4.6s -> 9.0s per
+    # iteration at sf0.1, then a final join that re-ran the entire LSH
+    # pipeline from scratch). localCheckpoint cuts lineage at
+    # materialization time, superseded generations are freed by the
+    # ContextCleaner when their DataFrames go out of scope.
+    pairs = (
+        dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     docs = _corpus(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    # Dedup graphs are sparse: only nodes with at least one edge can
+    # ever change labels, so propagation runs over edge endpoints only
+    # (a tiny fraction of the corpus at 100 TB) and isolated docs join
+    # back as their own singleton components at the end. The iteration
+    # tables are small by construction, so pin them to a few partitions
+    # keyed on the join column instead of paying a 32-way shuffle per
+    # round.
+    n_part = 8
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .persist()
+        .repartition(n_part, "a")
+        .localCheckpoint()
     )
-    labels = docs.withColumn("component", F.col("node")).persist()
-    for it in range(15):  # bound: diameter of the largest near-dup chain
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(15):  # bound: diameter of the largest near-dup chain
         neighbor_min = (
             labels.join(edges, labels.node == edges.a)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                ).alias("moved"),
+            )
+            .localCheckpoint()  # eager: materializes the generation once
         )
-        if (it + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if labels.filter(F.col("moved")).count() == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    return docs.join(labels, "node", "left").select(
         F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("canonical_id"),
-        (F.col("component") == F.col("node")).alias("is_kept"),
+        F.coalesce("component", F.col("node")).cast("long").alias("canonical_id"),
+        (F.coalesce("component", F.col("node")) == F.col("node")).alias("is_kept"),
     )

@@ -398,3 +398,59 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("length_m"), 2).alias("total_len"),
         F.max("n_stops").alias("max_stops"),
     )
+
+
+def _partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-layout copy of orders partitioned by order year — the
+    directory shape a 100 TB fact table actually has (the reference's
+    per-scrape timestamped loads, push_to_db.py:77-88, are the same
+    time-partitioned layout one level up)."""
+
+    def build(d: str) -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(d)
+        )
+
+    return fixture_dir("tss_part", sf_dir, build)
+
+
+@query(
+    "scan-partition-prune",
+    oracle="""
+        SELECT CAST(extract(month FROM o.o_orderdate) AS BIGINT) AS o_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total
+        FROM orders o
+        WHERE extract(year FROM o.o_orderdate) = 1997
+        GROUP BY o_month
+        ORDER BY o_month
+    """,
+    doc="Directory-partition pruning: orders re-materialized in hive "
+    "layout (o_year=YYYY/part-*.parquet), then scanned with a "
+    "partition-column filter. The filter resolves against directory "
+    "names only — PartitionFilters in the scan node, non-matching "
+    "years never opened (asserted in test_plan_shapes) — which at "
+    "100 TB is the difference between reading one year and reading "
+    "the decade. Monthly totals aggregate through DECIMAL(18,2) so "
+    "the sum is order-insensitive.",
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _partitioned_orders_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("o_year") == 1997)
+        .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_month")
+    )
