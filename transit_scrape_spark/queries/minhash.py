@@ -290,7 +290,7 @@ _EMB_LSH_ORACLE_TEMPLATE = """
     "recall on exact dups is 1.0; the oracle replays bucket + verify.",
 )
 def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from transit_scrape_spark.functions.vectors import as_double, cosine
+    from transit_scrape_spark.functions.vectors import as_double, dot, norm
     from transit_scrape_spark.queries.advanced import lsh_bucket
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -299,21 +299,34 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(
         e.select((F.col("vec_id") + 1000000).alias("vec_id"), "v")
     )
-    tagged = corpus.select("vec_id", "v", lsh_bucket(F.col("v")).alias("bucket")).persist()
+    # Precompute each row's norm ONCE (candidate pairs >> rows, and HOF
+    # aggregates evaluate interpreted): the pair-side cosine becomes a
+    # single dot + scalar division, dot/(na*nb) — the SAME arithmetic
+    # as the oracle's dot/(sqrt(dot aa)*sqrt(dot bb)), so doubles stay
+    # bit-identical. Eager localCheckpoint materializes the tagging
+    # once; a lazy persist lets the self-join's two branches race and
+    # compute it twice.
+    tagged = corpus.select(
+        "vec_id",
+        "v",
+        lsh_bucket(F.col("v")).alias("bucket"),
+        norm(F.col("v")).alias("nrm"),
+    ).localCheckpoint()
     a = tagged.alias("a")
     b = tagged.alias("b")
-    cs = cosine(F.col("a.v"), F.col("b.v"))
+    cs = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cs >= 0.999)
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= 0.999)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cs, 6).alias("cos_sim"),
+            F.round("cs", 6).alias("cos_sim"),
         )
     )
 

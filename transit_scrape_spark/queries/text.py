@@ -488,20 +488,28 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global sort.",
 )
 def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("text")
+    # A single parquet file arrives as one input partition, serializing
+    # the tokenize+explode CPU on one core; spread the narrow text
+    # column to the session's parallelism first. (At real scale the
+    # scan already yields many partitions and this is a no-op.)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     toks = F.split("text", " ")
-    # guard: sequence(0, n) REVERSES when n < 0 instead of returning
-    # empty, so short docs must map to an empty array explicitly
-    trigrams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Trigrams as zip_with over 3 shifted slices, NOT
+    # transform(sequence, element_at): interpreted HOF evaluation
+    # re-computes the element_at ARGUMENT array per access, making the
+    # transform form O(len^2) per doc (see
+    # operators/dedup.py:shingle_hashes_from_tokens for the original
+    # analysis). slice(_, 1, 0) is [] so short docs need no guard.
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    two = F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    trigrams = F.zip_with(
+        two, F.slice(toks, 3, n), lambda ab, c: F.concat_ws(" ", ab, c)
+    )
     grams = d.select(F.explode(trigrams).alias("ngram"))
     return (
         grams.groupBy("ngram")
