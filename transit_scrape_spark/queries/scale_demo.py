@@ -36,7 +36,7 @@ N_BUCKETS = 32
         GROUP BY o.o_orderpriority
     """,
     doc="Co-located fact-fact join via bucketed table layout: both sides "
-    "written bucketBy(8, orderkey) + sortBy -> the recurring join "
+    "written bucketBy(N_BUCKETS, orderkey) + sortBy -> the recurring join "
     "compiles to SortMergeJoin with ZERO exchanges (bucket pruning of "
     "the shuffle). At 100 TB this converts the dominant per-query "
     "shuffle into a one-time write-layout cost.",
@@ -124,4 +124,75 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("_n").alias("n"),
         F.round(F.sum("_s"), 2).alias("total"),
+    )
+
+
+N_JOIN_SALTS = 8
+
+
+@query(
+    "join-skew-salted",
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_quantity < 10 THEN 0
+                        ELSE CAST(l_orderkey % 500 AS BIGINT) END AS k,
+                   l_quantity
+            FROM lineitem
+        ),
+        dim AS (SELECT range AS k, CAST(range AS DOUBLE) * 0.01 AS weight
+                FROM range(0, 500))
+        SELECT CAST(floor(f.k / 100) AS BIGINT) AS key_band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(d.weight * f.l_quantity
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS weighted_qty
+        FROM fact f JOIN dim d ON f.k = d.k
+        GROUP BY key_band
+        ORDER BY key_band
+    """,
+    doc="Skew-resistant SHUFFLE join via salting — the join-side "
+    "companion of agg-salted-skew: ~20% of the fact lands on one hot "
+    "key (l_quantity<10 -> k=0), which under a plain hash-partitioned "
+    "join funnels through one reducer. The fact gets a uniform salt, "
+    "the dim is replicated once per salt value, and the join runs on "
+    "(k, salt) — hot-key rows spread over N_JOIN_SALTS reducers. The "
+    "merge hint forces a real shuffle join (broadcast would hide the "
+    "skew this op exists to demonstrate); the oracle is the UNsalted "
+    "join, proving salting changes the partitioning, not the answer. "
+    "Weighted sums aggregate through DECIMAL so reducer order can't "
+    "move the rounding.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_quantity") < 10, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(500)))
+        .cast("long")
+        .alias("k"),
+        "l_quantity",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_JOIN_SALTS)
+        ).alias("_salt"),
+    )
+    dim = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id").cast("double") * 0.01).alias("weight")
+    )
+    dim_rep = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(N_JOIN_SALTS)])),
+    )
+    j = fact.hint("merge").join(dim_rep, ["k", "_salt"])
+    return (
+        j.groupBy(F.floor(F.col("k") / 100).cast("long").alias("key_band"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("weight") * F.col("l_quantity")).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("weighted_qty"),
+        )
+        .orderBy("key_band")
     )
