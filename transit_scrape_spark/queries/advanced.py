@@ -563,3 +563,57 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.lit("kept")
     )
     return kept.unionByName(updates.withColumn("src", F.lit("upserted")))
+
+
+@query(
+    "agg-sketch-merge",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS merge_near_lossless,
+               (abs(approx_count_distinct(l_partkey)
+                    - count(DISTINCT l_partkey))
+                <= 0.05 * count(DISTINCT l_partkey)) AS merged_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Sketch MERGEABILITY — the property that makes approximate "
+    "aggregates the 100 TB answer: HLL sketches built per "
+    "(returnflag, linestatus) sub-group are union-merged to the "
+    "returnflag level (hll_union_agg) and the merged estimate is "
+    "asserted within 1% of the directly-built sketch's estimate (not "
+    "bit-equal: a DataSketches union promotes HLL_4 sketches to an "
+    "HLL_8 target, which can move the estimator a hair) — register-max "
+    "is associative/commutative/idempotent, so "
+    "pre-aggregating sketches per partition/day and merging at query "
+    "time loses nothing. Tolerance-contract oracle (same idiom as "
+    "agg-approx-sketch): each engine checks its own sketch against its "
+    "own exact answer; the lossless-merge boolean is the contract "
+    "itself.",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_est")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey"))
+        .cast("long")
+        .alias("direct_est"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+    )
+    return direct.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= 0.01 * F.col("direct_est")
+        ).alias("merge_near_lossless"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("merged_within_5pct"),
+    )

@@ -202,3 +202,74 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "dedup-url-normalize",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.' || source || '.example.com/sec' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '/page' ||
+                   CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+                   '?utm_campaign=x&ref=' || CAST(doc_id % 3 AS VARCHAR) ||
+                   CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(lower(url), '#.*$', ''),
+                               '\\?.*$', ''),
+                           '^https?://www\\.', 'https://'),
+                       '/$', '') AS canonical_url
+            FROM raw
+        )
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        FROM canon
+        GROUP BY canonical_url
+    """,
+    doc="URL canonicalization dedup — the crawl-pipeline step before "
+    "any content dedup: case-fold, strip fragment, strip (all-tracking) "
+    "query string, fold www., trim trailing slash; duplicates collapse "
+    "on the canonical URL with the min-doc_id survivor. Pure codegen "
+    "string expressions; one groupBy shuffle on the canonical key. "
+    "(Messy URLs are synthesized deterministically from doc_id/source "
+    "so both engines canonicalize the identical input.)",
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".example.com/sec"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/page"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.lit("?utm_campaign=x&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "#frag").otherwise(""),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""), r"\?.*$", ""
+            ),
+            r"^https?://www\.",
+            "https://",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
