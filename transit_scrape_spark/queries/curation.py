@@ -273,3 +273,70 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keep_doc_id"),
         )
     )
+
+
+@query(
+    "dedup-paragraph-exact",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, g.i AS chunk_idx,
+                   array_to_string(list_slice(t, 10 * g.i + 1, 10 * g.i + 10),
+                                   ' ') AS chunk
+            FROM toks,
+                 UNNEST(generate_series(0,
+                     CAST(floor(len(t) / 10) AS INT) - 1)) AS g(i)
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_idx,
+                   row_number() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    doc="Paragraph-level exact dedup (the C4/Gopher within-corpus "
+    "repetition pass, scaled down to fixed 10-token chunks since the "
+    "fixture text has no paragraph breaks): every chunk is ranked by "
+    "first occurrence (doc_id, position) corpus-wide and later "
+    "occurrences count as duplicates. One window shuffle on the chunk "
+    "text, one groupBy back to docs. At 100 TB hash the chunk to a "
+    "64-bit key before the shuffle so boilerplate paragraphs move 8 "
+    "bytes, not text.",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nc = F.floor(F.size(toks) / 10).cast("int")
+    # sequence(0, -1) REVERSES instead of returning empty — guard docs
+    # shorter than one chunk
+    chunks = F.when(
+        nc >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )

@@ -264,3 +264,71 @@ def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("emb"),  # widen pre-kernel
     )
     return emb.mapInArrow(kernel, "vec_id long, nrm double, first_unit double")
+
+
+@query(
+    "embed-quantize-int8",
+    oracle="""
+        WITH flat AS (
+            SELECT vec_id, g.i AS dim,
+                   CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS g(i)
+        ),
+        stats AS (
+            SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim
+        ),
+        coded AS (
+            SELECT f.vec_id, f.dim, f.x, s.lo, s.hi,
+                   CAST(floor((f.x - s.lo) / (s.hi - s.lo) * 254.0) - 127
+                        AS BIGINT) AS code
+            FROM flat f JOIN stats s ON f.dim = s.dim
+        )
+        SELECT vec_id,
+               CAST(sum(code * dim) AS BIGINT) AS code_checksum,
+               bool_and(
+                   abs((CAST(code + 127 AS DOUBLE) / 254.0) * (hi - lo) + lo - x)
+                   <= (hi - lo) / 254.0 + 1e-9
+               ) AS recon_within_step
+        FROM coded
+        GROUP BY vec_id
+    """,
+    doc="Scalar int8 quantization of the embedding column — the "
+    "storage/bandwidth move for 100 TB vector stores (4 bytes -> 1 "
+    "per dim before IVF/LSH probing): per-dimension min/max from ONE "
+    "aggregate over the exploded corpus, codes = floor-scaled offsets "
+    "(floor, not round: float round-half rules differ across engines), "
+    "and the oracle contract checks the code checksum exactly plus "
+    "per-vector reconstruction error <= one quantization step. "
+    "Explode/agg/join stays whole-stage codegen; the 64-row dim-stats "
+    "table broadcasts.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    flat = e.select(
+        "vec_id", F.posexplode("v").alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = flat.join(F.broadcast(stats), "dim").withColumn(
+        "code",
+        (
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254.0)
+            - 127
+        ).cast("long"),
+    )
+    recon = (F.col("code") + 127).cast("double") / 254.0 * (
+        F.col("hi") - F.col("lo")
+    ) + F.col("lo")
+    return coded.groupBy("vec_id").agg(
+        F.sum(F.col("code") * F.col("dim")).cast("long").alias("code_checksum"),
+        F.bool_and(
+            F.abs(recon - F.col("x"))
+            <= (F.col("hi") - F.col("lo")) / 254.0 + 1e-9
+        ).alias("recon_within_step"),
+    )
