@@ -454,3 +454,62 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+def _messy_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """CSV corpus with deliberate damage — the shape real scraped feeds
+    arrive in (reference ingests hand-maintained files,
+    process_cycle_networks.py:18-40): every 7th row has too few
+    columns, every 11th a non-numeric length."""
+
+    def build(d: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        )
+        with open(os.path.join(d, "routes.csv"), "w") as f:
+            f.write("route_id,name,length_m\n")
+            for r in rows:
+                k = r["n_nationkey"]
+                if k % 7 == 3:
+                    f.write(f"{k},{r['n_name']}\n")  # missing column
+                elif k % 11 == 5:
+                    f.write(f"{k},{r['n_name']},not-a-number\n")
+                else:
+                    f.write(f"{k},{r['n_name']},{k * 100}.5\n")
+
+    return fixture_dir("tss_csv", sf_dir, build)
+
+
+@query(
+    "scan-csv-robust",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS route_id,
+               n_name AS name,
+               CAST(n_nationkey * 100 AS DOUBLE) + 0.5 AS length_m
+        FROM nation
+        WHERE n_nationkey % 7 <> 3 AND n_nationkey % 11 <> 5
+    """,
+    doc="Malformed-row-tolerant CSV scan: PERMISSIVE mode with an "
+    "explicit schema + columnNameOfCorruptRecord routes short rows and "
+    "type-cast failures into a corrupt column instead of failing the "
+    "job (or silently nulling), and the clean subset is exactly the "
+    "oracle's reconstruction. The distributed analogue of the "
+    "reference's per-file try/except ingest loop "
+    "(src/push_to_db.py:87-106): damage quarantines per-ROW, the scan "
+    "never aborts, and schema is DECLARED, not inferred (inference "
+    "costs an extra full read and can flip types between runs).",
+)
+def scan_csv_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _messy_csv_dir(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "route_id BIGINT, name STRING, length_m DOUBLE, _bad STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(d)
+    )
+    return df.filter(F.col("_bad").isNull()).select(
+        "route_id", "name", "length_m"
+    )
