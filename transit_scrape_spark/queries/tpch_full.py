@@ -448,17 +448,32 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    late_supp = F.when(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
-        F.col("l_suppkey"),
+    # Two-level aggregation instead of two countDistinct()s over
+    # different expressions: mixed distinct aggregates make Catalyst
+    # plan an Expand (row tripling + double shuffle of the distinct
+    # buffers — the agg-approx-sketch pitfall). Level 1 collapses to
+    # one row per (order, supplier) with a lateness flag; level 2 is a
+    # plain partial-aggregated groupBy. Both shuffles share the
+    # l_orderkey prefix.
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast(
+                    "int"
+                )
+            ).alias("is_late")
+        )
     )
     per_order = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("supp_cnt"),
-            F.countDistinct(late_supp).alias("late_cnt"),
-            F.max(late_supp).alias("late_suppkey"),
+            F.count("*").alias("supp_cnt"),
+            F.sum("is_late").alias("late_cnt"),
+            F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+                "late_suppkey"
+            ),
         )
         .filter((F.col("supp_cnt") > 1) & (F.col("late_cnt") == 1))
     )
