@@ -660,3 +660,54 @@ def map_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce(colors[F.col("event_type")], F.lit("#3388ff")).alias("color"),
     )
+
+
+@query(
+    "agg-mode",
+    oracle="""
+        WITH counted AS (
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
+        )
+        SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY n DESC, o_orderpriority) AS rn
+            FROM counted
+        )
+        WHERE rn = 1
+        ORDER BY c_mktsegment
+    """,
+    doc="Per-group mode (most frequent value) with a DETERMINISTIC "
+    "tie-break — count per (group, value), then a per-group top-1 via "
+    "row_number ordered by (count DESC, value): one partial-aggregated "
+    "shuffle plus a WindowGroupLimit-prunable window, never a "
+    "collect+sort of the value domain. Built-in mode() aggregates "
+    "leave ties implementation-defined, which is exactly what a "
+    "cross-engine gate can't accept.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counted = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+        .orderBy("c_mktsegment")
+    )
