@@ -617,3 +617,70 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_parts")
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "agg-corr-stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               round(stddev_samp(l_discount), 6) AS disc_stddev,
+               round(var_pop(l_tax), 6) AS tax_var
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Second-moment statistical aggregates (corr / covar_pop / "
+    "stddev_samp / var_pop) per group — single-pass streaming-moment "
+    "implementations on both engines (no value buffering, partial "
+    "merge map-side, unlike exact percentiles). Rounded where "
+    "summation order can wiggle the last bits.",
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+        F.round(F.var_pop("l_tax"), 6).alias("tax_var"),
+    )
+
+
+@query(
+    "window-first-last",
+    oracle="""
+        SELECT event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS last_type,
+               nth_value(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="first_value / last_value / nth_value battery over per-user "
+    "event history. The frame trap: last_value and nth_value under the "
+    "DEFAULT frame (unbounded preceding .. current row) see only the "
+    "prefix — both need an explicit unbounded-following frame to mean "
+    "'the session's last/2nd event'. Order is made total with the "
+    "(ts, event_id) tie-break, without which first/last are "
+    "partition-order-dependent across engines.",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+    )
