@@ -326,3 +326,36 @@ def fn_os_grid_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         os_grid_reference(F.col("e"), F.col("n"), 8).alias("ref8"),
         os_grid_reference(F.col("e"), F.col("n"), 6).alias("ref6"),
     )
+
+
+@query(
+    "fn-bitwise-battery",
+    oracle="""
+        SELECT n_nationkey,
+               CAST(n_nationkey & 12 AS BIGINT) AS b_and,
+               CAST(n_nationkey | 5 AS BIGINT) AS b_or,
+               CAST(xor(n_nationkey, 21) AS BIGINT) AS b_xor,
+               CAST(~n_nationkey AS BIGINT) AS b_not,
+               CAST(n_nationkey << 3 AS BIGINT) AS b_shl,
+               CAST(n_nationkey >> 1 AS BIGINT) AS b_shr,
+               CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS b_pop
+        FROM nation
+    """,
+    doc="Bitwise expression battery (and/or/xor/not, shifts, popcount) — "
+    "the ops flag-field and bitmap-index manipulation needs; all pure "
+    "codegen projections. Spark exposes them as Column operators and "
+    "functions; shifts take int amounts.",
+)
+def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("b_and"),
+        k.bitwiseOR(F.lit(5)).alias("b_or"),
+        k.bitwiseXOR(F.lit(21)).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 3).cast("long").alias("b_shl"),
+        F.shiftright(k, 1).cast("long").alias("b_shr"),
+        F.bit_count(k).cast("long").alias("b_pop"),
+    )
