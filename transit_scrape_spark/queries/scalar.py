@@ -359,3 +359,43 @@ def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 1).cast("long").alias("b_shr"),
         F.bit_count(k).cast("long").alias("b_pop"),
     )
+
+
+@query(
+    "fn-try-battery",
+    oracle="""
+        SELECT n_nationkey,
+               CAST(n_nationkey AS DOUBLE)
+                   / nullif(n_nationkey % 3, 0) AS safe_div,
+               TRY_CAST(CASE WHEN n_nationkey % 2 = 0
+                             THEN CAST(n_nationkey * 7 AS VARCHAR)
+                             ELSE n_name END AS BIGINT) AS parsed_num,
+               TRY_CAST(CASE WHEN n_nationkey % 4 = 0
+                             THEN '2024-03-0' || CAST(n_nationkey % 9 + 1 AS VARCHAR)
+                             ELSE n_name END AS TIMESTAMP) AS parsed_ts,
+               string_split(n_name, '_')[5] AS oob_elem
+        FROM nation
+    """,
+    doc="Error-tolerant expression battery: try_divide / try_cast / "
+    "try_to_timestamp / try_element_at return NULL where strict ANSI "
+    "evaluation would abort the whole 100 TB job on one bad row — the "
+    "per-row analogue of the corrupt-record quarantine in "
+    "scan-csv-robust. Oracled by DuckDB's TRY_CAST / NULLIF / "
+    "natural out-of-bounds-NULL list semantics.",
+)
+def fn_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.try_divide(k.cast("double"), (k % 3).cast("double")).alias("safe_div"),
+        F.when((k % 2) == 0, (k * 7).cast("string"))
+        .otherwise(F.col("n_name"))
+        .try_cast("bigint")
+        .alias("parsed_num"),
+        F.try_to_timestamp(
+            F.when((k % 4) == 0, F.concat(F.lit("2024-03-0"), (k % 9 + 1).cast("string")))
+            .otherwise(F.col("n_name"))
+        ).alias("parsed_ts"),
+        F.try_element_at(F.split("n_name", "_"), F.lit(5)).alias("oob_elem"),
+    )
