@@ -92,6 +92,7 @@ def _load_all() -> None:
         scalar,
         scale_demo,
         sources_sinks,
+        timeseries,
         tpch,
         tpch_full,
         streaming,
