@@ -340,3 +340,108 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_chunks"),
         )
     )
+
+
+@query(
+    "text-chunk-overlap",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 16)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start / 16 AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    doc="Sliding-window document chunking (32-token chunks, stride 16, "
+    "50%% overlap) — the context-window packing step of an LLM training "
+    "pipeline. Pure codegen: sequence() generates the start offsets, "
+    "explode fans out, slice+concat_ws materializes each chunk. "
+    "Embarrassingly parallel (no shuffle at all — a narrow map over the "
+    "corpus scan), so it scales linearly with input bytes; chunk "
+    "output feeds straight into the tokenize/pack stage.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # fixture text is never empty -> size >= 1, so sequence(0, n-1, 16)
+    # is always non-empty and ascending (the sequence(0,-1) reversal
+    # hazard documented at dedup-paragraph-exact cannot trigger)
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(16))
+    chunked = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 32)
+    return chunked.select(
+        "doc_id",
+        (F.col("start") / 16).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "dedup-fuzzy-levenshtein",
+    oracle="""
+        WITH pre AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 32) AS BIGINT) AS sz_bucket,
+                   substr(text, 1, 64) AS prefix
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.lang, levenshtein(a.prefix, b.prefix) AS dist
+            FROM pre a JOIN pre b
+              ON a.lang = b.lang AND a.sz_bucket = b.sz_bucket
+             AND a.doc_id < b.doc_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dist <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near,
+               CAST(min(dist) AS BIGINT) AS min_dist
+        FROM pairs
+        GROUP BY lang
+    """,
+    doc="Fuzzy (edit-distance) near-dup detection with size blocking: "
+    "candidate pairs only within (lang, n_chars/32) buckets — an "
+    "equi-join shuffle, never an all-pairs cross join (true dups have "
+    "near-equal lengths, so same-or-adjacent buckets catch them) — "
+    "then exact levenshtein on 64-char prefixes as the verifier. The "
+    "classic record-linkage blocking shape: at 100 TB the bucket key "
+    "caps each join group, and the O(len^2) edit distance runs on "
+    "bounded prefixes, keeping per-pair cost constant.",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 32).cast("long").alias("sz_bucket"),
+        F.substring("text", 1, 64).alias("prefix"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.sz_bucket") == F.col("b.sz_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+    )
+    return pairs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )
