@@ -332,3 +332,180 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.col("hi") - F.col("lo")) / 254.0 + 1e-9
         ).alias("recon_within_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory story for ANN at 100 TB: 64 float32
+# dims (256 B) compress to M=4 sub-space codebook ids (4 B) and queries scan
+# CODES against a tiny per-query lookup table (ADC), never the raw vectors.
+# Codebooks here are deterministic (the first K=8 vectors' sub-vectors) so
+# both engines derive bit-identical centroids; a production build would
+# k-means them offline — the query-time plan is identical.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_D, _PQ_K = 4, 16, 8
+
+# Shared CTE block: sub-vector explode, codebook, per-(vector, sub-space)
+# nearest-centroid assignment. Both engines fold (x-y)^2 sequentially over
+# doubles, so dist2 agrees to the last bit and the (dist2, centroid_id)
+# argmin is deterministic.
+_PQ_SQL_CTES = f"""
+        e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, label, m,
+                   list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+            FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m)
+        ),
+        cb AS (
+            SELECT vec_id AS centroid_id, m, sv AS cv
+            FROM sub WHERE vec_id < {_PQ_K}
+        ),
+        scored AS (
+            SELECT s.vec_id, s.label, s.m, c.centroid_id,
+                   list_sum(list_transform(list_zip(s.sv, c.cv),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist2
+            FROM sub s JOIN cb c ON s.m = c.m
+        ),
+        assigned AS (
+            SELECT vec_id, label, m, centroid_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                               ORDER BY dist2, centroid_id) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        )
+"""
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    v = as_double(F.col("embedding"))
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * _PQ_D + 1, _PQ_D).alias("sv"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return emb.select("vec_id", "label", F.explode(parts).alias("p")).select(
+        "vec_id", "label", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, m, centroid_id): nearest codebook entry per sub-space.
+
+    The codebook is tiny (M*K rows) -> broadcast; the argmin is a
+    per-(vec, m) window over K=8 candidates, partitioned on the vector
+    id, so no skew and no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = _pq_subvectors(emb)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
+    )
+    scored = subs.join(F.broadcast(cb), "m").withColumn(
+        "dist2", _sq_l2(F.col("sv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist2", "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "centroid_id")
+    )
+
+
+@query(
+    "embed-pq-codes",
+    oracle=f"""
+        WITH {_PQ_SQL_CTES}
+        SELECT vec_id,
+               CAST(max(CASE WHEN m = 0 THEN centroid_id END) AS BIGINT) AS code_0,
+               CAST(max(CASE WHEN m = 1 THEN centroid_id END) AS BIGINT) AS code_1,
+               CAST(max(CASE WHEN m = 2 THEN centroid_id END) AS BIGINT) AS code_2,
+               CAST(max(CASE WHEN m = 3 THEN centroid_id END) AS BIGINT) AS code_3
+        FROM assigned
+        GROUP BY vec_id
+    """,
+    doc="Product-quantization encoding: split 64-dim vectors into 4 "
+    "sub-spaces, assign each sub-vector to its nearest of 8 codebook "
+    "centroids (squared-L2 argmin via a per-vector window over the "
+    "broadcast codebook), emit 4 small integer codes per vector — a "
+    "64x storage compression. At 100 TB this is the encode pass of an "
+    "IVF-PQ index build: one broadcast join + one narrow window, "
+    "linear in corpus size, no all-pairs anything.",
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _pq_assignments(spark, sf_dir)
+    return assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("centroid_id")))
+            .cast("long")
+            .alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+
+@query(
+    "simsearch-pq-adc",
+    oracle=f"""
+        WITH {_PQ_SQL_CTES},
+        lut AS (
+            SELECT c.m, c.centroid_id,
+                   list_sum(list_transform(list_zip(c.cv, q.sv),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qdist2
+            FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 1) q
+              ON c.m = q.m
+        )
+        SELECT a.vec_id, a.label, round(sum(l.qdist2), 4) AS adc_dist2
+        FROM assigned a JOIN lut l
+          ON a.m = l.m AND a.centroid_id = l.centroid_id
+        WHERE a.vec_id <> 1
+        GROUP BY a.vec_id, a.label
+        ORDER BY adc_dist2, vec_id
+        LIMIT 20
+    """,
+    doc="PQ asymmetric-distance (ADC) top-k: build a per-query lookup "
+    "table of query-to-centroid distances (M*K = 32 doubles), score "
+    "every vector as the SUM OF 4 TABLE LOOKUPS over its codes, take "
+    "top-20 via TakeOrderedAndProject. The scan never touches raw "
+    "embeddings — at 100 TB the fleet reads 4-byte codes plus a "
+    "broadcast 256-byte LUT, turning an O(N*dim) float scan into "
+    "O(N*M) byte lookups; recall is then refined by re-ranking the "
+    "shortlist against exact vectors (simsearch-topk's plan).",
+)
+def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _pq_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = _pq_subvectors(emb)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
+    )
+    qsubs = subs.filter(F.col("vec_id") == 1).select("m", F.col("sv").alias("qv"))
+    lut = (
+        cb.join(F.broadcast(qsubs), "m")
+        .withColumn("qdist2", _sq_l2(F.col("cv"), F.col("qv")))
+        .select("m", "centroid_id", "qdist2")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(lut), ["m", "centroid_id"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum("qdist2"), 4).alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(20)
+    )
