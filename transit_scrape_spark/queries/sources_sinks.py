@@ -513,3 +513,94 @@ def scan_csv_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("_bad").isNull()).select(
         "route_id", "name", "length_m"
     )
+
+
+def _jsonl_fixture_dir(sf_dir: str) -> str:
+    """documents as a 4-file JSONL corpus — the interchange format every
+    crawl/annotation pipeline emits; built once per sf_dir content."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> None:
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        rows = tbl.to_pylist()
+        rows.sort(key=lambda r: r["doc_id"])
+        files = [open(os.path.join(d, f"part-{i}.jsonl"), "w") for i in range(4)]
+        try:
+            for r in rows:
+                files[r["doc_id"] % 4].write(
+                    json.dumps(r, sort_keys=True, ensure_ascii=False) + "\n"
+                )
+        finally:
+            for f in files:
+                f.close()
+
+    return fixture_dir("tss_jsonl", sf_dir, build)
+
+
+@query(
+    "scan-jsonl",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="JSON-lines ingestion (the dominant crawl/annotation interchange "
+    "format): multi-file parallel scan with an EXPLICIT schema — never "
+    "schema inference at scale, which costs a full extra pass over 100 "
+    "TB and can mis-type sparse fields; read-back is oracled against "
+    "the originating table. Each file is splittable by line, so a "
+    "1000-executor cluster fans out within files too.",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _jsonl_fixture_dir(sf_dir)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(f"{d}/*.jsonl")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "sink-parquet-partitioned",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang IN ('en', 'fr')
+        GROUP BY lang
+    """,
+    doc="Hive-partitioned parquet sink + partition-pruned read-back: "
+    "write documents partitionBy(lang), then read the lang IN "
+    "('en','fr') slice — the filter prunes at the DIRECTORY level "
+    "(PartitionFilters, zero bytes of other languages read). THE "
+    "layout decision for a 100 TB corpus store: partition by "
+    "low-cardinality routing keys (lang/source/date), never "
+    "high-cardinality ids (small-file explosion); within partitions, "
+    "row-group stats prune further.",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(
+            os.path.join(d, "docs")
+        )
+
+    root = fixture_dir("tss_part_parquet", sf_dir, build)
+    back = spark.read.parquet(os.path.join(root, "docs"))
+    return (
+        back.filter(F.col("lang").isin("en", "fr"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
