@@ -91,6 +91,7 @@ def _load_all() -> None:
         relational,
         scalar,
         scale_demo,
+        sketches,
         sources_sinks,
         timeseries,
         tpch,
