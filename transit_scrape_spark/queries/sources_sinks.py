@@ -604,3 +604,66 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _xml_fixture_dir(sf_dir: str) -> str:
+    """supplier rows as a 2-file XML corpus (the GTFS/WFS-adjacent feeds
+    the reference scrapes are XML-family payloads; constants.py WFS URLs
+    request XML feature collections)."""
+    from xml.sax.saxutils import escape
+
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> None:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        )
+        rows = sorted(tbl.to_pylist(), key=lambda r: r["s_suppkey"])
+        half = (len(rows) + 1) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            with open(os.path.join(d, f"suppliers-{i}.xml"), "w") as f:
+                f.write("<suppliers>\n")
+                for r in chunk:
+                    f.write(
+                        "  <supplier>"
+                        f"<s_suppkey>{r['s_suppkey']}</s_suppkey>"
+                        f"<s_name>{escape(r['s_name'])}</s_name>"
+                        f"<s_nationkey>{r['s_nationkey']}</s_nationkey>"
+                        f"<s_acctbal>{r['s_acctbal']!r}</s_acctbal>"
+                        "</supplier>\n"
+                    )
+                f.write("</suppliers>\n")
+
+    return fixture_dir("tss_xml", sf_dir, build)
+
+
+@query(
+    "scan-xml",
+    oracle="""
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    doc="Native XML ingestion (Spark 4 built-in xml source, rowTag "
+    "record splitting) with an explicit schema — the feed format of "
+    "the reference's WFS endpoints (constants.py XML feature "
+    "collections). Multi-file parallel scan oracled against the "
+    "originating table; at scale prefer converting XML feeds to "
+    "parquet at the edge since XML is not splittable within a file — "
+    "parallelism here comes from the file count.",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _xml_fixture_dir(sf_dir)
+    sup = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+        .load(f"{d}/*.xml")
+    )
+    return sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )

@@ -517,3 +517,47 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(20)
     )
+
+
+@query(
+    "text-unigram-logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+        ),
+        total AS (SELECT sum(n) AS total_n FROM vocab)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(v.n AS DOUBLE) / total_n)), 6) AS avg_logprob
+        FROM tok t JOIN vocab v ON t.token = v.token, total
+        GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model scoring: corpus token frequencies become "
+    "a probability table, each document scores as its mean token "
+    "log-probability — the cheap perplexity proxy corpus-quality "
+    "filters rank on (CCNet-style: unusual-token-heavy docs score "
+    "low). Two shuffles: vocab build (bounded by vocabulary) and the "
+    "token->prob equi-join back; the single-row total broadcasts. At "
+    "100 TB the vocab table is the only state and it is "
+    "corpus-size-independent.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total_n"))
+    return (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("total_n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
