@@ -561,3 +561,76 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_unique"),
         F.lit(total).cast("long").alias("n_ingested"),
     )
+
+
+@query(
+    "stream-outer-join",
+    oracle="""
+        WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        wm AS (
+            SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                   - INTERVAL 10 MINUTE AS w
+        )
+        SELECT v.user_id,
+               v.event_id AS view_id, p.event_id AS purchase_id,
+               v.ts AS view_ts, p.ts AS purchase_ts
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT v.user_id, v.event_id, NULL, v.ts, NULL
+        FROM v
+        WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+          AND v.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+    doc="LEFT OUTER stream-stream join (views with-or-without a purchase "
+    "within 1 hour): matched pairs emit immediately; unmatched views "
+    "emit their NULL row only when the global watermark "
+    "(min over both sides' max event time, minus the 10-minute delay) "
+    "passes the view's last matchable instant (view_ts + 1h) — i.e. "
+    "when the state store PROVES no match can still arrive and evicts "
+    "the row. Views newer than that hold back (correctly absent from "
+    "the result). The oracle reproduces this watermark algebra in SQL; "
+    "state stays bounded by watermark+range eviction exactly as in the "
+    "inner-join op.",
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = _run_stream_to_memory(joined, "append")
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
