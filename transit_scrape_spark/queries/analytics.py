@@ -106,3 +106,126 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+@query(
+    "event-transition-matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS to_state
+            FROM events
+        )
+        SELECT from_state, to_state,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+        FROM seq
+        WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+    """,
+    doc="Markov transition matrix over per-user event sequences: "
+    "lead(event_type) pairs each event with its successor (one window "
+    "shuffle on user_id — sequences never leave their partition), then "
+    "a count per (from, to) cell and a windowed row-normalization to "
+    "probabilities. |event_types|^2 output cells regardless of input "
+    "size; the state-machine summary behind next-action prediction and "
+    "journey analysis.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counted = seq.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_state")
+    return counted.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+@query(
+    "anomaly-zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(max(abs((e.value - s.mu) / s.sd)), 4) AS max_abs_z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        GROUP BY e.event_type
+    """,
+    doc="Z-score anomaly screen per event type: per-group mean/stddev in "
+    "one grouped pass (streaming moments, no value buffering), "
+    "broadcast the tiny stats table back over the fact, flag |z| > 3. "
+    "The metrics-monitoring shape at 100 TB: stats are "
+    "|event_types| rows however large the fact is, so the second pass "
+    "is a broadcast join + codegen'd projection — and at petabyte "
+    "scale the same two-pass plan computes stats on a sampled slice "
+    "without changing shape.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "scd2-point-in-time",
+    oracle="""
+        SELECT user_id, event_type AS state_at_t, ts AS effective_from
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+              WHERE ts <= TIMESTAMP '2024-01-20')
+        WHERE rn = 1
+    """,
+    doc="Point-in-time lookup against the SCD2 history (scd2-intervals' "
+    "query side): each user's state AS OF 2024-01-20 = last change at "
+    "or before T. The ts <= T predicate pushes into the parquet scan "
+    "(row-group min/max pruning skips everything after T — on a "
+    "time-partitioned layout, whole partitions), then one per-user "
+    "window takes the latest row. The reproducible-training-snapshot "
+    "query: 'the feature value as the model would have seen it on "
+    "date T'.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-20").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_t"),
+            F.col("ts").alias("effective_from"),
+        )
+    )
