@@ -229,3 +229,47 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("effective_from"),
         )
     )
+
+
+@query(
+    "rolling-active-users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id, day + CAST(k AS INTEGER) AS wday
+            FROM du, (SELECT unnest(range(0, 7)) AS k)
+        ),
+        wau AS (
+            SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY wday
+        )
+        SELECT d.day, d.dau, w.wau
+        FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    doc="Rolling DAU/WAU: daily active users plus trailing-7-day "
+    "distinct actives per day. Rolling COUNT DISTINCT cannot use a "
+    "plain window frame (distinctness does not decompose), so each "
+    "(user, day) activity CONTRIBUTES itself to the 7 window-end days "
+    "it falls inside (explode of a 7-element sequence — bounded fanout "
+    "= window length), then one distinct count per window-end day. "
+    "Two grouped shuffles, both keyed on day; state never exceeds "
+    "|users| x |window| regardless of event volume. The dashboard "
+    "staple for any events pipeline.",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day"
+    ).select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

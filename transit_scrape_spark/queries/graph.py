@@ -152,3 +152,99 @@ def graph_components_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("node", "component")
+
+
+def _pagerank_iteration_sql(n_iters: int) -> str:
+    """r1..rN CTEs, each one unrolled PageRank step (no dangling-mass
+    redistribution; isolated nodes hold the teleport term only)."""
+    ctes = []
+    for i in range(1, n_iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""
+        r{i} AS (
+            SELECT n.node,
+                   0.15 / (SELECT count(*) FROM nodes)
+                   + 0.85 * coalesce(sum({prev}.r / deg.d), 0) AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.b = n.node
+            LEFT JOIN {prev} ON {prev}.node = e.a
+            LEFT JOIN deg ON deg.node = e.a
+            GROUP BY n.node
+        )"""
+        )
+    return ",".join(ctes)
+
+
+_PR_ITERS = 5
+
+
+@query(
+    "graph-pagerank",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        nodes AS (
+            SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS node FROM nation
+        ),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM edges GROUP BY a
+        ),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS r FROM nodes
+        ),
+        {_pagerank_iteration_sql(_PR_ITERS)}
+        SELECT node, round(r{_PR_ITERS}.r, 6) AS pagerank
+        FROM r{_PR_ITERS}
+    """,
+    doc=f"PageRank ({_PR_ITERS} synchronous iterations, damping 0.85) on "
+    "the nation-trade graph as a driver loop: each round joins the "
+    "edge list to current ranks, divides by out-degree, and re-sums "
+    "per target — one co-partitioned join + one groupBy per round. "
+    "The oracle UNROLLS the same five iterations as SQL CTEs "
+    "(recursive aggregation is exactly what plain SQL cannot express "
+    "— the honest statement of why iterative algorithms are driver "
+    "loops on Spark). Scale hygiene mirrors graph-components: cache "
+    "each generation, unpersist the last, checkpoint lineage every "
+    "few rounds; edges pre-partitioned by src so every iteration "
+    "reuses the same exchange.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    nodes = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("node"))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    deg = edges.groupBy("a").agg(F.count("*").cast("double").alias("d"))
+    out = edges.join(deg, "a")  # (a, b, d): source, target, out-degree
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            out.join(ranks, out.a == ranks.node)
+            .select(F.col("b").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        old = ranks
+        ranks = new_ranks.persist()
+        ranks.count()  # materialize before dropping the previous generation
+        if old is not nodes:
+            old.unpersist()
+    result = ranks.select("node", F.round("r", 6).alias("pagerank"))
+    edges.unpersist()
+    nodes.unpersist()
+    return result
