@@ -1,0 +1,357 @@
+"""Warehouse-operations family: the jobs that keep a 100 TB lakehouse
+healthy — data-quality gates, CDC snapshot diffs, incremental rollup
+maintenance, small-file compaction, schema evolution, layout keys.
+
+The reference's load pipeline does these implicitly and sequentially
+(push_to_db.py re-load + dedup hazard, db_helpers.py DDL); here each is
+an explicit, oracled, distributed operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.fixtures import fixture_dir
+from transit_scrape_spark.sources.tables import load_table
+
+
+@query(
+    "dq-constraint-check",
+    oracle="""
+        SELECT 'l_orderkey_not_null' AS check_name,
+               CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                   AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_no_orphans',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        FROM (SELECT o_orderkey, count(*) AS c FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'l_quantity_in_range',
+               CAST(count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 60)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate_after_orderdate',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate < o.o_orderdate
+    """,
+    doc="Data-quality gate (the Deequ/dbt-test shape): five constraint "
+    "classes — non-null, referential integrity (anti-join orphans), "
+    "key uniqueness, numeric range, cross-table temporal ordering — "
+    "each as a violation COUNT, unioned into one verdict table. Every "
+    "check is a scan-shaped aggregate or an equi-join keyed on the "
+    "constraint column, so the whole gate is a handful of shuffles "
+    "regardless of table size; at 100 TB this runs as the admission "
+    "check before a partition is published to consumers.",
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c1 = li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("l_orderkey_not_null").alias("check_name"), "n_violations")
+    c2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("li_no_orphans").alias("check_name"), "n_violations")
+    )
+    c3 = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("o_orderkey_unique").alias("check_name"), "n_violations")
+    )
+    c4 = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 60), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("l_quantity_in_range").alias("check_name"), "n_violations")
+    c5 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("l_shipdate_after_orderdate").alias("check_name"), "n_violations"
+        )
+    )
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5)
+
+
+@query(
+    "cdc-snapshot-diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 11 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN round(o_totalprice + 1.0, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 13 <> 0
+        )
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        GROUP BY 1
+    """,
+    doc="CDC by snapshot diff: two versions of the orders table (11%% "
+    "simulated inserts, 13%% deletes, 7%% price updates, arithmetic on "
+    "the shared fixture so both engines derive identical snapshots) "
+    "full-outer-joined on the key, each row classified "
+    "insert/delete/update/unchanged. One co-partitioned shuffle join; "
+    "at 100 TB compare 64-bit row hashes instead of full payloads and "
+    "diff partition-by-partition so unchanged partitions (by file "
+    "fingerprint) never join at all. The batch-side dual of the "
+    "streaming foreachBatch MERGE op.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = old.alias("a"), new.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "update")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "rollup-incremental-merge",
+    oracle="""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-rollup maintenance: the standing "
+    "per-(type, day) aggregate is computed for the history partition "
+    "(ts < 2024-01-20) and the fresh delta partition separately, then "
+    "MERGED by summing partial states — count and sum are mergeable, "
+    "so merged == full recompute (the oracle computes the full "
+    "version; the plan never rescans history). THE pattern that keeps "
+    "100 TB dashboards cheap: each day touches only the new "
+    "partition, history stays as stored aggregate state; avg/var "
+    "merge the same way via (sum, count, M2), and non-mergeable "
+    "metrics (exact distinct) switch to mergeable sketches "
+    "(agg-sketch-merge).",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+
+    base = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _merge_schema_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two supplier snapshots with EVOLVED schemas: v=1 lacks the
+    s_acctbal column that v=2 adds (the reference's scrape feeds gained
+    columns across scrapes the same way)."""
+
+    def build(d: str) -> None:
+        sup = load_table(spark, sf_dir, "supplier")
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_nationkey"
+        ).write.parquet(os.path.join(d, "v=1"))
+        sup.filter(F.col("s_suppkey") % 2 == 1).select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        ).write.parquet(os.path.join(d, "v=2"))
+
+    return fixture_dir("tss_schema_evo", sf_dir, build)
+
+
+@query(
+    "scan-merge-schema",
+    oracle="""
+        SELECT CAST(v AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(count(*) FILTER (WHERE v = 1) AS BIGINT) AS n_null_acctbal,
+               round(sum(CASE WHEN v = 2 THEN s_acctbal ELSE 0 END), 2) AS total_bal
+        FROM (SELECT s_suppkey, s_acctbal,
+                     CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS v
+              FROM supplier)
+        GROUP BY v
+    """,
+    doc="Schema-evolution scan (mergeSchema): two parquet snapshot "
+    "generations where the newer adds a column; the merged read "
+    "surfaces the union schema with NULLs for pre-evolution rows, and "
+    "the partition column (v) identifies generations. The 100 TB "
+    "reality: schemas drift across years of feed history — explicit "
+    "mergeSchema on write-compatible evolution (add-nullable-column) "
+    "keeps old partitions readable without rewrite; note mergeSchema "
+    "costs footer reads across files, so production pins the merged "
+    "schema in a catalog instead.",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _merge_schema_dir(spark, sf_dir)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy(F.col("v").cast("long").alias("v")).agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.when(F.col("s_acctbal").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_acctbal"),
+        F.round(F.sum(F.coalesce(F.col("s_acctbal"), F.lit(0.0))), 2).alias(
+            "total_bal"
+        ),
+    )
+
+
+_COMPACT_SMALL, _COMPACT_TARGET = 64, 4
+
+
+def _compaction_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately fragmented lineitem copy (64 shards) and its
+    compacted rewrite (4 files)."""
+
+    def build(d: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        )
+        li.repartition(_COMPACT_SMALL).write.parquet(os.path.join(d, "small"))
+        spark.read.parquet(os.path.join(d, "small")).repartition(
+            _COMPACT_TARGET
+        ).write.parquet(os.path.join(d, "compacted"))
+
+    return fixture_dir("tss_compact", sf_dir, build)
+
+
+@query(
+    "sink-compaction",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total,
+               CAST({_COMPACT_SMALL} AS BIGINT) AS n_files_before,
+               CAST({_COMPACT_TARGET} AS BIGINT) AS n_files_after
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Small-file compaction: a 64-shard fragmented table rewritten "
+    "to 4 right-sized files (repartition -> write), content verified "
+    "equal against the origin and the file counts asserted from the "
+    "directory listing. The silent 100 TB killer this fixes: "
+    "per-file open/footer/list costs dominate scans of "
+    "million-small-file tables (streaming sinks and over-parallel "
+    "writers create them); the fix is this exact job scheduled on "
+    "recent partitions, sized so each output file ~ one HDFS/S3 "
+    "block (128-512 MB).",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _compaction_dirs(spark, sf_dir)
+    n_small = len(
+        [f for f in os.listdir(os.path.join(root, "small")) if f.endswith(".parquet")]
+    )
+    n_comp = len(
+        [
+            f
+            for f in os.listdir(os.path.join(root, "compacted"))
+            if f.endswith(".parquet")
+        ]
+    )
+    back = spark.read.parquet(os.path.join(root, "compacted"))
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.lit(n_small).cast("long").alias("n_files_before"),
+        F.lit(n_comp).cast("long").alias("n_files_after"),
+    )
+
+
+@query(
+    "layout-zorder-key",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 256 AS BIGINT) AS zx,
+               CAST(l_suppkey % 256 AS BIGINT) AS zy,
+               CAST((
+                    ((l_partkey % 256) & 1) * 1 + ((l_suppkey % 256) & 1) * 2
+                  + (((l_partkey % 256) >> 1) & 1) * 4 + (((l_suppkey % 256) >> 1) & 1) * 8
+                  + (((l_partkey % 256) >> 2) & 1) * 16 + (((l_suppkey % 256) >> 2) & 1) * 32
+                  + (((l_partkey % 256) >> 3) & 1) * 64 + (((l_suppkey % 256) >> 3) & 1) * 128
+                  + (((l_partkey % 256) >> 4) & 1) * 256 + (((l_suppkey % 256) >> 4) & 1) * 512
+                  + (((l_partkey % 256) >> 5) & 1) * 1024 + (((l_suppkey % 256) >> 5) & 1) * 2048
+                  + (((l_partkey % 256) >> 6) & 1) * 4096 + (((l_suppkey % 256) >> 6) & 1) * 8192
+                  + (((l_partkey % 256) >> 7) & 1) * 16384 + (((l_suppkey % 256) >> 7) & 1) * 32768
+               ) AS BIGINT) AS zkey
+        FROM lineitem
+        WHERE l_orderkey <= 64
+    """,
+    doc="Z-order (Morton) layout key: bit-interleave two join/filter "
+    "dimensions (part, supplier buckets) into one sort key — rows "
+    "close in EITHER dimension land close in the file order, so "
+    "parquet row-group min/max stats prune scans filtered on either "
+    "column (a total sort by one column only helps that column). "
+    "Pure integer bit arithmetic, codegen'd, no UDF. The data-layout "
+    "lever at 100 TB: sort-within-partitions by zkey at write time "
+    "turns full-partition scans into a few row groups for "
+    "2-dimensional predicates; Delta/Iceberg OPTIMIZE ZORDER is this "
+    "exact computation.",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 64)
+    zx = F.col("l_partkey") % 256
+    zy = F.col("l_suppkey") % 256
+    zkey = None
+    for i in range(8):
+        bx = zx.bitwiseAND(1 << i) != 0
+        by = zy.bitwiseAND(1 << i) != 0
+        term = F.when(bx, 1 << (2 * i)).otherwise(0) + F.when(
+            by, 1 << (2 * i + 1)
+        ).otherwise(0)
+        zkey = term if zkey is None else zkey + term
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zx.cast("long").alias("zx"),
+        zy.cast("long").alias("zy"),
+        zkey.cast("long").alias("zkey"),
+    )

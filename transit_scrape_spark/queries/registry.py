@@ -86,6 +86,7 @@ def _load_all() -> None:
         curation,
         geo,
         graph,
+        maintenance,
         minhash,
         multimodal,
         relational,
