@@ -485,3 +485,52 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", F.col("node")).cast("long").alias("canonical_id"),
         (F.coalesce("component", F.col("node")) == F.col("node")).alias("is_kept"),
     )
+
+
+@query(
+    "dedup-ngram-containment",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
+        )
+        SELECT o.doc_id AS doc_id,
+               round(CAST(len(list_intersect(o.sh, m.sh)) AS DOUBLE)
+                     / len(list_distinct(o.sh)), 6) AS containment_in_orig,
+               round(CAST(len(list_intersect(o.sh, m.sh)) AS DOUBLE)
+                     / len(list_distinct(m.sh)), 6) AS containment_in_mut,
+               (len(list_distinct(o.sh)) <= len(list_distinct(m.sh)))
+                   AS orig_is_shorter
+        FROM hashed o JOIN hashed m ON m.doc_id = o.doc_id + 1000000
+    """,
+    doc="N-gram CONTAINMENT (|A intersect B| / |A|) between each doc and "
+    "its planted mutation, in both directions — the asymmetric "
+    "complement to Jaccard: when one text embeds another (quote, "
+    "boilerplate wrapper, truncated copy), Jaccard dilutes with the "
+    "length gap but containment of the shorter side stays ~1. Corpus "
+    "dedup at 100 TB uses exactly this pair: LSH blocks candidates, "
+    "then containment decides subset-style dups that Jaccard "
+    "thresholds miss. Same codegen shingle-set machinery as "
+    "dedup-ngram-jaccard.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = (
+        shingle_hash_rows(_corpus(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("sh"))
+        .persist()
+    )
+    o = hashed.alias("o")
+    m = hashed.alias("m")
+    inter = F.size(F.array_intersect(F.col("o.sh"), F.col("m.sh"))).cast("double")
+    n_o = F.size(F.array_distinct(F.col("o.sh")))
+    n_m = F.size(F.array_distinct(F.col("m.sh")))
+    return o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + 1000000).select(
+        F.col("o.doc_id").alias("doc_id"),
+        F.round(inter / n_o, 6).alias("containment_in_orig"),
+        F.round(inter / n_m, 6).alias("containment_in_mut"),
+        (n_o <= n_m).alias("orig_is_shorter"),
+    )

@@ -561,3 +561,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "text-tfidf-topterms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.token,
+                   round(t.tf * ln(n_docs / df.df), 6) AS tfidf
+            FROM tf t JOIN df ON t.token = df.token, n
+        )
+        SELECT doc_id, token, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """,
+    doc="TF-IDF keyword extraction: term frequency per (doc, token), "
+    "document frequency per token, tf * ln(N/df) score, top-3 terms "
+    "per document via a per-doc window (WindowGroupLimit pushes the "
+    "rank filter into the sort — no full materialization of ranked "
+    "rows). Shuffles are keyed on token (df build + score join) then "
+    "doc_id (top-k): both bounded by vocabulary x docs, not corpus "
+    "bytes. The classic relevance/keyword primitive for corpus "
+    "exploration and search-index construction.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
