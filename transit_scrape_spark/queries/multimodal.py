@@ -162,3 +162,51 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return decode_images(attach_binary_payload(d))
+
+
+@query(
+    "multimodal-dedup-binary",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 5 = 0
+        ),
+        grouped AS (
+            SELECT sha256(text) AS payload_sha256,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS survivor_id
+            FROM corpus
+            GROUP BY sha256(text)
+        )
+        SELECT payload_sha256, n_copies, survivor_id
+        FROM grouped
+        WHERE n_copies > 1
+    """,
+    doc="Binary-content exact dedup over the media payload column (a "
+    "fifth of the corpus re-ingested under new ids, the reference's "
+    "re-scrape append hazard in binary form): group on sha2(payload) "
+    "with a deterministic min-id survivor, emit the duplicate groups. "
+    "The image/audio dedup baseline at 100 TB: the shuffle moves "
+    "32-byte digests, never payload bytes — identical plan to "
+    "dedup-exact-hash because BinaryType columns hash/compare/group "
+    "natively (no decode, no UDF); perceptual near-dup (pHash) slots "
+    "into the same blocking shape afterward.",
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    with_bin = attach_binary_payload(doubled)
+    return (
+        with_bin.groupBy(F.sha2(F.col("payload"), 256).alias("payload_sha256"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
