@@ -155,3 +155,41 @@ def test_partition_prune_reaches_directory_level(spark, sf_dir):
     p = _plan(spark, sf_dir, "scan-partition-prune")
     assert "PartitionFilters: [isnotnull(o_year" in p or "PartitionFilters: [(o_year" in p
     assert "(o_year" in p.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_partitioned_sink_readback_prunes_directories(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sink-parquet-partitioned")
+    assert "PartitionFilters: [lang" in p  # directory-level pruning, not a data filter
+
+
+def test_bloom_prefilter_broadcasts_bits_no_cross_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join-bloom-prefilter")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the bit-set join side broadcasts
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "embed-pq-codes")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # M*K codebook must never shuffle-join
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    df = registry()["agg-histogram"].fn(spark, sf_dir)
+    assert exchange_count(df) == 1  # bin id groupBy, map-side combined
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    df = registry()["text-chunk-overlap"].fn(spark, sf_dir)
+    assert exchange_count(df) == 0  # narrow explode over the scan
+
+
+def test_fuzzy_dedup_blocks_before_pairing(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dedup-fuzzy-levenshtein")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # equi-join on (lang, bucket) only
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    p = _plan(spark, sf_dir, "text-tfidf-topterms")
+    assert "WindowGroupLimit" in p
