@@ -509,3 +509,157 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist2", "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "embed-matryoshka-recall",
+    oracle=f"""
+        WITH full_sim AS (
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
+            FROM embeddings WHERE vec_id <> 1
+        ),
+        trunc AS (
+            SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS v16,
+                   (SELECT list_slice(CAST(embedding AS DOUBLE[]), 1, 16)
+                    FROM embeddings WHERE vec_id = 1) AS q16
+            FROM embeddings WHERE vec_id <> 1
+        ),
+        trunc_sim AS (
+            SELECT vec_id,
+                   round(list_dot_product(v16, q16)
+                         / (sqrt(list_dot_product(v16, v16))
+                            * sqrt(list_dot_product(q16, q16))), 6) AS sim
+            FROM trunc
+        ),
+        top_full AS (
+            SELECT vec_id FROM full_sim ORDER BY sim DESC, vec_id LIMIT 10
+        ),
+        top_trunc AS (
+            SELECT vec_id FROM trunc_sim ORDER BY sim DESC, vec_id LIMIT 10
+        )
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM top_full f
+                     WHERE f.vec_id IN (SELECT vec_id FROM top_trunc)) AS BIGINT)
+                   AS overlap_n,
+               round((SELECT count(*) FROM top_full f
+                      WHERE f.vec_id IN (SELECT vec_id FROM top_trunc)) / 10.0, 6)
+                   AS recall_at_10
+    """,
+    doc="Matryoshka truncation recall: rank the corpus by cosine on the "
+    "full 64-dim embedding AND on its first-16-dim prefix, then "
+    "measure top-10 overlap — the evaluation that licenses serving "
+    "truncated (MRL) embeddings, which cut vector-store bytes and "
+    "ANN compute 4x. Both rankings are broadcast-query scans with "
+    "TakeOrderedAndProject top-k; the overlap join is 10x10. At 100 "
+    "TB this runs per model release to pick the cheapest prefix "
+    "length that clears the recall bar (coarse-to-fine: shortlist on "
+    "the prefix, re-rank the shortlist on full vectors).",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") != 1)
+    qrow = emb.filter(F.col("vec_id") == 1).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+
+    def topk(df, dims: int | None):
+        v = as_double(F.col("embedding"))
+        q = F.col("qv")
+        if dims is not None:
+            v, q = F.slice(v, 1, dims), F.slice(q, 1, dims)
+        return (
+            df.join(F.broadcast(qrow))
+            .select("vec_id", F.round(cosine(v, q), 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full = topk(base, None)
+    trunc = topk(base, 16)
+    overlap = full.join(trunc, "vec_id").agg(F.count("*").alias("overlap_n"))
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("overlap_n").cast("long").alias("overlap_n"),
+        F.round(F.col("overlap_n") / 10.0, 6).alias("recall_at_10"),
+    )
+
+
+@query(
+    "simsearch-binary-hamming",
+    oracle="""
+        WITH bits AS (
+            SELECT vec_id, label,
+                   CAST(i // 32 AS BIGINT) AS word,
+                   CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << CAST(i % 32 AS INTEGER))
+                        ELSE 0 END AS term
+            FROM (SELECT vec_id, label,
+                         generate_subscripts(embedding, 1) - 1 AS i,
+                         unnest(CAST(embedding AS DOUBLE[])) AS x
+                  FROM embeddings)
+        ),
+        words AS (
+            SELECT vec_id, label,
+                   CAST(sum(CASE WHEN word = 0 THEN term ELSE 0 END) AS BIGINT) AS w0,
+                   CAST(sum(CASE WHEN word = 1 THEN term ELSE 0 END) AS BIGINT) AS w1
+            FROM bits GROUP BY vec_id, label
+        ),
+        q AS (SELECT w0 AS q0, w1 AS q1 FROM words WHERE vec_id = 1)
+        SELECT w.vec_id, w.label,
+               CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))
+                    AS BIGINT) AS hamming
+        FROM words w, q
+        WHERE w.vec_id <> 1
+        ORDER BY hamming, w.vec_id
+        LIMIT 20
+    """,
+    doc="Binary (1-bit) embedding search: sign-quantize 64 dims into two "
+    "32-bit words (posexplode + conditional bit sums — integer-exact "
+    "across engines), rank by Hamming distance to the query's words "
+    "via bit_count(xor), top-20 through TakeOrderedAndProject. The "
+    "extreme end of the quantization ladder (float32 -> int8 -> PQ -> "
+    "1-bit): 256 bytes to 8 per vector, distance = two XOR+popcounts "
+    "— at 100 TB the whole index fits where 3%% of the floats did, "
+    "and the shortlist re-ranks on exact vectors like the other "
+    "coarse-to-fine ops.",
+)
+def simsearch_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x")
+    )
+    # F.shiftleft takes a literal int shift — column shifts go through expr
+    term = F.when(
+        F.col("x") > 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    words = (
+        pos.withColumn("word", (F.col("i") / 32).cast("long"))
+        .withColumn("term", term)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.when(F.col("word") == 0, F.col("term")).otherwise(0))
+            .cast("long")
+            .alias("w0"),
+            F.sum(F.when(F.col("word") == 1, F.col("term")).otherwise(0))
+            .cast("long")
+            .alias("w1"),
+        )
+    )
+    q = words.filter(F.col("vec_id") == 1).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    return (
+        words.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(20)
+    )
