@@ -634,3 +634,106 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "purchase_ts",
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas drives its state-schema channel over
+    protobuf messages; the library is an optional Spark dependency not
+    present in every runtime. Gate registration so environments without
+    it (like this container) simply don't expose the op instead of
+    failing it — the applyInPandasWithState op covers the
+    arbitrary-stateful contract everywhere."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_transform_with_state():
+    @query(
+        "stream-transform-with-state",
+        oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+        doc="transformWithState (Spark 4's arbitrary-stateful successor to "
+    "applyInPandasWithState): per-user running count + max held in a "
+    "typed ValueState on the RocksDB state store provider — the store "
+    "that keeps 100 TB-scale state off-heap with incremental "
+    "checkpointing (HDFS-backed maps hold everything in executor "
+    "memory). Update-mode emission, last row per key wins; a full "
+    "availableNow replay must equal the batch aggregate. The "
+    "processor-handle API adds what GroupState lacked: multiple named "
+    "state variables, TTL, and timers per key.",
+    )
+    def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningAgg(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", "n long, mx double")
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._agg.exists():
+                    n, mx = self._agg.get()
+                else:
+                    n, mx = 0, float("-inf")
+                for pdf in rows:
+                    n += len(pdf)
+                    mx = max(mx, float(pdf["value"].max()))
+                self._agg.update((n, mx))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 6)]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            out = (
+                _events_stream(spark, sf_dir)
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=RunningAgg(),
+                    outputStructType="user_id long, n_events long, max_value double",
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            name = _run_stream_to_memory(out, "update")
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
+        # update-mode memory sink keeps every emission; with one availableNow
+        # replay each key emits once per batch it appears in — keep the last
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "max_value")
+        )
+
+
+
+if _has_protobuf():
+    _register_transform_with_state()
