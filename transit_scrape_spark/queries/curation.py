@@ -393,8 +393,8 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pre AS (
             SELECT doc_id, lang,
-                   CAST(floor(n_chars / 32) AS BIGINT) AS sz_bucket,
-                   substr(text, 1, 64) AS prefix
+                   CAST(floor(n_chars / 16) AS BIGINT) AS sz_bucket,
+                   substr(text, 1, 32) AS prefix
             FROM documents
         ),
         pairs AS (
@@ -405,28 +405,31 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN dist <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN dist <= 8 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_near,
                CAST(min(dist) AS BIGINT) AS min_dist
         FROM pairs
         GROUP BY lang
     """,
     doc="Fuzzy (edit-distance) near-dup detection with size blocking: "
-    "candidate pairs only within (lang, n_chars/32) buckets — an "
+    "candidate pairs only within (lang, n_chars/16) buckets — an "
     "equi-join shuffle, never an all-pairs cross join (true dups have "
     "near-equal lengths, so same-or-adjacent buckets catch them) — "
-    "then exact levenshtein on 64-char prefixes as the verifier. The "
+    "then exact levenshtein on 32-char prefixes as the verifier. The "
     "classic record-linkage blocking shape: at 100 TB the bucket key "
-    "caps each join group, and the O(len^2) edit distance runs on "
-    "bounded prefixes, keeping per-pair cost constant.",
+    "caps each join group, and the O(len^2) DP runs on bounded "
+    "prefixes, keeping per-pair cost constant — per-pair cost is the "
+    "knob (32-char prefixes are 4x cheaper than 64), bucket width is "
+    "the pair-count knob; tighten both before reaching for "
+    "approximation.",
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pre = d.select(
         "doc_id",
         "lang",
-        F.floor(F.col("n_chars") / 32).cast("long").alias("sz_bucket"),
-        F.substring("text", 1, 64).alias("prefix"),
+        F.floor(F.col("n_chars") / 16).cast("long").alias("sz_bucket"),
+        F.substring("text", 1, 32).alias("prefix"),
     )
     a, b = pre.alias("a"), pre.alias("b")
     pairs = a.join(
@@ -440,7 +443,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum(F.when(F.col("dist") <= 15, 1).otherwise(0))
+        F.sum(F.when(F.col("dist") <= 8, 1).otherwise(0))
         .cast("long")
         .alias("n_near"),
         F.min("dist").cast("long").alias("min_dist"),
