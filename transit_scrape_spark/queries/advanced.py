@@ -684,3 +684,53 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(wfull).alias("last_type"),
         F.nth_value("event_type", 2).over(wfull).alias("second_type"),
     )
+
+
+@query(
+    "skyline-pareto",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderkey % 7 AS BIGINT) + length(o_orderpriority) AS speed
+            FROM orders
+        ),
+        ranked AS (
+            SELECT *,
+                   max(speed) OVER (ORDER BY o_totalprice ASC, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_speed_cheaper
+            FROM pts
+        )
+        SELECT o_orderkey, o_totalprice, speed
+        FROM ranked
+        WHERE best_speed_cheaper IS NULL OR speed > best_speed_cheaper
+    """,
+    doc="2-D skyline (Pareto frontier: orders no other order beats on "
+    "BOTH price-cheapness and speed): sort by price, keep rows whose "
+    "speed exceeds the running max of everything cheaper — one window "
+    "pass instead of the naive O(n^2) dominance self-join. The "
+    "preference-query operator; the sort is the cost, so at 100 TB "
+    "pre-filter with a coarse grid (a point dominated within its grid "
+    "cell is dominated globally — prunes ~everything before the "
+    "sort), same shape as the geo partition pruning ops.",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            (F.col("o_orderkey") % 7).cast("long") + F.length("o_orderpriority")
+        ).alias("speed"),
+    )
+    w = (
+        Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_speed_cheaper", F.max("speed").over(w))
+    return ranked.filter(
+        F.col("best_speed_cheaper").isNull()
+        | (F.col("speed") > F.col("best_speed_cheaper"))
+    ).select("o_orderkey", "o_totalprice", "speed")

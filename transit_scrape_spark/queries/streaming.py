@@ -737,3 +737,45 @@ def _register_transform_with_state():
 
 if _has_protobuf():
     _register_transform_with_state()
+
+
+@query(
+    "stream-static-join",
+    oracle="""
+        WITH dim AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CASE WHEN user_id % 3 = 0 THEN 'gold'
+                        WHEN user_id % 3 = 1 THEN 'silver'
+                        ELSE 'bronze' END AS tier
+            FROM (SELECT DISTINCT user_id FROM events)
+        )
+        SELECT d.tier, e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY d.tier, e.event_type
+    """,
+    doc="Stream-static enrichment join: the event stream joins a static "
+    "dimension (user tier) inside the streaming query — the static "
+    "side needs no watermark and is re-resolved per micro-batch (so a "
+    "dim table updated between batches is picked up), and Spark plans "
+    "it as a broadcast against each batch. THE shape for enriching a "
+    "100 TB/day event firehose with reference data; only stream-stream "
+    "joins need the watermark state machinery.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze")
+    )
+    dim = ev.select("user_id").distinct().select("user_id", tier.alias("tier"))
+    joined = (
+        _events_stream(spark, sf_dir)
+        .join(dim, "user_id")  # static side: plain batch DataFrame
+        .groupBy("tier", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = _run_stream_to_memory(joined, "complete")
+    return spark.table(name)

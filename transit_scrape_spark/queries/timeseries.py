@@ -157,3 +157,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n").cast("double") / F.col("total_n") >= 0.005)
         .select("token", "n", "share")
     )
+
+
+@query(
+    "agg-bitmap-distinct",
+    oracle="""
+        WITH words AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+                       AS bits
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT day,
+               CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_users
+        FROM words
+        GROUP BY day
+    """,
+    doc="EXACT distinct counting via bitmap OR-merge (the roaring-bitmap "
+    "idea spelled relationally): user ids pack into 32-bit words "
+    "(word = id/32, bit = id%32), bit_or() merges per (day, word), "
+    "popcount sums give exact distinct users per day. Unlike "
+    "count(DISTINCT) — whose state is the value set itself — bitmap "
+    "state is id-range/64 bits, merges are associative single "
+    "instructions, and partial OR happens map-side; the exact-answer "
+    "alternative to HLL when ids are dense integers (the standard "
+    "trick for user-id universes at 100 TB).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("user_id") / 32).alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    return words.groupBy("day").agg(
+        F.sum(F.bit_count(F.col("bits"))).cast("long").alias("n_distinct_users")
+    )
