@@ -706,13 +706,17 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE best_speed_cheaper IS NULL OR speed > best_speed_cheaper
     """,
     doc="2-D skyline (Pareto frontier: orders no other order beats on "
-    "BOTH price-cheapness and speed): sort by price, keep rows whose "
-    "speed exceeds the running max of everything cheaper — one window "
-    "pass instead of the naive O(n^2) dominance self-join. The "
-    "preference-query operator; the sort is the cost, so at 100 TB "
-    "pre-filter with a coarse grid (a point dominated within its grid "
-    "cell is dominated globally — prunes ~everything before the "
-    "sort), same shape as the geo partition pruning ops.",
+    "BOTH price-cheapness and speed), computed scale-safe in two "
+    "stages: (1) grid prune — bucket prices, take each bucket's max "
+    "speed (one grouped agg), broadcast the tiny running-max-per-"
+    "cheaper-bucket table back and DROP every point already dominated "
+    "by a strictly-cheaper bucket's champion (provably dominated: "
+    "that champion has lower price and >= speed); (2) the exact "
+    "running-max window runs only over the survivors — frontier-sized "
+    "input, so the single-partition sort the textbook formulation "
+    "needs over ALL rows touches ~|frontier| rows instead. Same "
+    "result set as the naive O(n^2) dominance join the oracle's "
+    "window form encodes.",
 )
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -724,12 +728,25 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("o_orderkey") % 7).cast("long") + F.length("o_orderpriority")
         ).alias("speed"),
+    ).withColumn("pb", F.floor(F.col("o_totalprice") / 10000))
+    # stage 1: per-bucket champions -> running max over STRICTLY cheaper
+    # buckets (bucket table is ~|price range|/10k rows — driver-small)
+    wb = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_max = (
+        pts.groupBy("pb")
+        .agg(F.max("speed").alias("bmax"))
+        .withColumn("cheaper_bmax", F.max("bmax").over(wb))
+        .select("pb", "cheaper_bmax")
     )
+    survivors = pts.join(F.broadcast(bucket_max), "pb").filter(
+        F.col("cheaper_bmax").isNull() | (F.col("speed") > F.col("cheaper_bmax"))
+    )
+    # stage 2: exact frontier over the pruned set
     w = (
         Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = pts.withColumn("best_speed_cheaper", F.max("speed").over(w))
+    ranked = survivors.withColumn("best_speed_cheaper", F.max("speed").over(w))
     return ranked.filter(
         F.col("best_speed_cheaper").isNull()
         | (F.col("speed") > F.col("best_speed_cheaper"))
