@@ -131,3 +131,55 @@ def asof_join_pandas(
     l_full = l_tag.withColumn(right_val, F.lit(None).cast("timestamp"))
     unioned = l_full.unionByName(r_tag)
     return unioned.groupBy(key).applyInPandas(merge, out_schema)
+
+
+@query(
+    "join-asof-tolerance",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT max(o.o_orderdate)
+                FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND o.o_orderdate <= e.ts
+                  AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+                   AS asof_o_orderdate,
+               ((SELECT max(o.o_orderdate)
+                 FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts
+                   AND o.o_orderdate >= e.ts - INTERVAL 30 DAY) IS NOT NULL)
+                   AS is_fresh
+        FROM events e
+    """,
+    doc="As-of join with a STALENESS TOLERANCE (the feature-store "
+    "contract: 'the latest feature value, but never older than 30 "
+    "days'): same union + per-key window carry-forward as join-asof — "
+    "one shuffle, no range explosion — then the carried value is "
+    "nulled when it falls outside the tolerance window (equivalent to "
+    "the bounded correlated max, since the unconstrained latest is "
+    "the only candidate that could satisfy the bound). The "
+    "is_fresh flag is what a training pipeline joins on to drop "
+    "stale-feature rows instead of silently learning from them.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join_union_window(
+        ev,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_vals=["o_orderdate"],
+    )
+    fresh = F.col("asof_o_orderdate") >= (
+        F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    )
+    bounded = F.when(fresh, F.col("asof_o_orderdate"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        bounded.alias("asof_o_orderdate"),
+        bounded.isNotNull().alias("is_fresh"),
+    )

@@ -711,3 +711,63 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join-null-safe",
+    oracle="""
+        WITH tagged AS (
+            SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                        ELSE event_id % 10 END AS bucket,
+                   event_id
+            FROM events
+        ),
+        a AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_even
+            FROM tagged WHERE event_id % 2 = 0 GROUP BY bucket
+        ),
+        b AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_odd
+            FROM tagged WHERE event_id % 2 = 1 GROUP BY bucket
+        )
+        SELECT coalesce(a.bucket, b.bucket) AS bucket,
+               a.bucket IS NULL AND b.bucket IS NULL AS is_null_key,
+               coalesce(a.n_even, 0) AS n_even,
+               coalesce(b.n_odd, 0) AS n_odd
+        FROM a FULL OUTER JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+    doc="NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): two halves "
+    "of the events table aggregated per nullable bucket, full-outer "
+    "joined so the NULL-bucket rows MATCH each other instead of "
+    "producing two dangling rows (what plain = does, the classic "
+    "silent-data-loss bug when join keys are nullable). Catalyst "
+    "plans <=> as an ordinary hash join (null hashes like any value), "
+    "so the fix costs nothing at 100 TB — unlike the "
+    "coalesce-to-sentinel workaround, which risks sentinel collisions.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+        F.col("event_id") % 10
+    )
+    tagged = ev.select(bucket.alias("bucket"), "event_id")
+    a = (
+        tagged.filter(F.col("event_id") % 2 == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_even"))
+    )
+    b = (
+        tagged.filter(F.col("event_id") % 2 == 1)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_odd"))
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    joined = aa.join(
+        bb, F.col("a.bucket").eqNullSafe(F.col("b.bucket")), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+        (F.col("a.bucket").isNull() & F.col("b.bucket").isNull()).alias("is_null_key"),
+        F.coalesce(F.col("a.n_even"), F.lit(0)).alias("n_even"),
+        F.coalesce(F.col("b.n_odd"), F.lit(0)).alias("n_odd"),
+    )
