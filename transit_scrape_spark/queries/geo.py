@@ -493,3 +493,69 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         zone.alias("zone"),
         hits.cast("long").alias("zones_hit"),
     )
+
+
+@query(
+    "geo-haversine-nearest",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+                   CAST((n_nationkey * 7) % 120 AS DOUBLE) - 60.0 + 0.5 AS lat,
+                   CAST((n_nationkey * 13) % 340 AS DOUBLE) - 170.0 + 0.5 AS lon
+            FROM nation
+        ),
+        pairs AS (
+            SELECT a.k, a.n_name, b.k AS other_k,
+                   round(2 * 6371.0088 * asin(sqrt(
+                       pow(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3)
+                       AS dist_km
+            FROM pts a JOIN pts b ON a.k <> b.k
+        )
+        SELECT k, n_name, other_k AS nearest_k, dist_km
+        FROM (SELECT *, row_number() OVER (PARTITION BY k
+                                           ORDER BY dist_km, other_k) AS rn
+              FROM pairs)
+        WHERE rn = 1
+    """,
+    doc="Great-circle (haversine) nearest neighbor per nation over "
+    "deterministic synthetic lat/lon: pairwise spherical distances, "
+    "per-point top-1 via a window. The 25-point dim makes all-pairs "
+    "exact; at 100 TB points this NEVER runs all-pairs — bucket to a "
+    "geo grid (geo-partition-key's layout), search own + 8 neighbor "
+    "cells via an equi-join on cell id, and fall back to ring "
+    "expansion for empty neighborhoods — same blocking discipline as "
+    "the LSH dedup family, in spherical coordinates.",
+)
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = load_table(spark, sf_dir, "nation")
+    pts = n.select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        "n_name",
+        ((F.col("n_nationkey") * 7 % 120).cast("double") - 60.0 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 13 % 340).cast("double") - 170.0 + 0.5).alias("lon"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.col("a.lat")))
+        * F.cos(F.radians(F.col("b.lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    pairs = a.join(b, F.col("a.k") != F.col("b.k")).select(
+        F.col("a.k").alias("k"),
+        F.col("a.n_name").alias("n_name"),
+        F.col("b.k").alias("other_k"),
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
+    w = Window.partitionBy("k").orderBy("dist_km", "other_k")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "n_name", F.col("other_k").alias("nearest_k"), "dist_km")
+    )

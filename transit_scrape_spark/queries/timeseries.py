@@ -198,3 +198,103 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("day").agg(
         F.sum(F.bit_count(F.col("bits"))).cast("long").alias("n_distinct_users")
     )
+
+
+@query(
+    "window-ewma",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(value, 1) OVER w AS v1,
+                   lag(value, 2) OVER w AS v2,
+                   lag(value, 3) OVER w AS v3,
+                   lag(value, 4) OVER w AS v4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts,
+               round(
+                 (value + 0.5 * coalesce(v1, 0) + 0.25 * coalesce(v2, 0)
+                        + 0.125 * coalesce(v3, 0) + 0.0625 * coalesce(v4, 0))
+                 / (1 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                      + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                      + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
+                      + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END), 6)
+                   AS ewma
+        FROM seq
+    """,
+    doc="Exponentially-weighted moving average (alpha=0.5, 5-tap "
+    "truncation) per user: the infinite recursion ewma_i = a*v_i + "
+    "(1-a)*ewma_{i-1} truncates to a fixed lag-tap sum once weights "
+    "decay below noise (0.5^5 ~ 3%), which turns an inherently "
+    "SEQUENTIAL recurrence into one parallel window over (user, time) "
+    "— same single shuffle as any per-key window, no driver loop, no "
+    "UDAF state. The smoothing primitive for metric dashboards and "
+    "drift monitors; widen the taps to trade accuracy for compute.",
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625]
+    lags = [F.col("value")] + [F.lag("value", k).over(w) for k in range(1, 5)]
+    num = sum(
+        (F.coalesce(v, F.lit(0.0)) * wgt for v, wgt in zip(lags[1:], weights[1:])),
+        lags[0] * weights[0],
+    )
+    den = sum(
+        (F.when(v.isNull(), 0.0).otherwise(wgt) for v, wgt in zip(lags[1:], weights[1:])),
+        F.lit(weights[0]),
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@query(
+    "observe-pipeline-metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
+               round(sum(value), 2) AS total_value,
+               round(max(value), 6) AS max_value
+        FROM events
+    """,
+    doc="Pipeline instrumentation via the Observation API: named "
+    "aggregate metrics (row count, invariant-violation count, control "
+    "totals) piggyback on a query's EXISTING pass — Spark accumulates "
+    "them per task alongside normal execution (DISTINCT aggregates "
+    "are the one disallowed form — the accumulator must merge), so "
+    "the audit costs "
+    "zero extra scans (vs dq-constraint-check, which is its own job). "
+    "The observed metrics come back on the driver after the action "
+    "and are emitted here as the result row. At 100 TB this is how "
+    "every production job self-reports reconciliation counts to the "
+    "pipeline ledger without doubling IO.",
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("pipeline-metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real job's action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_negative"]),
+                float(m["total_value"]),
+                float(m["max_value"]),
+            )
+        ],
+        "n_rows long, n_negative long, total_value double, max_value double",
+    )
