@@ -399,3 +399,43 @@ def fn_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parsed_ts"),
         F.try_element_at(F.split("n_name", "_"), F.lit(5)).alias("oob_elem"),
     )
+
+
+@query(
+    "fn-arrow-udf",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT)
+                   AS n_vowels,
+               round(CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS vowel_ratio
+        FROM documents
+    """,
+    doc="Arrow-optimized Python UDF (Spark 4 useArrow=True — SURVEY "
+    "§2.11's fourth Python surface next to classic udf / pandas_udf / "
+    "mapInArrow): values cross the JVM boundary as Arrow columns "
+    "instead of pickled rows, ~2-5x over classic UDFs while keeping "
+    "the simple scalar signature (pandas_udf's batch semantics without "
+    "pandas in the function body). The computation is deliberately "
+    "regex-expressible so the oracle checks the UDF EXACTLY — in "
+    "production this surface is reserved for logic expressions can't "
+    "say (tokenizers, format parsers); anything expressible stays in "
+    "codegen (the engine rule fn-os-grid-ref demonstrates).",
+)
+def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def count_vowels(s: str) -> int:
+        return len(re.findall(r"[aeiou]", s))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        count_vowels(F.col("text")).alias("n_vowels"),
+        F.round(
+            count_vowels(F.col("text")).cast("double") / F.length("text"), 6
+        ).alias("vowel_ratio"),
+    )

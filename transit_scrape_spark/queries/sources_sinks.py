@@ -667,3 +667,47 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "sink-python-datasource",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Custom Python data SINK (Spark 4 DataSourceWriter, "
+    "sources/routes_datasource.py JsonlSinkDataSource): executors "
+    "write their partitions to staging files and return commit "
+    "messages; the driver commits atomically only after every "
+    "partition succeeds (abort discards staging) — the two-phase "
+    "commit protocol production sinks need for exactly-once semantics "
+    "over non-transactional targets. Read-back is oracled against the "
+    "source table. The write-side twin of scan-python-datasource: "
+    "together they close SURVEY §2.11's custom-connector surface.",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.routes_datasource import JsonlSinkDataSource
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.repartition(4).write.format("jsonl_sink").mode("append").option(
+            "path", d
+        ).save()
+
+    root = fixture_dir("tss_pysink", sf_dir, build)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{root}/data/*.jsonl"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

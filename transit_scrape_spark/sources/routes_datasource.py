@@ -17,7 +17,15 @@ the identical feed from range().
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class RouteFeedDataSource(DataSource):
@@ -71,3 +79,75 @@ class RouteFeedReader(DataSourceReader):
             ],
             names=["route_id", "region", "length_m", "n_stops"],
         )
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom Python data SINK (``df.write.format("jsonl_sink")``): the
+    write-side twin of the reader above — executors serialize their
+    partitions to JSON-lines files in a staging directory, and the
+    driver-side commit atomically renames the staging dir into place
+    (or abort discards it), the same two-phase protocol every
+    production sink (S3 committers, JDBC batches, search-index bulk
+    loaders) follows. Swap the file write for an HTTP bulk call and
+    the plan/commit shape is unchanged."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options, [f.name for f in schema.fields])
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    file: str
+    count: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, field_names):
+        self.path = options["path"]
+        self.field_names = field_names
+
+    def write(self, iterator):
+        """Runs on executors, once per partition."""
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        out = os.path.join(staging, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {k: row[k] for k in self.field_names}, sort_keys=True
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _JsonlCommit(file=out, count=n)
+
+    def commit(self, messages):
+        """Driver-side: finalize only after EVERY partition succeeded."""
+        import os
+
+        final = os.path.join(self.path, "data")
+        os.makedirs(final, exist_ok=True)
+        total = 0
+        for m in messages:
+            os.rename(m.file, os.path.join(final, os.path.basename(m.file)))
+            total += m.count
+        with open(os.path.join(final, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
