@@ -193,3 +193,15 @@ def test_fuzzy_dedup_blocks_before_pairing(spark, sf_dir):
 def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
     p = _plan(spark, sf_dir, "text-tfidf-topterms")
     assert "WindowGroupLimit" in p
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    p = _plan(spark, sf_dir, "scan-dynamic-partition-prune")
+    assert "dynamicpruning" in p.lower()  # runtime subquery filter on the partition col
+
+
+def test_identical_aggregate_exchange_is_reused(spark, sf_dir):
+    df = registry()["plan-reuse-exchange"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes stage reuse at execution
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in s  # ReusedExchange / reused query stage

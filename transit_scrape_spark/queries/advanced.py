@@ -751,3 +751,59 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_speed_cheaper").isNull()
         | (F.col("speed") > F.col("best_speed_cheaper"))
     ).select("o_orderkey", "o_totalprice", "speed")
+
+
+@query(
+    "plan-reuse-exchange",
+    oracle="""
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS total
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT a.l_returnflag, a.l_linestatus, a.n, a.total,
+               round(a.total / b.flag_total, 6) AS share_of_flag,
+               b.flag_n
+        FROM agg a
+        JOIN (SELECT l_returnflag, sum(total) AS flag_total,
+                     CAST(sum(n) AS BIGINT) AS flag_n
+              FROM agg GROUP BY l_returnflag) b
+          ON a.l_returnflag = b.l_returnflag
+    """,
+    doc="Exchange reuse: the same grouped aggregate feeds both sides of "
+    "a self-join (per-(flag,status) totals vs their per-flag shares) — "
+    "Catalyst plans ONE scan + ONE shuffle and wires the second "
+    "consumer to a ReusedExchange node (asserted in "
+    "test_plan_shapes), where a naive engine would scan and shuffle "
+    "lineitem twice. The free-of-charge sibling of explicit caching: "
+    "structurally identical subtrees dedupe at the physical layer, "
+    "which is why building reports as single multi-consumer plans "
+    "beats materializing intermediate tables at 100 TB.",
+)
+def plan_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    # flag_n keeps BOTH aggregate columns live in the second consumer —
+    # otherwise column pruning specializes its partial aggregate (sum
+    # only vs count+sum), the two exchanges stop being structurally
+    # identical, and reuse silently vanishes (observed: two full scans)
+    per_flag = agg.groupBy("l_returnflag").agg(
+        F.sum("total").alias("flag_total"),
+        F.sum("n").cast("long").alias("flag_n"),
+    )
+    return agg.join(per_flag, "l_returnflag").select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "total",
+        F.round(F.col("total") / F.col("flag_total"), 6).alias("share_of_flag"),
+        "flag_n",
+    )

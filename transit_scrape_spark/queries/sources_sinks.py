@@ -711,3 +711,42 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "scan-dynamic-partition-prune",
+    oracle="""
+        WITH picked AS (
+            SELECT DISTINCT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr
+            FROM orders
+            WHERE o_orderkey % 97 = 0 AND extract(year FROM o_orderdate) >= 1996
+        )
+        SELECT CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN picked p ON CAST(extract(year FROM o.o_orderdate) AS INTEGER) = p.yr
+        GROUP BY 1
+    """,
+    doc="DYNAMIC partition pruning: the years to scan come from a "
+    "runtime-computed dim (not a literal), so static pruning can't "
+    "apply — Spark instead injects the dim's key set as a subquery "
+    "filter on the fact's PARTITION column at execution time "
+    "(dynamicpruning expression in the scan, asserted in "
+    "test_plan_shapes). The star-schema workhorse at 100 TB: 'join "
+    "facts to the date dim WHERE week = last' prunes the fact scan to "
+    "days the dim selects, without the query author naming them.",
+)
+def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _partitioned_orders_dir(spark, sf_dir)
+    fact = spark.read.parquet(d)
+    picked = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 97 == 0) & (F.year("o_orderdate") >= 1996))
+        .select(F.year("o_orderdate").cast("int").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(picked, fact.o_year == picked.yr)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(F.count("*").alias("n_orders"))
+    )
