@@ -807,3 +807,45 @@ def plan_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") / F.col("flag_total"), 6).alias("share_of_flag"),
         "flag_n",
     )
+
+
+@query(
+    "agg-robust-mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        )
+        SELECT event_type,
+               round(max(med), 6) AS median_value,
+               round(quantile_cont(adev, 0.5), 6) AS mad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dev
+        GROUP BY event_type
+    """,
+    doc="Robust dispersion via median absolute deviation: per-type "
+    "median, then the median of absolute deviations from it — the "
+    "outlier-resistant alternative to stddev (anomaly-zscore's mean/sd "
+    "break down when the anomalies themselves inflate them; MAD "
+    "doesn't). Two grouped passes joined on the group key, exact "
+    "interpolated percentiles on both engines; at 100 TB each median "
+    "swaps for approx_percentile's mergeable t-digest — same "
+    "two-pass shape, sketch state.",
+)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+        F.count("*").alias("n"),
+    )

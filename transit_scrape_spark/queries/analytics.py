@@ -273,3 +273,77 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
     wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@query(
+    "attribution-last-touch",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE event_type IN ('view', 'click')
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT coalesce(t.channel, 'direct') AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM purchases p LEFT JOIN (
+            SELECT p.event_id AS p_event,
+                   (SELECT t.event_type FROM touches t
+                    WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                      AND t.ts >= p.ts - INTERVAL 7 DAY
+                    ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+            FROM purchases p
+        ) t ON p.event_id = t.p_event
+        GROUP BY 1
+    """,
+    doc="Last-touch attribution: each purchase credits the LATEST "
+    "view/click by the same user within a 7-day lookback, else "
+    "'direct'. Built on the as-of union+window carry (one shuffle on "
+    "user_id, no range self-join): touches and purchases interleave "
+    "in time order, last-seen touch (type AND time) carries forward, "
+    "and the lookback bound nulls stale touches — the same "
+    "staleness-tolerance algebra as join-asof-tolerance. The oracle "
+    "states the textbook correlated top-1 form; the plan computes it "
+    "with bounded window state. Marketing-analytics staple over any "
+    "event firehose.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "touch_type"
+        ),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_type",
+        "ts",
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    fresh = F.col("last_touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.when(fresh, F.col("last_touch")), F.lit("direct")).alias(
+                "channel"
+            )
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"))
+    )

@@ -534,3 +534,111 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter / n_m, 6).alias("containment_in_mut"),
         (n_o <= n_m).alias("orig_is_shorter"),
     )
+
+
+def _lsh_tuning_config_sql(bands: int, rows: int) -> str:
+    """One candidate-metrics row for a (bands, rows) LSH config."""
+    return f"""
+        SELECT '{bands}x{rows}' AS config,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN doc_b = doc_a + 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true,
+               round(sum(CASE WHEN doc_b = doc_a + 1000000 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS precision,
+               round(sum(CASE WHEN doc_b = doc_a + 1000000 THEN 1 ELSE 0 END)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 6)
+                   AS recall
+        FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded_{bands}x{rows} a JOIN banded_{bands}x{rows} b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+    """
+
+
+def _lsh_tuning_banded_sql(bands: int, rows: int) -> str:
+    return f"""
+        banded_{bands}x{rows} AS (
+            SELECT doc_id,
+                   unnest({sql_band_hashes(f"{sql_minhash_signature('sh', NUM_PERM)}", bands, rows)}) AS band_hash,
+                   unnest(generate_series(1, {bands})) AS band_id
+            FROM hashed
+        )
+    """
+
+
+_TUNING_CONFIGS = [(6, 2), (4, 3)]
+
+
+@query(
+    "dedup-lsh-tuning",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
+        ),
+        {','.join(_lsh_tuning_banded_sql(b, r) for b, r in _TUNING_CONFIGS)}
+        {' UNION ALL '.join(_lsh_tuning_config_sql(b, r) for b, r in _TUNING_CONFIGS)}
+    """,
+    doc="LSH band-config tuning: the SAME 12-permutation signatures "
+    "bucketed as 6 bands x 2 rows AND 4 bands x 3 rows, with measured "
+    "candidate count, precision, and recall against the planted "
+    "near-dup truth (every doc has a 2-token-truncated twin). The "
+    "S-curve tradeoff made empirical: more/shorter bands -> higher "
+    "collision probability at a given similarity (recall up, "
+    "candidates and verify cost up); fewer/longer bands -> the "
+    "opposite. At 100 TB this experiment runs on a sampled slice "
+    "before committing the full corpus to one config — signatures are "
+    "computed once, so adding a config costs only its band-bucket "
+    "shuffle, never a re-shingle.",
+)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    sh_rows = shingle_hash_rows(_corpus(spark, sf_dir))
+    hashed = (
+        sh_rows.groupBy("doc_id").agg(*signature_columns(NUM_PERM)).persist()
+    )
+    results = None
+    for bands, rows in _TUNING_CONFIGS:
+        banded = (
+            hashed.select("doc_id", *band_hash_columns(bands, rows))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.array(*[F.col(f"_band{b}") for b in range(bands)])
+                ).alias("band_id0", "band_hash"),
+            )
+            .select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_hash")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        is_true = F.when(F.col("doc_b") == F.col("doc_a") + 1000000, 1).otherwise(0)
+        row = cands.agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(is_true).cast("long").alias("n_true"),
+        ).select(
+            F.lit(f"{bands}x{rows}").alias("config"),
+            "n_candidates",
+            "n_true",
+            F.round(F.col("n_true") / F.col("n_candidates").cast("double"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_true") / F.lit(float(n_docs)), 6).alias("recall"),
+        )
+        results = row if results is None else results.unionByName(row)
+    return results
