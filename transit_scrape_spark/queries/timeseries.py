@@ -298,3 +298,63 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_negative long, total_value double, max_value double",
     )
+
+
+@query(
+    "timeseries-gap-fill",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+                   CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT s.day,
+               coalesce(d.n, 0) AS n,
+               coalesce(d.total_value, 0.0) AS total_value,
+               d.n IS NULL AS is_gap
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="Time-series gap filling over a generated date spine: "
+    "sequence(min_day, max_day) explodes into one row per calendar "
+    "day, the sparse daily aggregate left-joins onto it, and absent "
+    "days surface as explicit zero rows with an is_gap flag — the "
+    "correction every downstream moving average / EWMA / chart needs "
+    "(a missing day is NOT a day with average activity). The spine is "
+    "|days| rows however big the fact is, so it broadcasts; the "
+    "aggregate is the usual map-side-combined groupBy. Dual of "
+    "rolling-active-users' bounded-fanout trick.",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
