@@ -448,3 +448,106 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_near"),
         F.min("dist").cast("long").alias("min_dist"),
     )
+
+
+@query(
+    "corpus-resample-mix",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT lang,
+                   ({sql_string_hash("CAST(doc_id AS VARCHAR) || ':mix-salt'")}) % 100
+                       AS slot
+            FROM documents
+        ),
+        kept AS (
+            SELECT lang FROM keyed
+            WHERE slot < (CASE lang WHEN 'en' THEN 35 ELSE 90 END)
+        )
+        SELECT k.lang,
+               CAST(count(*) AS BIGINT) AS n_before,
+               CAST((SELECT count(*) FROM kept WHERE kept.lang = k.lang) AS BIGINT)
+                   AS n_after
+        FROM keyed k
+        GROUP BY k.lang
+    """,
+    doc="Language-mix resampling: per-language keep probabilities "
+    "(down-weight the dominant 'en' to 35%%, keep the tail at 90%%) "
+    "applied via salted doc-id hash — the data-mixing step every "
+    "multilingual training pipeline runs, and it must be "
+    "DETERMINISTIC (rand() sampling changes the corpus on every "
+    "rerun/retry; hash sampling is a pure function of the id, so "
+    "reruns, partial failures, and engines all agree). A single "
+    "codegen'd filter, no shuffle until the audit counts; the same "
+    "mechanism implements temperature-based mixture weights by "
+    "adjusting per-group thresholds.",
+)
+def corpus_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    slot = string_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix-salt"))
+    ) % 100
+    keep_threshold = F.when(F.col("lang") == "en", 35).otherwise(90)
+    keyed = d.select("lang", slot.alias("slot"), keep_threshold.alias("thr"))
+    return keyed.groupBy("lang").agg(
+        F.count("*").alias("n_before"),
+        F.sum(F.when(F.col("slot") < F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+
+
+@query(
+    "corpus-pack-sequences",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens
+                       AS offset_tokens
+            FROM toks
+        ),
+        packed AS (
+            SELECT lang, offset_tokens // 512 AS pack_id, n_tokens
+            FROM cum
+        )
+        SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed
+        GROUP BY lang, pack_id
+    """,
+    doc="Sequence packing for training (per-language 512-token packs): "
+    "a deterministic-order running token total assigns each document "
+    "to pack floor(offset/512) — offset-based packing instead of "
+    "greedy bin packing, because greedy is inherently sequential "
+    "while the cumulative sum is ONE window per language (documents "
+    "stay in their lang partition; at 100 TB sub-partition the window "
+    "key by doc_id range and offset the partial sums, exactly the "
+    "derive-surrogate-key construction). Packs overflow their budget "
+    "by at most one document — the slack the packer's attention-mask "
+    "boundary handles anyway.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = toks.withColumn(
+        "offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    packed = cum.select(
+        "lang",
+        F.floor(F.col("offset_tokens") / 512).alias("pack_id"),
+        "n_tokens",
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
