@@ -82,6 +82,9 @@ def main() -> None:
                 "sf": sf_val,
                 "n_ops": len(timings),
                 "median_sec": round(med, 4),
+                # registry-size-normalized: the sweep total grows with
+                # every op added, so cross-round comparisons use this
+                "sec_per_op": round(total / len(timings), 4) if timings else 0.0,
                 "detail": "BENCH_DETAIL.json",
             }
         )
