@@ -750,3 +750,61 @@ def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+def _gzip_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """region table as 4 gzip-compressed CSV shards (the hand-off format
+    scraped feeds actually arrive in)."""
+    import csv
+    import gzip
+
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> None:
+        tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        rows = sorted(tbl.to_pylist(), key=lambda r: r["n_nationkey"])
+        shards = [
+            [r for r in rows if r["n_nationkey"] % 4 == i] for i in range(4)
+        ]
+        for i, shard in enumerate(shards):
+            with gzip.open(
+                os.path.join(d, f"nation-{i}.csv.gz"), "wt", newline=""
+            ) as f:
+                w = csv.writer(f)
+                w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+                for r in shard:
+                    w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
+
+    return fixture_dir("tss_gzcsv", sf_dir, build)
+
+
+@query(
+    "scan-compressed-csv",
+    oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               min(n_name) AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="Gzip CSV ingestion (codec inferred from the .gz extension, "
+    "explicit schema, header skip): the hand-off format scraped feeds "
+    "arrive in. THE operational caveat this op documents: gzip is NOT "
+    "splittable — each .gz file is one task no matter its size, so a "
+    "single 50 GB gzip feed serializes a 1000-executor cluster to one "
+    "core. Parallelism here comes only from the file count (4 shards "
+    "-> 4 tasks); the first job against such feeds should be exactly "
+    "this scan + a rewrite to splittable storage (zstd parquet, "
+    "sink-compaction's sizing).",
+)
+def scan_compressed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _gzip_csv_dir(spark, sf_dir)
+    df = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", "true")
+        .csv(f"{d}/*.csv.gz")
+    )
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
