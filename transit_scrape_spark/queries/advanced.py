@@ -849,3 +849,59 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "window-rows-vs-range",
+    oracle="""
+        WITH counted AS (
+            SELECT o_orderkey, o_orderpriority, o_orderdate,
+                   count(*) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS rows_cnt,
+                   count(*) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate
+                                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS range_cnt
+            FROM orders
+            WHERE o_orderkey % 50 = 0
+        )
+        SELECT o_orderpriority, o_orderdate,
+               CAST(count(*) AS BIGINT) AS n_peers,
+               CAST(min(rows_cnt) AS BIGINT) AS rows_cnt_first,
+               CAST(max(rows_cnt) AS BIGINT) AS rows_cnt_last,
+               CAST(max(range_cnt) AS BIGINT) AS range_cnt
+        FROM counted
+        GROUP BY o_orderpriority, o_orderdate
+    """,
+    doc="ROWS vs RANGE frame semantics on tied sort keys: with ORDER BY "
+    "o_orderdate (heavily tied), each peer group shares ONE "
+    "range_cnt (RANGE includes all peers — deterministic everywhere) "
+    "while ROWS hands out distinct position-dependent counts "
+    "rows_cnt_first..rows_cnt_last — WHICH peer gets which is "
+    "engine/partitioning-dependent, so this op aggregates per peer "
+    "group (min/max/range are order-insensitive; emitting the raw "
+    "per-row ROWS counts would itself be the bug). The correctness "
+    "rule this pins: tied ORDER BY + ROWS frame needs a unique "
+    "tiebreaker, or RANGE; every other window op in this registry "
+    "does one or the other. range_cnt == rows_cnt_last checks the "
+    "algebra.",
+)
+def window_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    base = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    w_rows = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_range = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    counted = o.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.count("*").over(w_rows).alias("rows_cnt"),
+        F.count("*").over(w_range).alias("range_cnt"),
+    )
+    return counted.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count("*").alias("n_peers"),
+        F.min("rows_cnt").cast("long").alias("rows_cnt_first"),
+        F.max("rows_cnt").cast("long").alias("rows_cnt_last"),
+        F.max("range_cnt").cast("long").alias("range_cnt"),
+    )
