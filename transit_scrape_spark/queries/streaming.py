@@ -779,3 +779,66 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_stream_to_memory(joined, "complete")
     return spark.table(name)
+
+
+@query(
+    "stream-chained-windows",
+    oracle="""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+        ),
+        small AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                   + INTERVAL 10 MINUTE * CAST(floor(extract(minute FROM ts) / 10) AS INTEGER)
+                       AS w10_start,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1
+        )
+        SELECT CAST(date_trunc('hour', w10_start) AS TIMESTAMP) AS hour_start,
+               CAST(count(*) AS BIGINT) AS n_small_windows,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM small
+        WHERE w10_start + INTERVAL 10 MINUTE <= (SELECT w FROM wm)
+        GROUP BY 1
+        HAVING CAST(date_trunc('hour', w10_start) AS TIMESTAMP) + INTERVAL 1 HOUR
+               <= (SELECT w FROM wm)
+    """,
+    doc="CHAINED stateful operators in one streaming query (Spark 3.4+ "
+    "multi-stateful-operator support): 10-minute tumbling counts "
+    "re-aggregated into hourly rollups inside the SAME query — "
+    "before 3.4 this took two queries with an intermediate sink. "
+    "Emission algebra (reproduced by the oracle): a 10-min window "
+    "finalizes when the watermark passes its end, and an hour window "
+    "finalizes when the watermark passes ITS end — so only hours "
+    "fully behind the watermark emit, and within them only finalized "
+    "small windows contribute. The streaming form of "
+    "rollup-timebucket's multi-resolution tiering, state bounded per "
+    "tier by its own window width.",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"))
+        .agg(F.count("*").alias("n"))
+    )
+    # window_time() extracts the window's event-time (end - 1ms) while
+    # PRESERVING watermark lineage — grouping on w10.start directly
+    # severs it and append mode is rejected (no watermark on the col)
+    hourly = (
+        small.groupBy(F.window(F.window_time("w10"), "1 hour").alias("wh"))
+        .agg(
+            F.count("*").alias("n_small_windows"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    name = _run_stream_to_memory(
+        hourly.select(
+            F.col("wh.start").alias("hour_start"),
+            "n_small_windows",
+            F.col("n_events").cast("long").alias("n_events"),
+        ),
+        "append",
+    )
+    return spark.table(name)
