@@ -78,3 +78,56 @@ def test_lsh_tuning_recall_monotone_in_band_count(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["precision"] <= 1.0
         assert 0.0 <= r["recall"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Meta-tests of the gate itself: the r1 postmortem was a harness that
+# PASSED ops the external comparator crashes on. These prove the local
+# harness rejects each canonicalizer hazard class.
+# ---------------------------------------------------------------------------
+
+
+def test_gate_rejects_array_output(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import assert_driver_safe_schema
+
+    df = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+    with pytest.raises(AssertionError, match="complex types"):
+        assert_driver_safe_schema(df, "meta-test")
+
+
+def test_gate_rejects_map_and_struct_output(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import assert_driver_safe_schema
+
+    for col in (
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+    ):
+        with pytest.raises(AssertionError, match="complex types"):
+            assert_driver_safe_schema(spark.range(1).select(col), "meta-test")
+
+
+def test_gate_rejects_out_of_pandas_range_timestamp():
+    import pytest
+
+    from tests.oracle_harness import _norm
+
+    from datetime import datetime
+
+    _norm(datetime(2200, 1, 1), "meta-test")  # in range: fine
+    with pytest.raises(AssertionError, match="pandas ns range"):
+        _norm(datetime(9999, 12, 31), "meta-test")
+
+
+def test_gate_rejects_list_cell():
+    import pytest
+
+    from tests.oracle_harness import _norm
+
+    with pytest.raises(AssertionError, match="unhashable"):
+        _norm([1, 2, 3], "meta-test")
