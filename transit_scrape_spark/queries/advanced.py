@@ -905,3 +905,51 @@ def window_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rows_cnt").cast("long").alias("rows_cnt_last"),
         F.max("range_cnt").cast("long").alias("range_cnt"),
     )
+
+
+@query(
+    "agg-weighted-percentile",
+    oracle="""
+        WITH ordered AS (
+            SELECT l_returnflag, l_extendedprice, l_quantity,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_w,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 4) AS weighted_median
+        FROM ordered
+        WHERE cum_w >= total_w / 2
+        GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted median price per return flag: order by value "
+    "with a unique tiebreaker, running weight sum, first row whose "
+    "cumulative weight crosses half the total — the weighted-quantile "
+    "construction plain percentile can't express (each row counts "
+    "l_quantity times). One window shuffle on the group key; at "
+    "100 TB the same crossing rule runs on a weighted histogram "
+    "(agg-histogram's bins carrying weight sums) to avoid the "
+    "per-group sort entirely, trading exactness for bin width.",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wsort = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_w"),
+        F.sum("l_quantity").over(wall).alias("total_w"),
+    )
+    return (
+        ordered.filter(F.col("cum_w") >= F.col("total_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
+    )

@@ -347,3 +347,62 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@query(
+    "window-streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        grouped AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                              AS INTEGER) AS streak_key
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, streak_key,
+                   CAST(count(*) AS BIGINT) AS streak_len,
+                   min(day) AS streak_start
+            FROM grouped
+            GROUP BY user_id, streak_key
+        )
+        SELECT user_id, streak_len, streak_start
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY streak_len DESC, streak_start) AS rn
+              FROM streaks)
+        WHERE rn = 1
+    """,
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands construction: day minus its per-user rank is "
+    "CONSTANT exactly across consecutive runs, so grouping on that "
+    "difference labels each island with no self-join and no "
+    "iteration. Two windows + one groupBy, all partitioned on "
+    "user_id (one shuffle, reused). Complements sessionize "
+    "(time-gap islands at second granularity) with the calendar-day "
+    "variant engagement metrics use.",
+)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "streak_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "streak_key").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    wtop = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )
