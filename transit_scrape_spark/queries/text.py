@@ -619,3 +619,60 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@query(
+    "text-udtf-table-arg",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens
+        FROM toks
+        GROUP BY lang
+    """,
+    doc="Polymorphic table function: a Python UDTF consuming a whole "
+    "TABLE(...) PARTITION BY lang argument (Spark 4) — each eval-group "
+    "receives one language's rows and terminate() emits its summary. "
+    "The API for whole-relation custom logic that doesn't fit "
+    "aggregate signatures (multi-pass per group, cross-row emission); "
+    "PARTITION BY is the shuffle, so per-group state lives on one "
+    "executor exactly like applyInPandas. Kept off hot paths (the "
+    "codegen twin is text-lang-agg); registered to close the UDTF "
+    "surface: scalar-arg (text-udtf-bigrams) AND table-arg forms.",
+)
+def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_tokens bigint, max_tokens bigint")
+    class LangSummary:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._total = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            n = len(row["text"].split(" "))
+            self._n += 1
+            self._total += n
+            self._max = max(self._max, n)
+
+        def terminate(self):
+            if self._lang is not None:
+                yield self._lang, self._n, self._total, self._max
+
+    spark.udtf.register("tss_lang_summary", LangSummary)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("tss_docs_ta")
+    return spark.sql(
+        """
+        SELECT * FROM tss_lang_summary(
+            TABLE(SELECT lang, text FROM tss_docs_ta) PARTITION BY lang
+        )
+        """
+    )
