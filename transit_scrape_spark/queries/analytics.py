@@ -406,3 +406,51 @@ def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_len", "streak_start")
     )
+
+
+@query(
+    "basket-affinity",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_baskets
+        FROM pairs
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 2
+        ORDER BY n_baskets DESC, part_a, part_b
+        LIMIT 50
+    """,
+    doc="Market-basket affinity (parts co-ordered in the same order): "
+    "distinct items per basket, within-basket pair self-join on the "
+    "basket key, support count, threshold, top-50. The pair fanout is "
+    "quadratic only in BASKET SIZE (~4 items -> ~6 pairs), never in "
+    "catalog or order count — the same within-group-pairing shape as "
+    "the LSH candidate join. At 100 TB add a frequent-item pre-pass "
+    "(drop items below min support before pairing — the a-priori "
+    "pruning step) and the plan is production FP-growth's candidate "
+    "stage.",
+)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(50)
+    )

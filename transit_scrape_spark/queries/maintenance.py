@@ -355,3 +355,87 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zy.cast("long").alias("zy"),
         zkey.cast("long").alias("zkey"),
     )
+
+
+@query(
+    "scd2-apply-changes",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN round(o_totalprice + 1.0, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 <> 0
+        ),
+        diff AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                   o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                        WHEN n.o_orderkey IS NULL THEN 'delete'
+                        WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+                        ELSE 'unchanged' END AS change_type
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT k AS o_orderkey, old_price AS price, 'closed' AS row_status
+        FROM diff WHERE change_type IN ('update', 'delete')
+        UNION ALL
+        SELECT k, new_price, 'current' FROM diff WHERE change_type = 'update'
+        UNION ALL
+        SELECT k, new_price, 'current' FROM diff WHERE change_type = 'insert'
+        UNION ALL
+        SELECT k, old_price, 'current' FROM diff WHERE change_type = 'unchanged'
+    """,
+    doc="SCD2 change application — the WRITE side of the history "
+    "dimension: the CDC diff (cdc-snapshot-diff's classification) "
+    "becomes row actions — updates CLOSE the old version and open a "
+    "new current one, deletes close, inserts open, unchanged pass "
+    "through. One full-outer co-partitioned join then a union of "
+    "filtered projections (single shuffle; the unions are "
+    "scan-free reuses of the joined relation). With a transactional "
+    "table format this is MERGE WHEN MATCHED/NOT MATCHED; the "
+    "emitted row_status is what effective_to timestamps would pin "
+    "(scd2-intervals' algebra).",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.0, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    a, b = old.alias("a"), new.alias("b")
+    diff = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        "old_price",
+        "new_price",
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    closed = diff.filter(F.col("change_type").isin("update", "delete")).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("old_price").alias("price"),
+        F.lit("closed").alias("row_status"),
+    )
+    opened = diff.filter(F.col("change_type").isin("update", "insert")).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("new_price").alias("price"),
+        F.lit("current").alias("row_status"),
+    )
+    kept = diff.filter(F.col("change_type") == "unchanged").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("old_price").alias("price"),
+        F.lit("current").alias("row_status"),
+    )
+    return closed.unionByName(opened).unionByName(kept)
