@@ -953,3 +953,79 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median"))
     )
+
+
+@query(
+    "agg-variance-merge",
+    oracle="""
+        WITH partials AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   avg(l_extendedprice) AS mean,
+                   CAST(count(*) AS DOUBLE) * var_pop(l_extendedprice) AS m2
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        ),
+        merged AS (
+            SELECT l_returnflag,
+                   sum(n) AS n,
+                   sum(n * mean) / sum(n) AS mean,
+                   sum(m2) + sum(n * mean * mean)
+                       - (sum(n * mean) * sum(n * mean)) / sum(n) AS m2
+            FROM partials
+            GROUP BY l_returnflag
+        ),
+        direct AS (
+            SELECT l_returnflag, var_pop(l_extendedprice) AS v
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag,
+               CAST(m.n AS BIGINT) AS n,
+               round(m.m2 / m.n, 2) AS merged_var,
+               round(d.v, 2) AS direct_var,
+               (abs(m.m2 / m.n - d.v) <= 1e-6 * d.v) AS merge_is_lossless
+        FROM merged m JOIN direct d ON m.l_returnflag = d.l_returnflag
+    """,
+    doc="Parallel variance via moment merging (Chan/Welford), spelled "
+    "relationally: per-(flag,status) partial states (n, mean, M2) "
+    "combine to per-flag variance through the exact merge formula — "
+    "checked against the direct single-pass variance with a "
+    "merge_is_lossless boolean. This IS what Spark's partial "
+    "aggregation does inside every stddev/var at 100 TB (combiner "
+    "states merge across partitions); spelling it out is the recipe "
+    "for maintaining variance in INCREMENTAL rollups "
+    "(rollup-incremental-merge's (sum,count) trick extended to "
+    "second moments) where no built-in partial is storable.",
+)
+def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("l_extendedprice").alias("mean"),
+        (F.count("*").cast("double") * F.var_pop("l_extendedprice")).alias("m2"),
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("mean"),
+        (
+            F.sum("m2")
+            + F.sum(F.col("n") * F.col("mean") * F.col("mean"))
+            - (
+                F.sum(F.col("n") * F.col("mean"))
+                * F.sum(F.col("n") * F.col("mean"))
+            )
+            / F.sum("n")
+        ).alias("m2"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.var_pop("l_extendedprice").alias("v")
+    )
+    return merged.join(direct, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("m2") / F.col("n"), 2).alias("merged_var"),
+        F.round(F.col("v"), 2).alias("direct_var"),
+        (
+            F.abs(F.col("m2") / F.col("n") - F.col("v")) <= 1e-6 * F.col("v")
+        ).alias("merge_is_lossless"),
+    )

@@ -559,3 +559,51 @@ def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("k", "n_name", F.col("other_k").alias("nearest_k"), "dist_km")
     )
+
+
+@query(
+    "geo-polygon-area",
+    oracle="""
+        WITH ring AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS k,
+                   CAST((n_nationkey * 3) % 17 AS DOUBLE) AS x0,
+                   CAST((n_nationkey * 5) % 23 AS DOUBLE) AS y0,
+                   CAST((n_nationkey * 3) % 17 + 10 AS DOUBLE) AS x1,
+                   CAST((n_nationkey * 7) % 13 AS DOUBLE) AS y1,
+                   CAST((n_nationkey * 11) % 19 + 4 AS DOUBLE) AS x2,
+                   CAST((n_nationkey * 5) % 23 + 12 AS DOUBLE) AS y2
+            FROM nation
+        )
+        SELECT k,
+               round(abs((x0 * y1 - x1 * y0)
+                       + (x1 * y2 - x2 * y1)
+                       + (x2 * y0 - x0 * y2)) / 2, 6) AS area,
+               ((x0 * y1 - x1 * y0) + (x1 * y2 - x2 * y1)
+                + (x2 * y0 - x0 * y2)) > 0 AS is_ccw
+        FROM ring
+    """,
+    doc="Polygon area + winding order by the shoelace formula over "
+    "deterministic triangle rings per nation: the signed cross-product "
+    "sum gives area (absolute value) AND orientation (sign -> CCW "
+    "flag, what GeoJSON ring validity checks need) — pure per-row "
+    "codegen arithmetic, the area complement of derive-route-length's "
+    "HOF distance sum (reference geometry.length, "
+    "process_cycle_networks.py:88). For n-vertex rings the same "
+    "cross-product folds through zip_with(coords, shifted-coords) + "
+    "aggregate; embarrassingly parallel at any corpus size.",
+)
+def geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    x0 = (F.col("n_nationkey") * 3 % 17).cast("double")
+    y0 = (F.col("n_nationkey") * 5 % 23).cast("double")
+    x1 = x0 + 10
+    y1 = (F.col("n_nationkey") * 7 % 13).cast("double")
+    x2 = (F.col("n_nationkey") * 11 % 19).cast("double") + 4
+    y2 = y0 + 12
+    signed2 = (x0 * y1 - x1 * y0) + (x1 * y2 - x2 * y1) + (x2 * y0 - x0 * y2)
+    return n.select(
+        k.alias("k"),
+        F.round(F.abs(signed2) / 2, 6).alias("area"),
+        (signed2 > 0).alias("is_ccw"),
+    )
