@@ -1029,3 +1029,63 @@ def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("m2") / F.col("n") - F.col("v")) <= 1e-6 * F.col("v")
         ).alias("merge_is_lossless"),
     )
+
+
+@query(
+    "sql-pipe-syntax",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        WHERE l_quantity > 10
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators): the same logical plan "
+    "as nested SELECT, written as a linear dataflow — FROM |> WHERE "
+    "|> AGGREGATE ... GROUP BY — each stage consuming the previous "
+    "one's output exactly like the DataFrame API reads. Compiles to "
+    "the identical Catalyst plan (filter pushdown, partial agg — no "
+    "new execution surface), so it's free to adopt; pinned here so "
+    "the engine's SQL front door covers the dialect. Oracle is the "
+    "classic-syntax equivalent.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tss_li_pipe")
+    return spark.sql(
+        """
+        FROM tss_li_pipe
+        |> WHERE l_quantity > 10
+        |> AGGREGATE count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    ).select("l_returnflag", "l_linestatus", "n", "avg_qty")
+
+
+@query(
+    "agg-listagg-ordered",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP / "
+    "DuckDB string_agg ORDER BY): deterministic delimited "
+    "concatenation per group — the WITHIN GROUP ordering is what "
+    "makes the result reproducible across partitionings (bare "
+    "collect+concat inherits partition order, the same hazard "
+    "agg-collect-sorted documents). Emits a flat string, so it is "
+    "also the canonical driver-safe serialization for small grouped "
+    "lists.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("tss_nation_la")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM tss_nation_la
+        GROUP BY n_regionkey
+        """
+    )
