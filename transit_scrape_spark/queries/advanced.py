@@ -1089,3 +1089,107 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "window-running-distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT user_id, ts, event_id,
+               CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS distinct_types_so_far
+        FROM flagged
+    """,
+    doc="RUNNING count-distinct per key (distinct event types seen so "
+    "far per user): count(DISTINCT) OVER a running frame is "
+    "unsupported/quadratic everywhere — the trick is two windows: "
+    "flag each (user, type)'s FIRST occurrence (row_number = 1), then "
+    "a running SUM of flags. Both windows shuffle on user_id once "
+    "(same partitioning, exchange reused), state bounded by the frame "
+    "row, not the distinct domain. The engagement-breadth metric "
+    "('how many features has this user touched by time t') computed "
+    "scale-safe.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
+
+
+@query(
+    "abc-revenue-deciles",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, revenue,
+                   ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+            FROM per_cust
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(round(sum(revenue), 2) AS DOUBLE) AS decile_revenue,
+               round(CAST(sum(revenue) AS DOUBLE)
+                     / CAST((SELECT sum(revenue) FROM per_cust) AS DOUBLE), 6)
+                   AS revenue_share
+        FROM ranked
+        GROUP BY decile
+    """,
+    doc="Revenue-concentration deciles (the 80/20 audit): per-customer "
+    "revenue, ntile(10) by descending revenue, per-decile share of "
+    "total. The global ntile window runs over the AGGREGATED customer "
+    "relation — summary-sized, same justification as skyline's "
+    "bucket table — never over raw orders; revenue sums go through "
+    "DECIMAL so partition order can't flip rounded cents. The "
+    "concentration curve that drives key-account analysis and, "
+    "mechanically, skew diagnosis: decile 1's share IS the join-skew "
+    "hotness of the customer key.",
+)
+def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w))
+    total = per_cust.agg(F.sum("revenue").alias("total_rev"))
+    return (
+        ranked.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).cast("double").alias("decile_revenue"),
+            F.sum("revenue").alias("_rev"),
+        )
+        .join(F.broadcast(total))
+        .withColumn(
+            "revenue_share",
+            F.round(F.col("_rev").cast("double") / F.col("total_rev").cast("double"), 6),
+        )
+        .select("decile", "n_customers", "decile_revenue", "revenue_share")
+    )
