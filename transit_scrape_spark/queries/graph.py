@@ -251,3 +251,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("r", 6).alias("pagerank"))
+
+
+@query(
+    "graph-bfs-distance",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        walk(node, d) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+            UNION
+            SELECT e.b, walk.d + 1
+            FROM walk JOIN edges e ON walk.node = e.a
+            WHERE walk.d < 6
+        )
+        SELECT node, CAST(min(d) AS BIGINT) AS dist
+        FROM walk
+        GROUP BY node
+    """,
+    doc="BFS hop distance from nation 0 over the trade graph (bounded "
+    "to 6 hops): frontier expansion as a driver loop — each round "
+    "joins the frontier to the edge list, anti-joins already-visited "
+    "nodes, unions into the visited set. Per-round cost is "
+    "|frontier| x avg-degree (never the whole graph), the loop ends "
+    "when the frontier empties — the reachability/shortest-path "
+    "primitive under distance-bounded joins and '2nd-degree "
+    "connection' features. Oracle: DuckDB recursive CTE to the same "
+    "fixpoint. Scale hygiene as graph-components: persist each "
+    "frontier/visited generation, unpersist superseded, checkpoint "
+    "on long diameters.",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    visited = (
+        edges.sparkSession.range(1)
+        .select(F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    frontier = visited.select("node")
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        old = visited
+        visited = visited.unionByName(nxt).persist()
+        visited.count()
+        old.unpersist()
+        frontier = nxt.select("node")
+    result = visited
+    edges.unpersist()
+    return result
