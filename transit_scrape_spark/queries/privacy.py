@@ -1,0 +1,133 @@
+"""Privacy-engineering operators: k-anonymity auditing and the Laplace
+noise mechanism — the release-gate checks a data platform runs before
+publishing aggregates or sharing quasi-identified rows.
+
+Determinism note: the DP op derives its noise from a salted hash
+inverse-CDF (uniform -> Laplace), making it reproducible across
+engines/reruns for the oracle; a production release would draw real
+randomness per release — the mechanism, sensitivity math, and plan
+shape are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+_K = 5
+
+
+@query(
+    "privacy-k-anonymity",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(c_custkey % 8 AS BIGINT) AS age_band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST({_K} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN n < {_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_cells,
+               CAST(sum(CASE WHEN n < {_K} THEN n ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               round(sum(CASE WHEN n < {_K} THEN n ELSE 0 END)
+                     / CAST(sum(n) AS DOUBLE), 6) AS suppression_rate
+        FROM cells
+    """,
+    doc="k-anonymity audit over the quasi-identifier tuple (nation, "
+    "market segment, age band): every QI cell with fewer than k=5 "
+    "members is re-identifiable — the audit counts violating cells "
+    "and the rows that generalization/suppression must touch before "
+    "release. ONE grouped aggregate (QI-cell cardinality is the "
+    "shuffle bound) + a single-row rollup; at 100 TB this gate runs "
+    "per release candidate, and the violating-cell list (not emitted "
+    "here) feeds the generalization loop: widen bands, re-audit, "
+    "repeat until suppression_rate is acceptable.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 8).cast("long").alias("age_band"),
+    ).agg(F.count("*").alias("n"))
+    at_risk = F.when(F.col("n") < _K, F.col("n")).otherwise(0)
+    return cells.agg(
+        F.lit(_K).cast("long").alias("k"),
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("n") < _K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_cells"),
+        F.sum(at_risk).cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(at_risk) / F.sum("n").cast("double"), 6
+        ).alias("suppression_rate"),
+    )
+
+
+# Laplace scale b = sensitivity / epsilon; count queries have
+# sensitivity 1 (one person changes one cell by one).
+_DP_EPS = 0.5
+_DP_B = 1.0 / _DP_EPS
+
+
+@query(
+    "privacy-dp-laplace",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS true_n
+            FROM customer GROUP BY c_mktsegment
+        ),
+        noised AS (
+            SELECT c_mktsegment, true_n,
+                   (CAST(({sql_string_hash("c_mktsegment || ':dp-salt-r2'")}) AS DOUBLE)
+                    / 2147483647.0) AS u
+            FROM cells
+        )
+        SELECT c_mktsegment, true_n,
+               round(true_n + CASE WHEN u >= 0.5
+                                   THEN -{_DP_B} * ln(2.0 * (1.0 - u) + 1e-15)
+                                   ELSE  {_DP_B} * ln(2.0 * u + 1e-15) END, 4)
+                   AS released_n,
+               round(abs(CASE WHEN u >= 0.5
+                              THEN -{_DP_B} * ln(2.0 * (1.0 - u) + 1e-15)
+                              ELSE  {_DP_B} * ln(2.0 * u + 1e-15) END), 4)
+                   AS abs_noise
+        FROM noised
+    """,
+    doc="Laplace mechanism for differentially-private count release "
+    "(epsilon=0.5, sensitivity 1 -> scale b=2): per-segment counts "
+    "plus inverse-CDF Laplace noise. Noise here derives from a "
+    "salted hash of the group key (uniform in [0,1) -> Laplace via "
+    "inverse CDF) so both engines reproduce it exactly — production "
+    "swaps the hash for a fresh random draw per release and the "
+    "expression is otherwise unchanged. The plan is the release "
+    "shape at any scale: aggregate first (tiny), noise the SUMMARY "
+    "(never row-level), post-process freely (DP is closed under "
+    "post-processing).",
+)
+def privacy_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment").agg(F.count("*").alias("true_n"))
+    u = (
+        string_hash(F.concat(F.col("c_mktsegment"), F.lit(":dp-salt-r2"))).cast(
+            "double"
+        )
+        / 2147483647.0
+    )
+    noise = F.when(
+        u >= 0.5, -_DP_B * F.log(2.0 * (1.0 - u) + 1e-15)
+    ).otherwise(_DP_B * F.log(2.0 * u + 1e-15))
+    return cells.select(
+        "c_mktsegment",
+        "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("released_n"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+    )

@@ -89,6 +89,7 @@ def _load_all() -> None:
         maintenance,
         minhash,
         multimodal,
+        privacy,
         relational,
         scalar,
         scale_demo,
