@@ -676,3 +676,54 @@ def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "text-inverted-index",
+    oracle="""
+        WITH postings AS (
+            SELECT token, doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token, doc_id
+        ),
+        a AS (SELECT doc_id FROM postings WHERE token = 'the'),
+        b AS (SELECT doc_id FROM postings WHERE token = 'of')
+        SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS df_the,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS df_of,
+               CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT)
+                   AS df_and,
+               (SELECT CAST(min(doc_id) AS BIGINT) FROM a JOIN b USING (doc_id))
+                   AS first_match
+    """,
+    doc="Inverted-index construction + conjunctive (AND) query: distinct "
+    "(token, doc) postings — the index build is ONE groupBy shuffle "
+    "keyed on token, which at 100 TB writes partitionBy(token-prefix) "
+    "so a query term reads one partition — then a two-term AND as a "
+    "postings equi-join on doc_id. Document frequencies and the "
+    "intersection size are the scoring inputs (tf-idf's df comes from "
+    "exactly this relation). The search-engine counterpart of "
+    "text-tfidf-topterms: that op ranks within documents, this one "
+    "retrieves across them.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.lit(1).alias("_"))
+        .select("token", "doc_id")
+    )
+    a = postings.filter(F.col("token") == "the").select("doc_id")
+    b = postings.filter(F.col("token") == "of").select("doc_id")
+    both = a.join(b, "doc_id")
+    return (
+        a.agg(F.count("*").alias("df_the"))
+        .join(b.agg(F.count("*").alias("df_of")))
+        .join(
+            both.agg(
+                F.count("*").alias("df_and"),
+                F.min("doc_id").alias("first_match"),
+            )
+        )
+    )
