@@ -42,6 +42,8 @@ SCALAR_BROADCAST_OPS = {
     "text-unigram-logprob",    # 1-row total broadcast
     "dedup-near-embedding",    # planted-pair demo, doc'd scale note
     "observe-pipeline-metrics",
+    "abc-revenue-deciles",     # 1-row total-revenue broadcast
+    "text-inverted-index",     # 1-row df aggregates joined conditionless
     "tpch-q11",  # decorrelated scalar subquery: value > 1-row threshold
     "tpch-q22",  # decorrelated scalar subquery: acctbal > 1-row global avg
 }
@@ -64,6 +66,7 @@ PYTHON_SURFACE_OPS = {
     "scan-python-datasource",
     "sink-python-datasource",
     "text-udtf-bigrams",
+    "text-udtf-table-arg",
 }
 
 
