@@ -771,3 +771,50 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.n_even"), F.lit(0)).alias("n_even"),
         F.coalesce(F.col("b.n_odd"), F.lit(0)).alias("n_odd"),
     )
+
+
+@query(
+    "join-late-materialize",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        top_ids AS (
+            SELECT doc_id, n_tokens FROM ranked
+            ORDER BY n_tokens DESC, doc_id LIMIT 100
+        )
+        SELECT t.doc_id, t.n_tokens, d.lang,
+               substr(d.text, 1, 40) AS preview
+        FROM top_ids t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+    doc="Late materialization: rank on NARROW columns first (the "
+    "ranking scan reads doc_id + a token count; TakeOrderedAndProject "
+    "keeps 100 rows), then fetch the WIDE text payload only for the "
+    "winners via a key join (the 100-row side broadcasts). The "
+    "columnar-engine trick as a plan shape: at 100 TB sorting/"
+    "shuffling rows that carry multi-KB text bodies costs 100x the "
+    "narrow projection, so every select-then-display query should "
+    "shuffle ids and re-attach payloads last — the same "
+    "ids-only-through-the-shuffle discipline as dedup-near-minhash's "
+    "candidate join.",
+)
+def join_late_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # narrow pass: Catalyst prunes the scan to (doc_id, text->count);
+    # the heavy text column rides only the final 100-row fetch
+    ranked = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    top_ids = ranked.orderBy(F.col("n_tokens").desc(), "doc_id").limit(100)
+    return (
+        F.broadcast(top_ids)
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lang",
+            F.substring("text", 1, 40).alias("preview"),
+        )
+    )
