@@ -454,3 +454,103 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "agg-gini-coefficient",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   sum(revenue) OVER () AS total
+            FROM per_cust
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               round((2.0 * sum(i * revenue)) / (max(n) * max(total))
+                     - (max(n) + 1.0) / max(n), 6) AS gini
+        FROM ranked
+    """,
+    doc="Gini coefficient of customer revenue (the inequality summary "
+    "behind concentration dashboards): rank-weighted sum formula "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted "
+    "values. The global rank runs over the per-customer AGGREGATE "
+    "(summary-sized — same justification as abc-revenue-deciles), "
+    "never raw orders; the two global window stats ride the same "
+    "single-partition pass. Degenerate-to-uniform check: all-equal "
+    "revenues give G=0, one-customer-takes-all gives G->1.",
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_rank = Window.orderBy("revenue", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("revenue")))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "window-index-to-first",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, value,
+                   first_value(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS v0
+            FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT user_id, ts, event_id,
+               round(100.0 * value / v0, 4) AS indexed_value
+        FROM seq
+        WHERE v0 <> 0
+    """,
+    doc="Index-to-first normalization (every user's purchase values "
+    "rebased to their first purchase = 100): first_value over the "
+    "per-user time order, one window shuffle — the cohort-comparable "
+    "form of any absolute metric ('how did spend evolve relative to "
+    "each user's own baseline'), which makes heterogeneous users "
+    "plottable on one axis. Composes with retention-cohorts (group "
+    "the indexed series by cohort week) without new shuffles — both "
+    "partition on user_id.",
+)
+def window_index_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.first("value").over(w).alias("v0"),
+    )
+    return seq.filter(F.col("v0") != 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(100.0 * F.col("value") / F.col("v0"), 4).alias("indexed_value"),
+    )
