@@ -554,3 +554,69 @@ def window_index_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(100.0 * F.col("value") / F.col("v0"), 4).alias("indexed_value"),
     )
+
+
+@query(
+    "analytics-churn",
+    oracle="""
+        WITH weekly AS (
+            SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                   user_id
+            FROM events
+        ),
+        pairs AS (
+            SELECT a.week,
+                   a.user_id AS u_a,
+                   b.user_id AS u_b
+            FROM weekly a
+            FULL OUTER JOIN weekly b
+              ON a.user_id = b.user_id
+             AND b.week = a.week + INTERVAL 7 DAY
+        )
+        SELECT week,
+               CAST(count(*) FILTER (WHERE u_a IS NOT NULL) AS BIGINT) AS n_active,
+               CAST(count(*) FILTER (WHERE u_a IS NOT NULL AND u_b IS NOT NULL)
+                    AS BIGINT) AS n_retained,
+               CAST(count(*) FILTER (WHERE u_a IS NOT NULL AND u_b IS NULL)
+                    AS BIGINT) AS n_churned
+        FROM pairs
+        WHERE week IS NOT NULL
+        GROUP BY week
+    """,
+    doc="Week-over-week churn: distinct active users per week, "
+    "self-joined one week forward — retained = present both weeks, "
+    "churned = active now, absent next. The join is co-partitioned "
+    "on user_id (the distinct and the join share the exchange) and "
+    "the weekly relation is |users| x |weeks| AT MOST — far smaller "
+    "than the event fact. Last week's cohort shows churned = "
+    "n_active (no next week exists yet) — the honest edge, not an "
+    "error; dashboards null it out. The subscription-health "
+    "companion to retention-cohorts' triangle view.",
+)
+def analytics_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+    ).distinct()
+    a, b = weekly.alias("a"), weekly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAYS")),
+        "full_outer",
+    )
+    return (
+        pairs.filter(F.col("a.week").isNotNull())
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count("a.user_id").alias("n_active"),
+            F.sum(
+                F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("b.user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )

@@ -727,3 +727,54 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "text-char-entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+            FROM documents
+        ),
+        freq AS (
+            SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n
+            FROM chars GROUP BY doc_id, ch
+        ),
+        tot AS (
+            SELECT doc_id, sum(n) AS total FROM freq GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               CAST(max(t.total) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               round(-sum((f.n / t.total) * ln(f.n / t.total)), 6) AS entropy_nats
+        FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        GROUP BY f.doc_id
+    """,
+    doc="Per-document character entropy (Shannon, nats): char frequency "
+    "histogram per doc -> -sum(p ln p). The gibberish/encoding-noise "
+    "detector corpus-quality filters use: natural language sits in a "
+    "tight entropy band (~2.5-3.5 nats for English-like text), "
+    "base64/binary junk runs high, template spam runs low — a "
+    "filter rule the quality-score op can't see from token shape "
+    "alone. Two grouped aggregations keyed on doc_id (exchange "
+    "reused); char fanout is bounded by document length, and at "
+    "100 TB the same histogram computes from a SAMPLE of each doc's "
+    "bytes with no shape change.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("double").alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").cast("long").alias("n_chars"),
+            F.count("*").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
