@@ -620,3 +620,51 @@ def analytics_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_churned"),
         )
     )
+
+
+@query(
+    "analytics-purchase-intervals",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        gaps AS (
+            SELECT CAST(floor(date_diff('second', ts, next_ts) / 3600.0) AS BIGINT)
+                       AS gap_hours
+            FROM p WHERE next_ts IS NOT NULL
+        )
+        SELECT least(gap_hours, 48) AS gap_hours_capped,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM gaps
+        GROUP BY 1
+    """,
+    doc="Inter-purchase interval distribution: lead() pairs each "
+    "purchase with the user's next one, gaps bucket to hours with a "
+    "48h overflow cap — the repeat-behavior histogram behind "
+    "replenishment-cycle and winback timing. One per-user window "
+    "shuffle then a bounded-key groupBy (<=49 buckets, map-side "
+    "combined); the capped bucket keeps the output schema fixed "
+    "however long the tail. Pairs with window-ewma for smoothing the "
+    "resulting series.",
+)
+def analytics_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.lead("ts").over(w).alias("next_ts")).filter(
+        F.col("next_ts").isNotNull()
+    )
+    gap_hours = F.floor(
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")) / 3600.0
+    ).cast("long")
+    return (
+        p.select(F.least(gap_hours, F.lit(48)).alias("gap_hours_capped"))
+        .groupBy("gap_hours_capped")
+        .agg(F.count("*").alias("n_intervals"))
+    )

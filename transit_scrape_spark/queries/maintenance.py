@@ -439,3 +439,51 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("current").alias("row_status"),
     )
     return closed.unionByName(opened).unionByName(kept)
+
+
+@query(
+    "dq-volume-drift",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n
+            FROM daily
+        )
+        SELECT day, n, prev_n,
+               round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS drift,
+               (abs(CAST(n - prev_n AS DOUBLE) / prev_n) > 0.5) AS is_anomalous
+        FROM seq
+        WHERE prev_n IS NOT NULL
+    """,
+    doc="Ingestion volume drift monitor: day-over-day row-count deltas "
+    "with a +/-50%% anomaly flag — the cheapest, highest-yield "
+    "pipeline alarm (a scraper auth failure or a duplicated load "
+    "shows up here before any content check fires; the reference's "
+    "silent re-run append hazard, push_to_db.py:29-30, trips this "
+    "immediately). Daily counts are summary-sized, so the lag window "
+    "is trivial; in production the threshold comes from the series' "
+    "own MAD (agg-robust-mad) instead of a constant.",
+)
+def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    seq = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    drift = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n")
+    return seq.select(
+        "day",
+        "n",
+        "prev_n",
+        F.round(drift, 6).alias("drift"),
+        (F.abs(drift) > 0.5).alias("is_anomalous"),
+    )
