@@ -663,3 +663,75 @@ def simsearch_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "embed-outlier-distance",
+    oracle="""
+        WITH pos AS (
+            SELECT vec_id, label,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, dim, avg(x) AS c FROM pos GROUP BY label, dim
+        ),
+        dist AS (
+            SELECT p.vec_id, p.label,
+                   sqrt(sum((p.x - c.c) * (p.x - c.c))) AS d
+            FROM pos p JOIN cent c ON p.label = c.label AND p.dim = c.dim
+            GROUP BY p.vec_id, p.label
+        ),
+        stats AS (
+            SELECT label, avg(d) AS mu, stddev_pop(d) AS sd FROM dist GROUP BY label
+        )
+        SELECT d.label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN (d.d - s.mu) / s.sd > 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               round(max(d.d), 4) AS max_dist
+        FROM dist d JOIN stats s ON d.label = s.label
+        GROUP BY d.label
+    """,
+    doc="Embedding-space data quality: distance of every vector from its "
+    "LABEL CENTROID, flagging z > 2 outliers per label — the "
+    "mislabeled/corrupted-embedding detector run before any "
+    "classifier or ANN index trusts the labels. Centroids come from "
+    "the posexplode + per-(label, dim) mean (embed-centroid's "
+    "no-UDF construction), distances re-join on (label, dim) — "
+    "three grouped shuffles, all keyed on bounded label/dim "
+    "cardinality except the per-vector distance agg, which is keyed "
+    "on vec_id and linear. The z-score machinery matches "
+    "anomaly-zscore; at 100 TB centroids come from the previous "
+    "epoch's run and this is one broadcast join + one agg.",
+)
+def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = pos.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    dist = (
+        pos.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_pop("d").alias("sd")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.when((F.col("d") - F.col("mu")) / F.col("sd") > 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("d"), 4).alias("max_dist"),
+        )
+    )
