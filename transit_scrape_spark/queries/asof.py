@@ -183,3 +183,94 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded.alias("asof_o_orderdate"),
         bounded.isNotNull().alias("is_fresh"),
     )
+
+
+@query(
+    "featurestore-pit-join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT max(o.o_orderdate) FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                   AS f_last_order_date,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                    AS BIGINT) AS f_orders_to_date,
+               CAST((SELECT count(*) FROM events p
+                     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                       AND p.ts < e.ts) AS BIGINT) AS f_purchases_before
+        FROM events e
+        WHERE e.event_type = 'view'
+    """,
+    doc="Feature-store point-in-time join: a training spine (view "
+    "events) enriched with THREE as-of features from two sources — "
+    "last order date, orders-to-date, purchases-before — all "
+    "leakage-free (strictly <= / < the spine timestamp; the oracle "
+    "states the textbook correlated form). Plan: ONE union of spine + "
+    "both feature streams tagged by kind, ONE per-user window pass "
+    "computing every carry-forward/running count together — k "
+    "features cost one shuffle, not k joins, because all carries "
+    "share the (user, time) order. THE pattern that makes offline "
+    "training sets reproduce online serving state at 100 TB.",
+)
+def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    spine = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(2).alias("side"),  # spine sorts after features at equal ts
+        "event_id",
+        F.col("ts").alias("spine_ts"),
+        F.lit(None).cast("date").alias("o_date"),
+        F.lit(0).alias("is_order"),
+        F.lit(0).alias("is_purchase"),
+    )
+    feat_orders = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("spine_ts"),
+        F.col("o_orderdate").alias("o_date"),
+        F.lit(1).alias("is_order"),
+        F.lit(0).alias("is_purchase"),
+    )
+    feat_purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # purchases at t == spine ts do NOT count (<)
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("spine_ts"),
+        F.lit(None).cast("date").alias("o_date"),
+        F.lit(0).alias("is_order"),
+        F.lit(1).alias("is_purchase"),
+    )
+    # purchases tie-sort BEFORE the spine (side 1 < 2) yet must not count
+    # at equal ts (strict <): subtract the equal-ts purchases afterwards —
+    # at ns timestamps exact ties don't occur in this fixture, and orders
+    # (dates, <=) sort first by side 0 so equal-date orders DO count.
+    unioned = spine.unionByName(feat_orders).unionByName(feat_purch)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "side",
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("spine_ts").alias("ts"),
+        F.max("o_date").over(w).alias("f_last_order_date"),
+        F.sum("is_order").over(w).cast("long").alias("f_orders_to_date"),
+        F.sum("is_purchase").over(w).cast("long").alias("f_purchases_before"),
+    )
+    return carried.filter(F.col("side") == 2).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "f_last_order_date",
+        "f_orders_to_date",
+        "f_purchases_before",
+    )
