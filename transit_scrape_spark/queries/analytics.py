@@ -668,3 +668,47 @@ def analytics_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_hours_capped")
         .agg(F.count("*").alias("n_intervals"))
     )
+
+
+@query(
+    "analytics-seasonal-index",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(extract(month FROM o_orderdate) AS BIGINT) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        base AS (SELECT avg(CAST(revenue AS DOUBLE)) AS avg_rev FROM monthly)
+        SELECT month, n_orders,
+               CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+               round(CAST(revenue AS DOUBLE) / avg_rev, 6) AS seasonal_index
+        FROM monthly, base
+    """,
+    doc="Seasonal index by calendar month: month-of-year revenue "
+    "relative to the all-month average (index > 1 = hot month) — the "
+    "deseasonalization divisor forecasting and target-setting use. "
+    "One 12-row grouped aggregate plus a broadcast scalar mean; "
+    "revenue through DECIMAL for partition-order-stable cents. Spans "
+    "multiple years of orderdate, so each month's index pools its "
+    "occurrences — extend the group key with extract(year) to watch "
+    "the index drift year over year.",
+)
+def analytics_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    base = monthly.agg(F.avg(F.col("revenue").cast("double")).alias("avg_rev"))
+    return (
+        monthly.join(F.broadcast(base))
+        .select(
+            "month",
+            "n_orders",
+            F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+            F.round(F.col("revenue").cast("double") / F.col("avg_rev"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )

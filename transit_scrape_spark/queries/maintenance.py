@@ -487,3 +487,59 @@ def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(drift, 6).alias("drift"),
         (F.abs(drift) > 0.5).alias("is_anomalous"),
     )
+
+
+@query(
+    "dq-column-profile",
+    oracle="""
+        SELECT 'o_orderstatus' AS column_name,
+               CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT)
+                   AS n_null,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+               CAST(min(length(o_orderstatus)) AS BIGINT) AS min_len,
+               CAST(max(length(o_orderstatus)) AS BIGINT) AS max_len
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(min(length(o_orderpriority)) AS BIGINT),
+               CAST(max(length(o_orderpriority)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'c_mktsegment',
+               CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT),
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+               CAST(min(length(c_mktsegment)) AS BIGINT),
+               CAST(max(length(c_mktsegment)) AS BIGINT)
+        FROM customer
+    """,
+    doc="Column profiling (the discovery pass a catalog runs on every "
+    "new table): null counts, distinct cardinality, length bounds per "
+    "string column, one row per column. Each table contributes ONE "
+    "scan however many of its columns are profiled (the aggregates "
+    "fuse), and the per-column stats later feed broadcast-vs-shuffle "
+    "and dictionary-encoding decisions; at 100 TB swap the exact "
+    "distinct for approx_count_distinct (the profile is advisory) "
+    "and the scan reads column chunks, not rows — columnar profiling "
+    "is nearly IO-free per extra column.",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.length(col)).cast("long").alias("min_len"),
+            F.max(F.length(col)).cast("long").alias("max_len"),
+        ).select(F.lit(col).alias("column_name"), "n_null", "n_distinct", "min_len", "max_len")
+
+    return (
+        profile(o, "o_orderstatus")
+        .unionByName(profile(o, "o_orderpriority"))
+        .unionByName(profile(c, "c_mktsegment"))
+    )
