@@ -712,3 +712,74 @@ def analytics_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "funnel-windowed-strict",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_in_window,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_in_window
+    """,
+    doc="Strict windowed funnel: click must land within 1 HOUR of the "
+    "first view, purchase within 1 hour of that qualifying click — "
+    "the time-bounded conversion definition real funnels use "
+    "(funnel-conversion's order-only version over-counts users who "
+    "converted days later). Each stage is a grouped min re-joined on "
+    "user_id — all three shuffles share the user_id partitioning, "
+    "and each stage's input shrinks to the previous stage's "
+    "survivors. Window bounds are the state-eviction rule when this "
+    "runs streaming (stream-stream-join's interval condition, "
+    "chained).",
+)
+def funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .join(c.agg(F.count("*").alias("n_clicked_in_window")))
+        .join(p.agg(F.count("*").alias("n_purchased_in_window")))
+    )

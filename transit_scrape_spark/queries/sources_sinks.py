@@ -808,3 +808,51 @@ def scan_compressed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+def _range_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-written in range layout: repartitionByRange(8, custkey)
+    + sortWithinPartitions — each file owns a contiguous custkey range,
+    so row-group min/max stats answer key-range probes."""
+
+    def build(d: str) -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(8, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.parquet(os.path.join(d, "orders"))
+        )
+
+    return fixture_dir("tss_rangelayout", sf_dir, build)
+
+
+@query(
+    "sink-range-partitioned",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_custkey BETWEEN 1000 AND 2000
+    """,
+    doc="Range-layout sink + key-range probe: orders rewritten via "
+    "repartitionByRange(custkey) + sortWithinPartitions, so each "
+    "output file owns a contiguous, SORTED key range — a BETWEEN "
+    "probe then skips most files on parquet footer min/max stats and "
+    "most row groups within the hit files (the sort is what tightens "
+    "per-row-group bounds). The third layout lever beside hash "
+    "partitioning (co-located joins) and Z-order (two-dimensional "
+    "pruning): choose range layout when the dominant predicate is a "
+    "range on ONE key — time-series ids, customer ranges, pk lookups.",
+)
+def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _range_layout_dir(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(d, "orders"))
+    return back.filter(F.col("o_custkey").between(1000, 2000)).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
