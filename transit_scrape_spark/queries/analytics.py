@@ -783,3 +783,74 @@ def funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.agg(F.count("*").alias("n_clicked_in_window")))
         .join(p.agg(F.count("*").alias("n_purchased_in_window")))
     )
+
+
+@query(
+    "analytics-survival-censored",
+    oracle="""
+        WITH obs_end AS (SELECT max(ts) AS t_end FROM events),
+        firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        durations AS (
+            SELECT user_id,
+                   CASE WHEN t_purchase IS NOT NULL AND t_purchase > t_view
+                        THEN date_diff('second', t_view, t_purchase)
+                        ELSE date_diff('second', t_view, (SELECT t_end FROM obs_end))
+                        END / 3600.0 AS hours,
+                   (t_purchase IS NULL OR t_purchase <= t_view) AS censored
+            FROM firsts
+            WHERE t_view IS NOT NULL
+        )
+        SELECT CAST(least(floor(hours / 24), 7) AS BIGINT) AS day_bucket,
+               censored,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM durations
+        GROUP BY 1, 2
+    """,
+    doc="Survival analysis with right-censoring: time from first view "
+    "to first purchase; users who never converted are CENSORED at "
+    "observation end (their true time-to-convert is only known to "
+    "exceed what we watched) — dropping them is the classic bias "
+    "that makes conversion look faster than it is. Durations bucket "
+    "to days (7+ overflow), censored flag kept separate so a "
+    "Kaplan-Meier estimator can consume the table directly. One "
+    "grouped conditional-min pass + a broadcast scalar (observation "
+    "end); the funnel family's statistically-honest sibling.",
+)
+def analytics_survival_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs_end = ev.agg(F.max("ts").alias("t_end"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    converted = F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_view")
+    )
+    hours = (
+        F.when(
+            converted,
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view"),
+        ).otherwise(F.unix_timestamp("t_end") - F.unix_timestamp("t_view"))
+        / 3600.0
+    )
+    durations = (
+        firsts.filter(F.col("t_view").isNotNull())
+        .join(F.broadcast(obs_end))
+        .select(
+            hours.alias("hours"),
+            (~converted).alias("censored"),
+        )
+    )
+    return durations.groupBy(
+        F.least(F.floor(F.col("hours") / 24), F.lit(7)).cast("long").alias(
+            "day_bucket"
+        ),
+        "censored",
+    ).agg(F.count("*").alias("n_users"))

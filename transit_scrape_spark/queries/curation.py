@@ -624,3 +624,83 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_dim",
         )
     )
+
+
+@query(
+    "dedup-incremental-batch",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+            SELECT doc_id + 5000000 AS doc_id, text FROM documents
+            WHERE doc_id % 4 = 0 OR doc_id % 5 = 0
+        ),
+        batch_hashed AS (
+            SELECT doc_id, md5(text) AS h,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                       AS rn_in_batch
+            FROM batch
+        ),
+        vs_corpus AS (
+            SELECT b.doc_id, b.rn_in_batch,
+                   (c.h IS NOT NULL) AS dup_of_corpus
+            FROM batch_hashed b
+            LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM corpus) c
+              ON b.h = c.h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_batch,
+               CAST(sum(CASE WHEN dup_of_corpus THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_of_corpus,
+               CAST(sum(CASE WHEN NOT dup_of_corpus AND rn_in_batch > 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within_batch,
+               CAST(sum(CASE WHEN NOT dup_of_corpus AND rn_in_batch = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        FROM vs_corpus
+    """,
+    doc="INCREMENTAL dedup — the production shape: a new ingest batch "
+    "checks against the standing corpus (hash semi-join: the corpus "
+    "contributes only its digest set, never re-deduped, never "
+    "rescanned beyond the digest column) plus within-batch "
+    "first-occurrence dedup. Admitted = novel in both senses. At "
+    "100 TB the corpus digest set is a bloom/bucketed table "
+    "maintained incrementally (join-bloom-prefilter's structure), so "
+    "per-batch cost scales with the BATCH, not the corpus — the "
+    "difference between daily dedup costing minutes vs re-running "
+    "dedup-exact-hash over everything.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 5 == 0)).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch_hashed = batch.select(
+        "doc_id", F.md5("text").alias("h")
+    ).withColumn("rn_in_batch", F.row_number().over(w))
+    corpus_hashes = corpus.select(F.md5("text").alias("h")).distinct().withColumn(
+        "in_corpus", F.lit(True)
+    )
+    vs = batch_hashed.join(corpus_hashes, "h", "left").select(
+        F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
+        "rn_in_batch",
+    )
+    return vs.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("dup_of_corpus"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_of_corpus"),
+        F.sum(
+            F.when(~F.col("dup_of_corpus") & (F.col("rn_in_batch") > 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_within_batch"),
+        F.sum(
+            F.when(~F.col("dup_of_corpus") & (F.col("rn_in_batch") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_admitted"),
+    )

@@ -543,3 +543,59 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(o, "o_orderpriority"))
         .unionByName(profile(c, "c_mktsegment"))
     )
+
+
+@query(
+    "dq-benford-screen",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        observed AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n,
+                   count(*) / CAST((SELECT count(*) FROM digits) AS DOUBLE) AS p_obs
+            FROM digits GROUP BY d
+        )
+        SELECT d, n,
+               round(p_obs, 6) AS p_observed,
+               round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS p_benford,
+               round(abs(p_obs - ln(1.0 + 1.0 / d) / ln(10.0)), 6) AS abs_dev
+        FROM observed
+    """,
+    doc="Benford's-law first-digit screen over order totals: observed "
+    "leading-digit frequencies vs the log10(1 + 1/d) law — the "
+    "forensic-accounting anomaly test (fabricated or capped amounts "
+    "bend the curve; organic multiplicative amounts follow it). Nine "
+    "output rows from one digit-extraction groupBy + a broadcast "
+    "total; the synthetic fixture's uniform-ish prices will NOT fit "
+    "Benford (abs_dev shows it) — which is itself the point: the "
+    "screen flags distributions that need explaining, human or "
+    "synthetic.",
+)
+def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    total = digits.agg(F.count("*").alias("total_n"))
+    import math
+
+    observed = digits.groupBy("d").agg(F.count("*").alias("n"))
+    p_obs = F.col("n") / F.col("total_n").cast("double")
+    p_ben = F.log(1.0 + 1.0 / F.col("d")) / math.log(10.0)
+    return (
+        observed.join(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(p_obs, 6).alias("p_observed"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), 6).alias("abs_dev"),
+        )
+    )
