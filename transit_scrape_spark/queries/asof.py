@@ -274,3 +274,70 @@ def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_orders_to_date",
         "f_purchases_before",
     )
+
+
+@query(
+    "join-interval-overlap",
+    oracle="""
+        WITH sessions AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        ),
+        campaigns AS (
+            SELECT k AS campaign_id,
+                   (SELECT min(ts) FROM events) + (k * INTERVAL 40 HOUR) AS c_start,
+                   (SELECT min(ts) FROM events) + (k * INTERVAL 40 HOUR)
+                       + INTERVAL 12 HOUR AS c_end
+            FROM (SELECT unnest(range(0, 8)) AS k)
+        )
+        SELECT c.campaign_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(date_diff('second',
+                                  greatest(s.s_start, c.c_start),
+                                  least(s.s_end, c.c_end))) AS BIGINT)
+                   AS overlap_seconds
+        FROM sessions s JOIN campaigns c
+          ON s.s_start < c.c_end AND c.c_start < s.s_end
+        GROUP BY c.campaign_id
+    """,
+    doc="Interval-overlap join: per-user-day activity spans against "
+    "eight 12-hour campaign windows — pairs where the intervals "
+    "genuinely intersect (strict half-open overlap predicate), with "
+    "summed overlap duration per campaign. The campaign side is tiny "
+    "-> broadcast, so the theta predicate never degenerates to a "
+    "shuffled cross join; when BOTH interval sets are large, "
+    "bucketize time (join-range-bucketized's construction: intervals "
+    "explode to the buckets they touch, equi-join on bucket, exact "
+    "predicate re-checked) — overlap joins are the attribution/"
+    "exposure primitive of every campaign-measurement pipeline.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    campaigns = (
+        t0.select(F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"), "t0")
+        .select(
+            F.col("k").cast("long").alias("campaign_id"),
+            (F.col("t0") + F.col("k") * F.expr("INTERVAL 40 HOURS")).alias("c_start"),
+            (
+                F.col("t0")
+                + F.col("k") * F.expr("INTERVAL 40 HOURS")
+                + F.expr("INTERVAL 12 HOURS")
+            ).alias("c_end"),
+        )
+    )
+    joined = sessions.join(
+        F.broadcast(campaigns),
+        (F.col("s_start") < F.col("c_end")) & (F.col("c_start") < F.col("s_end")),
+    )
+    overlap_sec = F.unix_timestamp(
+        F.least(F.col("s_end"), F.col("c_end"))
+    ) - F.unix_timestamp(F.greatest(F.col("s_start"), F.col("c_start")))
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(overlap_sec).cast("long").alias("overlap_seconds"),
+    )

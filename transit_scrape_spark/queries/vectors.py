@@ -735,3 +735,52 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("d"), 4).alias("max_dist"),
         )
     )
+
+
+@query(
+    "embed-separation-histogram",
+    oracle="""
+        WITH sample AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 17 = 0
+        ),
+        pairs AS (
+            SELECT (a.label = b.label) AS same_label,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cos
+            FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        )
+        SELECT same_label,
+               CAST(least(greatest(floor((cos + 1.0) / 0.25), 0), 7) AS BIGINT)
+                   AS cos_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        GROUP BY 1, 2
+    """,
+    doc="Embedding separation histogram: pairwise cosine distribution "
+    "split by same-label vs cross-label over a deterministic 1/17 "
+    "sample — the eval that says whether labels are separable in "
+    "embedding space BEFORE anyone trains a probe on it (healthy: "
+    "same-label mass sits in higher-cosine buckets). Pair count is "
+    "quadratic only in the SAMPLE (the hash sample is the scale "
+    "knob; the estimate converges like any pair-sampled statistic), "
+    "8 fixed buckets keep the output schema constant. Companion to "
+    "embed-outlier-distance: that flags single bad vectors, this "
+    "grades the space.",
+)
+def embed_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
+    sample = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a, b = sample.alias("a"), sample.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        cos.alias("cos"),
+    )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("cos") + 1.0) / 0.25), F.lit(0)), F.lit(7)
+    ).cast("long")
+    return pairs.groupBy("same_label", bucket.alias("cos_bucket")).agg(
+        F.count("*").alias("n_pairs")
+    )
