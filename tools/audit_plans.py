@@ -57,6 +57,8 @@ SCALAR_BROADCAST_OPS = {
 INTENTIONAL_ALLPAIRS = {
     "join-cross",
     "geo-haversine-nearest",  # 25-nation dim, doc'd grid path at scale
+    "embed-separation-histogram",  # pair stats over a bounded hash sample
+    "join-interval-overlap",  # theta overlap vs broadcast 8-row campaign dim
 }
 
 PYTHON_SURFACE_OPS = {
