@@ -47,6 +47,8 @@ SCALAR_BROADCAST_OPS = {
     "corpus-dataset-card",     # three 1-row aggregates cross-joined
     "funnel-windowed-strict",  # three 1-row stage counts cross-joined
     "analytics-seasonal-index",# 1-row all-month-average broadcast
+    "analytics-survival-censored",  # 1-row observation-end broadcast
+    "dq-benford-screen",       # 1-row total-count broadcast
     "text-inverted-index",     # 1-row df aggregates joined conditionless
     "tpch-q11",  # decorrelated scalar subquery: value > 1-row threshold
     "tpch-q22",  # decorrelated scalar subquery: acctbal > 1-row global avg
