@@ -91,14 +91,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "cohort_week",
-            (
-                F.floor(
-                    (
-                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-                        - F.unix_timestamp(F.col("cohort_week"))
-                    )
-                    / (7 * 86400)
-                )
+            # Calendar arithmetic, not unix-seconds division: both sides are
+            # week-truncated so datediff is an exact multiple of 7 days even
+            # across DST transitions (where a "week" is 604800±3600 s and a
+            # seconds-based floor can land one week off).
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
             ).alias("week_n"),
         )
         .distinct()
@@ -324,10 +322,16 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_type"
         ),
         F.when(F.col("event_type") != "purchase", F.col("ts")).alias("touch_ts"),
+        # Tie rule from the oracle's `t.ts <= p.ts`: a touch sharing the
+        # purchase's timestamp is eligible regardless of event_id, so sort
+        # touches (side 0) before purchases (side 1) at equal ts; among
+        # equal-ts touches the oracle's `event_id DESC LIMIT 1` picks the
+        # largest event_id, which last() sees last under ascending order.
+        (F.col("event_type") == "purchase").cast("int").alias("side"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.select(

@@ -220,7 +220,7 @@ def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
-        F.lit(2).alias("side"),  # spine sorts after features at equal ts
+        F.lit(2).alias("side"),  # spine: after orders (<=), before purchases (<)
         "event_id",
         F.col("ts").alias("spine_ts"),
         F.lit(None).cast("date").alias("o_date"),
@@ -240,17 +240,17 @@ def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat_purch = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
-        F.lit(1).alias("side"),  # purchases at t == spine ts do NOT count (<)
+        F.lit(3).alias("side"),  # purchases at t == spine ts do NOT count (<)
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("timestamp").alias("spine_ts"),
         F.lit(None).cast("date").alias("o_date"),
         F.lit(0).alias("is_order"),
         F.lit(1).alias("is_purchase"),
     )
-    # purchases tie-sort BEFORE the spine (side 1 < 2) yet must not count
-    # at equal ts (strict <): subtract the equal-ts purchases afterwards —
-    # at ns timestamps exact ties don't occur in this fixture, and orders
-    # (dates, <=) sort first by side 0 so equal-date orders DO count.
+    # Tie discipline is carried by the side tag alone, independent of the
+    # fixture: orders (side 0, <= semantics) sort BEFORE the spine (side 2)
+    # so an equal-timestamp order counts, while purchases (side 3, strict <)
+    # sort AFTER it so an equal-timestamp purchase does not.
     unioned = spine.unionByName(feat_orders).unionByName(feat_purch)
     w = (
         Window.partitionBy("k")

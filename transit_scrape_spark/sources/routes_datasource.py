@@ -96,7 +96,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlSinkWriter(self.options, [f.name for f in schema.fields])
+        return JsonlSinkWriter(self.options, [f.name for f in schema.fields], overwrite)
 
 
 @dataclass
@@ -106,9 +106,10 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class JsonlSinkWriter(DataSourceWriter):
-    def __init__(self, options, field_names):
+    def __init__(self, options, field_names, overwrite: bool = True):
         self.path = options["path"]
         self.field_names = field_names
+        self.overwrite = overwrite
 
     def write(self, iterator):
         """Runs on executors, once per partition."""
@@ -134,17 +135,32 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(file=out, count=n)
 
     def commit(self, messages):
-        """Driver-side: finalize only after EVERY partition succeeded."""
+        """Driver-side: finalize only after EVERY partition succeeded.
+
+        Honors the save mode: overwrite clears the target first so a
+        re-run with fewer partitions cannot leave stale part files that
+        corrupt read-back; append renames parts to fresh indices past the
+        existing ones. Staging is removed after a successful commit."""
         import os
+        import shutil
 
         final = os.path.join(self.path, "data")
+        if self.overwrite and os.path.isdir(final):
+            shutil.rmtree(final)
         os.makedirs(final, exist_ok=True)
+        existing = sorted(n for n in os.listdir(final) if n.startswith("part-"))
+        base = len(existing)
         total = 0
-        for m in messages:
-            os.rename(m.file, os.path.join(final, os.path.basename(m.file)))
+        for i, m in enumerate(sorted(messages, key=lambda m: m.file)):
+            os.rename(m.file, os.path.join(final, f"part-{base + i:05d}.jsonl"))
             total += m.count
-        with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        succ = os.path.join(final, "_SUCCESS")
+        if not self.overwrite and os.path.exists(succ):
+            with open(succ) as f:
+                total += int(f.read() or 0)
+        with open(succ, "w") as f:
             f.write(str(total))
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
     def abort(self, messages):
         import os
