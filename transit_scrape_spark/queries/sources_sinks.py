@@ -856,3 +856,102 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# --- WFS source (the reference pipeline's front door) -------------------------
+
+def _wfs_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Canned WFS 2.0 GetFeature response (GeoServer-style JSON envelope:
+    totalFeatures/numberMatched/numberReturned/timeStamp/crs around a
+    FeatureCollection), derived deterministically from `nation`."""
+    import json
+
+    def build(d: str) -> None:
+        rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        feats = []
+        for r in rows:
+            k = r["n_nationkey"]
+            feats.append(
+                {
+                    "type": "Feature",
+                    "id": f"nation.{k}",
+                    "geometry": {
+                        "type": "LineString",
+                        "coordinates": [
+                            [float((k * 17) % 700000), float((k * 31) % 1000000)],
+                            [float((k * 17 + 500) % 700000), float((k * 31 + 800) % 1000000)],
+                        ],
+                    },
+                    "geometry_name": "geom",
+                    "properties": {
+                        "n_nationkey": k,
+                        "n_name": r["n_name"],
+                        "n_regionkey": r["n_regionkey"],
+                    },
+                }
+            )
+        doc = {
+            "type": "FeatureCollection",
+            "features": feats,
+            "totalFeatures": len(feats),
+            "numberMatched": len(feats),
+            "numberReturned": len(feats),
+            "timeStamp": "2024-01-01T00:00:00Z",
+            "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:EPSG::27700"}},
+        }
+        with open(os.path.join(d, "getfeature_response.json"), "w") as f:
+            json.dump(doc, f)
+
+    return fixture_dir("tss_wfs", sf_dir, build)
+
+
+@query(
+    "source-wfs",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               'LineString' AS geometry_type,
+               CAST(2 AS BIGINT) AS n_points,
+               'wfs_getfeature.geojson' AS source_file
+        FROM nation
+    """,
+    doc="WFS GetFeature source (the reference pipeline's front door; its "
+    "dead endpoint constant is /root/reference/src/utils/constants.py:1-3 "
+    "— in practice its inputs arrive as files, exactly what this op "
+    "models): build_getfeature_url() constructs the WFS 2.0 request, "
+    "fetch_wfs_to_geojson() lands the response (offline here via a "
+    "file:// transport over a canned GeoServer-style GetFeature "
+    "envelope; swap the scheme for https against a live server), and "
+    "the landed document feeds the ordinary distributed scan-geojson "
+    "path — extra envelope keys (totalFeatures/crs/timeStamp) are "
+    "ignored by schema shape. Driver-side fetch + distributed parse is "
+    "the right split at scale: the fetch is one HTTP response, the "
+    "parse/flatten/downstream joins are the data-parallel work.",
+)
+def source_wfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from transit_scrape_spark.sources.wfs import (
+        build_getfeature_url,
+        fetch_wfs_to_geojson,
+    )
+
+    d = _wfs_fixture_dir(spark, sf_dir)
+    canned = os.path.join(d, "getfeature_response.json")
+    url = build_getfeature_url(f"file://{canned}", "tss:nation")
+    staged = os.path.join(d, "wfs_getfeature.geojson")
+    if not os.path.exists(staged):
+        # fetch to a temp name, then atomically publish — a concurrent
+        # session sees either nothing (and fetches its own) or all of it
+        tmp = f"{staged}.tmp-{uuid.uuid4().hex[:8]}"
+        fetch_wfs_to_geojson(url, tmp)
+        os.replace(tmp, staged)
+    feats = read_geojson_features(spark, staged)
+    return feats.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        "geometry_type",
+        F.size("coordinates").cast("long").alias("n_points"),
+        "source_file",
+    )

@@ -43,6 +43,14 @@ def fetch_wfs_to_geojson(url: str, out_path: str, timeout: int = 60) -> str:
         from urllib.request import urlopen
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("no urllib available") from e
+    from urllib.parse import urlsplit
+
+    if urlsplit(url).scheme == "file":
+        # Offline transport: a canned GetFeature response served from
+        # disk (tests / air-gapped runs). The filesystem takes no query
+        # string, so drop the WFS params the URL builder attached — the
+        # response file IS the answer to that query.
+        url = url.split("?", 1)[0]
     try:
         with urlopen(url, timeout=timeout) as r, open(out_path, "wb") as f:
             f.write(r.read())
