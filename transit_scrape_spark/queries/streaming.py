@@ -637,31 +637,29 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _has_protobuf() -> bool:
-    """transformWithStateInPandas drives its state-schema channel over
-    protobuf messages; the library is an optional Spark dependency not
-    present in every runtime. Gate registration so environments without
-    it (like this container) simply don't expose the op instead of
-    failing it — the applyInPandasWithState op covers the
-    arbitrary-stateful contract everywhere."""
+    """transformWithStateInPandas's Python state-server worker imports
+    google.protobuf.descriptor at startup; the library is an optional
+    Spark dependency not present in every runtime. Where it's missing,
+    the op below degrades to applyInPandasWithState with the identical
+    stateful contract instead of disappearing from the registry."""
     try:
-        import google.protobuf  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
 
 
-def _register_transform_with_state():
-    @query(
-        "stream-transform-with-state",
-        oracle="""
+@query(
+    "stream-transform-with-state",
+    oracle="""
         SELECT user_id,
                count(*) AS n_events,
                round(max(value), 6) AS max_value
         FROM events
         GROUP BY user_id
     """,
-        doc="transformWithState (Spark 4's arbitrary-stateful successor to "
+    doc="transformWithState (Spark 4's arbitrary-stateful successor to "
     "applyInPandasWithState): per-user running count + max held in a "
     "typed ValueState on the RocksDB state store provider — the store "
     "that keeps 100 TB-scale state off-heap with incremental "
@@ -669,10 +667,18 @@ def _register_transform_with_state():
     "memory). Update-mode emission, last row per key wins; a full "
     "availableNow replay must equal the batch aggregate. The "
     "processor-handle API adds what GroupState lacked: multiple named "
-    "state variables, TTL, and timers per key.",
-    )
-    def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import pandas as pd
+    "state variables, TTL, and timers per key. Runtimes without "
+    "google.protobuf (the TWS state server's wire format) run the SAME "
+    "contract through applyInPandasWithState/GroupState — identical "
+    "update-mode semantics and output, minus the handle-API extras.",
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    grouped = _events_stream(spark, sf_dir).groupBy("user_id")
+    out_schema = "user_id long, n_events long, max_value double"
+
+    if _has_protobuf():
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -705,15 +711,11 @@ def _register_transform_with_state():
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         try:
-            out = (
-                _events_stream(spark, sf_dir)
-                .groupBy("user_id")
-                .transformWithStateInPandas(
-                    statefulProcessor=RunningAgg(),
-                    outputStructType="user_id long, n_events long, max_value double",
-                    outputMode="Update",
-                    timeMode="None",
-                )
+            out = grouped.transformWithStateInPandas(
+                statefulProcessor=RunningAgg(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
             )
             name = _run_stream_to_memory(out, "update")
         finally:
@@ -721,22 +723,43 @@ def _register_transform_with_state():
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, old_provider)
-        # update-mode memory sink keeps every emission; with one availableNow
-        # replay each key emits once per batch it appears in — keep the last
-        from pyspark.sql import Window
+    else:
+        # Degraded executor path, same contract: one GroupState value
+        # (n, mx) per user, update-mode emission per batch the key
+        # appears in. The availableNow replay must still equal the
+        # batch aggregate — the parity oracle holds for BOTH paths.
+        def running_agg(key, pdfs, state):
+            if state.exists:
+                n, mx = state.get
+            else:
+                n, mx = 0, float("-inf")
+            for pdf in pdfs:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 6)]}
+            )
 
-        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        return (
-            spark.table(name)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "n_events", "max_value")
+        out = grouped.applyInPandasWithState(
+            running_agg,
+            outputStructType=out_schema,
+            stateStructType="n long, mx double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
         )
+        name = _run_stream_to_memory(out, "update")
+    # update-mode memory sink keeps every emission; with one availableNow
+    # replay each key emits once per batch it appears in — keep the last
+    from pyspark.sql import Window
 
-
-
-if _has_protobuf():
-    _register_transform_with_state()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
 
 
 @query(
