@@ -11,8 +11,12 @@ stderr.
 
 Timing = wall-clock of the full action (plan + execute + materialize
 every output column via the noop datasource — a bare count() would let
-Catalyst prune the projections being measured) after one warm-up to
-absorb JVM/session startup.
+Catalyst prune the projections being measured). Per BASELINE.md §2's
+frozen protocol each op is timed as the MEDIAN of
+$SPARK_GRAFT_BENCH_REPS runs (default 3) after one global warm-up —
+a single timing conflates first-run codegen/plan-compile cost with the
+op (r2's phantom tpch-q14/sink-ddl "regressions" were exactly that
+noise: cold 2.5s vs warm steady-state 0.52s).
 """
 
 from __future__ import annotations
@@ -51,16 +55,20 @@ def main() -> None:
     except Exception:
         pass  # datasource warm-up is best-effort
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for op_id, spec in sorted(registry().items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[len(runs) // 2]  # median
         timings[op_id] = round(dt, 4)
         total += dt
-        print(f"# {op_id}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {op_id}: {dt:.3f}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {

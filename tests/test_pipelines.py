@@ -126,6 +126,41 @@ def test_reprojection_golden(spark):
     assert 0.0001 < (row["lat"] - 52.657570) < 0.001
 
 
+def test_gridshift_bilinear_golden(spark):
+    """Grid+bilinear pipeline reproduces the underlying shift field to
+    <1 cm at off-node points (the OSTN15 architecture guarantee: with
+    the real grid file dropped in, the correction is cm-accurate).
+    Points deliberately placed AT cell interiors, edges, and near-node
+    positions across the GB extent."""
+    from pyspark.sql import functions as F
+
+    from transit_scrape_spark.functions.geo import (
+        build_shift_grid_cells,
+        gridshift_apply,
+        ostn15_like_shift_exprs,
+    )
+
+    pts = [
+        (651409.903, 313177.270),  # OS guide control point
+        (325940.0, 673060.0),      # Edinburgh (node-aligned)
+        (123456.789, 987654.321),  # arbitrary interior
+        (5000.0, 5000.0),          # cell centre, SW corner of grid
+        (699999.9, 1249999.9),     # NE extreme, just inside the grid
+        (300000.1, 600000.1),      # just past a node
+    ]
+    df = spark.createDataFrame(pts, "e double, n double")
+    out = gridshift_apply(df, build_shift_grid_cells(spark))
+    se_true, sn_true = ostn15_like_shift_exprs(F.col("e"), F.col("n"))
+    rows = out.select(
+        (F.abs(F.col("shift_e") - se_true)).alias("err_e"),
+        (F.abs(F.col("shift_n") - sn_true)).alias("err_n"),
+    ).collect()
+    assert len(rows) == len(pts)
+    for r in rows:
+        assert r["err_e"] < 0.01, f"bilinear E error {r['err_e']} m >= 1 cm"
+        assert r["err_n"] < 0.01, f"bilinear N error {r['err_n']} m >= 1 cm"
+
+
 def test_gridref_golden(spark):
     """Docstring vector from the reference (geotiles.py:18): Edinburgh
     (325940, 673060) -> 'NT 25940 73060' at precision 10."""

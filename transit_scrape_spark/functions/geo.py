@@ -102,6 +102,89 @@ def bounding_box(coords: Column) -> Column:
     )
 
 
+# --- grid-shift correction (OSTN15 architecture) --------------------------
+
+GRID_CELL_M = 10_000.0  # shift-grid node spacing in metres
+GRID_NI = 70  # cells east-west  (0..700 km)
+GRID_NJ = 125  # cells north-south (0..1250 km)
+
+
+def ostn15_like_shift_exprs(e: Column, n: Column) -> tuple[Column, Column]:
+    """Closed-form (shift_e, shift_n) metres at easting/northing (e, n).
+
+    Synthetic stand-in for the OSTN15 shift field (the real grid is
+    Crown-copyright data not shippable here): OSTN15-like magnitudes
+    (~+91 m E, ~-72 m N) varying smoothly across GB, wavelengths
+    >= 1250 km so a 10 km grid + bilinear reproduces it to < 1 cm
+    (curvature bound h^2/8 * max|f''| ~ 2.5 mm). The production path
+    swaps these two expressions for a read of the real OSTN15 grid
+    file; everything downstream (grid build, broadcast join, bilinear)
+    is unchanged. Reference anchor: grid-aware ``to_crs``
+    (/root/reference/src/process_cycle_networks.py:112).
+    """
+    se = (
+        F.lit(91.0)
+        + 8.0 * F.sin(e / 200000.0)
+        + 5.0 * F.cos(n / 300000.0)
+        + 2.0 * F.sin((e + n) / 400000.0)
+    )
+    sn = (
+        F.lit(-72.0)
+        + 6.0 * F.cos(e / 250000.0)
+        + 7.0 * F.sin(n / 350000.0)
+        + 2.0 * F.cos((e - n) / 450000.0)
+    )
+    return se, sn
+
+
+def build_shift_grid_cells(spark) -> "DataFrame":  # noqa: F821
+    """Per-cell shift-grid table: (ci, cj) -> the 4 corner shifts.
+
+    One row per 10 km cell over the GB extent (70 x 125 = 8750 rows,
+    ~0.5 MB — broadcastable at any cluster size; the real OSTN15 grid
+    at 1 km spacing is ~700k rows / ~40 MB, still broadcast range).
+    Packing the 4 corners per cell makes the lookup a SINGLE broadcast
+    equi-join on (ci, cj) instead of 4 joins on node ids.
+    """
+    cells = spark.range(GRID_NI * GRID_NJ).select(
+        (F.col("id") % GRID_NI).cast("long").alias("ci"),
+        (F.col("id") / GRID_NI).cast("long").alias("cj"),
+    )
+    e0 = F.col("ci").cast("double") * GRID_CELL_M
+    n0 = F.col("cj").cast("double") * GRID_CELL_M
+    e1 = e0 + GRID_CELL_M
+    n1 = n0 + GRID_CELL_M
+    out = cells
+    for tag, (ce, cn) in {
+        "00": (e0, n0), "10": (e1, n0), "01": (e0, n1), "11": (e1, n1),
+    }.items():
+        se, sn = ostn15_like_shift_exprs(ce, cn)
+        out = out.withColumn(f"se{tag}", se).withColumn(f"sn{tag}", sn)
+    return out
+
+
+def gridshift_apply(points: "DataFrame", cells: "DataFrame") -> "DataFrame":  # noqa: F821
+    """points(e, n, ...) -> + (shift_e, shift_n) via broadcast grid join
+    + bilinear interpolation, all whole-stage codegen (no Python).
+    """
+    pts = points.withColumn(
+        "ci", F.floor(F.col("e") / GRID_CELL_M).cast("long")
+    ).withColumn("cj", F.floor(F.col("n") / GRID_CELL_M).cast("long"))
+    j = pts.join(F.broadcast(cells), ["ci", "cj"], "inner")
+    tx = (F.col("e") - F.col("ci").cast("double") * GRID_CELL_M) / GRID_CELL_M
+    ty = (F.col("n") - F.col("cj").cast("double") * GRID_CELL_M) / GRID_CELL_M
+
+    def bilin(p: str) -> Column:
+        return (
+            F.col(f"{p}00") * (1 - tx) * (1 - ty)
+            + F.col(f"{p}10") * tx * (1 - ty)
+            + F.col(f"{p}01") * (1 - tx) * ty
+            + F.col(f"{p}11") * tx * ty
+        )
+
+    return j.withColumn("shift_e", bilin("se")).withColumn("shift_n", bilin("sn"))
+
+
 # --- reprojection (the one pandas_udf) ------------------------------------
 
 def reproject_bng_to_wgs84_udf():

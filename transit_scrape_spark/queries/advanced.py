@@ -124,44 +124,92 @@ def simsearch_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 8
+KMEANS_ITERS = 2
 
 
-def _sql_centroid(c: int) -> str:
-    return f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {c * 7 + 2})"
+def _kmeans_assign_sql(vecs: str, cents: str, out: str) -> str:
+    """One Lloyd assignment: each vector -> nearest centroid by squared
+    L2 (list_zip lambda keeps the element-wise summation order identical
+    to Spark's F.aggregate accumulate), ties broken by lowest cell."""
+    return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT {vecs}.vec_id, {vecs}.v, {cents}.cell,
+                       row_number() OVER (PARTITION BY {vecs}.vec_id
+                           ORDER BY list_sum(list_transform(
+                               list_zip({vecs}.v, {cents}.c),
+                               x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                               {cents}.cell) AS rn
+                FROM {vecs} CROSS JOIN {cents}
+            ) t WHERE rn = 1
+        )"""
+
+
+def _kmeans_update_sql(assigned: str, old: str, out: str) -> str:
+    """Lloyd update: per-cell element-wise mean (rounded to 9 dp to
+    absorb summation-order last-bit drift vs Spark's partial aggs);
+    empty cells keep their previous centroid."""
+    return f"""
+        {out}_m AS (
+            SELECT cell, idx, round(avg(v[idx]), 9) AS m
+            FROM {assigned} CROSS JOIN range(1, {DIM + 1}) AS r(idx)
+            GROUP BY cell, idx
+        ),
+        {out} AS (
+            SELECT {old}.cell, coalesce(l.c, {old}.c) AS c
+            FROM {old} LEFT JOIN (
+                SELECT cell, list(m ORDER BY idx) AS c FROM {out}_m GROUP BY cell
+            ) l USING (cell)
+        )"""
+
+
+def _ivf_kmeans_oracle() -> str:
+    init_ids = ", ".join(str(c * 7 + 2) for c in range(N_CENTROIDS))
+    parts = [
+        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (
+            SELECT CAST((vec_id - 2) // 7 + 1 AS BIGINT) AS cell, v AS c
+            FROM vecs WHERE vec_id IN ({init_ids})
+        )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(_kmeans_assign_sql("vecs", f"c{it}", f"a{it + 1}"))
+        parts.append(_kmeans_update_sql(f"a{it + 1}", f"c{it}", f"c{it + 1}"))
+    parts.append(_kmeans_assign_sql("vecs", f"c{KMEANS_ITERS}", "af"))
+    parts.append("q AS (SELECT v AS qv, cell AS qcell FROM af WHERE vec_id = 1)")
+    return f"""
+        WITH {", ".join(parts)}
+        SELECT af.vec_id,
+               round(list_dot_product(af.v, q.qv)
+                     / (sqrt(list_dot_product(af.v, af.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        FROM af, q
+        WHERE af.cell = q.qcell AND af.vec_id <> 1
+        ORDER BY sim DESC, vec_id
+        LIMIT 5
+    """
 
 
 @query(
     "simsearch-ivf-probe",
-    oracle=f"""
-        WITH dists AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   [{", ".join(
-                       f"list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_centroid(c)})"
-                       for c in range(N_CENTROIDS)
-                   )}] AS cd
-            FROM embeddings
-        ), assigned AS (
-            SELECT vec_id, v, list_position(cd, list_max(cd)) AS cell FROM dists
-        ), q AS (SELECT v AS qv, cell AS qcell FROM assigned WHERE vec_id = 1)
-        SELECT vec_id,
-               round(list_dot_product(v, (SELECT qv FROM q))
-                     / (sqrt(list_dot_product(v, v))
-                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS sim
-        FROM assigned
-        WHERE cell = (SELECT qcell FROM q) AND vec_id <> 1
-        ORDER BY sim DESC, vec_id
-        LIMIT 5
-    """,
-    doc="IVF-style ANN probe: 8 deterministic centroids (sampled by "
-    "vec_id), each vector assigned to its max-dot-product cell, query "
-    "probes only its own cell then ranks exact cosine top-k. The "
-    "centroid list is a broadcast; cell is a partition key at scale "
-    "(train real centroids with k-means offline, same plan shape).",
+    oracle=_ivf_kmeans_oracle(),
+    doc="IVF ANN probe with centroids TRAINED by distributed Lloyd "
+    "k-means (2 iterations, deterministic vec_id-sampled init): each "
+    "iteration is one groupBy(cell) with 64 element-wise avg aggregates "
+    "(map-side partial aggregation; one shuffle of k x dim partials per "
+    "iteration) followed by an O(k*dim) centroid collect — the MLlib "
+    "KMeans shape, driver traffic independent of corpus size. Squared-L2 "
+    "assignment against broadcast centroid literals is pure codegen. "
+    "Final: query probes only its own cell, exact cosine top-k within. "
+    "Cell is a partition key at scale; centroids round to 9 dp each "
+    "iteration so the DuckDB oracle (same unrolled Lloyd steps) matches "
+    "independent of Spark's partial-agg summation order.",
 )
 def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # one driver job for all centroids (a per-centroid collect loop is
-    # N_CENTROIDS sequential round-trips — the r1 bench's slowest op)
+    # init: one driver job fetches the k sampled seed vectors (a
+    # per-centroid collect loop is k sequential round-trips — the r1
+    # bench's slowest op)
     cent_ids = [c * 7 + 2 for c in range(N_CENTROIDS)]
     fetched = {
         r["vec_id"]: r["cv"]
@@ -169,26 +217,41 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double(F.col("embedding")).alias("cv"))
         .collect()
     }
-    cents = [fetched[i] for i in cent_ids]
+    cents = [list(fetched[i]) for i in cent_ids]
 
-    def _dot_lit(v, cv):
+    def _sqdist_lit(v, cv):
         return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in cv]), lambda a, b: a * b),
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in cv]),
+                lambda a, b: (a - b) * (a - b),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
     v = as_double(F.col("embedding"))
-    tagged = e.select("vec_id", v.alias("v")).select(
-        "vec_id",
-        "v",
-        F.array(*[_dot_lit(F.col("v"), cv) for cv in cents]).alias("cd"),
-    )
-    assigned = tagged.select(
-        "vec_id",
-        "v",
-        (F.array_position(F.col("cd"), F.array_max(F.col("cd")))).alias("cell"),
-    )
+    vecs = e.select("vec_id", v.alias("v"))
+
+    def assign(df: DataFrame, cs: list[list[float]]) -> DataFrame:
+        dists = F.array(*[_sqdist_lit(F.col("v"), cv) for cv in cs])
+        return df.select(
+            "vec_id",
+            "v",
+            F.array_position(dists, F.array_min(dists)).alias("cell"),
+        )
+
+    # Lloyd iterations: assignment is lazy/codegen; the update's collect
+    # moves only k*dim doubles to the driver (MLlib KMeans does the same)
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(vecs, cents)
+        means = assigned.groupBy("cell").agg(
+            *[F.round(F.avg(F.col("v")[i]), 9).alias(f"m{i}") for i in range(DIM)]
+        )
+        got = {int(r["cell"]): [r[f"m{i}"] for i in range(DIM)] for r in means.collect()}
+        cents = [got.get(c + 1, cents[c]) for c in range(N_CENTROIDS)]
+
+    assigned = assign(vecs, cents)
     q = assigned.filter(F.col("vec_id") == 1).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
     )

@@ -86,8 +86,11 @@ def _events_stream(spark: SparkSession, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
@@ -550,8 +553,11 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = fixture_dir("tss_dedup_wm", sf_dir, build)
     raw = load_events_raw(spark, sf_dir)
     sdf = spark.readStream.schema(raw.schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     total = sdf.sparkSession.read.parquet(stage).count()
     dedup = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]

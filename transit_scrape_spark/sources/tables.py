@@ -28,7 +28,23 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType (LTZ).
+
+    The driver's fixture generator has emitted two physical timestamp
+    encodings across rounds — TIMESTAMP(NANOS) and, since r3,
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark reads as NTZ.
+    Ops were written against LTZ timestamps (NTZ forbids casts to
+    numeric, and unix_timestamp/window semantics differ), so pin the
+    loader output to LTZ; with the UTC session timezone the wall-clock
+    values equal DuckDB's naive read of the same file either way."""
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
 
 
 def _ensure_nanos_as_long(spark: SparkSession) -> None:
@@ -48,11 +64,18 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as a proper TimestampType (nanos truncated to
-    micros — identical to how DuckDB reads the same file)."""
+    """events with ts normalized to TimestampType regardless of the
+    fixture's physical type — TIMESTAMP(NANOS) reads as long under the
+    legacy flag (truncate to micros), TIMESTAMP(MICROS, not-UTC-adjusted)
+    reads as TIMESTAMP_NTZ (cast to LTZ; with the UTC session timezone
+    pinned in registry._pin_session_confs the wall-clock values are
+    identical to DuckDB's naive read of the same file)."""
     df = load_events_raw(spark, sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
