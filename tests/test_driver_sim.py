@@ -1,0 +1,69 @@
+"""Full-registry driver simulation (VERDICT r2 item 6).
+
+The external driver validates a random ~50-op sample per round with its
+OWN vanilla SparkSession; ops outside the sample only ever run under
+our configured test session. This test closes that gap: one subprocess
+builds a session with NONE of our session.py configs (only master +
+shuffle-partition count, which affect speed not semantics) and replays
+the oracle comparison for EVERY registered op in a single session —
+so the next random 50 can't surprise.
+
+Subprocess isolation is required: pytest's session-scoped SparkSession
+owns the JVM, and getOrCreate() inside the same process would inherit
+its configs.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SWEEP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim-sweep")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+from oracle_harness import compare, duck_conn
+
+sf = "/root/testdata/sf0.01"
+q, o = e.queries(), e.oracle_sql()
+con = duck_conn(sf)
+failed = []
+for op in sorted(q):
+    try:
+        compare(q[op](spark, sf), con, o[op], op)
+    except Exception as ex:
+        failed.append(op)
+        print("FAIL " + op + ": " + str(ex)[:300], flush=True)
+print("SWEEP %d/%d green" % (len(q) - len(failed), len(q)), flush=True)
+sys.exit(1 if failed else 0)
+"""
+
+
+def test_full_registry_driver_sim():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _SWEEP.format(repo=repo, tests=os.path.join(repo, "tests"))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=repo,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-40:])
+    assert proc.returncode == 0, (
+        f"driver-sim sweep failed:\n{tail}\n--- stderr tail ---\n"
+        + "\n".join(proc.stderr.splitlines()[-15:])
+    )
+    assert "SWEEP" in proc.stdout

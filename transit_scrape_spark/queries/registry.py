@@ -84,6 +84,7 @@ def _load_all() -> None:
         asof,
         batteries,
         curation,
+        frontier,
         geo,
         graph,
         maintenance,
