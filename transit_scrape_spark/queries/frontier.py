@@ -191,3 +191,70 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join-bloom-runtime-filter",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l.l_extendedprice), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+    doc="Runtime bloom-filter semi-join reduction (Spark 3.3+ "
+    "InjectRuntimeFilter): the selective dim side (urgent orders) "
+    "builds a bloom filter that is pushed into the fact scan as a "
+    "might-contain predicate, so lineitem rows that cannot join are "
+    "dropped AT THE SCAN, before the shuffle — at 100 TB this is the "
+    "difference between shuffling the whole fact table and shuffling "
+    "the ~20% that survives. Thresholds are lowered inside the op so "
+    "the tiny test tables actually trip the injection rule "
+    "(production defaults: 10 MB creation side / 10 GB application "
+    "side); confs restored try/finally, result materialized eagerly "
+    "via localCheckpoint while they are in force. Values must equal "
+    "the plain join (the filter is sound: false positives only).",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # InjectRuntimeFilter skips joins that will broadcast (a
+        # broadcast join already prunes at the scan); disable
+        # auto-broadcast so the test-scale join takes the shuffle path
+        # it would take at 100 TB, where neither side broadcasts
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        out = joined.groupBy("l_returnflag").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        # the point of the exercise: the bloom filter reached the scan
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        return out.localCheckpoint()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)

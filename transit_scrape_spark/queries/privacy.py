@@ -131,3 +131,51 @@ def privacy_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 4).alias("released_n"),
         F.round(F.abs(noise), 4).alias("abs_noise"),
     )
+
+
+_L = 3
+
+
+@query(
+    "privacy-l-diversity",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_nationkey,
+                   c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS k_size,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                        AS BIGINT)) AS BIGINT) AS l_distinct
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+               c_mktsegment,
+               k_size,
+               l_distinct,
+               l_distinct < {_L} AS violates_l
+        FROM cells
+    """,
+    doc="l-diversity audit, the companion release gate to "
+    "privacy-k-anonymity: a quasi-identifier cell can be k-anonymous "
+    "yet leak the sensitive attribute if every member shares one "
+    "value (homogeneity attack). Per (nation, segment) cell: group "
+    "size k AND distinct sensitive-value count l (acctbal banded to "
+    "1k); cells with l < 3 are flagged. count(DISTINCT) per group is "
+    "a two-stage partial-distinct aggregate — same single-shuffle "
+    "shape at 100 TB as the k-anonymity scan, so the combined audit "
+    "is one pass per table.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k_size"),
+        F.countDistinct(band).cast("long").alias("l_distinct"),
+    )
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_size",
+        "l_distinct",
+        (F.col("l_distinct") < _L).alias("violates_l"),
+    )

@@ -358,3 +358,123 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "timeseries-ewma",
+    oracle=f"""
+        WITH folded AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_obs,
+                   list_reduce(list(value ORDER BY ts, event_id),
+                               (acc, x) -> {1 - EWMA_ALPHA} * acc
+                                           + {EWMA_ALPHA} * x) AS ewma
+            FROM events
+            GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT user_id, day, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(floor(ewma * 1000000 + 0.5) AS BIGINT) AS ewma_e6
+        FROM folded
+    """,
+    doc="Exponentially-weighted moving average per (user, day): events "
+    "sorted by (ts, event_id) inside each group, then a sequential "
+    "left fold y = (1-a)*y + a*x (pandas ewm(adjust=False) semantics; "
+    "seed = first observation). The fold runs as array_sort(collect_"
+    "list(struct)) + F.aggregate — pure codegen, one shuffle on the "
+    "group key, state bounded by the per-day event count. The naive "
+    "closed form sum(x_i*(1-a)^(t-i)) overflows (1-a)^(-i) for long "
+    "histories; the fold is exact at any length. At 100 TB, day-"
+    "segmented folds recombine exactly because the recurrence is "
+    "linear: a segment folds to (scale, offset) = ((1-a)^n, partial), "
+    "and segments compose by function composition — the same "
+    "mergeable-partial-aggregate shape as variance merging. DuckDB "
+    "list_reduce replays the identical ordered fold, so the raw doubles "
+    "match bit-for-bit; the output quantizes via floor(x*1e6 + 0.5) "
+    "(double arithmetic only) because engine round() implementations "
+    "disagree on exact-halfway decimals like 32.3278955 — Spark "
+    "HALF_UPs the shortest decimal repr, DuckDB rounds the binary "
+    "double, and quantized fixture values make such halfway folds "
+    "common enough to matter.",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = EWMA_ALPHA
+    grouped = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value")))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(1 - a) * acc + F.lit(a) * x,
+    )
+    return grouped.select(
+        "user_id",
+        "day",
+        "n_obs",
+        F.floor(ewma * 1000000 + 0.5).cast("long").alias("ewma_e6"),
+    )
+
+
+@query(
+    "timeseries-resample-ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bar_ts,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+               round(max(value), 6) AS high,
+               round(min(value), 6) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+               CAST(count(*) AS BIGINT) AS n_ticks
+        FROM ranked
+        GROUP BY event_type, bar_ts
+    """,
+    doc="OHLC bar resampling (the financial downsample; same shape as "
+    "any first/last-in-bucket rollup): open/close picked by two "
+    "row_number windows ordered (ts, event_id) asc/desc — deterministic "
+    "under timestamp ties, unlike min_by/max_by on a non-unique sort "
+    "key — high/low/count by plain aggregates. One window sort + one "
+    "groupBy, both partitioned by (event_type, hour): a single shuffle "
+    "at scale, and bars land pre-partitioned for time-range serving.",
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_ts").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count("*").cast("long").alias("n_ticks"),
+    )
