@@ -258,3 +258,42 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE tree AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS depth,
+               CAST(n_nationkey AS {str_t}) AS path
+        FROM nation WHERE n_nationkey = 0
+        UNION ALL
+        SELECT CAST(c.n_nationkey AS BIGINT),
+               t.depth + 1,
+               t.path || '->' || CAST(c.n_nationkey AS {str_t})
+        FROM nation c JOIN tree t
+          ON CAST(floor((c.n_nationkey - 1) / 5) AS BIGINT) = t.node
+         AND c.n_nationkey > 0
+    )
+    SELECT node, depth, path FROM tree
+"""
+
+
+@query(
+    "sql-recursive-cte",
+    oracle=_RCTE_SQL.format(str_t="VARCHAR"),
+    doc="WITH RECURSIVE (new in Spark 4.0 — closes the one ANSI gap "
+    "the graph module's driver-loop ops worked around): hierarchy "
+    "walk over an acyclic parent tree (parent(k) = floor((k-1)/5)) "
+    "accumulating depth and the root->node path string. Each "
+    "recursion step is a join of the previous frontier against the "
+    "dim — the engine runs the same iterate-until-empty loop "
+    "graph-components-iterative codes by hand, but planned natively. "
+    "Acyclic + UNION ALL keeps Spark and DuckDB semantics identical "
+    "(cyclic graphs need UNION dedup, which the engines stage "
+    "differently). For unbounded 100 TB hierarchies prefer the "
+    "driver-loop with checkpointing; recursive CTE state lives in one "
+    "query execution.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RCTE_SQL.format(str_t="STRING"))

@@ -955,3 +955,41 @@ def source_wfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("coordinates").cast("long").alias("n_points"),
         "source_file",
     )
+
+
+@query(
+    "sink-orc-roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+    """,
+    doc="ORC write + read round-trip (the reference's sink surface is "
+    "Postgres-only, db_helpers.py:94-123; a Spark warehouse speaks "
+    "both columnar formats): positive-balance customers written to a "
+    "content-keyed ORC fixture with the same predicate-pushdown/"
+    "column-pruning properties as parquet (ORC carries min/max strides "
+    "+ bloom indexes), read back and aggregated. The oracle aggregates "
+    "the original table — the round-trip must be lossless including "
+    "double precision.",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.fixtures import fixture_dir
+
+    def build(d: str) -> None:
+        (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 0)
+            .write.mode("overwrite")
+            .orc(f"{d}/data")
+        )
+
+    path = fixture_dir("tss_orc", sf_dir, build) + "/data"
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -778,3 +778,128 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
         )
     )
+
+
+# --- BPE merge training -----------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+),
+seq0 AS (
+    SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seq,
+           cnt
+    FROM words
+),
+p1 AS (
+    SELECT pair, sum(cnt) AS total FROM (
+        SELECT l[i] || '  ' || l[i+1] AS pair, cnt
+        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM seq0),
+             unnest(range(1, len(l))) AS t(i)
+    ) GROUP BY pair
+),
+m1 AS (SELECT pair FROM p1 ORDER BY total DESC, pair LIMIT 1),
+seq1 AS (
+    SELECT replace(seq, ' ' || (SELECT pair FROM m1) || ' ',
+                   ' ' || replace((SELECT pair FROM m1), '  ', '') || ' ')
+               AS seq,
+           cnt
+    FROM seq0
+),
+p2 AS (
+    SELECT pair, sum(cnt) AS total FROM (
+        SELECT l[i] || '  ' || l[i+1] AS pair, cnt
+        FROM (SELECT string_split(trim(seq), '  ') AS l, cnt FROM seq1),
+             unnest(range(1, len(l))) AS t(i)
+    ) GROUP BY pair
+),
+top1 AS (SELECT 1 AS round, replace(pair, '  ', '+') AS pair,
+                CAST(total AS BIGINT) AS total
+         FROM p1 ORDER BY total DESC, pair LIMIT 5),
+top2 AS (SELECT 2 AS round, replace(pair, '  ', '+') AS pair,
+                CAST(total AS BIGINT) AS total
+         FROM p2 ORDER BY total DESC, pair LIMIT 5)
+SELECT CAST(round AS INT) AS round, pair, total
+FROM (SELECT * FROM top1 UNION ALL SELECT * FROM top2)
+"""
+
+
+@query(
+    "text-bpe-train",
+    oracle=_BPE_ORACLE,
+    doc="Distributed BPE merge training (2 unrolled rounds), the "
+    "tokenizer-construction step of an LLM data pipeline: corpus -> "
+    "word-frequency table (the HF-tokenizers pre-aggregation — pair "
+    "counting then scales with VOCABULARY, not corpus bytes), symbols "
+    "as double-space-joined sequences (' t  h  e '), adjacent-pair "
+    "counts weighted by word frequency, top pair merged via boundary-"
+    "safe string replace (single-space borders + double-space "
+    "separators make ' x  y ' unable to match inside a multi-char "
+    "symbol; leftmost non-overlapping replace = greedy BPE merge "
+    "order, and Spark/DuckDB replace() agree on it). Each round is "
+    "one explode + groupBy (shuffle bounded by pair-vocabulary) and "
+    "a 1-row broadcast of the winning pair. Output: top-5 pairs per "
+    "round; round 2 counts prove the round-1 merge was applied "
+    "(merged symbols appear as new pair halves).",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    seq0 = words.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("word", ""), "  "), F.lit(" ")
+        ).alias("seq"),
+        "cnt",
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        symbols = F.split(F.trim(F.col("seq")), "  ")
+        prs = F.zip_with(
+            F.slice(symbols, 1, F.size(symbols) - 1),
+            F.slice(symbols, 2, F.size(symbols) - 1),
+            lambda x, y: F.concat(x, F.lit("  "), y),
+        )
+        return (
+            df.select(F.explode(prs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+        )
+
+    p1 = pair_counts(seq0)
+    m1 = p1.orderBy(F.col("total").desc(), "pair").limit(1).select(
+        F.col("pair").alias("mpair")
+    )
+    seq1 = seq0.crossJoin(F.broadcast(m1)).select(
+        F.replace(
+            F.col("seq"),
+            F.concat(F.lit(" "), F.col("mpair"), F.lit(" ")),
+            F.concat(
+                F.lit(" "),
+                F.replace(F.col("mpair"), F.lit("  "), F.lit("")),
+                F.lit(" "),
+            ),
+        ).alias("seq"),
+        "cnt",
+    )
+    p2 = pair_counts(seq1)
+
+    def top5(p: DataFrame, rnd: int) -> DataFrame:
+        return (
+            p.orderBy(F.col("total").desc(), "pair")
+            .limit(5)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.replace(F.col("pair"), F.lit("  "), F.lit("+")).alias("pair"),
+                "total",
+            )
+        )
+
+    return top5(p1, 1).unionByName(top5(p2, 2))
