@@ -205,3 +205,36 @@ def test_identical_aggregate_exchange_is_reused(spark, sf_dir):
     df.collect()  # AQE finalizes stage reuse at execution
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "Reused" in s  # ReusedExchange / reused query stage
+
+
+def test_gridshift_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "geo-reproject-gridshift")
+    assert "BroadcastHashJoin" in p  # grid cells broadcast, fact never shuffles
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # bilinear is pure codegen
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "graph-triangle-count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # wedge closing is equi-join only
+
+
+def test_ewma_fold_is_codegen(spark, sf_dir):
+    p = _plan(spark, sf_dir, "timeseries-ewma")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p  # the fold is a JVM higher-order function
+    df = registry()["timeseries-ewma"].fn(spark, sf_dir)
+    assert exchange_count(df) == 1  # one shuffle on (user, day)
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    # union + two window carries share one hash partitioning on the key
+    df = registry()["join-asof-nearest"].fn(spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_bpe_pair_counts_bound_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "text-bpe-train")
+    assert "BatchEvalPython" not in p  # merges are string expressions
+    assert "CartesianProduct" not in p  # 1-row merge pair is broadcast

@@ -341,3 +341,95 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum(overlap_sec).cast("long").alias("overlap_seconds"),
     )
+
+
+@query(
+    "join-asof-nearest",
+    oracle="""
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT max(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                       AS back_ts,
+                   (SELECT min(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+                       AS fwd_ts
+            FROM events e
+        )
+        SELECT event_id, user_id, ts,
+               CASE
+                   WHEN back_ts IS NULL THEN fwd_ts
+                   WHEN fwd_ts IS NULL THEN back_ts
+                   WHEN epoch(ts) - epoch(back_ts)
+                        <= epoch(fwd_ts) - epoch(ts) THEN back_ts
+                   ELSE fwd_ts
+               END AS nearest_o_orderdate
+        FROM cand
+    """,
+    doc="As-of join, direction='nearest' (pandas merge_asof's third "
+    "direction; join-asof covers backward, join-asof-tolerance bounded "
+    "backward): each event gets the order date MINIMIZING |order_ts - "
+    "event_ts| for its key, ties to the earlier (backward) side. Same "
+    "union + per-key window machinery as join-asof but TWO carries "
+    "over one hash partitioning: last right at-or-before (orderBy ts "
+    "with right-before-left at equal ts) and first right at-or-after "
+    "(orderBy ts with left-before-right), then a codegen CASE picks "
+    "the closer. One exchange, two sorts, no range explosion — the "
+    "nearest-neighbour-in-time shape at any scale.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    l_tag = ev.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    r_tag = orders.select(
+        F.col("o_custkey").alias("_k"),
+        F.col("o_orderdate").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderdate").alias("_rts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # backward: right rows (side 0) sort before left at equal _ts, so an
+    # equal-ts order is visible to the <= carry
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: order left (side 1) before right (side 0) at equal _ts via
+    # descending side, so an equal-ts order is inside the >= frame
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(w_back).alias("_back"),
+        F.first("_rts", ignorenulls=True).over(w_fwd).alias("_fwd"),
+    ).filter(F.col("_side") == 1)
+    back_d = F.col("ts").cast("long") - F.col("_back").cast("long")
+    fwd_d = F.col("_fwd").cast("long") - F.col("ts").cast("long")
+    nearest = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(back_d <= fwd_d, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    return carried.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_o_orderdate")
+    )

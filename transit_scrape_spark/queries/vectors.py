@@ -784,3 +784,73 @@ def embed_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("same_label", bucket.alias("cos_bucket")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+_COV_DIMS = 8
+
+
+@query(
+    "embed-covariance-block",
+    oracle=f"""
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT i, j,
+               CAST(floor((sum_ij / n - (sum_i / n) * (sum_j / n))
+                          * 1000000000 + 0.5) AS BIGINT) AS cov_e9
+        FROM (
+            SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+                   sum(e[p.i + 1] * e[p.j + 1]) AS sum_ij,
+                   sum(e[p.i + 1]) AS sum_i,
+                   sum(e[p.j + 1]) AS sum_j,
+                   count(*) AS n
+            FROM v CROSS JOIN (
+                SELECT a.range AS i, b.range AS j
+                FROM range(0, {_COV_DIMS}) a, range(0, {_COV_DIMS}) b
+                WHERE a.range <= b.range
+            ) p
+            GROUP BY p.i, p.j
+        )
+    """,
+    doc="Distributed covariance block over embedding dimensions 0..7 "
+    "(the whitening/PCA-prep statistic): population covariance "
+    "cov(i,j) = E[xi*xj] - E[xi]E[xj] computed as ONE aggregation of "
+    "sum/sum-product partials — each scan partition collapses to "
+    "d*(d+1)/2 partial triples before the shuffle, so a full 64x64 "
+    "matrix at 100 TB moves ~4k doubles per partition, never vectors. "
+    "(The driver-side eigendecomposition of the resulting small matrix "
+    "is O(d^3) numpy work, same division of labour as MLlib's "
+    "RowMatrix.computeCovariance.) Output quantized via "
+    "floor(x*1e9+0.5) — double-arithmetic-only rounding, same "
+    "rationale as timeseries-ewma. Pairs expanded JVM-side from a "
+    "literal range, no Python.",
+)
+def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    aggs = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            aggs.append(
+                F.sum(v[i] * v[j]).alias(f"sij_{i}_{j}")
+            )
+    for i in range(_COV_DIMS):
+        aggs.append(F.sum(v[i]).alias(f"s_{i}"))
+    aggs.append(F.count("*").alias("n"))
+    flat = e.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            F.lit(j).cast("int").alias("j"),
+            (
+                F.col(f"sij_{i}_{j}") / F.col("n")
+                - (F.col(f"s_{i}") / F.col("n")) * (F.col(f"s_{j}") / F.col("n"))
+            ).alias("cov"),
+        )
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    exploded = flat.select(F.explode(F.array(*pairs)).alias("p"))
+    return exploded.select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.floor(F.col("p.cov") * 1000000000 + 0.5).cast("long").alias("cov_e9"),
+    )
