@@ -125,3 +125,42 @@ def test_minhash_jaccard_estimate_property(spark, sf_dir):
     )
     n_close = sum(1 for r in pairs if abs(r["jac"] - r["est"]) <= 0.35)
     assert n_close / len(pairs) > 0.9  # estimator tracks truth for >90% of pairs
+
+
+def test_gridshift_interpolation_error_bound_property(spark):
+    """Bilinear interpolation of the 10 km shift grid reproduces the
+    generating field to <1 cm at ARBITRARY in-grid points, not just the
+    golden-test picks — the guarantee that makes the real OSTN15 grid a
+    drop-in. Points drawn deterministically from a seeded RNG across the
+    full GB extent including cell corners/edges."""
+    import random
+
+    from transit_scrape_spark.functions.geo import (
+        GRID_CELL_M,
+        GRID_NI,
+        GRID_NJ,
+        build_shift_grid_cells,
+        gridshift_apply,
+        ostn15_like_shift_exprs,
+    )
+
+    rng = random.Random(1729)
+    pts = []
+    for _ in range(200):
+        e = rng.uniform(0, GRID_NI * GRID_CELL_M - 1e-6)
+        n = rng.uniform(0, GRID_NJ * GRID_CELL_M - 1e-6)
+        pts.append((e, n))
+    # adversarial placements: exact nodes, cell edges, near-node offsets
+    for k in range(10):
+        pts.append((k * GRID_CELL_M, k * GRID_CELL_M))
+        pts.append((k * GRID_CELL_M + 1e-3, (k + 3) * GRID_CELL_M - 1e-3))
+
+    df = spark.createDataFrame(pts, "e double, n double")
+    out = gridshift_apply(df, build_shift_grid_cells(spark))
+    se_true, sn_true = ostn15_like_shift_exprs(F.col("e"), F.col("n"))
+    worst = out.select(
+        F.greatest(
+            F.abs(F.col("shift_e") - se_true), F.abs(F.col("shift_n") - sn_true)
+        ).alias("err")
+    ).agg(F.max("err").alias("worst")).collect()[0]["worst"]
+    assert worst < 0.01, f"worst interpolation error {worst} m >= 1 cm"

@@ -219,22 +219,30 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cents = [list(fetched[i]) for i in cent_ids]
 
-    def _sqdist_lit(v, cv):
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(x) for x in cv]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     v = as_double(F.col("embedding"))
-    vecs = e.select("vec_id", v.alias("v"))
+    # persist the parsed vectors: init + each Lloyd iteration + the final
+    # probe all re-consume them (4 actions); without the cache every one
+    # re-scans parquet and re-casts the arrays. At cluster scale this is
+    # the standard cache-the-training-set posture; memory = corpus
+    # vectors only, not intermediates.
+    vecs = e.select("vec_id", v.alias("v")).persist()
 
     def assign(df: DataFrame, cs: list[list[float]]) -> DataFrame:
-        dists = F.array(*[_sqdist_lit(F.col("v"), cv) for cv in cs])
+        # ONE nested-literal array + transform instead of k separate
+        # fold trees: same broadcast-centroids-as-code, shuffle-free
+        # assignment, but 1/k the generated code (k fold trees made
+        # codegen dominate the op's wall time in local mode)
+        cents_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cv]) for cv in cs]
+        )
+        dists = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         return df.select(
             "vec_id",
             "v",
