@@ -43,6 +43,7 @@ SCALAR_BROADCAST_OPS = {
     "dedup-near-embedding",    # planted-pair demo, doc'd scale note
     "observe-pipeline-metrics",
     "abc-revenue-deciles",     # 1-row total-revenue broadcast
+    "text-bpe-train",          # 1-row winning-merge-pair broadcast per round
     "multimodal-shard-balance",# 1-row mean-bytes broadcast
     "corpus-dataset-card",     # three 1-row aggregates cross-joined
     "funnel-windowed-strict",  # three 1-row stage counts cross-joined
