@@ -707,3 +707,88 @@ def geo_reproject_gridshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e") - F.col("shift_e"), 4).alias("e_corrected"),
         F.round(F.col("n") - F.col("shift_n"), 4).alias("n_corrected"),
     )
+
+
+# --- grid-blocked spatial join ---------------------------------------------
+
+_GRID_CELL = 250.0  # 4x4 grid over the [0,1000)^2 synthetic plane
+
+
+def _zone_cells() -> list[tuple[int, str]]:
+    """(cell_id, zone) for every grid cell a zone's bbox overlaps —
+    computed once from the static zone vertices (a real system derives
+    this at polygon-ingest time). Conservative (bbox) coverage: the
+    exact ray-cast refine after the join removes false candidates, so
+    coverage only needs to be complete, not tight."""
+    out = []
+    n_cols = int(1000 / _GRID_CELL)
+    for name, poly in _PIP_ZONES:
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        for cx in range(int(min(xs) // _GRID_CELL), int(max(xs) // _GRID_CELL) + 1):
+            for cy in range(int(min(ys) // _GRID_CELL), int(max(ys) // _GRID_CELL) + 1):
+                out.append((cx * n_cols + cy, name))
+    return out
+
+
+def _spatial_grid_oracle() -> str:
+    parts = []
+    for name, poly in _PIP_ZONES:
+        parts.append(f"""
+            SELECT '{name}' AS zone,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(c_custkey) AS BIGINT) AS key_sum
+            FROM (
+                SELECT c_custkey,
+                       CAST((c_custkey * 17) % 1000 AS DOUBLE) AS px,
+                       CAST((c_custkey * 31) % 1000 AS DOUBLE) AS py
+                FROM customer
+            )
+            WHERE {_pip_inside_sql('px', 'py', poly)}
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "join-spatial-grid",
+    oracle=_spatial_grid_oracle(),
+    doc="Grid-blocked spatial join — the scale pattern "
+    "geo-haversine-nearest's doc string promises, implemented: points "
+    "key to a grid cell (pure arithmetic), polygons pre-expand to the "
+    "cells their bbox overlaps (dim-sized table, broadcast), the "
+    "equi-join on cell id yields only co-located candidates, and the "
+    "exact unrolled ray-cast refines them. Points in cells no polygon "
+    "touches are dropped by the JOIN, before any geometry math — at "
+    "100 TB points x 10k polygons the work is proportional to "
+    "candidates, not the cross product, and the cell id doubles as "
+    "the partition key for spatial locality. The oracle runs the "
+    "UNblocked exact test per zone: equality proves the grid cover is "
+    "lossless.",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n_cols = int(1000 / _GRID_CELL)
+    px = (F.col("c_custkey") * 17 % 1000).cast("double")
+    py = (F.col("c_custkey") * 31 % 1000).cast("double")
+    pts = c.select(
+        "c_custkey",
+        px.alias("px"),
+        py.alias("py"),
+        (
+            F.floor(px / _GRID_CELL) * n_cols + F.floor(py / _GRID_CELL)
+        ).cast("long").alias("cell_id"),
+    )
+    cells = spark.createDataFrame(
+        _zone_cells(), "cell_id long, zone string"
+    ).distinct()
+    cand = pts.join(F.broadcast(cells), "cell_id")
+    refined = None
+    for name, poly in _PIP_ZONES:
+        inside = _pip_inside_col(F.col("px"), F.col("py"), poly)
+        cond = (F.col("zone") == name) & inside
+        refined = cond if refined is None else refined | cond
+    hits = cand.filter(refined)
+    return hits.groupBy("zone").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
