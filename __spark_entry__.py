@@ -30,9 +30,16 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    orders = spark.read.parquet(f"{SF0001}/orders.parquet")
-    customer = spark.read.parquet(f"{SF0001}/customer.parquet")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Tables load through the normalizing loader so o_orderdate is LTZ
+    TimestampType regardless of the fixture generation's physical
+    encoding (r1/r2 nanos vs r3 micros-NTZ) — keeps the entry schema
+    stable across rounds."""
+    from transit_scrape_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
     dim = customer.select("c_custkey", "c_name", "c_mktsegment")
     return (
         orders.filter(
