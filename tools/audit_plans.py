@@ -68,6 +68,7 @@ PYTHON_SURFACE_OPS = {
     "fn-arrow-udf",
     "fn-os-grid-ref",  # expression path + udf cross-check column
     "geo-reproject",  # the one pandas_udf (numpy TM + Helmert)
+    "geo-reproject-corrected",  # same pandas_udf, grid-shift chained in front
     "grouped-map-zscore",
     "embed-normalize-arrow",
     "multimodal-decode",
