@@ -297,3 +297,90 @@ _RCTE_SQL = """
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_RCTE_SQL.format(str_t="STRING"))
+
+
+@query(
+    "sql-collation-ci",
+    oracle="""
+        SELECT min(lower(s)) AS segment_ci,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS s
+            FROM customer
+        )
+        GROUP BY lower(s)
+    """,
+    doc="Collation-aware grouping (Spark 4 collations — comparison "
+    "semantics attached to the TYPE, evaluated JVM-side): mixed-case "
+    "segment strings group under UNICODE_CI without materializing a "
+    "normalized key column; the aggregate emits min(lower(s)) as the "
+    "canonical representative because the group's chosen display value "
+    "is otherwise first-seen-wins nondeterministic. At scale, "
+    "collation on the column type means every join/group/sort on that "
+    "column is consistently case-insensitive with no scattered "
+    "lower() wrappers to forget (the classic silent-dup bug in "
+    "user-id joins). Oracle normalizes with lower() explicitly — the "
+    "pre-collations workaround the feature replaces.",
+)
+def sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("s")
+    )
+    return mixed.groupBy(
+        F.expr("collate(s, 'UNICODE_CI')").alias("k")
+    ).agg(
+        F.min(F.lower("s")).alias("segment_ci"),
+        F.count("*").cast("long").alias("n"),
+    ).drop("k")
+
+
+@query(
+    "join-null-safe-eq",
+    oracle="""
+        SELECT coalesce(n.n_name, '<null-key>') AS name,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_nationkey END AS k
+            FROM customer
+        ) c
+        JOIN (
+            SELECT CASE WHEN n_nationkey = 13 THEN NULL
+                        ELSE n_nationkey END AS k,
+                   n_name
+            FROM nation
+        ) n ON c.k IS NOT DISTINCT FROM n.k
+        GROUP BY coalesce(n.n_name, '<null-key>')
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of silently dropping — the "
+    "semantics ETL needs when NULL is a real category (unknown "
+    "region) rather than absent data. Catalyst plans EqualNullSafe as "
+    "a hash join key (null hashes to a bucket like any value), so the "
+    "plan is the same shuffle/broadcast hash join as plain equality — "
+    "no nested-loop degradation. The NULL bucket is a built-in skew "
+    "hazard at 100 TB (every null-key row lands on one reducer): "
+    "filter-split or salt it when nulls dominate, exactly like any "
+    "hot key.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("k")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") == 13, F.lit(None))
+        .otherwise(F.col("n_nationkey"))
+        .alias("k"),
+        "n_name",
+    )
+    joined = c.join(F.broadcast(n), c["k"].eqNullSafe(n["k"]))
+    return joined.groupBy(
+        F.coalesce(F.col("n_name"), F.lit("<null-key>")).alias("name")
+    ).agg(F.count("*").cast("long").alias("n_customers"))
