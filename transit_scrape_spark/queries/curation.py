@@ -704,3 +704,90 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_admitted"),
     )
+
+
+_CONTAIN_MAX_DF = 50   # stop-shingle cap: drop shingles in > this many docs
+_CONTAIN_MIN = 0.5     # report pairs where either direction >= this
+
+
+@query(
+    "dedup-containment-score",
+    oracle=f"""
+        WITH sh0 AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, unnest(sh) AS s
+                FROM (SELECT doc_id, {sql_shingle_hashes('text')} AS sh
+                      FROM documents)
+            )
+        ),
+        keepable AS (
+            SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {_CONTAIN_MAX_DF}
+        ),
+        kept AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keepable USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(floor(CAST(n_shared AS DOUBLE) / sa.sz * 1000000 + 0.5)
+                    AS BIGINT) AS cont_a_in_b_e6,
+               CAST(floor(CAST(n_shared AS DOUBLE) / sb.sz * 1000000 + 0.5)
+                    AS BIGINT) AS cont_b_in_a_e6
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE greatest(CAST(n_shared AS DOUBLE) / sa.sz,
+                       CAST(n_shared AS DOUBLE) / sb.sz) >= {_CONTAIN_MIN}
+    """,
+    doc="Asymmetric containment scoring (|A n B| / |A|) — the doc-in-doc "
+    "detector Jaccard misses: a short document fully quoted inside a "
+    "long one has low Jaccard but containment ~1.0 from the short "
+    "side. Candidate pairs come from a self-equi-join on shingle hash "
+    "with a STOP-SHINGLE cap first (shingles appearing in > 50 docs "
+    "are dropped, the same df-cap discipline search engines use) — "
+    "at 100 TB the cap is what bounds the join fan-out on boilerplate "
+    "shingles; without it one viral sentence creates a quadratic "
+    "candidate set. Shuffles carry 8-byte hashes, never text; both "
+    "direction scores emit per surviving pair. floor(x*1e6+0.5) "
+    "quantization (double-arithmetic rounding, as timeseries-ewma).",
+)
+def dedup_containment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_rows(d.select("doc_id", "text"))
+    keepable = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _CONTAIN_MAX_DF)
+        .select("sh")
+    )
+    kept = sh.join(keepable, "sh")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    res = shared.join(sa, "doc_a").join(sb, "doc_b")
+    cont_a = F.col("n_shared").cast("double") / F.col("sz_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("sz_b")
+    return (
+        res.filter(F.greatest(cont_a, cont_b) >= _CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.floor(cont_a * 1000000 + 0.5).cast("long").alias("cont_a_in_b_e6"),
+            F.floor(cont_b * 1000000 + 0.5).cast("long").alias("cont_b_in_a_e6"),
+        )
+    )
