@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,6 +56,8 @@ def main() -> None:
     except Exception:
         pass  # datasource warm-up is best-effort
 
+    from transit_scrape_spark.session import release_caches
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
@@ -65,7 +68,14 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        dt = sorted(runs)[len(runs) // 2]  # median
+            # teardown hygiene: ops that persist for multi-action algos
+            # (IVF training, graph components) hand back a still-cached
+            # relation; release it so a 280-op x reps sweep doesn't
+            # accumulate executor storage memory across the session.
+            release_caches(spark)
+        # true median (statistics.median averages the two middle values
+        # for even rep counts; sorted()[n//2] picked the slower one)
+        dt = statistics.median(runs)
         timings[op_id] = round(dt, 4)
         total += dt
         print(f"# {op_id}: {dt:.3f}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
@@ -91,8 +101,7 @@ def main() -> None:
         "dedup-near-minhash", "simsearch-topk", "text-quality-score",
         "multimodal-cols", "stream-tumbling-agg",
     ]
-    vals = sorted(timings.values())
-    med = vals[len(vals) // 2] if vals else 0.0
+    med = statistics.median(timings.values()) if timings else 0.0
     # LAST line: short, driver-parseable even under tail truncation
     print(
         json.dumps(

@@ -166,11 +166,18 @@ def build_shift_grid_cells(spark) -> "DataFrame":  # noqa: F821
 def gridshift_apply(points: "DataFrame", cells: "DataFrame") -> "DataFrame":  # noqa: F821
     """points(e, n, ...) -> + (shift_e, shift_n) via broadcast grid join
     + bilinear interpolation, all whole-stage codegen (no Python).
+
+    Extent contract: the grid covers eastings [0, GRID_NI*GRID_CELL_M)
+    and northings [0, GRID_NJ*GRID_CELL_M) (0..700 km x 0..1250 km for
+    the synthetic grid — the real OSTN15 field is likewise bounded to
+    GB). Points OUTSIDE the extent are KEPT (left join) with NULL
+    shift_e/shift_n rather than silently dropped; callers decide
+    whether to coalesce to 0 (pass-through uncorrected) or filter.
     """
     pts = points.withColumn(
         "ci", F.floor(F.col("e") / GRID_CELL_M).cast("long")
     ).withColumn("cj", F.floor(F.col("n") / GRID_CELL_M).cast("long"))
-    j = pts.join(F.broadcast(cells), ["ci", "cj"], "inner")
+    j = pts.join(F.broadcast(cells), ["ci", "cj"], "left")
     tx = (F.col("e") - F.col("ci").cast("double") * GRID_CELL_M) / GRID_CELL_M
     ty = (F.col("n") - F.col("cj").cast("double") * GRID_CELL_M) / GRID_CELL_M
 

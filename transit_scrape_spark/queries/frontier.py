@@ -97,15 +97,20 @@ def variant_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select("event_type", F.parse_json(payload).alias("v")).createOrReplaceTempView(
         "tss_variant_src"
     )
-    return spark.sql(
-        """
-        SELECT event_type,
-               count(*) AS n_elems,
-               sum(cast(value AS BIGINT)) AS total
-        FROM tss_variant_src, LATERAL variant_explode(v)
-        GROUP BY event_type
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            SELECT event_type,
+                   count(*) AS n_elems,
+                   sum(cast(value AS BIGINT)) AS total
+            FROM tss_variant_src, LATERAL variant_explode(v)
+            GROUP BY event_type
+            """
+        )
+    finally:
+        # spark.sql analyzes eagerly; dropping right away keeps the
+        # shared session's temp-view namespace clean across ops.
+        spark.catalog.dropTempView("tss_variant_src")
 
 
 # --- skew-join mitigation --------------------------------------------------
@@ -265,12 +270,12 @@ _RCTE_SQL = """
         SELECT CAST(n_nationkey AS BIGINT) AS node,
                CAST(0 AS BIGINT) AS depth,
                CAST(n_nationkey AS {str_t}) AS path
-        FROM nation WHERE n_nationkey = 0
+        FROM {tbl} WHERE n_nationkey = 0
         UNION ALL
         SELECT CAST(c.n_nationkey AS BIGINT),
                t.depth + 1,
                t.path || '->' || CAST(c.n_nationkey AS {str_t})
-        FROM nation c JOIN tree t
+        FROM {tbl} c JOIN tree t
           ON CAST(floor((c.n_nationkey - 1) / 5) AS BIGINT) = t.node
          AND c.n_nationkey > 0
     )
@@ -280,7 +285,7 @@ _RCTE_SQL = """
 
 @query(
     "sql-recursive-cte",
-    oracle=_RCTE_SQL.format(str_t="VARCHAR"),
+    oracle=_RCTE_SQL.format(str_t="VARCHAR", tbl="nation"),
     doc="WITH RECURSIVE (new in Spark 4.0 — closes the one ANSI gap "
     "the graph module's driver-loop ops worked around): hierarchy "
     "walk over an acyclic parent tree (parent(k) = floor((k-1)/5)) "
@@ -295,8 +300,14 @@ _RCTE_SQL = """
     "query execution.",
 )
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql(_RCTE_SQL.format(str_t="STRING"))
+    # prefixed view name so the shared long-lived session never has a
+    # temp view shadowing the 'nation' catalog/base-table name; spark.sql
+    # analyzes eagerly, so dropping the view right after is safe.
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("tss_rcte_nation")
+    try:
+        return spark.sql(_RCTE_SQL.format(str_t="STRING", tbl="tss_rcte_nation"))
+    finally:
+        spark.catalog.dropTempView("tss_rcte_nation")
 
 
 @query(

@@ -406,12 +406,22 @@ _PIP_ZONES: list[tuple[str, list[tuple[float, float]]]] = [
 
 
 def _pip_inside_col(px, py, poly):
-    """Unrolled even-odd ray cast as a single codegen boolean Column."""
+    """Unrolled even-odd ray cast as a single codegen boolean Column.
+
+    Degenerate horizontal edges (yi == yj) are elided at COMPILE time:
+    their crossing test ((yi>py) != (yj>py)) is identically false, so
+    the edge contributes 0 to the parity sum and the yj-yi division is
+    never emitted — no runtime reliance on FALSE-AND-NULL semantics.
+    The SQL twin (_pip_inside_sql) applies the same elision so both
+    engines evaluate the identical term list.
+    """
     total = None
     n = len(poly)
     for i in range(n):
         xi, yi = poly[i]
         xj, yj = poly[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge: can never cross the ray
         crosses = ((F.lit(yi) > py) != (F.lit(yj) > py)) & (
             px < (F.lit(xj - xi) * (py - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi))
         )
@@ -428,6 +438,8 @@ def _pip_inside_sql(px: str, py: str, poly) -> str:
     for i in range(n):
         xi, yi = poly[i]
         xj, yj = poly[(i + 1) % n]
+        if yi == yj:
+            continue  # elided to match _pip_inside_col (no /0 emitted)
         terms.append(
             f"(CASE WHEN (({yi} > {py}) <> ({yj} > {py}))"
             f" AND ({px} < ({xj - xi} * ({py} - {yi}) / {yj - yi} + {xi}))"
@@ -468,8 +480,9 @@ def _pip_oracle() -> str:
     "projection as unrolled edge-crossing arithmetic: single scan, "
     "whole-stage codegen, no join/shuffle/HOF — the plan a geofence "
     "lookup should have when zones are dim-sized. Degenerate edges "
-    "(yi=yj) are guarded by the crossing parity test before the "
-    "division on both sides. Re-expresses the containment queries a "
+    "(yi=yj) are ELIDED at compile time in both the Column and SQL "
+    "forms (their crossing test is identically false), so no division "
+    "by zero is ever emitted. Re-expresses the containment queries a "
     "transit engine runs against route service areas "
     "(reference src/utils/geotiles.py:8-59 tiles the same plane).",
 )

@@ -49,3 +49,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Drop every cached/persisted relation from the session.
+
+    Registry-level teardown hygiene: several ops legitimately persist
+    their working set for multi-action algorithms (IVF k-means training,
+    graph components, triangle counting) and hand the still-cached final
+    DataFrame to the caller — unpersisting inside the op would defeat
+    the cache before the caller materializes. A long-lived session
+    sweeping the full 280-op registry (bench, parity tests, the driver)
+    would otherwise accumulate executor storage memory. Call this after
+    each op's output is materialized.
+
+    Returns the number of RDDs that were persisted on entry (so tests
+    can observe that teardown had something to do and assert
+    ``persistent_rdd_count(spark) == 0`` afterwards).
+    """
+    n = persistent_rdd_count(spark)
+    # DataFrame.persist() registers with the CacheManager: clearCache()
+    # releases all of those (and their underlying RDD blocks) in one call.
+    spark.catalog.clearCache()
+    # belt-and-braces for raw RDD persists (none in the package today);
+    # py4j's JavaMap speaks the Python Mapping protocol
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+    return n
+
+
+def persistent_rdd_count(spark: SparkSession) -> int:
+    """How many RDDs the context currently tracks as persisted."""
+    return len(spark.sparkContext._jsc.getPersistentRDDs())
