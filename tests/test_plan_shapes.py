@@ -238,3 +238,17 @@ def test_bpe_pair_counts_bound_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "text-bpe-train")
     assert "BatchEvalPython" not in p  # merges are string expressions
     assert "CartesianProduct" not in p  # 1-row merge pair is broadcast
+
+
+def test_aqe_skew_split_fires(spark, sf_dir):
+    """VERDICT r3 item 4: prove from the EXECUTED adaptive plan that
+    AQE's OptimizeSkewedJoin actually rewrote the skewed fact-fact
+    join — not just that the answer is right. A correct answer through
+    an unsplit SortMergeJoin is exactly the silent 100 TB stall this
+    guards against."""
+    from transit_scrape_spark.queries.frontier import run_skew_fact_fact
+
+    out, plan = run_skew_fact_fact(spark, sf_dir)
+    assert "isFinalPlan=true" in plan  # we inspected the post-execution plan
+    assert "skew=true" in plan, plan[:2000]
+    assert out.count() == 20  # and the result is still the 20 buckets

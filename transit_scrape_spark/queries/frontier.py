@@ -198,6 +198,112 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+_SKEW_FF_ORACLE = """
+    SELECT r.bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l.value), 2) AS total_value
+    FROM (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 25 END
+                   AS skew_key,
+               value
+        FROM events
+    ) l
+    JOIN (
+        SELECT DISTINCT
+               CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 25 END
+                   AS skew_key,
+               CAST(event_id % 20 AS BIGINT) AS bucket
+        FROM events
+    ) r ON l.skew_key = r.skew_key
+    GROUP BY r.bucket
+"""
+
+
+def run_skew_fact_fact(spark: SparkSession, sf_dir: str):
+    """Build + EXECUTE the skewed fact-fact join under lowered AQE skew
+    thresholds; returns (result_df, final_executed_plan_string) so both
+    the registered op and the plan-shape test can assert the skew split
+    actually fired (VERDICT r3 item 4)."""
+    ev = load_table(spark, sf_dir, "events")
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        # no broadcast escape hatch: both sides must shuffle
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # AQE splits a skewed reduce partition by MAPPER ranges
+        # (ShufflePartitionsUtil.createSkewPartitionSpecs): a shuffle fed
+        # by a single map task is unsplittable and the detector reports
+        # 0 skewed partitions no matter how large the hot key is. A
+        # cluster fact scan has thousands of mappers; the local
+        # single-file fixture scan has ONE, so give the fact side real
+        # mapper parallelism before the join shuffle.
+        left = _skewed_fact(ev.repartition(16))
+        right = ev.select(
+            F.when(F.col("user_id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("user_id") % 25)
+            .cast("int")
+            .alias("skew_key"),
+            (F.col("event_id") % 20).cast("long").alias("bucket"),
+        ).distinct()
+        agg = (
+            left.hint("merge")
+            .join(right, "skew_key")
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        # EAGER: the join runs here, with the lowered thresholds in force
+        out = agg.localCheckpoint()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return out, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "join-skew-fact-fact-aqe",
+    oracle=_SKEW_FF_ORACLE,
+    doc="Skewed FACT-FACT join proof for AQE's runtime skew split "
+    "(join-skew-aqe's dim-join sibling, but with broadcast disabled so "
+    "BOTH sides shuffle — the shape where skew actually stalls a "
+    "1000-executor cluster, because no side fits in memory and the hot "
+    "key's partition pins one reducer). ~70% of left rows share "
+    "skew_key 0; OptimizeSkewedJoin detects the oversized partition at "
+    "runtime and splits it across reducers, duplicating the matching "
+    "right-side partition. The op ASSERTS from the final adaptive plan "
+    "that the split fired (SortMergeJoin(skew=true)) — a correct "
+    "answer through an unsplit plan would be the 100 TB bug this op "
+    "exists to catch. Thresholds are lowered so the tiny fixture trips "
+    "the detector; production defaults fire on real skew unchanged.",
+)
+def join_skew_fact_fact_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, plan = run_skew_fact_fact(spark, sf_dir)
+    assert "skew=true" in plan, "AQE skew split did not fire"
+    return out
+
+
 @query(
     "join-bloom-runtime-filter",
     oracle="""
