@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""sf1 scale soak (VERDICT r3 item 3): run the most expensive ops plus
+the LSH/dedup family at sf0.1 AND sf1 (10x data, tools/gen_sf1.py) and
+record the scaling ratio per op in BENCH_SF1.json.
+
+Pass criterion: no op takes > RATIO_MAX (default 15) x its sf0.1 time
+for 10x the data — the cheapest local proxy for "would this plan
+survive a 100x scale-up" (super-linear blowup at 10x means a broken
+join/agg shape: candidate-pair explosion, driver materialization,
+all-pairs scan).
+
+Streaming ops are excluded: their cost is dominated by fixed
+state-store/replay latency in availableNow mode, which makes ratios
+meaningless (they read the same staged micro-batches at any sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transit_scrape_spark.queries.registry import registry
+from transit_scrape_spark.session import get_spark, release_caches
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SF1_DIR", "/root/repo/.sf1")
+RATIO_MAX = float(os.environ.get("RATIO_MAX", "15"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# 15 most expensive non-streaming ops from the r3 sf0.1 sweep
+EXPENSIVE = [
+    "simsearch-ivf-probe",
+    "dedup-containment-score",
+    "basket-affinity",
+    "graph-components-iterative",
+    "dedup-near-embedding-lsh",
+    "graph-pagerank",
+    "fn-os-grid-ref",
+    "agg-approx-sketch",
+    "agg-sketch-merge",
+    "dedup-fuzzy-levenshtein",
+    "dedup-cluster-keep",
+    "tpch-q2",
+    "embed-covariance-block",
+    "tpch-q18",
+    "agg-percentile",
+]
+# the LSH / dedup scale family
+LSH_DEDUP = [
+    "dedup-near-minhash",
+    "simsearch-lsh-bucket",
+    "simsearch-lsh-probe",
+    "dedup-simhash",
+    "dedup-ngram-jaccard",
+]
+
+
+def main() -> None:
+    spark = get_spark("sf1-soak")
+    reg = registry()
+    spark.read.parquet(f"{SF01}/lineitem.parquet").count()  # warm-up
+    spark.read.parquet(f"{SF1}/lineitem.parquet").count()
+
+    results: dict[str, dict] = {}
+    worst = 0.0
+    for op in EXPENSIVE + LSH_DEDUP:
+        if op not in reg:
+            print(f"# {op}: not registered, skipped", file=sys.stderr)
+            continue
+        row = {}
+        for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            runs = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                reg[op].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+                release_caches(spark)
+            row[tag] = round(statistics.median(runs), 3)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2) if row["sf0.1"] else None
+        row["pass"] = row["ratio"] is not None and row["ratio"] <= RATIO_MAX
+        worst = max(worst, row["ratio"] or 0.0)
+        results[op] = row
+        print(f"# {op}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s "
+              f"ratio={row['ratio']}x pass={row['pass']}", file=sys.stderr)
+
+    out = {
+        "metric": "sf1_soak_ratio",
+        "ratio_max_allowed": RATIO_MAX,
+        "worst_ratio": worst,
+        "all_pass": all(r["pass"] for r in results.values()),
+        "n_ops": len(results),
+        "copies": 10,
+        "ops": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF1.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("worst_ratio", "all_pass", "n_ops")}))
+
+
+if __name__ == "__main__":
+    main()

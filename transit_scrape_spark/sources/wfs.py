@@ -31,35 +31,89 @@ def build_getfeature_url(
     return f"{base_url}?{urlencode(q)}"
 
 
-def fetch_wfs_to_geojson(url: str, out_path: str, timeout: int = 60) -> str:
+class WfsHttpError(RuntimeError):
+    """The WFS endpoint answered, but with an HTTP error status.
+
+    4xx (bad typeName, auth, malformed query) raises this IMMEDIATELY —
+    retrying a request the server has rejected is wasted load. 5xx
+    raises it only after the retry budget is exhausted."""
+
+    def __init__(self, code: int, url: str, attempts: int):
+        self.code = code
+        self.attempts = attempts
+        super().__init__(
+            f"WFS GetFeature failed: HTTP {code} from {url} "
+            f"(after {attempts} attempt{'s' if attempts != 1 else ''})"
+        )
+
+
+def fetch_wfs_to_geojson(
+    url: str,
+    out_path: str,
+    timeout: int = 60,
+    retries: int = 2,
+    backoff: float = 0.5,
+) -> str:
     """Fetch one WFS GetFeature response to a local GeoJSON file.
 
-    Raises NotImplementedError when no network stack is available —
-    callers fall back to pre-fetched files (the reference operates the
-    same way in practice: its WFS URL is dead and inputs arrive as
-    files).
+    Transport policy (http + https via urllib's native handlers):
+    - HTTP 4xx: fail fast with WfsHttpError — the server understood and
+      rejected the query; a retry cannot succeed.
+    - HTTP 5xx / connection reset / timeout: transient — retried up to
+      ``retries`` times with linear backoff, then WfsHttpError (5xx) or
+      NotImplementedError (connectivity).
+    - No route/DNS/network at all: NotImplementedError after retries —
+      callers fall back to pre-fetched files (the reference operates
+      the same way in practice: its WFS URL is dead and inputs arrive
+      as files, src/utils/constants.py:1-3).
+    - ``file://``: offline transport for canned responses (tests /
+      air-gapped runs); no retry machinery involved.
     """
     try:
+        from urllib.error import HTTPError
         from urllib.request import urlopen
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("no urllib available") from e
+    import time as _time
     from urllib.parse import urlsplit
 
-    if urlsplit(url).scheme == "file":
-        # Offline transport: a canned GetFeature response served from
-        # disk (tests / air-gapped runs). The filesystem takes no query
-        # string, so drop the WFS params the URL builder attached — the
-        # response file IS the answer to that query.
+    scheme = urlsplit(url).scheme
+    if scheme == "file":
+        # The filesystem takes no query string, so drop the WFS params
+        # the URL builder attached — the response file IS the answer.
         url = url.split("?", 1)[0]
-    try:
-        with urlopen(url, timeout=timeout) as r, open(out_path, "wb") as f:
-            f.write(r.read())
-    except OSError as e:
-        raise NotImplementedError(
-            f"WFS fetch unavailable in this environment ({e}); "
-            "stage GeoJSON files and use scan-geojson instead"
-        ) from e
-    return out_path
+        try:
+            with urlopen(url, timeout=timeout) as r, open(out_path, "wb") as f:
+                f.write(r.read())
+        except OSError as e:
+            raise NotImplementedError(
+                f"WFS offline transport failed ({e}); "
+                "stage GeoJSON files and use scan-geojson instead"
+            ) from e
+        return out_path
+
+    last_exc: Exception | None = None
+    attempts = 0
+    for attempt in range(retries + 1):
+        attempts = attempt + 1
+        try:
+            with urlopen(url, timeout=timeout) as r, open(out_path, "wb") as f:
+                f.write(r.read())
+            return out_path
+        except HTTPError as e:
+            if e.code < 500:
+                raise WfsHttpError(e.code, url, attempts) from e
+            last_exc = e  # transient server-side: retry
+        except OSError as e:  # URLError, timeout, reset — transient
+            last_exc = e
+        if attempt < retries:
+            _time.sleep(backoff * (attempt + 1))
+    if isinstance(last_exc, HTTPError):
+        raise WfsHttpError(last_exc.code, url, attempts) from last_exc
+    raise NotImplementedError(
+        f"WFS fetch unavailable in this environment ({last_exc}); "
+        "stage GeoJSON files and use scan-geojson instead"
+    ) from last_exc
 
 
 def read_wfs(spark: SparkSession, url: str, staging_path: str) -> DataFrame:
