@@ -163,23 +163,29 @@ def build_shift_grid_cells(spark) -> "DataFrame":  # noqa: F821
     return out
 
 
-def gridshift_apply(points: "DataFrame", cells: "DataFrame") -> "DataFrame":  # noqa: F821
+def gridshift_apply(
+    points: "DataFrame", cells: "DataFrame", cell_m: float = GRID_CELL_M
+) -> "DataFrame":  # noqa: F821
     """points(e, n, ...) -> + (shift_e, shift_n) via broadcast grid join
     + bilinear interpolation, all whole-stage codegen (no Python).
 
-    Extent contract: the grid covers eastings [0, GRID_NI*GRID_CELL_M)
-    and northings [0, GRID_NJ*GRID_CELL_M) (0..700 km x 0..1250 km for
-    the synthetic grid — the real OSTN15 field is likewise bounded to
-    GB). Points OUTSIDE the extent are KEPT (left join) with NULL
+    ``cell_m`` is the grid node spacing: 10 km for the synthetic demo
+    grid, 1 km (``OSTN15_CELL_M``) for the real OSTN15 data file loaded
+    through ``load_ostn15_datafile``/``build_cells_from_nodes``.
+
+    Extent contract: the grid covers eastings [0, ni*cell_m) and
+    northings [0, nj*cell_m) (0..700 km x 0..1250 km for both the
+    synthetic grid and the real OSTN15 field, which is bounded to GB).
+    Points OUTSIDE the extent are KEPT (left join) with NULL
     shift_e/shift_n rather than silently dropped; callers decide
     whether to coalesce to 0 (pass-through uncorrected) or filter.
     """
     pts = points.withColumn(
-        "ci", F.floor(F.col("e") / GRID_CELL_M).cast("long")
-    ).withColumn("cj", F.floor(F.col("n") / GRID_CELL_M).cast("long"))
+        "ci", F.floor(F.col("e") / cell_m).cast("long")
+    ).withColumn("cj", F.floor(F.col("n") / cell_m).cast("long"))
     j = pts.join(F.broadcast(cells), ["ci", "cj"], "left")
-    tx = (F.col("e") - F.col("ci").cast("double") * GRID_CELL_M) / GRID_CELL_M
-    ty = (F.col("n") - F.col("cj").cast("double") * GRID_CELL_M) / GRID_CELL_M
+    tx = (F.col("e") - F.col("ci").cast("double") * cell_m) / cell_m
+    ty = (F.col("n") - F.col("cj").cast("double") * cell_m) / cell_m
 
     def bilin(p: str) -> Column:
         return (
@@ -190,6 +196,128 @@ def gridshift_apply(points: "DataFrame", cells: "DataFrame") -> "DataFrame":  # 
         )
 
     return j.withColumn("shift_e", bilin("se")).withColumn("shift_n", bilin("sn"))
+
+
+# --- real OSTN15 data-file ingestion --------------------------------------
+
+OSTN15_CELL_M = 1_000.0  # real OSTN15 node spacing: 1 km
+OSTN15_NI = 700  # cells east-west  (701 node columns, 0..700 km)
+OSTN15_NJ = 1250  # cells north-south (1251 node rows, 0..1250 km)
+
+
+def load_ostn15_datafile(
+    spark, path: str, cell_m: float = None
+) -> "DataFrame":  # noqa: F821
+    """Distributed parse of the published OSTN15 data file -> node table
+    (i, j, se, sn). ``cell_m`` is the node spacing used to derive grid
+    indices from coordinates (default: the real grid's 1 km).
+
+    The public OS distribution (OSTN15_OSGM15_DataFile, Ordnance Survey
+    'Transformations and OSGM15 user guide') is CSV with one record per
+    1 km grid node carrying the node's ETRS89 easting/northing and the
+    OSTN15 east/north shifts (plus OSGM15 geoid height, unused here).
+    Column POSITIONS vary across re-publications, so the parser keys
+    each node off its COORDINATE columns — node index = easting/1000,
+    northing/1000 — never off record numbers; a header line, if
+    present, is dropped by the numeric cast filter. Override column
+    indices via ``cols=(easting, northing, e_shift, n_shift)`` when a
+    repackaged file orders fields differently.
+
+    The file is Crown copyright and not shippable with this repo: this
+    loader + ``build_cells_from_nodes`` are exercised end-to-end in
+    tests through a synthetic file written in the same format, and the
+    golden control-point test activates when a real file is supplied
+    via $SPARK_GRAFT_OSTN15_GRID. Reference anchor: grid-aware
+    ``to_crs`` (/root/reference/src/process_cycle_networks.py:112).
+    """
+    return _parse_ostn15_lines(spark.read.text(path), cell_m=cell_m)
+
+
+def _parse_ostn15_lines(
+    lines: "DataFrame", cols: tuple = (1, 2, 3, 4), cell_m: float = None
+) -> "DataFrame":  # noqa: F821
+    if cell_m is None:
+        cell_m = OSTN15_CELL_M
+    ce, cn, cse, csn = cols
+    parts = F.split(F.col("value"), ",")
+    # F.get + try_cast, not getItem + cast: header/blank/malformed lines
+    # (wrong field count, non-numeric text) must null out and drop, not
+    # raise, under Spark 4's default ANSI mode
+    df = lines.select(
+        F.get(parts, ce).try_cast("double").alias("easting"),
+        F.get(parts, cn).try_cast("double").alias("northing"),
+        F.get(parts, cse).try_cast("double").alias("se"),
+        F.get(parts, csn).try_cast("double").alias("sn"),
+    )
+    # header / blank / malformed lines cast to null and drop here
+    df = df.filter(
+        F.col("easting").isNotNull()
+        & F.col("northing").isNotNull()
+        & F.col("se").isNotNull()
+        & F.col("sn").isNotNull()
+    )
+    return df.select(
+        F.round(F.col("easting") / cell_m).cast("long").alias("i"),
+        F.round(F.col("northing") / cell_m).cast("long").alias("j"),
+        "se",
+        "sn",
+    )
+
+
+def build_cells_from_nodes(
+    nodes: "DataFrame", cell_m: float = OSTN15_CELL_M
+) -> "DataFrame":  # noqa: F821
+    """node table (i, j, se, sn) -> per-cell 4-corner layout
+    (ci, cj, se00..sn11) — the broadcastable shape gridshift_apply
+    consumes (one equi-join per point lookup instead of four).
+
+    Built with a single self-join-free pass: each node contributes to
+    the up-to-4 cells it corners (explode of 4 (cell, corner-tag)
+    roles, then one groupBy pivot). One shuffle on cell id, linear in
+    node count — the real grid's ~877k nodes build in one stage and
+    the result (~56 MB of doubles) still broadcasts.
+    """
+    roles = F.array(
+        F.struct(F.col("i").alias("ci"), F.col("j").alias("cj"),
+                 F.lit("00").alias("tag")),
+        F.struct((F.col("i") - 1).alias("ci"), F.col("j").alias("cj"),
+                 F.lit("10").alias("tag")),
+        F.struct(F.col("i").alias("ci"), (F.col("j") - 1).alias("cj"),
+                 F.lit("01").alias("tag")),
+        F.struct((F.col("i") - 1).alias("ci"), (F.col("j") - 1).alias("cj"),
+                 F.lit("11").alias("tag")),
+    )
+    exploded = nodes.select(
+        F.explode(roles).alias("r"), "se", "sn"
+    ).select("r.ci", "r.cj", "r.tag", "se", "sn")
+    exploded = exploded.filter((F.col("ci") >= 0) & (F.col("cj") >= 0))
+    aggs = []
+    for tag in ("00", "10", "01", "11"):
+        m = F.col("tag") == tag
+        aggs.append(F.max(F.when(m, F.col("se"))).alias(f"se{tag}"))
+        aggs.append(F.max(F.when(m, F.col("sn"))).alias(f"sn{tag}"))
+    cells = exploded.groupBy("ci", "cj").agg(*aggs)
+    # interior cells only: all four corners present (edge cells at the
+    # extent boundary lack corners and cannot be bilinearly interpolated)
+    cond = None
+    for tag in ("00", "10", "01", "11"):
+        c = F.col(f"se{tag}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return cells.filter(cond)
+
+
+def load_shift_grid(spark) -> tuple["DataFrame", float]:  # noqa: F821
+    """The production dispatch: (cells, cell_m) from the real OSTN15
+    data file when $SPARK_GRAFT_OSTN15_GRID points at one, else the
+    synthetic 10 km demo grid. Everything downstream (broadcast join,
+    bilinear, TM inversion) is identical either way."""
+    import os
+
+    path = os.environ.get("SPARK_GRAFT_OSTN15_GRID")
+    if path and os.path.exists(path):
+        nodes = load_ostn15_datafile(spark, path)
+        return build_cells_from_nodes(nodes, OSTN15_CELL_M), OSTN15_CELL_M
+    return build_shift_grid_cells(spark), GRID_CELL_M
 
 
 # --- reprojection (the one pandas_udf) ------------------------------------

@@ -868,8 +868,8 @@ from transit_scrape_spark.functions.geo_oracle import bng_to_wgs84_oracle_sql
 )
 def geo_reproject_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.geo import (
-        build_shift_grid_cells,
         gridshift_apply,
+        load_shift_grid,
         reproject_bng_to_wgs84_udf,
     )
 
@@ -879,7 +879,10 @@ def geo_reproject_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         (300000.0 + F.col("n_nationkey") * 1000).alias("e"),
         (600000.0 + F.col("n_nationkey") * 1000).alias("n"),
     )
-    shifted = gridshift_apply(pts, build_shift_grid_cells(spark)).select(
+    # dispatcher: the real OSTN15 grid when $SPARK_GRAFT_OSTN15_GRID is
+    # set (cm accuracy), else the synthetic demo field the oracle mirrors
+    cells, cell_m = load_shift_grid(spark)
+    shifted = gridshift_apply(pts, cells, cell_m).select(
         "n_nationkey",
         (F.col("e") - F.col("shift_e")).alias("e_c"),
         (F.col("n") - F.col("shift_n")).alias("n_c"),
