@@ -501,3 +501,455 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.coalesce(F.col("n_name"), F.lit("<null-key>")).alias("name")
     ).agg(F.count("*").cast("long").alias("n_customers"))
+
+
+# --- SQL scripting / variables / parameters (Spark 4) ----------------------
+
+
+@query(
+    "sql-scripting-block",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+        HAVING count(*) > (SELECT count(*) / 10 FROM customer)
+        ORDER BY c_mktsegment
+    """,
+    doc="SQL scripting (Spark 4.0 GA, ANSI/PSM-style): BEGIN/DECLARE/"
+    "SET/compound-statement block computes a threshold scalar "
+    "procedurally, then the final SELECT uses it — the stored-"
+    "procedure shape ported from warehouse engines without a UDF or "
+    "driver-side Python glue. Control flow runs on the DRIVER between "
+    "statements; each SQL statement inside is a full distributed "
+    "Catalyst query, so scripting adds orchestration, never a "
+    "row-at-a-time path. Oracle folds the threshold into a scalar "
+    "subquery (what the script's variable materializes).",
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tss_script_cust"
+    )
+    old = None
+    try:
+        old = spark.conf.get("spark.sql.scripting.enabled", None)
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE thresh BIGINT DEFAULT 0;
+              SET thresh = (SELECT count(*) / 10 FROM tss_script_cust);
+              SELECT c_mktsegment,
+                     count(*) AS n
+              FROM tss_script_cust
+              GROUP BY c_mktsegment
+              HAVING count(*) > thresh
+              ORDER BY c_mktsegment;
+            END
+            """
+        )
+        # scripting executes the block during spark.sql(); pin the final
+        # result so view/conf teardown below cannot invalidate it
+        return out.localCheckpoint()
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset("spark.sql.scripting.enabled")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+        spark.catalog.dropTempView("tss_script_cust")
+
+
+@query(
+    "sql-execute-immediate",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    doc="EXECUTE IMMEDIATE (Spark 4): a query assembled as a string at "
+    "runtime with positional ? parameters bound via USING — the "
+    "dynamic-SQL surface migrations from Snowflake/BigQuery scripts "
+    "expect. Parameter BINDING (not string splicing) means the "
+    "literal reaches Catalyst as a typed parameter: no injection, and "
+    "the plan is identical to writing the literal inline — filter "
+    "pushdown into the scan included.",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tss_ei_orders"
+    )
+    try:
+        return spark.sql(
+            """
+            EXECUTE IMMEDIATE
+              'SELECT o_orderpriority,
+                      count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM tss_ei_orders
+               WHERE o_orderstatus = ?
+               GROUP BY o_orderpriority'
+            USING 'F'
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_ei_orders")
+
+
+@query(
+    "sql-named-parameters",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 40 AND l_discount >= 0.03
+        GROUP BY l_returnflag
+    """,
+    doc="Named-parameter SQL (spark.sql(query, args={...}), Spark "
+    "3.4+/4): the host language passes typed values into :named "
+    "placeholders — the safe templating path for programmatic query "
+    "construction (vs f-string splicing, which breaks on quotes and "
+    "invites injection). Parameters are bound pre-analysis, so "
+    "constant folding and parquet filter pushdown see the literals: "
+    "the plan is byte-identical to the inlined query.",
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "tss_np_lineitem"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM tss_np_lineitem
+            WHERE l_quantity BETWEEN :qlo AND :qhi AND l_discount >= :dmin
+            GROUP BY l_returnflag
+            """,
+            args={"qlo": 10, "qhi": 40, "dmin": 0.03},
+        )
+    finally:
+        spark.catalog.dropTempView("tss_np_lineitem")
+
+
+@query(
+    "sql-session-variables",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_rich
+        FROM customer
+        WHERE c_acctbal > 5000.0
+        GROUP BY c_mktsegment
+    """,
+    doc="Session variables (DECLARE VARIABLE / SET VAR, Spark 4): a "
+    "typed scalar lives in the session and parameterizes later "
+    "queries — the cross-statement state SQL scripts share without a "
+    "temp table. The variable is resolved to a literal at analysis "
+    "(plan shows the folded constant, pushdown intact). Variable is "
+    "DROPped in a finally so the shared long-lived session never "
+    "leaks state between ops.",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tss_sv_cust"
+    )
+    try:
+        spark.sql("DECLARE OR REPLACE VARIABLE tss_min_bal DOUBLE")
+        spark.sql("SET VAR tss_min_bal = 5000.0")
+        return spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS n_rich
+            FROM tss_sv_cust
+            WHERE c_acctbal > tss_min_bal
+            GROUP BY c_mktsegment
+            """
+        )
+    finally:
+        try:
+            spark.sql("DROP TEMPORARY VARIABLE IF EXISTS tss_min_bal")
+        except Exception:
+            pass
+        spark.catalog.dropTempView("tss_sv_cust")
+
+
+@query(
+    "variant-get-typed",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(o_custkey % 100) AS BIGINT) AS cust_bucket_sum,
+               CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_big,
+               CAST(sum(o_orderkey % 7) AS BIGINT) AS first_item_sum
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Typed variant_get over NESTED paths ($.cust.bucket, "
+    "$.flags.big, $.items[0]) — the third VARIANT op: -roundtrip "
+    "covers shredded storage, -explode-agg covers lateral unnest, "
+    "this covers typed point extraction, the hot path of "
+    "schema-on-read analytics. Each variant_get(v, path, type) is a "
+    "codegen expression over the binary variant encoding: no JSON "
+    "re-parse per access (parse_json ran ONCE at ingest), which is "
+    "the entire scale argument for VARIANT over string JSON at "
+    "100 TB. Oracle reconstructs the same values arithmetically from "
+    "the source columns the payload was synthesized from.",
+)
+def variant_get_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.format_string(
+        '{"cust": {"id": %d, "bucket": %d}, '
+        '"flags": {"big": %s}, "items": [%d, %d]}',
+        F.col("o_custkey"),
+        F.col("o_custkey") % 100,
+        F.when(F.col("o_totalprice") > 150000.0, F.lit("true")).otherwise(
+            F.lit("false")
+        ),
+        F.col("o_orderkey") % 7,
+        F.col("o_orderkey") % 11,
+    )
+    v = o.select(
+        "o_orderpriority", F.parse_json(payload).alias("v")
+    )
+    return v.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("variant_get(v, '$.cust.bucket', 'bigint')"))
+        .cast("long")
+        .alias("cust_bucket_sum"),
+        F.sum(
+            F.when(
+                F.expr("variant_get(v, '$.flags.big', 'boolean')"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_big"),
+        F.sum(F.expr("variant_get(v, '$.items[0]', 'bigint')"))
+        .cast("long")
+        .alias("first_item_sum"),
+    )
+
+
+@query(
+    "join-lateral-correlated",
+    oracle="""
+        SELECT n_name, c_name, c_acctbal
+        FROM (
+            SELECT n.n_name, c.c_name,
+                   round(c.c_acctbal, 2) AS c_acctbal,
+                   row_number() OVER (PARTITION BY n.n_nationkey
+                                      ORDER BY c.c_acctbal DESC,
+                                               c.c_custkey) AS rn
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        )
+        WHERE rn <= 2
+    """,
+    doc="Correlated LATERAL subquery join (Spark 3.2+): per nation, a "
+    "LATERAL (... WHERE c_nationkey = n.n_nationkey ORDER BY acctbal "
+    "LIMIT 2) computes top-2 customers with the outer row in scope — "
+    "the ANSI way to express per-group top-k as a join. Catalyst "
+    "DECORRELATES it: the executed plan is a window/rank over one "
+    "shuffle of customer, not a per-nation re-scan (N scans of a "
+    "100 TB fact is the naive-correlation disaster; decorrelation is "
+    "what makes LATERAL usable at scale). Oracle states the "
+    "decorrelated form directly.",
+)
+def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "tss_lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tss_lat_cust"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+            FROM tss_lat_nation n,
+            LATERAL (
+                SELECT c_name, c_acctbal
+                FROM tss_lat_cust c
+                WHERE c.c_nationkey = n.n_nationkey
+                ORDER BY c.c_acctbal DESC, c.c_custkey
+                LIMIT 2
+            ) t
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_lat_nation")
+        spark.catalog.dropTempView("tss_lat_cust")
+
+
+@query(
+    "stream-state-reader",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="State data source reader (Spark 4): a checkpointed streaming "
+    "aggregation's STATE STORE read back as a plain DataFrame "
+    "(spark.read.format('statestore').load(checkpoint)) — the "
+    "observability surface that turns opaque HDFS state files into "
+    "queryable rows for debugging stuck watermarks, hot keys, and "
+    "state bloat in production streams. The state rows for a "
+    "groupBy-count ARE the per-key counts, so the oracle is the batch "
+    "aggregate: state contents must equal what a from-scratch batch "
+    "run computes (exactly-once replay made inspectable). Checkpoint "
+    "is content-keyed and built once; state partition sizing follows "
+    "the streaming module's fixed-cost-per-partition analysis.",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from transit_scrape_spark.queries.streaming import (
+        _events_stream,
+        _state_partitions_sized_to_cluster,
+    )
+    from transit_scrape_spark.sources.fixtures import content_tag
+
+    # built in place, not via fixture_dir's atomic rename: checkpoints
+    # pin absolute paths (same constraint as stream-append-sink). Keyed
+    # per SESSION (applicationId), not just per content: the statestore
+    # reader resolves state through the driver's StateStoreCoordinator,
+    # which only exists after this session has run a streaming query —
+    # reusing another process's checkpoint without running one fails
+    # with RpcEndpointNotFoundException. One ~2s build per session.
+    tag = f"{content_tag(sf_dir)}_{spark.sparkContext.applicationId}"
+    ckpt = f"/tmp/tss_state_reader_{tag}/ckpt"
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    if not os.path.isdir(f"{ckpt}/state"):
+        agg = _events_stream(spark, sf_dir).groupBy("event_type").agg(
+            F.count("*").alias("n")
+        )
+        with _state_partitions_sized_to_cluster(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )
+
+
+@query(
+    "sql-scalar-udf",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="SQL-defined scalar function (CREATE FUNCTION ... RETURN expr, "
+    "Spark 3.5+/4): business logic named ONCE in SQL and reused across "
+    "queries — and, unlike a Python UDF, INLINED into the plan at "
+    "analysis time: the executed plan shows the expanded arithmetic "
+    "inside WholeStageCodegen, zero serialization boundary, identical "
+    "performance to writing the expression inline. The right default "
+    "for shared derivations at 100 TB; Python UDFs only where logic "
+    "genuinely can't be expressions. Dropped in finally so the shared "
+    "session's function namespace stays clean.",
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "tss_sudf_li"
+    )
+    try:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION tss_disc_price"
+            "(p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION tss_charge"
+            "(p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+            "RETURN tss_disc_price(p, d) * (1 + t)"
+        )
+        return spark.sql(
+            """
+            SELECT l_returnflag,
+                   round(sum(tss_disc_price(l_extendedprice, l_discount)), 2)
+                       AS revenue,
+                   round(sum(tss_charge(l_extendedprice, l_discount, l_tax)), 2)
+                       AS charged
+            FROM tss_sudf_li
+            GROUP BY l_returnflag
+            """
+        )
+    finally:
+        for fn in ("tss_charge", "tss_disc_price"):
+            try:
+                spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")
+            except Exception:
+                pass
+        spark.catalog.dropTempView("tss_sudf_li")
+
+
+@query(
+    "sql-table-udf",
+    oracle="""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_rich,
+               round(sum(c.c_acctbal), 2) AS bal_sum
+        FROM nation n JOIN customer c
+          ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 7500.0
+        GROUP BY n.n_name
+    """,
+    doc="SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE "
+    "RETURN SELECT, Spark 4): a parameterized view invoked per outer "
+    "row via LATERAL — named, reusable row-set logic without a Python "
+    "UDTF. Expanded at analysis time, so Catalyst DECORRELATES the "
+    "lateral invocation into a single equi-join of customer (one "
+    "shuffle/broadcast — never a per-nation re-scan of a 100 TB "
+    "table). The body is deliberately filter-shaped: a LIMIT inside a "
+    "correlated SQL TVF decorrelates to a GLOBAL limit in Spark 4.1 "
+    "(observed: 3 rows total instead of 3 per nation), so per-group "
+    "top-k belongs to window/rank ops, not TVF LIMIT. Oracle states "
+    "the decorrelated join.",
+)
+def sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "tss_tudf_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tss_tudf_cust"
+    )
+    try:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY FUNCTION tss_rich_cust(
+                nk INT, minbal DOUBLE)
+            RETURNS TABLE(c_acctbal DOUBLE)
+            RETURN SELECT c_acctbal
+                   FROM tss_tudf_cust
+                   WHERE c_nationkey = nk AND c_acctbal > minbal
+            """
+        )
+        return spark.sql(
+            """
+            SELECT n.n_name,
+                   count(*) AS n_rich,
+                   round(sum(t.c_acctbal), 2) AS bal_sum
+            FROM tss_tudf_nation n,
+            LATERAL tss_rich_cust(n.n_nationkey, 7500.0) t
+            GROUP BY n.n_name
+            """
+        )
+    finally:
+        try:
+            spark.sql("DROP TEMPORARY FUNCTION IF EXISTS tss_rich_cust")
+        except Exception:
+            pass
+        spark.catalog.dropTempView("tss_tudf_nation")
+        spark.catalog.dropTempView("tss_tudf_cust")
