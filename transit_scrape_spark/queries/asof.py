@@ -433,3 +433,64 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_o_orderdate")
     )
+
+
+@query(
+    "join-asof-forward",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT min(o.o_orderdate)
+                FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+                   AS next_o_orderdate
+        FROM events e
+    """,
+    doc="As-of join, direction='forward' (pandas merge_asof's second "
+    "direction, completing the family: join-asof backward, "
+    "join-asof-nearest, join-asof-tolerance): each event gets the "
+    "EARLIEST order date at-or-after its timestamp for the same key — "
+    "the next-scheduled-departure / next-replenishment lookup. Same "
+    "union machinery as join-asof but the window frame looks FORWARD "
+    "(currentRow..unboundedFollowing, first_value ignorenulls), with "
+    "left rows sorted before right at equal timestamps so an equal-ts "
+    "order satisfies >=. One hash exchange on the key, one sort, no "
+    "range explosion — symmetric scale posture to the backward op.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    l_tag = ev.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    r_tag = orders.select(
+        F.col("o_custkey").alias("_k"),
+        F.col("o_orderdate").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderdate").alias("_rts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # left (side 1) sorts before right (side 0) at equal _ts via
+    # descending side, so an equal-ts order is inside the >= frame
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.first("_rts", ignorenulls=True).over(w_fwd).alias("next_o_orderdate"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        "event_id", "user_id", "ts", "next_o_orderdate"
+    )

@@ -229,3 +229,77 @@ def fn_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unmatched")
         .alias("match_status"),
     )
+
+
+@query(
+    "agg-bool-battery",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000.0) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
+               CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Boolean-aggregate battery (every/bool_and, some/bool_or, "
+    "count_if): predicate rollups as single-pass aggregates — the "
+    "data-quality assertion shape ('ALL rows in this partition "
+    "satisfy X, count the violators') without a self-join or two "
+    "scans. All are map-side-combinable (partial AND/OR/count fold on "
+    "each mapper, merge on reducers), so at 100 TB the shuffle moves "
+    "one boolean/long per group per mapper, not rows.",
+)
+def agg_bool_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 150000.0)
+        .cast("long")
+        .alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "O").cast("long").alias("n_open"),
+    )
+
+
+@query(
+    "fn-url-battery",
+    oracle="""
+        SELECT doc_id,
+               'w' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host,
+               '/p/' || CAST(doc_id % 7 AS VARCHAR) AS path,
+               'q=' || CAST(doc_id % 3 AS VARCHAR) || '&id='
+                    || CAST(doc_id AS VARCHAR) AS query,
+               CAST(doc_id AS VARCHAR) AS id_param
+        FROM documents
+    """,
+    doc="URL structural parsing battery (parse_url HOST/PATH/QUERY + "
+    "keyed query-parameter extraction): the crawl-metadata projection "
+    "that precedes per-domain partitioning and politeness grouping in "
+    "a web-corpus pipeline. parse_url is a JVM built-in expression — "
+    "a regex-free, codegen-resident parse per component, vs the "
+    "urllib-in-a-Python-UDF version that serializes every row. URLs "
+    "are synthesized from doc_id so the oracle reconstructs every "
+    "component arithmetically. Complements dedup-url-normalize (which "
+    "canonicalizes with regexes); this op EXTRACTS components.",
+)
+def fn_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.org/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
