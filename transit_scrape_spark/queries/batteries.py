@@ -303,3 +303,128 @@ def fn_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "fn-xpath-battery",
+    oracle="""
+        SELECT n_nationkey,
+               CAST(n_nationkey AS BIGINT) AS xid,
+               n_name AS xname,
+               CAST(n_regionkey AS VARCHAR) AS xregion_attr,
+               CAST(2 AS BIGINT) AS n_stops
+        FROM nation
+    """,
+    doc="XPath extraction battery (xpath_int / xpath_string / xpath "
+    "array form incl. attribute access): the XML sibling of "
+    "fn-url-battery for feeds that arrive as XML (GTFS-adjacent transit "
+    "feeds, WFS GetFeature XML envelopes — the reference's WFS constant "
+    "serves XML when not asked for JSON, src/utils/constants.py:1-3). "
+    "All four are JVM built-in expressions over the string — no "
+    "ElementTree-in-a-UDF serialization. The XML is synthesized from "
+    "nation columns so the oracle reconstructs every extraction "
+    "arithmetically.",
+)
+def fn_xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.format_string(
+        '<route region="%d"><id>%d</id><name>%s</name>'
+        "<stops><s>a</s><s>b</s></stops></route>",
+        F.col("n_regionkey"),
+        F.col("n_nationkey"),
+        F.col("n_name"),
+    )
+    x = n.select("n_nationkey", xml.alias("xml"))
+    return x.select(
+        "n_nationkey",
+        F.xpath_int("xml", F.lit("/route/id")).cast("long").alias("xid"),
+        F.xpath_string("xml", F.lit("/route/name")).alias("xname"),
+        F.xpath_string("xml", F.lit("/route/@region")).alias("xregion_attr"),
+        F.size(F.xpath("xml", F.lit("/route/stops/s/text()")))
+        .cast("long")
+        .alias("n_stops"),
+    )
+
+
+@query(
+    "privacy-mask-battery",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_default,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'),
+                   '[0-9]', '#', 'g') AS masked_custom,
+               c_name AS aes_roundtrip,
+               CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_bytes
+        FROM customer
+    """,
+    doc="Masking + reversible-encryption battery (mask(), aes_encrypt/"
+    "aes_decrypt): the column-level PII controls of the privacy family "
+    "(k-anonymity/l-diversity/DP cover the statistical side; this "
+    "covers display masking and deterministic crypto). mask() rewrites "
+    "character CLASSES (upper->X, lower->x, digit->n) keeping "
+    "structure visible for debugging; AES-ECB is used here ONLY "
+    "because the op must be deterministic for the oracle — real "
+    "deployments use the default GCM (random IV, ciphertext "
+    "non-deterministic) precisely because ECB leaks equality; when "
+    "equality-preserving encryption is the POINT (join on encrypted "
+    "keys), that trade-off is explicit. ct_bytes checks the PKCS "
+    "block arithmetic; the decrypt(encrypt(x)) column proves the "
+    "round-trip. All JVM expressions — no Python crypto per row.",
+)
+def privacy_mask_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    key = "0123456789abcdef"
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask("c_name", F.lit("*"), F.lit("*"), F.lit("#")).alias(
+            "masked_custom"
+        ),
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'),"
+            f" '{key}', 'ECB') AS STRING)"
+        ).alias("aes_roundtrip"),
+        F.expr(f"octet_length(aes_encrypt(c_name, '{key}', 'ECB'))")
+        .cast("long")
+        .alias("ct_bytes"),
+    )
+
+
+@query(
+    "agg-regression-battery",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n_pairs,
+               round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="SQL:2003 linear-regression aggregate battery (regr_slope/"
+    "intercept/r2/count/avgx): ordinary least squares as a SINGLE "
+    "streaming aggregate — each partial maintains (n, sum_x, sum_y, "
+    "sum_xx, sum_xy) and partials merge associatively, so the trend "
+    "fit over 100 TB is one map-side-combined shuffle of 5 doubles "
+    "per group, not an MLlib job or a collect. The per-group "
+    "price-vs-quantity fit is the monitoring shape (drift of a "
+    "relationship by segment). Both engines implement the standard "
+    "definitions; results rounded to absorb summation-order last-bit "
+    "drift.",
+)
+def agg_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+    )

@@ -953,3 +953,89 @@ def sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         spark.catalog.dropTempView("tss_tudf_nation")
         spark.catalog.dropTempView("tss_tudf_cust")
+
+
+@query(
+    "sql-group-by-all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="GROUP BY ALL (Spark 3.4+/4, ANSI-adopted sugar): every "
+    "non-aggregate select item becomes a grouping key, so adding a "
+    "dimension to the SELECT list cannot silently desync from the "
+    "GROUP BY clause (the classic copy-paste rollup bug). Resolved at "
+    "analysis to the explicit grouping — plan identical, one shuffle, "
+    "map-side partial aggregation intact.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tss_gba_orders"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM tss_gba_orders
+            GROUP BY ALL
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_gba_orders")
+
+
+@query(
+    "sql-limit-offset",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 20 OFFSET 40
+    """,
+    doc="LIMIT ... OFFSET pagination (Spark 3.4+): deterministic only "
+    "over a TOTAL order (here the unique key), which the op pins — "
+    "OFFSET without a total order returns an arbitrary page. Spark "
+    "plans this as a global sort + offset-aware limit "
+    "(TakeOrderedAndProject with offset): each partition produces its "
+    "top offset+limit candidates, one merge on the driver-side "
+    "collect — never a full materialized sort. Still, OFFSET cost "
+    "grows linearly with page depth at 100 TB; keyset pagination "
+    "(WHERE key > last_seen ORDER BY key LIMIT n) is the "
+    "constant-cost shape for deep pages.",
+)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "set-except-all",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL / INTERSECT ALL bag semantics (set-except covers "
+    "the DISTINCT forms): duplicates are subtracted by MULTIPLICITY — "
+    "each right occurrence cancels one left occurrence — which is the "
+    "correct reconciliation semantics for ledgers and event streams "
+    "where row counts mean something. Spark plans it as a single "
+    "hash-aggregate computing per-value counts on both sides then "
+    "replicating rows max(l-r, 0) times (generate) — one shuffle on "
+    "the value, no join, no row-number trick.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") != "O").select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.exceptAll(right)

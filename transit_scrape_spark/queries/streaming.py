@@ -871,3 +871,58 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return spark.table(name)
+
+
+@query(
+    "stream-rocksdb-state",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Streaming aggregation on the RocksDB state store provider "
+    "(spark.sql.streaming.stateStore.providerClass) — the production "
+    "state backend for LARGE state: the default HDFS-backed provider "
+    "keeps every version of state in executor HEAP (state size bounded "
+    "by JVM memory, GC pressure scales with it), while RocksDB spills "
+    "to local SSD with changelog checkpointing, bounding heap use "
+    "regardless of key cardinality — the difference between a 10M-key "
+    "and a 10B-key dedup/session stream at cluster scale. Results "
+    "must be BACKEND-INVARIANT: the oracle is the same batch "
+    "aggregate the HDFS-provider ops check. Provider conf is pinned "
+    "at query start from the session conf (set/restored try/finally); "
+    "the checkpoint is provider-tagged because state files are not "
+    "portable across providers.",
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, rocks)
+    try:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        name = _run_stream_to_memory(agg, "complete")
+        return spark.table(name)
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, old)
