@@ -478,3 +478,256 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
         F.count("*").cast("long").alias("n_ticks"),
     )
+
+
+@query(
+    "timeseries-autocorr",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+                   lag(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+                   lag(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(v, v1), 6) AS acf1,
+               round(corr(v, v2), 6) AS acf2,
+               round(corr(v, v3), 6) AS acf3
+        FROM lagged
+        GROUP BY event_type
+    """,
+    doc="Lag-1/2/3 autocorrelation of the daily value series per event "
+    "type (the seasonality / persistence screen before fitting any "
+    "forecaster). Daily reduction first — the fact table collapses to "
+    "|types|x|days| rows via map-side partial agg — then lag windows "
+    "within each (small) per-type series and corr aggregates, so the "
+    "expensive part is one partial-agg shuffle of summary cardinality; "
+    "the window sort touches only the collapsed series. corr() skips "
+    "null lag pairs identically in Spark and DuckDB, so series edges "
+    "need no special-casing.",
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("v", "v1"), 6).alias("acf1"),
+        F.round(F.corr("v", "v2"), 6).alias("acf2"),
+        F.round(F.corr("v", "v3"), 6).alias("acf3"),
+    )
+
+
+@query(
+    "timeseries-cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS v_c
+            FROM events GROUP BY 1, 2
+        ),
+        centered AS (
+            SELECT event_type, day, v_c,
+                   CAST(round(avg(CAST(v_c AS DOUBLE)) OVER (PARTITION BY event_type))
+                        AS BIGINT) AS mu_c
+            FROM daily
+        )
+        SELECT event_type, day,
+               round(CAST(sum(v_c - mu_c) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100, 2) AS cusum
+        FROM centered
+    """,
+    doc="CUSUM drift statistic: running sum of deviations from the "
+    "per-series mean — the classic level-shift / changepoint screen "
+    "(a sustained drift shows as a monotone ramp; white noise hovers "
+    "near 0). Same collapsed-daily-series shape as autocorr: one "
+    "partial-agg shuffle to |types|x|days|, then an unbounded-frame "
+    "mean window and an ordered running-sum window over the tiny "
+    "summary relation. Daily totals and the series mean quantize to "
+    "integer cents BEFORE the running sum, making the prefix sums "
+    "exact integer arithmetic — engines are free to associate window "
+    "sums differently (DuckDB uses a segment tree, Spark a running "
+    "accumulator), so a float prefix sum near the zero-crossing would "
+    "be a parity cliff.",
+)
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("v_c"))
+    centered = daily.withColumn(
+        "mu_c",
+        F.round(F.avg(F.col("v_c").cast("double")).over(Window.partitionBy("event_type")))
+        .cast("long"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return centered.select(
+        "event_type",
+        "day",
+        F.round(
+            F.sum(F.col("v_c") - F.col("mu_c")).over(wrun).cast("double") / 100, 2
+        ).alias("cusum"),
+    )
+
+
+@query(
+    "timeseries-mom-growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT event_type,
+                   CAST(date_trunc('month', ts) AS DATE) AS month,
+                   round(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, month, v,
+               round(lag(v) OVER (PARTITION BY event_type ORDER BY month), 4)
+                   AS prev_v,
+               round((v - lag(v) OVER (PARTITION BY event_type ORDER BY month))
+                     / nullif(lag(v) OVER (PARTITION BY event_type ORDER BY month), 0)
+                     * 100, 4) AS growth_pct
+        FROM monthly
+    """,
+    doc="Month-over-month growth: monthly rollup then lag-1 window and "
+    "percent delta (nullif guards a zero prior month; the first month "
+    "reports null growth). The KPI-report staple — at scale the only "
+    "full-data pass is the monthly partial agg; the growth window runs "
+    "over |types|x|months| rows.",
+)
+def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("month", F.col("ts"))).alias("month")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("v").over(w)
+    return monthly.select(
+        "event_type",
+        "month",
+        "v",
+        F.round(prev, 4).alias("prev_v"),
+        F.round((F.col("v") - prev) / F.nullif(prev, F.lit(0)) * 100, 4).alias(
+            "growth_pct"
+        ),
+    )
+
+
+@query(
+    "timeseries-interpolate-linear",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 6) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        holed AS (  -- deterministic synthetic gaps: day-of-month % 4 = 1 unknown
+            SELECT day,
+                   CASE WHEN extract(day FROM day) % 4 <> 1 THEN v END AS v_known
+            FROM daily
+        ),
+        fenced AS (
+            SELECT day, v_known,
+                   max(CASE WHEN v_known IS NOT NULL THEN day END) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+                   min(CASE WHEN v_known IS NOT NULL THEN day END) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_day
+            FROM holed
+        )
+        SELECT f.day,
+               f.v_known IS NULL AS interpolated,
+               round(CASE
+                   WHEN f.v_known IS NOT NULL THEN f.v_known
+                   WHEN pk.v_known IS NULL THEN nk.v_known
+                   WHEN nk.v_known IS NULL THEN pk.v_known
+                   ELSE pk.v_known
+                        + (nk.v_known - pk.v_known)
+                          * date_diff('day', f.prev_day, f.day)
+                          / date_diff('day', f.prev_day, f.next_day)
+               END, 4) AS v_filled
+        FROM fenced f
+        LEFT JOIN holed pk ON pk.day = f.prev_day
+        LEFT JOIN holed nk ON nk.day = f.next_day
+    """,
+    doc="Linear interpolation of missing points in a daily series "
+    "(pandas interpolate(method='linear') semantics, distributed). "
+    "Gaps are synthesized deterministically (day-of-month % 4 == 1 "
+    "treated as unknown) so the op exercises real holes on any "
+    "fixture. Shape: running max/min windows locate each row's "
+    "bracketing known days WITHOUT ignore-nulls support, then two "
+    "self-joins on the (tiny) daily relation fetch the bracket values "
+    "and the slope formula fills the hole; series edges fall back to "
+    "nearest-known. At scale the windows and joins run over the "
+    "date-spine cardinality, never the fact.",
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    holed = daily.select(
+        "day",
+        F.when(F.dayofmonth("day") % 4 != 1, F.col("v")).alias("v_known"),
+    )
+    known_day = F.when(F.col("v_known").isNotNull(), F.col("day"))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("day").rowsBetween(1, Window.unboundedFollowing)
+    fenced = holed.select(
+        "day",
+        "v_known",
+        F.max(known_day).over(wprev).alias("prev_day"),
+        F.min(known_day).over(wnext).alias("next_day"),
+    )
+    pk = holed.select(F.col("day").alias("pk_day"), F.col("v_known").alias("pk_v"))
+    nk = holed.select(F.col("day").alias("nk_day"), F.col("v_known").alias("nk_v"))
+    f = (
+        fenced.join(F.broadcast(pk), fenced.prev_day == pk.pk_day, "left")
+        .join(F.broadcast(nk), fenced.next_day == nk.nk_day, "left")
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")) / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    )
+    filled = (
+        F.when(F.col("v_known").isNotNull(), F.col("v_known"))
+        .when(F.col("pk_v").isNull(), F.col("nk_v"))
+        .when(F.col("nk_v").isNull(), F.col("pk_v"))
+        .otherwise(F.col("pk_v") + (F.col("nk_v") - F.col("pk_v")) * frac)
+    )
+    return f.select(
+        "day",
+        F.col("v_known").isNull().alias("interpolated"),
+        F.round(filled, 4).alias("v_filled"),
+    )
