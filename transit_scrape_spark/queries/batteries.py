@@ -465,3 +465,119 @@ def agg_bitmap_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("day").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_users")
     )
+
+
+@query(
+    "fn-hash-battery",
+    oracle="""
+        SELECT p_partkey,
+               md5(p_name) AS h_md5,
+               sha256(p_name) AS h_sha256,
+               CAST(CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT)
+                    AS BIGINT) AS h_md5_prefix64,
+               CAST(CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT) % 1024
+                    AS BIGINT) AS shard
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+    doc="Cryptographic-hash battery (md5 / sha2-256) plus the two "
+    "derived idioms every pipeline builds on them: a 60-bit integer "
+    "from the md5 hex prefix (the engine-portable stable id — Spark's "
+    "native hash()/xxhash64 seeds differ across engines, so "
+    "cross-system contracts hash the hex) and a mod-1024 shard key. "
+    "All codegen'd JVM-side expressions, one projection, no shuffle; "
+    "at 100 TB this is the deterministic-bucketing primitive behind "
+    "dedup-url-normalize and sample-hash-split.",
+)
+def fn_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    prefix64 = F.conv(F.substring(F.md5(F.col("p_name")), 1, 15), 16, 10).cast("long")
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name")).alias("h_md5"),
+        F.sha2(F.col("p_name"), 256).alias("h_sha256"),
+        prefix64.alias("h_md5_prefix64"),
+        (prefix64 % 1024).cast("long").alias("shard"),
+    )
+
+
+@query(
+    "window-percentile-frame",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(c_acctbal, 2) AS acctbal,
+               round(quantile_cont(c_acctbal, 0.5) OVER (PARTITION BY c_nationkey), 4)
+                   AS nation_median,
+               round(quantile_cont(c_acctbal, 0.9) OVER (PARTITION BY c_nationkey), 4)
+                   AS nation_p90,
+               c_acctbal > quantile_cont(c_acctbal, 0.9)
+                   OVER (PARTITION BY c_nationkey) AS is_top_decile
+        FROM customer
+    """,
+    doc="Exact percentiles as window aggregates: every customer row "
+    "annotated with its nation's median and p90 balance and a "
+    "top-decile flag — the peer-group-comparison shape (row vs its "
+    "cohort's distribution) that would otherwise need a groupBy + "
+    "re-join. Spark evaluates percentile() over an unbounded window "
+    "by buffering each partition once; both engines interpolate "
+    "(quantile_cont semantics), so values match exactly. At 100 TB "
+    "cohort partitions must fit the window buffer — for heavy "
+    "cohorts swap in approx_percentile over the same window or the "
+    "groupBy+broadcast-join rewrite.",
+)
+def window_percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    med = F.percentile(F.col("c_acctbal"), F.lit(0.5)).over(w)
+    p90 = F.percentile(F.col("c_acctbal"), F.lit(0.9)).over(w)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.round(med, 4).alias("nation_median"),
+        F.round(p90, 4).alias("nation_p90"),
+        (F.col("c_acctbal") > p90).alias("is_top_decile"),
+    )
+
+
+@query(
+    "join-existence-multikey",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_with_successor,
+               round(sum(l.l_extendedprice), 2) AS rev
+        FROM lineitem l
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem nxt
+            WHERE nxt.l_orderkey = l.l_orderkey
+              AND nxt.l_linenumber = l.l_linenumber + 1
+        )
+        GROUP BY l.l_returnflag
+    """,
+    doc="EXISTS on a COMPOSITE key (orderkey, linenumber+1): lines that "
+    "have a successor line in the same order. Planned as a left-semi "
+    "hash join on both columns at once — the multi-column existence "
+    "probe that naive rewrites turn into IN-subqueries on "
+    "concatenated strings (which kills pushdown and null semantics). "
+    "Both sides shuffle on the same composite hash, so at 100 TB "
+    "this is one co-partitioned exchange each way; the +1 arithmetic "
+    "rides inside the join key expression.",
+)
+def join_existence_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = li.select(
+        F.col("l_orderkey").alias("n_ok"), F.col("l_linenumber").alias("n_ln")
+    )
+    return (
+        li.join(
+            nxt,
+            (F.col("l_orderkey") == F.col("n_ok"))
+            & (F.col("l_linenumber") + 1 == F.col("n_ln")),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_with_successor"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+    )

@@ -1039,3 +1039,107 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = o.filter(F.col("o_orderstatus") != "O").select("o_orderpriority")
     right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return left.exceptAll(right)
+
+
+@query(
+    "sql-star-except",
+    oracle="""
+        SELECT * EXCLUDE (o_totalprice)
+        FROM orders
+        WHERE o_orderkey <= 200
+    """,
+    doc="SELECT * EXCEPT (...) projection sugar (Spark 3.4+; DuckDB "
+    "spells it EXCLUDE): project everything but the named columns — "
+    "the wide-table ergonomic that keeps a 300-column scan from "
+    "devolving into a hand-typed list when one column must be "
+    "dropped (e.g. stripping a PII or cost column before handoff). "
+    "Resolved at analysis time to an explicit projection, so column "
+    "pruning still reaches the parquet scan: the excluded column is "
+    "never read.",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tss_sse_orders")
+    try:
+        return spark.sql(
+            """
+            SELECT * EXCEPT (o_totalprice)
+            FROM tss_sse_orders
+            WHERE o_orderkey <= 200
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_sse_orders")
+
+
+@query(
+    "sql-order-by-all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc="ORDER BY ALL (Spark 4 / DuckDB convergent sugar): sort by "
+    "every select-list item left to right — the deterministic-output "
+    "idiom for report queries without enumerating sort keys. Plans "
+    "as an ordinary global sort after the aggregation; at scale the "
+    "sort runs over the collapsed aggregate cardinality, and "
+    "range-partitioned sampling (Spark's sort shuffle) keeps it "
+    "balanced.",
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tss_oba_orders")
+    try:
+        return spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM tss_oba_orders
+            GROUP BY ALL
+            ORDER BY ALL
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_oba_orders")
+
+
+@query(
+    "agg-filter-clause",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                   AS n_discounted,
+               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+                   AS rev_bulk,
+               round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 4)
+                   AS avg_price_untaxed
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="ANSI FILTER clause aggregates (Spark 3.0+): per-aggregate "
+    "predicates in one pass — the pivot-lite pattern that replaces N "
+    "self-joins or sum(CASE WHEN) boilerplate. All four conditional "
+    "aggregates share a single scan and a single map-side-combined "
+    "shuffle on the group key; each filter is evaluated per-row "
+    "inside the partial aggregate, so cost is one pass regardless of "
+    "how many filtered metrics are stacked.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tss_afc_li")
+    try:
+        return spark.sql(
+            """
+            SELECT l_returnflag,
+                   count(*) AS n_all,
+                   count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                   round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+                       AS rev_bulk,
+                   round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 4)
+                       AS avg_price_untaxed
+            FROM tss_afc_li
+            GROUP BY l_returnflag
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_afc_li")

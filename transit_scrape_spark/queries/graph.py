@@ -342,3 +342,90 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
     )
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+@query(
+    "graph-degree-histogram",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY a
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the nation-trade graph: degree per node "
+    "(edges are stored in both directions, so out-degree = full degree) "
+    "then a histogram over degrees. The first thing to look at before "
+    "running any graph algorithm at scale — it is two map-side-combined "
+    "groupBys whose shuffles carry |V| then |distinct degrees| rows, "
+    "and it tells you whether hub nodes will need the high-degree "
+    "pruning the similarity ops apply. Reference-free addition; same "
+    "edge derivation as graph-components-iterative (graph.py:22).",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+@query(
+    "graph-jaccard-neighbors",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY a
+        ),
+        common AS (
+            SELECT e1.a AS u, e2.a AS v, CAST(count(*) AS BIGINT) AS n_common
+            FROM edges e1 JOIN edges e2
+              ON e1.b = e2.b AND e1.a < e2.a
+            GROUP BY e1.a, e2.a
+        )
+        SELECT c.u, c.v, c.n_common,
+               round(CAST(c.n_common AS DOUBLE)
+                     / (du.degree + dv.degree - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+        WHERE CAST(c.n_common AS DOUBLE)
+              / (du.degree + dv.degree - c.n_common) >= 0.5
+    """,
+    doc="Structural node similarity: Jaccard of neighbor sets for every "
+    "node pair sharing at least one neighbor, thresholded at 0.5 — the "
+    "link-prediction / role-equivalence primitive. Shape is the "
+    "wedge-join (edges self-joined on the shared endpoint), which is "
+    "exactly the triangle-count join re-aggregated per pair, then two "
+    "broadcast-sized degree joins. At 100 TB the wedge join's fan-out "
+    "is sum(degree^2) — bounded in practice by the same hub-cap "
+    "pruning dedup-containment-score applies (drop nodes above a "
+    "degree ceiling before the self-join; hubs are similar to "
+    "everything, i.e. uninformative).",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("w1"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w2"))
+    common = (
+        e1.join(e2, (F.col("w1") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg_u") + F.col("deg_v") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .filter(jac >= 0.5)
+        .select("u", "v", "n_common", F.round(jac, 6).alias("jaccard"))
+    )

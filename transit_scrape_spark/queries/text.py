@@ -903,3 +903,205 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return top5(p1, 1).unionByName(top5(p2, 2))
+
+
+@query(
+    "text-readability",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                   AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                     - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                                    AS DOUBLE)
+                               / len(string_split(text, ' '))), 4) AS flesch
+        FROM documents
+    """,
+    doc="Flesch reading-ease per document: whitespace word count, "
+    "sentence count from terminal-punctuation runs (floored at 1 so "
+    "fragments don't divide by zero), and the standard syllable proxy "
+    "(vowel-group runs). One codegen'd projection over the corpus — "
+    "the readability band is a C4/Gopher-style quality gate cut, and "
+    "like text-quality-score it costs a single scan with full column "
+    "pruning (only doc_id+text read).",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sent)
+        - 84.6 * (n_syl.cast("double") / n_words)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+@query(
+    "text-zipf-slope",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+            FROM documents
+        ),
+        counted AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM counted
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_top,
+               round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+                   AS zipf_slope,
+               round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+                   AS zipf_intercept
+        FROM ranked WHERE rank <= 200
+    """,
+    doc="Zipf law fit over the corpus vocabulary: token counts, "
+    "frequency rank (ties broken by token for determinism), then "
+    "least-squares slope of log-frequency vs log-rank over the top "
+    "200 — natural language sits near -1; a corpus that deviates "
+    "hard signals boilerplate or spam. Plan: one explode+groupBy "
+    "(map-side combined, shuffle bounded by vocabulary), a top-200 "
+    "TakeOrderedAndProject (no global sort), and a scalar regr_* "
+    "aggregate over 200 rows.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = counted.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 200)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_top"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 4).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "text-hashing-features",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(token), 1, 6)) AS BIGINT) % 16
+                    AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok
+        GROUP BY 1, 2
+    """,
+    doc="Hashing-trick featurization (HashingVectorizer semantics): "
+    "tokens hash into 16 fixed buckets via the first 24 bits of md5 — "
+    "an engine-portable hash, unlike Spark's murmur3 `hash()` — and "
+    "the doc x bucket count matrix comes out in long form. No "
+    "vocabulary state at all, which is the point at 100 TB: feature "
+    "extraction becomes a stateless projection + one groupBy on "
+    "(doc_id, bucket), map-side combined, no vocab broadcast and no "
+    "OOV handling. Sampled to every 10th doc to keep the demo output "
+    "bounded; the plan is identical unsampled.",
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("token"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 6), 16, 10).cast("long") % 16
+    )
+    return (
+        tok.select("doc_id", bucket.cast("long").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "text-df-prune",
+    oracle="""
+        WITH n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        df AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+            )
+            GROUP BY token
+        )
+        SELECT token, doc_freq,
+               round(ln(nd / doc_freq), 6) AS idf
+        FROM df, n_docs
+        WHERE doc_freq >= 3 AND doc_freq <= 0.5 * nd
+    """,
+    doc="Vocabulary pruning by document frequency (the sklearn "
+    "min_df/max_df contract): per-token distinct-doc counts, drop "
+    "tokens in fewer than 3 docs (noise/typos) or more than half the "
+    "corpus (stopword-like), emit the surviving vocab with idf. "
+    "Shape: explode -> per-doc distinct (map-side combinable because "
+    "the distinct key is (doc_id, token)) -> groupBy token -> "
+    "broadcast single-row corpus count. The standard precursor that "
+    "bounds every downstream tf-idf / embedding vocabulary.",
+)
+def text_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    df = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            ).alias("token"),
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    return (
+        df.join(F.broadcast(nd))
+        .filter(
+            (F.col("doc_freq") >= 3) & (F.col("doc_freq") <= 0.5 * F.col("nd"))
+        )
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.col("nd") / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )
