@@ -252,3 +252,41 @@ def test_aqe_skew_split_fires(spark, sf_dir):
     assert "isFinalPlan=true" in plan  # we inspected the post-execution plan
     assert "skew=true" in plan, plan[:2000]
     assert out.count() == 20  # and the result is still the 20 buckets
+
+
+def test_power_iteration_broadcasts_vector(spark, sf_dir):
+    # every matrix-vector step joins the d-row vector by BROADCAST; the
+    # gram relation never range/hash-shuffles against it, and nothing
+    # falls back to Python.
+    p = _plan(spark, sf_dir, "embed-power-iteration")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_jaccard_neighbors_no_cartesian(spark, sf_dir):
+    # the wedge self-join is an equi-join on the shared endpoint; the
+    # degree attachments are broadcasts.
+    p = _plan(spark, sf_dir, "graph-jaccard-neighbors")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_window_percentile_single_window(spark, sf_dir):
+    # median+p90+flag over the same partition spec must plan as ONE
+    # Window operator (shared buffer), not three.
+    p = _plan(spark, sf_dir, "window-percentile-frame")
+    assert p.count("Window") - p.count("WindowGroupLimit") >= 1
+    assert p.count("percentile") >= 2  # both exprs in the same Window node
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg-multi-distinct-expand")
+    assert "Expand" in p
+
+
+def test_readability_is_single_projection(spark, sf_dir):
+    # no shuffle at all: a pure codegen'd projection over the scan.
+    p = _plan(spark, sf_dir, "text-readability")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p

@@ -858,3 +858,171 @@ def analytics_survival_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "censored",
     ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "analytics-rfm",
+    oracle="""
+        WITH ref AS (
+            SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders
+        ),
+        cust AS (
+            SELECT o_custkey AS custkey,
+                   CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                  (SELECT maxd FROM ref)) AS BIGINT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey, recency_days, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS BIGINT)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+                   AS m_score
+        FROM cust
+    """,
+    doc="RFM customer segmentation: recency (days since last order, "
+    "anchored to the corpus max date so the op is reproducible), "
+    "frequency, monetary, each scored into quintiles by ntile(5). "
+    "Score 1 is best on every axis (most recent / most frequent / "
+    "highest spend). Every ORDER BY carries the custkey tie-break — "
+    "ntile without a total order is nondeterministic across engines "
+    "and across Spark retries, the classic silent-drift bug in "
+    "scoring pipelines. Shape: one groupBy on custkey, then three "
+    "window sorts over the |customers| aggregate (at 100 TB: "
+    "range-partitioned sorts over the rollup, never the fact).",
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.to_date(F.max("o_orderdate")).alias("maxd"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("maxd"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
+@query(
+    "anomaly-iqr-fence",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(q.q1, 4) AS q1,
+               round(q.q3, 4) AS q3,
+               round(q.q3 - q.q1, 4) AS iqr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                                        OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+                    AS BIGINT) AS n_outliers
+        FROM events e JOIN q ON e.event_type = q.event_type
+        GROUP BY e.event_type, q.q1, q.q3
+    """,
+    doc="Tukey-fence outlier screen per event type: exact q1/q3 "
+    "(interpolating percentile, identical quantile_cont semantics in "
+    "both engines), fences at 1.5*IQR, outlier counts via a FILTER "
+    "clause aggregate. The robust complement to anomaly-zscore "
+    "(mean/std get dragged by the very outliers they're meant to "
+    "flag; quartiles don't — same motivation as agg-robust-mad). "
+    "Plan: percentile agg collapses per type, broadcast-joins back "
+    "over the fact, one more map-side-combined count pass. At 100 TB "
+    "swap exact percentile for approx_percentile in the first pass; "
+    "fence logic unchanged.",
+)
+def anomaly_iqr_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q1"), 4).alias("q1"),
+            F.round(F.col("q3"), 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "agg-multi-distinct-expand",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Multiple count(DISTINCT ...) on DIFFERENT columns in one "
+    "aggregate — Spark plans this with the Expand operator: each input "
+    "row is replicated once per distinct-column (3x here, tagged with "
+    "a grouping id), then a single two-stage distinct aggregate runs "
+    "over the expanded stream. One query, one shuffle — but the "
+    "shuffle carries 3x the rows, which is the scale trade to know: "
+    "at 100 TB, if the expansion factor bites, rewrite heavy columns "
+    "onto approx_count_distinct (agg-approx-sketch) or bitmap "
+    "aggregates (agg-bitmap-builtin) and keep exact distinct only "
+    "where the product decision needs it.",
+)
+def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("nd_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("nd_supps"),
+        F.countDistinct("l_orderkey").cast("long").alias("nd_orders"),
+        F.count("*").cast("long").alias("n_rows"),
+    )

@@ -791,3 +791,95 @@ def dedup_containment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cont_b * 1000000 + 0.5).cast("long").alias("cont_b_in_a_e6"),
         )
     )
+
+
+@query(
+    "corpus-token-budget",
+    oracle="""
+        WITH src AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM src)
+        SELECT source, toks,
+               CAST(sum(toks) OVER (ORDER BY toks DESC, source) AS BIGINT)
+                   AS cum_toks,
+               round(CAST(toks AS DOUBLE) / total_toks, 6) AS share,
+               sum(toks) OVER (ORDER BY toks DESC, source)
+                   <= CAST(0.5 * total_toks AS BIGINT) AS in_budget
+        FROM src, tot
+    """,
+    doc="Token-budget planning for a training mix: per-source token "
+    "totals, greedy cumulative fill ordered by size (ties broken by "
+    "source name for determinism), and an in_budget flag marking the "
+    "sources that fit a 50%-of-corpus token budget — the first table "
+    "anyone draws up before weighting a pretraining mixture (see "
+    "corpus-resample-mix for the sampling side). Token counts stay "
+    "integers end to end, so the running sum is exact in any engine. "
+    "One map-side-combined groupBy on source; the window runs over "
+    "|sources| rows.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = src.agg(F.sum("toks").cast("long").alias("total_toks"))
+    w = Window.orderBy(F.col("toks").desc(), F.col("source")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("toks").over(w)
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "toks",
+            cum.cast("long").alias("cum_toks"),
+            F.round(F.col("toks").cast("double") / F.col("total_toks"), 6).alias(
+                "share"
+            ),
+            (cum <= (0.5 * F.col("total_toks")).cast("long")).alias("in_budget"),
+        )
+    )
+
+
+@query(
+    "dedup-crossdoc-prefix",
+    oracle="""
+        WITH pre AS (
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+            FROM documents
+        )
+        SELECT prefix,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM pre
+        GROUP BY prefix
+        HAVING count(*) > 1
+    """,
+    doc="Cross-document shared-prefix detector: the first 8 tokens of "
+    "each document as a boilerplate fingerprint, grouped, and groups "
+    "with >1 member surfaced with a deterministic keeper (min doc_id) "
+    "— the cheap screen for header/template boilerplate that exact "
+    "dedup misses (bodies differ) and MinHash wastes signatures on. "
+    "At 100 TB the groupBy key should be the prefix HASH, not the "
+    "string (same plan, 8-byte shuffle rows); kept as text here so "
+    "the flagged boilerplate is human-readable. Map-side combine "
+    "bounds the shuffle by distinct-prefix cardinality.",
+)
+def dedup_crossdoc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -599,3 +599,85 @@ def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(p_obs - p_ben), 6).alias("abs_dev"),
         )
     )
+
+
+@query(
+    "dq-referential-integrity",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders' AS fk,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM customer) AS BIGINT)
+        UNION ALL
+        SELECT 'supplier.s_nationkey -> nation',
+               CAST((SELECT count(*) FROM supplier s
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = s.s_nationkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM supplier) AS BIGINT)
+    """,
+    doc="Referential-integrity audit across the star schema's FK edges: "
+    "orphan counts via LEFT ANTI joins (lineitem->orders, "
+    "orders->customer, customer->nation, supplier->nation), one "
+    "summary row per edge. Each anti-join is the usual co-partitioned "
+    "hash probe (broadcast when the parent side is a dim); counts are "
+    "map-side combinable, so at 100 TB the audit costs one shuffle "
+    "per big-big edge and nothing per dim edge. The pre-load gate "
+    "that catches a truncated parent extract before it poisons every "
+    "downstream join (joins silently DROP orphans; this op makes the "
+    "drop visible).",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def edge(label: str, child: DataFrame, cond, parent: DataFrame) -> DataFrame:
+        orphans = child.join(parent, cond, "left_anti").agg(
+            F.count("*").cast("long").alias("n_orphans")
+        )
+        total = child.agg(F.count("*").cast("long").alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(F.lit(label).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        edge(
+            "lineitem.l_orderkey -> orders",
+            li, li.l_orderkey == o.o_orderkey, o,
+        )
+        .unionByName(
+            edge("orders.o_custkey -> customer", o, o.o_custkey == c.c_custkey, c)
+        )
+        .unionByName(
+            edge(
+                "customer.c_nationkey -> nation",
+                c, c.c_nationkey == n.n_nationkey, n,
+            )
+        )
+        .unionByName(
+            edge(
+                "supplier.s_nationkey -> nation",
+                s, s.s_nationkey == n.n_nationkey, n,
+            )
+        )
+    )

@@ -179,3 +179,78 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         (F.col("l_distinct") < _L).alias("violates_l"),
     )
+
+
+@query(
+    "privacy-t-closeness",
+    oracle="""
+        WITH overall AS (
+            SELECT c_mktsegment AS s,
+                   CAST(count(*) AS DOUBLE)
+                       / (SELECT count(*) FROM customer) AS p
+            FROM customer GROUP BY 1
+        ),
+        grp AS (
+            SELECT c_nationkey, c_mktsegment AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        ),
+        gsz AS (
+            SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS group_n
+            FROM grp GROUP BY 1
+        ),
+        cells AS (
+            SELECT z.c_nationkey, z.group_n, overall.p,
+                   CAST(coalesce(g.n, 0) AS DOUBLE) / z.group_n AS q
+            FROM gsz z
+            CROSS JOIN overall
+            LEFT JOIN grp g ON g.c_nationkey = z.c_nationkey AND g.s = overall.s
+        )
+        SELECT c_nationkey, group_n,
+               round(0.5 * sum(abs(q - p)), 6) AS t_distance,
+               0.5 * sum(abs(q - p)) <= 0.2 AS meets_t02
+        FROM cells
+        GROUP BY c_nationkey, group_n
+    """,
+    doc="t-closeness screen (the stronger cousin of k-anonymity / "
+    "l-diversity, both registered in this module): for each "
+    "quasi-identifier group (nation) the total-variation distance "
+    "between the group's sensitive-attribute distribution "
+    "(mktsegment) and the global one; a group whose distribution "
+    "diverges past t leaks the attribute even when l-diverse. The "
+    "missing-category subtlety is explicit: groups cross-join the "
+    "global segment list so absent segments contribute |0 - p|, not "
+    "nothing. Shape: two map-side-combined groupBys plus a "
+    "broadcast-sized cross join of |groups| x |segments| — the fact "
+    "is scanned once.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    total = c.agg(F.count("*").cast("double").alias("n_total"))
+    glob = (
+        c.groupBy(F.col("c_mktsegment").alias("s"))
+        .agg(F.count("*").cast("double").alias("seg_n"))
+        .crossJoin(F.broadcast(total))
+        .select("s", (F.col("seg_n") / F.col("n_total")).alias("p"))
+    )
+    grp = c.groupBy("c_nationkey", F.col("c_mktsegment").alias("s")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    gsz = grp.groupBy("c_nationkey").agg(F.sum("n").cast("long").alias("group_n"))
+    cells = (
+        gsz.crossJoin(F.broadcast(glob.select("s", "p")))
+        .join(F.broadcast(grp), ["c_nationkey", "s"], "left")
+        .select(
+            "c_nationkey",
+            "group_n",
+            "p",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("group_n")).alias(
+                "q"
+            ),
+        )
+    )
+    t = 0.5 * F.sum(F.abs(F.col("q") - F.col("p")))
+    return cells.groupBy("c_nationkey", "group_n").agg(
+        F.round(t, 6).alias("t_distance"),
+        (t <= 0.2).alias("meets_t02"),
+    )

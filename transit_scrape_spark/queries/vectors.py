@@ -854,3 +854,167 @@ def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.j").alias("j"),
         F.floor(F.col("p.cov") * 1000000000 + 0.5).cast("long").alias("cov_e9"),
     )
+
+
+def _power_iter_oracle(dims: int, iters: int) -> str:
+    """Unrolled power-iteration SQL for DuckDB (no loops in ANSI SQL):
+    each iteration is a matrix-vector join-aggregate + a scalar-subquery
+    normalization, exactly mirroring the Spark driver loop."""
+    ctes = [
+        f"v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""p AS (SELECT a.range AS i, b.range AS j
+                  FROM range(0, {dims}) a, range(0, {dims}) b)""",
+        """g AS (SELECT p.i, p.j,
+                        sum(e[p.i + 1] * e[p.j + 1]) / count(*) AS g
+                 FROM v CROSS JOIN p GROUP BY p.i, p.j)""",
+        f"v0 AS (SELECT range AS i, 1.0 / sqrt({dims}) AS x FROM range(0, {dims}))",
+    ]
+    prev = "v0"
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""y{k} AS (SELECT g.i AS i, sum(g.g * {prev}.x) AS y
+                     FROM g JOIN {prev} ON g.j = {prev}.i GROUP BY g.i)"""
+        )
+        ctes.append(
+            f"""v{k} AS (SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y{k}) AS x
+                     FROM y{k})"""
+        )
+        prev = f"v{k}"
+    ctes.append(
+        f"""ray AS (SELECT sum(a.x * g.g * b.x) AS ev
+                FROM g JOIN {prev} a ON g.i = a.i JOIN {prev} b ON g.j = b.i)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST({prev}.i AS BIGINT) AS dim,
+               round({prev}.x, 6) AS loading,
+               round((SELECT ev FROM ray), 4) AS eigenvalue
+        FROM {prev}"""
+    )
+
+
+_PI_DIMS, _PI_ITERS = 8, 3
+
+
+@query(
+    "embed-power-iteration",
+    oracle=_power_iter_oracle(_PI_DIMS, _PI_ITERS),
+    doc="Dominant eigenvector of the embedding gram block (dims 0..7) "
+    "by DISTRIBUTED power iteration — the PCA/spectral primitive as a "
+    "driver loop of relational ops, no collect anywhere: the gram "
+    "matrix is one scan collapsing to d^2 sum-product partials "
+    "(map-side combined, like embed-covariance-block), then each of "
+    "the 3 iterations is a matrix-vector join-aggregate over the "
+    "(i,j,g) relation plus a broadcast scalar normalization. At d=8 "
+    "this is toy-sized by design, but the shape is the one that "
+    "scales: for a d=4096 block the same plan moves d^2 doubles once "
+    "and d doubles per iteration, while the corpus is scanned exactly "
+    "once. Deterministic: all-ones start vector, PSD gram, fixed "
+    "iteration count. Oracled by the identical computation unrolled "
+    "into DuckDB CTEs.",
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    aggs = [
+        F.sum(v[i] * v[j]).alias(f"s_{i}_{j}")
+        for i in range(_PI_DIMS)
+        for j in range(_PI_DIMS)
+    ]
+    aggs.append(F.count("*").alias("n"))
+    flat = e.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(i).cast("long").alias("i"),
+            F.lit(j).cast("long").alias("j"),
+            (F.col(f"s_{i}_{j}") / F.col("n")).alias("g"),
+        )
+        for i in range(_PI_DIMS)
+        for j in range(_PI_DIMS)
+    ]
+    gram = flat.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.g"
+    )
+    vec = spark.range(_PI_DIMS).select(
+        F.col("id").alias("vi"), F.lit(1.0 / _PI_DIMS**0.5).alias("x")
+    )
+    for _ in range(_PI_ITERS):
+        y = (
+            gram.join(F.broadcast(vec), gram.j == vec.vi)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nn"))
+        vec = y.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("vi"), (F.col("y") / F.col("nn")).alias("x")
+        )
+    va = vec.select(F.col("vi").alias("ai"), F.col("x").alias("ax"))
+    vb = vec.select(F.col("vi").alias("bi"), F.col("x").alias("bx"))
+    ray = (
+        gram.join(F.broadcast(va), gram.i == va.ai)
+        .join(F.broadcast(vb), gram.j == vb.bi)
+        .agg(F.sum(F.col("ax") * F.col("g") * F.col("bx")).alias("ev"))
+    )
+    return vec.crossJoin(F.broadcast(ray)).select(
+        F.col("vi").cast("long").alias("dim"),
+        F.round(F.col("x"), 6).alias("loading"),
+        F.round(F.col("ev"), 4).alias("eigenvalue"),
+    )
+
+
+_WH_DIMS = 8
+
+
+@query(
+    "embed-whitening-diag",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        stats AS (
+            SELECT {", ".join(
+                f"avg(e[{i + 1}]) AS mu_{i}, stddev_pop(e[{i + 1}]) AS sd_{i}"
+                for i in range(_WH_DIMS)
+            )}
+            FROM v
+        )
+        SELECT vec_id,
+               {", ".join(
+                f"round((e[{i + 1}] - mu_{i}) / sd_{i}, 6) AS w{i}"
+                for i in range(_WH_DIMS)
+               )}
+        FROM v CROSS JOIN stats
+    """,
+    doc="Diagonal whitening of embedding dims 0..7: per-dimension "
+    "mean/std from ONE single-row aggregate (map-side combined "
+    "sum/sum-sq partials, like embed-covariance-block), broadcast "
+    "back over the corpus as a scalar cross join, z-score projection "
+    "codegen-side. The standardization step before any isotropic "
+    "distance / PCA / outlier screen (embed-outlier-distance assumes "
+    "it); full-matrix whitening = this op with the rotation from "
+    "embed-power-iteration's eigenvectors. Corpus scanned twice "
+    "(stats + apply) — at 100 TB fuse by caching the stats row, "
+    "which is exactly what the broadcast does.",
+)
+def embed_whitening_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    stats = e.agg(
+        *[
+            agg
+            for i in range(_WH_DIMS)
+            for agg in (
+                F.avg(v[i]).alias(f"mu_{i}"),
+                F.stddev_pop(v[i]).alias(f"sd_{i}"),
+            )
+        ]
+    )
+    out = e.crossJoin(F.broadcast(stats))
+    return out.select(
+        "vec_id",
+        *[
+            F.round((v[i] - F.col(f"mu_{i}")) / F.col(f"sd_{i}"), 6).alias(f"w{i}")
+            for i in range(_WH_DIMS)
+        ],
+    )
