@@ -1264,3 +1264,115 @@ def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("decile", "n_customers", "decile_revenue", "revenue_share")
     )
+
+
+@query(
+    "simsearch-recall-eval",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
+              FROM tagged WHERE vec_id <= 5),
+        scored AS (
+            SELECT q.q_id, t.vec_id, t.bucket, q.qbucket,
+                   round(list_dot_product(t.v, q.qv)
+                         / (sqrt(list_dot_product(t.v, t.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+            FROM tagged t CROSS JOIN q
+            WHERE t.vec_id <> q.q_id
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        ),
+        cand AS (
+            SELECT q_id, vec_id FROM scored WHERE bucket = qbucket
+        )
+        SELECT e.q_id,
+               CAST((SELECT count(*) FROM cand c
+                     WHERE c.q_id = e.q_id) AS BIGINT) AS n_candidates,
+               CAST(count(c2.vec_id) AS BIGINT) AS n_hits,
+               round(count(c2.vec_id) / 10.0, 2) AS recall_at_10
+        FROM exact e
+        LEFT JOIN cand c2 ON c2.q_id = e.q_id AND c2.vec_id = e.vec_id
+        GROUP BY e.q_id
+    """,
+    doc="ANN quality evaluation: recall@10 of single-probe sign-LSH "
+    "(simsearch-lsh-probe's candidate rule) against the brute-force "
+    "ground truth (simsearch-topk's scoring), for 5 query points — "
+    "the measurement loop every ANN deployment needs before trusting "
+    "its index, and the number that justifies multiprobe "
+    "(simsearch-lsh-multiprobe) when single-probe recall sags. "
+    "Similarities are rounded to 6dp BEFORE ranking so the ground "
+    "truth's tie-break order is engine-independent. Shape: the "
+    "ground-truth pass is a broadcast(5) x corpus scoring with a "
+    "per-query top-k window; the candidate pass is the bucket "
+    "equality predicate; recall is a key-join of the two small "
+    "result sets. At 100 TB the eval runs on a sampled query set "
+    "exactly like this, while production probes stay partition-"
+    "pruned.",
+)
+def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(as_double(F.col("embedding"))).alias("bucket"),
+    )
+    q = tagged.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        tagged.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "bucket",
+            "qbucket",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    exact = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    cand = scored.filter(F.col("bucket") == F.col("qbucket")).select(
+        "q_id", "vec_id"
+    )
+    n_cand = cand.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    hits = exact.join(cand.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+    return (
+        hits.groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits")
+        )
+        .join(F.broadcast(n_cand), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -1026,3 +1026,219 @@ def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("nd_orders"),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "event-path-ngrams",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS s1,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS s2,
+                   lead(event_type, 2) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS s3
+            FROM events
+        ),
+        grams AS (
+            SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq
+            WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n
+        FROM grams
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+    doc="Top journey 3-grams: two lead() windows over each user's "
+    "ordered event sequence form (e1 > e2 > e3) paths, counted and "
+    "top-20'd — the path-mining extension of event-transition-matrix "
+    "(2-grams) that surfaces multi-step funnels without a funnel "
+    "hypothesis. One window shuffle on user_id (both leads share the "
+    "same window spec and sort), one map-side-combined groupBy "
+    "bounded by |types|^3 cells, TakeOrderedAndProject for the "
+    "top-k. Longer n-grams = more lead() columns, same single "
+    "shuffle.",
+)
+def event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+    grams = (
+        seq.select(
+            F.concat_ws(" > ", F.col("s1"), F.col("s2"), F.col("s3")).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return grams.orderBy(F.col("n").desc(), F.col("path")).limit(20)
+
+
+@query(
+    "window-pct-of-total",
+    oracle="""
+        WITH nat AS (
+            SELECT c_nationkey,
+                   round(sum(o_totalprice), 2) AS nation_rev,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, nation_rev, n_orders,
+               round(nation_rev / sum(nation_rev) OVER (), 6) AS pct_of_total,
+               round(sum(nation_rev) OVER (
+                   ORDER BY nation_rev DESC, c_nationkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / sum(nation_rev) OVER (), 6) AS cum_share
+        FROM nat
+    """,
+    doc="Percent-of-total and cumulative-share windows over a rollup: "
+    "nation revenue share of the grand total (empty OVER () = one "
+    "global partition) and running concentration ordered by size — "
+    "the BI staple behind every contribution/Pareto chart (cf. "
+    "abc-revenue-deciles for the decile cut). The fact is collapsed "
+    "FIRST (fk join + groupBy), so the unpartitioned windows — a "
+    "single-partition sort at any scale — run over |nations| rows, "
+    "never the fact. The denominator sum(x) OVER () is computed once "
+    "and reused by both share expressions.",
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("nation_rev"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("nation_rev").desc(), F.col("c_nationkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = F.sum("nation_rev").over(w_all)
+    return nat.select(
+        "c_nationkey",
+        "nation_rev",
+        "n_orders",
+        F.round(F.col("nation_rev") / total, 6).alias("pct_of_total"),
+        F.round(F.sum("nation_rev").over(w_cum) / total, 6).alias("cum_share"),
+    )
+
+
+@query(
+    "agg-argminmax-battery",
+    oracle="""
+        SELECT c_nationkey,
+               arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                               + c_custkey) AS poorest_customer,
+               arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                               + c_custkey) AS richest_customer,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="arg_min/arg_max (Spark min_by/max_by): the value of one column "
+    "at another column's extremum, per group — the 'who, not just "
+    "how much' aggregate that replaces a groupBy + self-join-back or "
+    "a row_number window. The ordering key is made UNIQUE by packing "
+    "(balance-in-cents, custkey) into one BIGINT: min_by on a tied "
+    "key is engine- and partition-order-dependent, the classic "
+    "nondeterminism bug in leaderboards (same discipline as "
+    "timeseries-resample-ohlc's row_number ties). Single "
+    "map-side-combined aggregate, state per group = one (key, value) "
+    "pair per extremum.",
+)
+def agg_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ordkey = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.min_by("c_name", ordkey).alias("poorest_customer"),
+        F.max_by("c_name", ordkey).alias("richest_customer"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "funnel-time-to-convert",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase
+            FROM events
+            GROUP BY user_id
+        ),
+        converted AS (
+            SELECT user_id,
+                   CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+                       AS secs_to_convert
+            FROM firsts
+            WHERE first_view IS NOT NULL
+              AND first_purchase IS NOT NULL
+              AND first_purchase > first_view
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(min(secs_to_convert) AS BIGINT) AS min_secs,
+               round(quantile_cont(secs_to_convert, 0.5), 2) AS median_secs,
+               round(quantile_cont(secs_to_convert, 0.9), 2) AS p90_secs,
+               round(avg(secs_to_convert), 2) AS mean_secs
+        FROM converted
+    """,
+    doc="Time-to-convert distribution: first view -> first subsequent "
+    "purchase per user, summarized as min/median/p90/mean seconds — "
+    "the latency companion to funnel-conversion's rate view (how "
+    "LONG the funnel takes, which rates can't show; a p90 of days "
+    "with a median of minutes is a retargeting problem, not a "
+    "product problem). Conditional min() aggregates collapse each "
+    "user in ONE map-side-combined pass — no per-step join, no "
+    "window sort — then exact interpolated percentiles over the "
+    "converted cohort. At 100 TB the cohort relation is |users| "
+    "rows; swap exact quantiles for approx_percentile if even that "
+    "is wide.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("long").alias("secs_to_convert")
+    )
+    return converted.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("secs_to_convert").cast("long").alias("min_secs"),
+        F.round(F.percentile(F.col("secs_to_convert"), F.lit(0.5)), 2).alias(
+            "median_secs"
+        ),
+        F.round(F.percentile(F.col("secs_to_convert"), F.lit(0.9)), 2).alias(
+            "p90_secs"
+        ),
+        F.round(F.avg("secs_to_convert"), 2).alias("mean_secs"),
+    )

@@ -883,3 +883,120 @@ def dedup_crossdoc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup-sentence-boilerplate",
+    oracle="""
+        WITH sent AS (
+            SELECT doc_id, trim(s) AS sentence
+            FROM (
+                SELECT doc_id, unnest(string_split(text, '. ')) AS s
+                FROM documents
+            )
+            WHERE length(trim(s)) >= 20
+        )
+        SELECT sentence,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM sent
+        GROUP BY sentence
+        HAVING count(DISTINCT doc_id) >= 3
+    """,
+    doc="Sentence-level cross-document repetition (the CCNet-style "
+    "boilerplate screen, one granularity below "
+    "dedup-paragraph-exact's chunks and one above "
+    "dedup-crossdoc-prefix's fixed prefixes): explode sentences, "
+    "drop fragments under 20 chars, and surface sentences recurring "
+    "in >= 3 distinct documents — navigation chrome, license "
+    "headers, cookie banners. These are removed line-by-line from "
+    "otherwise-unique documents, which whole-doc dedup cannot do. "
+    "At 100 TB: group on the 64-bit sentence hash (8-byte shuffle "
+    "rows) and re-attach text only for the tiny flagged set — the "
+    "minhash.py ids-only discipline; kept textual here for "
+    "readability of the flagged output.",
+)
+def dedup_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", "\\. ")).alias("s"),
+        )
+        .select("doc_id", F.trim(F.col("s")).alias("sentence"))
+        .filter(F.length("sentence") >= 20)
+    )
+    return (
+        sent.groupBy("sentence")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+@query(
+    "corpus-shannon-diversity",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+            FROM documents
+        ),
+        counted AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS total_n,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM counted GROUP BY source
+        )
+        SELECT c.source, t.total_n, t.vocab,
+               round(-sum((CAST(c.n AS DOUBLE) / t.total_n)
+                          * ln(CAST(c.n AS DOUBLE) / t.total_n)), 6) AS shannon_h,
+               round(exp(-sum((CAST(c.n AS DOUBLE) / t.total_n)
+                              * ln(CAST(c.n AS DOUBLE) / t.total_n))), 4)
+                   AS effective_vocab
+        FROM counted c JOIN totals t ON c.source = t.source
+        GROUP BY c.source, t.total_n, t.vocab
+    """,
+    doc="Lexical diversity per source: Shannon entropy of the token "
+    "distribution and its exponential (the 'effective vocabulary' — "
+    "how many equally-likely tokens would give the same entropy). A "
+    "source whose effective vocab collapses relative to its raw "
+    "vocab is template-generated text, the corpus-level signal that "
+    "per-doc quality scores miss (cf. text-zipf-slope for the "
+    "rank-frequency view of the same pathology). Two "
+    "map-side-combined groupBys (shuffles bounded by "
+    "|source|x|vocab| then |source|) plus a broadcast-sized totals "
+    "join; the entropy sum is one more groupBy over the counted "
+    "relation.",
+)
+def corpus_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = counted.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    p = F.col("n").cast("double") / F.col("total_n")
+    h = -F.sum(p * F.log(p))
+    return (
+        counted.join(F.broadcast(totals), "source")
+        .groupBy("source", "total_n", "vocab")
+        .agg(
+            F.round(h, 6).alias("shannon_h"),
+            F.round(F.exp(h), 4).alias("effective_vocab"),
+        )
+    )

@@ -894,3 +894,68 @@ def geo_reproject_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ll.lon"), 8).alias("lon"),
         F.round(F.col("ll.lat"), 8).alias("lat"),
     )
+
+
+@query(
+    "geo-grid-rollup-multires",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST((l_partkey * 37) % 700000 AS BIGINT) AS e,
+                   CAST((l_orderkey * 53) % 1000000 AS BIGINT) AS n,
+                   l_extendedprice AS w
+            FROM lineitem
+        ),
+        keyed AS (
+            SELECT e // 100000 AS cx100, n // 100000 AS cy100,
+                   e // 10000  AS cx10,  n // 10000  AS cy10,
+                   w
+            FROM pts
+        )
+        SELECT CASE WHEN grouping(cx10) = 0 THEN '10km' ELSE '100km' END
+                   AS resolution,
+               CAST(coalesce(cx10, cx100) AS BIGINT) AS cell_x,
+               CAST(coalesce(cy10, cy100) AS BIGINT) AS cell_y,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(sum(w), 2) AS weight
+        FROM keyed
+        GROUP BY GROUPING SETS ((cx100, cy100), (cx100, cy100, cx10, cy10))
+    """,
+    doc="Multi-resolution spatial grid rollup: 100 km AND 10 km cell "
+    "aggregates in ONE pass via GROUPING SETS — the spatial twin of "
+    "rollup-timebucket's hour/day trick, and the H3/quadkey "
+    "hierarchy pattern spelled with integer cell math (child cell id "
+    "nests inside its parent by construction, so the coarse tier "
+    "could also be re-rolled from the fine tier without rescanning "
+    "the fact). Expand emits both granularities before a single "
+    "map-side-combined shuffle bounded by |cells|; a heatmap "
+    "pyramid at 100 TB is this plan with more tiers. Cells share "
+    "geo-partition-key's synthetic easting/northing.",
+)
+def geo_grid_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        ((F.col("l_partkey") * 37) % 700000).cast("long").alias("e"),
+        ((F.col("l_orderkey") * 53) % 1000000).cast("long").alias("n"),
+        F.col("l_extendedprice").alias("w"),
+    ).createOrReplaceTempView("tss_grr_pts")
+    try:
+        return spark.sql(
+            """
+            WITH keyed AS (
+                SELECT e DIV 100000 AS cx100, n DIV 100000 AS cy100,
+                       e DIV 10000  AS cx10,  n DIV 10000  AS cy10,
+                       w
+                FROM tss_grr_pts
+            )
+            SELECT CASE WHEN grouping(cx10) = 0 THEN '10km' ELSE '100km' END
+                       AS resolution,
+                   CAST(coalesce(cx10, cx100) AS BIGINT) AS cell_x,
+                   CAST(coalesce(cy10, cy100) AS BIGINT) AS cell_y,
+                   count(*) AS n_points,
+                   round(sum(w), 2) AS weight
+            FROM keyed
+            GROUP BY GROUPING SETS ((cx100, cy100), (cx100, cy100, cx10, cy10))
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_grr_pts")

@@ -681,3 +681,52 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "dq-freshness-lag",
+    oracle="""
+        WITH per_type AS (
+            SELECT event_type,
+                   max(ts) AS latest_ts,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY event_type
+        ),
+        anchor AS (SELECT max(ts) AS corpus_max FROM events)
+        SELECT event_type, latest_ts, n_rows,
+               CAST(date_diff('second', latest_ts, corpus_max) // 60 AS BIGINT)
+                   AS lag_minutes,
+               date_diff('second', latest_ts, corpus_max) // 60 > 360 AS is_stale
+        FROM per_type, anchor
+    """,
+    doc="Data-freshness audit: per-feed latest watermark vs the corpus "
+    "high-water mark, lag in minutes, stale flag at 6 h — the "
+    "monitor that catches a silently-dead upstream feed (volume "
+    "drift, dq-volume-drift, only catches it a full period later; a "
+    "freshness lag fires within the SLA window). Anchored to the "
+    "corpus max rather than now() so the op is deterministic and "
+    "oracle-checkable; production substitutes current_timestamp() "
+    "in the same expression (lag = floor(elapsed seconds / 60) on "
+    "both engines — minute-BOUNDARY counting differs between them). "
+    "Two map-side-combined max-aggregates "
+    "(one per type, one global single-row broadcast) — a metadata "
+    "scan at any scale, and with parquet footer stats effectively "
+    "free.",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    anchor = ev.agg(F.max("ts").alias("corpus_max"))
+    lag_min = (
+        (F.unix_timestamp("corpus_max") - F.unix_timestamp("latest_ts")) / 60
+    ).cast("long")
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "latest_ts",
+        "n_rows",
+        lag_min.alias("lag_minutes"),
+        (lag_min > 360).alias("is_stale"),
+    )

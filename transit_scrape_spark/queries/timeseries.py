@@ -731,3 +731,53 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v_known").isNull().alias("interpolated"),
         F.round(filled, 4).alias("v_filled"),
     )
+
+
+@query(
+    "timeseries-seasonal-naive-eval",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        fc AS (
+            SELECT event_type, day, v,
+                   lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(yhat) AS BIGINT) AS n_scored,
+               round(avg(abs(v - yhat)), 4) AS mae,
+               round(avg(abs(v - yhat) / abs(v)) * 100, 4) AS mape_pct,
+               round(avg(v - yhat), 4) AS bias
+        FROM fc
+        GROUP BY event_type
+    """,
+    doc="Seasonal-naive baseline evaluation: forecast each day with the "
+    "value 7 days prior (lag-7 window), score MAE / MAPE / bias per "
+    "series — the floor every real forecaster must beat, and the "
+    "first number a forecasting pipeline should publish (cf. "
+    "timeseries-autocorr for picking the season length). avg() "
+    "skips the null first week identically in both engines; "
+    "n_scored counts only scored days. Same collapsed-daily shape "
+    "as the rest of the family: the fact is touched once.",
+)
+def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    fc = daily.withColumn(
+        "yhat", F.lag("v", 7).over(Window.partitionBy("event_type").orderBy("day"))
+    )
+    err = F.col("v") - F.col("yhat")
+    return fc.groupBy("event_type").agg(
+        F.count("yhat").cast("long").alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.avg(F.abs(err) / F.abs(F.col("v"))) * 100, 4).alias("mape_pct"),
+        F.round(F.avg(err), 4).alias("bias"),
+    )
