@@ -581,3 +581,127 @@ def join_existence_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("rev"),
         )
     )
+
+
+@query(
+    "window-zscore-rolling",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        rolled AS (
+            SELECT event_type, day, v,
+                   avg(v) OVER w AS mu,
+                   stddev_samp(v) OVER w AS sd,
+                   count(*) OVER w AS n_window
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CAST(n_window AS BIGINT) AS n_window,
+               round((v - mu) / sd, 4) AS rolling_z,
+               abs((v - mu) / sd) > 2.5 AS is_anomaly
+        FROM rolled
+        WHERE n_window = 7
+    """,
+    doc="Rolling z-score anomaly screen: each day scored against ITS OWN "
+    "trailing 7-day window (mean/sample-std over ROWS 6 PRECEDING), "
+    "emitted only once the window is full — the drift-adaptive "
+    "variant of anomaly-zscore's global baseline (a level shift "
+    "re-normalizes within a week instead of poisoning the global "
+    "mean forever). Same collapsed-daily discipline as the "
+    "timeseries family: one partial-agg shuffle to |types|x|days|, "
+    "all three window aggregates share one WINDOW clause = one "
+    "sort, one pass.",
+)
+def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_window"),
+    ).filter(F.col("n_window") == 7)
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return rolled.select(
+        "event_type",
+        "day",
+        F.col("n_window").cast("long").alias("n_window"),
+        F.round(z, 4).alias("rolling_z"),
+        (F.abs(z) > 2.5).alias("is_anomaly"),
+    )
+
+
+@query(
+    "agg-moments-battery",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   avg(value) AS m1,
+                   avg(value * value) AS m2,
+                   avg(value * value * value) AS m3,
+                   avg(value * value * value * value) AS m4
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(m1, 6) AS mean,
+               round(m2 - m1 * m1, 6) AS variance,
+               round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                     / pow(m2 - m1 * m1, 1.5), 6) AS skewness_g1,
+               round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * pow(m1, 4))
+                     / pow(m2 - m1 * m1, 2) - 3, 6) AS excess_kurtosis_g2
+        FROM m
+    """,
+    doc="Distribution-shape battery from RAW MOMENTS: population "
+    "skewness g1 and excess kurtosis g2 assembled from avg(x^k), "
+    "k=1..4, rather than the engines' skewness()/kurtosis() "
+    "builtins — deliberately, because those builtins disagree "
+    "(Spark returns population g-statistics, DuckDB "
+    "bias-corrected sample G-statistics), the kind of silent "
+    "semantic divergence a cross-engine contract must pin down. "
+    "Moment sums are map-side-combinable, so all four moments ride "
+    "ONE grouped aggregate over one scan — the same single-shuffle "
+    "bound as agg-stats, with the shape statistics as pure "
+    "post-arithmetic on the collapsed rows.",
+)
+def agg_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(x).alias("m1"),
+        F.avg(x * x).alias("m2"),
+        F.avg(x * x * x).alias("m3"),
+        F.avg(x * x * x * x).alias("m4"),
+    )
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    var = m2 - m1 * m1
+    return m.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness_g1"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, 4)) / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("excess_kurtosis_g2"),
+    )

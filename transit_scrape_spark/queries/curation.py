@@ -1000,3 +1000,82 @@ def corpus_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(h), 4).alias("effective_vocab"),
         )
     )
+
+
+@query(
+    "corpus-curation-report",
+    oracle="""
+        WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        exact_dup AS (
+            SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n
+            FROM (SELECT count(*) AS n FROM documents GROUP BY text
+                  HAVING count(*) > 1)
+        ),
+        prefix_dup AS (
+            SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n
+            FROM (SELECT count(*) AS n FROM documents
+                  GROUP BY array_to_string(string_split(text, ' ')[1:8], ' ')
+                  HAVING count(*) > 1)
+        ),
+        short_docs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            WHERE len(string_split(text, ' ')) < 20
+        )
+        SELECT stage, n_removed,
+               round(CAST(n_removed AS DOUBLE) / (SELECT n FROM base), 6)
+                   AS removal_rate
+        FROM (
+            SELECT 1 AS ord, 'exact-duplicate' AS stage,
+                   (SELECT n FROM exact_dup) AS n_removed
+            UNION ALL
+            SELECT 2, 'prefix-boilerplate', (SELECT n FROM prefix_dup)
+            UNION ALL
+            SELECT 3, 'too-short', (SELECT n FROM short_docs)
+        )
+    """,
+    doc="Curation-funnel summary: how many documents each cheap screen "
+    "would remove — exact duplicates (keep-one-per-text), shared-"
+    "8-token-prefix boilerplate (dedup-crossdoc-prefix's rule), and "
+    "under-20-token fragments — each as a removal count and rate "
+    "against the corpus. The one-page report a curation run opens "
+    "with before the expensive MinHash pass is budgeted "
+    "(dedup-lsh-tuning sizes that); stages here are measured "
+    "INDEPENDENTLY (not sequentially composed), which is what you "
+    "want when deciding stage order. Three map-side-combined "
+    "groupBys over one scan each; every branch collapses to a "
+    "single row before the union.",
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(F.count("*").cast("long").alias("n_total"))
+
+    n_removed = F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long")
+    exact_dup = (
+        d.groupBy("text").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+        .agg(n_removed.alias("n_removed"))
+    )
+    prefix_dup = (
+        d.groupBy(F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("p"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(n_removed.alias("n_removed"))
+    )
+    short_docs = d.filter(F.size(F.split("text", " ")) < 20).agg(
+        F.count("*").cast("long").alias("n_removed")
+    )
+    stages = (
+        exact_dup.select(F.lit("exact-duplicate").alias("stage"), "n_removed")
+        .unionByName(
+            prefix_dup.select(F.lit("prefix-boilerplate").alias("stage"), "n_removed")
+        )
+        .unionByName(
+            short_docs.select(F.lit("too-short").alias("stage"), "n_removed")
+        )
+    )
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "n_removed",
+        F.round(F.col("n_removed").cast("double") / F.col("n_total"), 6).alias(
+            "removal_rate"
+        ),
+    )

@@ -429,3 +429,69 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("u", "v", "n_common", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling: each round recomputes degrees over the
+    surviving subgraph and drops nodes under k. Fixed-round unrolling
+    keeps it ANSI-SQL (recursive CTEs cannot delete); the Spark driver
+    loop runs the same bounded rounds, so the two computations agree
+    by construction even if the peel has not fully converged."""
+    ctes = [f"edges AS ({_EDGES_SQL})"]
+    prev_edges = "edges"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS (SELECT a AS node, count(*) AS deg "
+            f"FROM {prev_edges} GROUP BY a)"
+        )
+        ctes.append(f"s{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})")
+        ctes.append(
+            f"e{r} AS (SELECT e.a, e.b FROM {prev_edges} e "
+            f"JOIN s{r} x ON e.a = x.node JOIN s{r} y ON e.b = y.node)"
+        )
+        prev_edges = f"e{r}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM {prev_edges}
+        GROUP BY a
+        HAVING count(*) >= {_KCORE_K}"""
+    )
+
+
+@query(
+    "graph-k-core",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} peeling "
+    "rounds): iteratively drop nodes with degree < k and recompute "
+    "degrees over the surviving subgraph — the standard dense-"
+    "community / spam-ring extractor, and the canonical example of "
+    "an algorithm recursive SQL CANNOT express (peeling deletes "
+    "rows; WITH RECURSIVE only appends), hence the driver-loop "
+    "DataFrame pattern of graph-components-iterative. Each round is "
+    "a degree groupBy + two semi-joins against the survivor set — "
+    "at 100 TB survivors shrink monotonically, so rounds get "
+    "cheaper; localCheckpoint every few rounds bounds lineage. "
+    "Round count is fixed (not converged) so the DuckDB unrolled "
+    "oracle computes the identical bounded peel.",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        survivors = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = edges.join(
+            F.broadcast(survivors.withColumnRenamed("node", "a")), "a", "left_semi"
+        ).join(
+            F.broadcast(survivors.withColumnRenamed("node", "b")), "b", "left_semi"
+        )
+    return (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
+    )

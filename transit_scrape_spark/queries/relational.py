@@ -818,3 +818,52 @@ def join_late_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 40).alias("preview"),
         )
     )
+
+
+@query(
+    "join-eager-aggregation",
+    oracle="""
+        WITH li_pre AS (
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS order_rev,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            GROUP BY l_orderkey
+        )
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(p.n_lines) AS BIGINT) AS n_lines,
+               round(sum(p.order_rev), 2) AS total_rev
+        FROM orders o JOIN li_pre p ON o.o_orderkey = p.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Eager aggregation (aka partial group-by pushdown below a "
+    "join): lineitem collapses to per-order partials BEFORE joining "
+    "orders, so the join probes |orders| rows instead of |lineitem| "
+    "— a 4x input reduction here and often 100x in star schemas. "
+    "Catalyst does not rewrite this automatically (it is a "
+    "cost-based transformation some engines call 'group-by "
+    "placement'), so the operator spells the shape manually; "
+    "correctness holds because revenue is additive and the final "
+    "groupBy re-aggregates the partials. Both shuffles are on "
+    "orderkey, so AQE can even co-locate them. The manual twin of "
+    "what join-late-materialize does for wide columns.",
+)
+def join_eager_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_pre = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "order_rev"
+        ),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    return (
+        o.join(li_pre, o.o_orderkey == li_pre.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.round(F.sum("order_rev"), 2).alias("total_rev"),
+        )
+    )

@@ -1105,3 +1105,58 @@ def text_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("nd") / F.col("doc_freq")), 6).alias("idf"),
         )
     )
+
+
+@query(
+    "text-code-detect",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+                    AS BIGINT) AS n_code_chars,
+               round(CAST(length(text)
+                          - length(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+                          AS DOUBLE)
+                     / length(text), 6) AS code_char_ratio,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\\b(def|class|return|import|function|var|const|if|else)\\b'))
+                    AS BIGINT) AS n_keywords,
+               (CAST(length(text)
+                     - length(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+                     AS DOUBLE) / length(text) > 0.05
+                OR len(regexp_extract_all(lower(text),
+                    '\\b(def|class|return|import|function|var|const|if|else)\\b')) >= 3)
+                   AS looks_like_code
+        FROM documents
+        WHERE length(text) > 0
+    """,
+    doc="Code-vs-prose heuristic (the corpus-routing screen every "
+    "pretraining pipeline runs before language-specific filters: "
+    "code wants different dedup and quality rules than prose): "
+    "code-punctuation density (braces/semicolons/brackets, counted "
+    "by the length-delta of a strip-regex) and programming-keyword "
+    "hits, combined into a coarse flag. Pure codegen'd projection, "
+    "single scan, no shuffle — the same plan shape as "
+    "text-readability, and at 100 TB the flag becomes the partition "
+    "column that routes the two sub-corpora into their own "
+    "pipelines.",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    stripped = F.regexp_replace(F.col("text"), "[{};()=<>\\[\\]]", "")
+    n_code = F.length("text") - F.length(stripped)
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")),
+            F.lit("\\b(def|class|return|import|function|var|const|if|else)\\b"),
+            F.lit(0),
+        )
+    )
+    ratio = n_code.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        n_code.cast("long").alias("n_code_chars"),
+        F.round(ratio, 6).alias("code_char_ratio"),
+        kw.cast("long").alias("n_keywords"),
+        ((ratio > 0.05) | (kw >= 3)).alias("looks_like_code"),
+    )

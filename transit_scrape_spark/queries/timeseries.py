@@ -781,3 +781,68 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.avg(F.abs(err) / F.abs(F.col("v"))) * 100, 4).alias("mape_pct"),
         F.round(F.avg(err), 4).alias("bias"),
     )
+
+
+@query(
+    "timeseries-rolling-corr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
+                       AS v_view,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
+                       AS v_purchase
+            FROM events
+            GROUP BY 1
+        ),
+        rolled AS (
+            SELECT day,
+                   corr(v_view, v_purchase) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS c,
+                   count(*) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_window
+            FROM daily
+        )
+        SELECT day, CAST(n_window AS BIGINT) AS n_window,
+               round(c, 4) AS rolling_corr
+        FROM rolled
+        WHERE n_window = 14
+    """,
+    doc="Rolling 14-day correlation between the view and purchase "
+    "series: conditional aggregation pivots both series out of ONE "
+    "events pass (no self-join of two filtered scans), then corr() "
+    "as a window aggregate over a trailing ROWS frame, emitted only "
+    "for full windows. The co-movement monitor behind 'did the "
+    "funnel decouple this week' alerts — a structural break shows "
+    "as the rolling corr diving while each series alone looks "
+    "normal (cf. timeseries-autocorr for the self-lag view). One "
+    "fact shuffle to |days| rows; the window sort is over the tiny "
+    "daily spine.",
+)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value"))), 6
+        ).alias("v_view"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+        ).alias("v_purchase"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    rolled = daily.select(
+        "day",
+        F.corr("v_view", "v_purchase").over(w).alias("c"),
+        F.count("*").over(w).alias("n_window"),
+    ).filter(F.col("n_window") == 14)
+    return rolled.select(
+        "day",
+        F.col("n_window").cast("long").alias("n_window"),
+        F.round(F.col("c"), 4).alias("rolling_corr"),
+    )

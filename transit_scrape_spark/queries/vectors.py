@@ -1018,3 +1018,58 @@ def embed_whitening_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_WH_DIMS)
         ],
     )
+
+
+@query(
+    "embed-dim-variance-screen",
+    oracle="""
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cells AS (
+            SELECT CAST(d.range AS BIGINT) AS dim, e[d.range + 1] AS x
+            FROM v CROSS JOIN range(0, 64) d
+        ),
+        stats AS (
+            SELECT dim,
+                   round(var_pop(x), 8) AS dim_var,
+                   round(avg(x), 6) AS dim_mean
+            FROM cells GROUP BY dim
+        )
+        SELECT dim, dim_var, dim_mean,
+               CAST(row_number() OVER (ORDER BY dim_var ASC, dim) AS BIGINT)
+                   AS var_rank,
+               dim_var < 0.001 AS is_dead
+        FROM stats
+    """,
+    doc="Per-dimension variance screen over ALL 64 embedding dims: "
+    "unpivot each vector to (dim, value) cells via a literal-range "
+    "cross join (64x fan-out, JVM-side, no Python), one "
+    "map-side-combined groupBy to per-dim variance/mean, rank dims "
+    "by variance and flag near-constant ('dead') ones — dead dims "
+    "waste index bytes and distance compute, and their count is the "
+    "first thing to check before PQ coding (embed-pq-codes) or "
+    "dimension truncation (embed-matryoshka-recall). The shuffle "
+    "carries 64 partial triples per scan partition regardless of "
+    "corpus size; the rank window runs over 64 rows.",
+)
+def embed_dim_variance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    cells = e.select(F.posexplode(v).alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"), "x"
+    )
+    stats = cells.groupBy("dim").agg(
+        F.round(F.var_pop("x"), 8).alias("dim_var"),
+        F.round(F.avg("x"), 6).alias("dim_mean"),
+    )
+    return stats.select(
+        "dim",
+        "dim_var",
+        "dim_mean",
+        F.row_number()
+        .over(Window.orderBy(F.col("dim_var").asc(), F.col("dim")))
+        .cast("long")
+        .alias("var_rank"),
+        (F.col("dim_var") < 0.001).alias("is_dead"),
+    )
