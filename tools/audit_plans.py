@@ -53,6 +53,19 @@ SCALAR_BROADCAST_OPS = {
     "text-inverted-index",     # 1-row df aggregates joined conditionless
     "tpch-q11",  # decorrelated scalar subquery: value > 1-row threshold
     "tpch-q22",  # decorrelated scalar subquery: acctbal > 1-row global avg
+    "analytics-rfm",           # 1-row corpus-max-date broadcast
+    "corpus-curation-report",  # 1-row corpus-count broadcast
+    "corpus-token-budget",     # 1-row total-tokens broadcast
+    "dq-freshness-lag",        # 1-row corpus-high-water-mark broadcast
+    "dq-referential-integrity",# per-edge 1-row orphan/total cross joins
+    "embed-power-iteration",   # 1-row norm + d-row vector broadcasts per iter
+    "embed-whitening-diag",    # 1-row per-dim stats broadcast
+    "privacy-t-closeness",     # |groups| x |segments| broadcast cross join
+    "simsearch-recall-eval",   # 5-row query-block broadcast
+    "text-df-prune",           # 1-row corpus-count broadcast
+    "embed-mmr-rerank",        # 1-row picked-candidate broadcasts per greedy step
+    "sample-poisson-bootstrap",# 16-row replica-id broadcast fan-out
+    "privacy-generalization-ladder",  # 4-row band-width broadcast fan-out
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -1242,3 +1242,128 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("secs_to_convert"), 2).alias("mean_secs"),
     )
+
+
+@query(
+    "analytics-new-vs-returning",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        tagged AS (
+            SELECT day, user_id,
+                   day = min(day) OVER (PARTITION BY user_id) AS is_new
+            FROM user_days
+        )
+        SELECT day,
+               CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS new_users,
+               CAST(count(*) FILTER (WHERE NOT is_new) AS BIGINT)
+                   AS returning_users,
+               round(CAST(count(*) FILTER (WHERE NOT is_new) AS DOUBLE)
+                     / count(*), 6) AS returning_share
+        FROM tagged
+        GROUP BY day
+    """,
+    doc="New-vs-returning daily split: each active (user, day) pair "
+    "tagged by whether it is the user's FIRST day (unbounded min "
+    "window per user), then a per-day FILTER-clause rollup — the "
+    "growth-accounting companion to retention-cohorts (this is the "
+    "diagonal of that cohort matrix) and rolling-active-users. The "
+    "distinct pass and the window share the user_id partitioning, "
+    "so the plan is one distinct shuffle + one window over it + one "
+    "day-rollup; at 100 TB the (user, day) relation is the activity "
+    "skeleton, orders of magnitude under the event stream.",
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    tagged = user_days.withColumn(
+        "is_new",
+        F.col("day") == F.min("day").over(Window.partitionBy("user_id")),
+    )
+    return tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+        F.round(
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("returning_share"),
+    )
+
+
+@query(
+    "analytics-conversion-ci",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+                   CAST(count(DISTINCT user_id)
+                        FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                       AS buyers
+            FROM events GROUP BY 1
+        ),
+        p AS (
+            SELECT day, active_users, buyers,
+                   CAST(buyers AS DOUBLE) / active_users AS phat,
+                   CAST(active_users AS DOUBLE) AS n
+            FROM daily WHERE active_users > 0
+        )
+        SELECT day, active_users, buyers,
+               round(phat, 6) AS conv_rate,
+               round((phat + 1.92072 / n
+                      - 1.959964 * sqrt(phat * (1 - phat) / n
+                                        + 0.9603686 / (n * n)))
+                     / (1 + 3.841459 / n), 6) AS wilson_lo,
+               round((phat + 1.92072 / n
+                      + 1.959964 * sqrt(phat * (1 - phat) / n
+                                        + 0.9603686 / (n * n)))
+                     / (1 + 3.841459 / n), 6) AS wilson_hi
+        FROM p
+    """,
+    doc="Daily buyer-conversion rate (distinct purchasing users over "
+    "distinct active users - a true proportion, so phat <= 1 by "
+    "construction) with Wilson 95% score intervals "
+    "(z=1.959964; the interval that behaves at small n and extreme "
+    "p, unlike the naive Wald +-1.96*sqrt(pq/n) which collapses to "
+    "zero width at p=0) — the uncertainty band any conversion "
+    "dashboard should draw before anyone reads day-to-day noise as "
+    "movement. Both distinct counts share one two-stage "
+    "partial-distinct pass over events; the interval is pure "
+    "post-arithmetic on the collapsed |days| rows. Constants are "
+    "z^2/2, z^2/4, z^2 spelled inline so both engines evaluate the "
+    "identical expression tree.",
+)
+def analytics_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("active_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("long").alias("buyers"),
+    ).filter(F.col("active_users") > 0)
+    n = F.col("active_users").cast("double")
+    phat = F.col("buyers").cast("double") / n
+    z, z2h, z2q, z2 = 1.959964, 1.92072, 0.9603686, 3.841459
+    half = z * F.sqrt(phat * (1 - phat) / n + z2q / (n * n))
+    denom = 1 + z2 / n
+    return daily.select(
+        "day",
+        "active_users",
+        "buyers",
+        F.round(phat, 6).alias("conv_rate"),
+        F.round((phat + z2h / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((phat + z2h / n + half) / denom, 6).alias("wilson_hi"),
+    )

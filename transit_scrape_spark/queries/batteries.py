@@ -705,3 +705,105 @@ def agg_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis_g2"),
     )
+
+
+# Poisson(1) inverse-CDF breakpoints (cumulative probabilities for
+# counts 0..3; the >0.981 tail collapses to 4 — error mass < 0.4%).
+_BOOT_REPS = 16
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012)
+
+
+@query(
+    "sample-poisson-bootstrap",
+    oracle=f"""
+        WITH reps AS (SELECT range AS rep FROM range(0, {_BOOT_REPS})),
+        weighted AS (
+            SELECT rep, value,
+                   CASE
+                     WHEN u < {_POIS_CDF[0]} THEN 0
+                     WHEN u < {_POIS_CDF[1]} THEN 1
+                     WHEN u < {_POIS_CDF[2]} THEN 2
+                     WHEN u < {_POIS_CDF[3]} THEN 3
+                     ELSE 4
+                   END AS w
+            FROM (
+                SELECT rep, value,
+                       CAST(('0x' || substring(
+                            md5(CAST(event_id AS VARCHAR) || ':' ||
+                                CAST(rep AS VARCHAR)), 1, 12)) AS BIGINT)
+                           / 281474976710656.0 AS u
+                FROM events CROSS JOIN reps
+            )
+        ),
+        rep_means AS (
+            SELECT rep,
+                   round(sum(w * value) / sum(w), 6) AS boot_mean
+            FROM weighted
+            GROUP BY rep
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+               round(avg(boot_mean), 6) AS mean_of_means,
+               round(quantile_cont(boot_mean, 0.025), 6) AS ci_lo,
+               round(quantile_cont(boot_mean, 0.975), 6) AS ci_hi,
+               round(stddev_samp(boot_mean), 6) AS boot_se
+        FROM rep_means
+    """,
+    doc=f"Distributed Poisson bootstrap ({_BOOT_REPS} replicas): instead "
+    "of resampling-with-replacement (which cannot shard — a resample "
+    "needs global coordination), every row draws an independent "
+    "Poisson(1) weight PER REPLICA via inverse-CDF on a salted-hash "
+    "uniform, and weighted means per replica give the sampling "
+    "distribution — the standard trick that makes bootstrap "
+    "confidence intervals embarrassingly parallel (each partition "
+    "contributes weighted partials; one groupBy on replica id). "
+    "Hash-derived uniforms make it deterministic and "
+    "oracle-checkable, same rationale as privacy-dp-laplace's "
+    "noise. The 16x row fan-out happens AFTER column pruning (only "
+    "event_id+value survive the scan), and replica partials "
+    "map-side-combine, so the shuffle is 16 rows of sums.",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 281474976710656.0
+    )
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        ev.crossJoin(F.broadcast(reps))
+        .select("rep", "value", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+            ).alias("boot_mean")
+        )
+    )
+    return rep_means.agg(
+        F.count("*").cast("long").alias("n_replicas"),
+        F.round(F.avg("boot_mean"), 6).alias("mean_of_means"),
+        F.round(F.percentile(F.col("boot_mean"), F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("boot_mean"), F.lit(0.975)), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("boot_mean"), 6).alias("boot_se"),
+    )

@@ -254,3 +254,66 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_distance"),
         (t <= 0.2).alias("meets_t02"),
     )
+
+
+@query(
+    "privacy-generalization-ladder",
+    oracle=f"""
+        WITH widths AS (
+            SELECT unnest([1, 2, 4, 8]) AS band_width
+        ),
+        cells AS (
+            SELECT w.band_width,
+                   c_nationkey, c_mktsegment,
+                   (c_custkey % 8) // w.band_width AS age_band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer CROSS JOIN widths w
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT band_width,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN n < {_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_cells,
+               round(sum(CASE WHEN n < {_K} THEN n ELSE 0 END)
+                     / CAST(sum(n) AS DOUBLE), 6) AS suppression_rate
+        FROM cells
+        GROUP BY band_width
+    """,
+    doc="The generalization ladder privacy-k-anonymity's doc promises: "
+    "re-audit k-anonymity at four widenings of the age-band "
+    "quasi-identifier (width 1 = raw 8 bands ... width 8 = one "
+    "band) in ONE query, showing suppression_rate falling as bands "
+    "coarsen — the utility-vs-privacy curve an anonymization run "
+    "walks until the rate is acceptable. A literal 4-row widths "
+    "relation cross-joins into the QI aggregation (Expand-style 4x "
+    "fan-out before ONE map-side-combined shuffle), so the whole "
+    "ladder costs a single pass over the table rather than four "
+    "audits.",
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    widths = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,)], "band_width INT"
+    )
+    cells = (
+        c.crossJoin(F.broadcast(widths))
+        .groupBy(
+            "band_width",
+            "c_nationkey",
+            "c_mktsegment",
+            ((F.col("c_custkey") % 8) / F.col("band_width")).cast("long").alias(
+                "age_band"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    at_risk = F.when(F.col("n") < _K, F.col("n")).otherwise(0)
+    return cells.groupBy("band_width").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("n") < _K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_cells"),
+        F.round(F.sum(at_risk) / F.sum("n").cast("double"), 6).alias(
+            "suppression_rate"
+        ),
+    )

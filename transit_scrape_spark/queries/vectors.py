@@ -1073,3 +1073,161 @@ def embed_dim_variance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("var_rank"),
         (F.col("dim_var") < 0.001).alias("is_dead"),
     )
+
+
+_MMR_LAMBDA, _MMR_POOL = 0.7, 20
+_COS_Q = (
+    "round(list_dot_product(v, (SELECT qv FROM mq))"
+    " / (sqrt(list_dot_product(v, v))"
+    "    * sqrt(list_dot_product((SELECT qv FROM mq), (SELECT qv FROM mq)))), 6)"
+)
+
+
+@query(
+    "embed-mmr-rerank",
+    oracle=f"""
+        WITH mq AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 1
+        ),
+        cand AS (
+            SELECT vec_id AS cid, v, simq FROM (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {_COS_Q} AS simq
+                FROM embeddings WHERE vec_id <> 1
+            ) ORDER BY simq DESC, vec_id LIMIT {_MMR_POOL}
+        ),
+        pair AS (
+            SELECT a.cid AS ca, b.cid AS cb,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+            FROM cand a JOIN cand b ON a.cid <> b.cid
+        ),
+        s1 AS (SELECT cid, simq FROM cand ORDER BY simq DESC, cid LIMIT 1),
+        r2 AS (
+            SELECT c.cid, c.simq,
+                   round({_MMR_LAMBDA} * c.simq
+                         - {1 - _MMR_LAMBDA:.1f} * p.s, 7) AS score
+            FROM cand c
+            JOIN pair p ON p.ca = c.cid AND p.cb = (SELECT cid FROM s1)
+        ),
+        s2 AS (SELECT cid, simq, score FROM r2 ORDER BY score DESC, cid LIMIT 1),
+        r3 AS (
+            SELECT c.cid, c.simq,
+                   round({_MMR_LAMBDA} * c.simq
+                         - {1 - _MMR_LAMBDA:.1f} * greatest(p1.s, p2.s), 7)
+                       AS score
+            FROM cand c
+            JOIN pair p1 ON p1.ca = c.cid AND p1.cb = (SELECT cid FROM s1)
+            JOIN pair p2 ON p2.ca = c.cid AND p2.cb = (SELECT cid FROM s2)
+        ),
+        s3 AS (SELECT cid, simq, score FROM r3 ORDER BY score DESC, cid LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(cid AS BIGINT) AS cid,
+               simq AS relevance, simq AS mmr_score
+        FROM s1
+        UNION ALL
+        SELECT 2, CAST(cid AS BIGINT), simq, score FROM s2
+        UNION ALL
+        SELECT 3, CAST(cid AS BIGINT), simq, score FROM s3
+    """,
+    doc=f"Maximal-Marginal-Relevance re-ranking (lambda={_MMR_LAMBDA}): "
+    "greedily pick 3 results from the top-20 relevance pool, each "
+    "pick maximizing relevance minus redundancy to what is already "
+    "selected — the diversity re-rank RAG retrieval runs so three "
+    "near-identical passages don't fill the context window. The "
+    "greedy loop is inherently sequential, but each step is a "
+    "RELATIONAL argmax over the tiny candidate pool, so the "
+    "distributed work (scoring the corpus + top-20) happens once "
+    "and the 3-step loop touches 20x20 pairwise sims — the "
+    "candidate-pool/rerank split every serving stack uses. "
+    "Similarities are pre-rounded to 6dp, and MMR scores to 7dp - "
+    "0.7/0.3 times a 6dp value IS an exact 7dp decimal, so a 6dp "
+    "round would sit exactly on midpoints and flip per engine - so "
+    "greedy tie-breaks "
+    "(score desc, then id) are engine-identical; the DuckDB oracle "
+    "unrolls the identical 3 steps as CTEs. Exclusions are "
+    "anti-join-free: picked candidates can never win again because "
+    "their self-similarity penalty is maximal (s(c,c)=1 rows are "
+    "excluded by cid<>, and a picked item's score vs itself is "
+    "undefined — the join on p.ca = c.cid AND p.cb = picked "
+    "naturally drops the picked row).",
+)
+def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 1).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("cid"),
+            as_double(F.col("embedding")).alias("v"),
+            F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "simq"
+            ),
+        )
+        .orderBy(F.col("simq").desc(), F.col("cid"))
+        .limit(_MMR_POOL)
+    )
+    a = cand.select(
+        F.col("cid").alias("ca"), F.col("v").alias("va"), F.col("simq").alias("sa")
+    )
+    b = cand.select(F.col("cid").alias("cb"), F.col("v").alias("vb"))
+    pair = a.join(b, F.col("ca") != F.col("cb")).select(
+        "ca", "cb", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s")
+    )
+
+    def argmax(df: DataFrame, score_col: str) -> DataFrame:
+        return df.orderBy(F.col(score_col).desc(), F.col("cid")).limit(1)
+
+    lam = _MMR_LAMBDA
+    s1 = argmax(cand.select("cid", "simq"), "simq")
+    pick1 = s1.select(F.col("cid").alias("p1"))
+    r2 = (
+        cand.select("cid", "simq")
+        .join(F.broadcast(pick1))
+        .join(pair, (pair.ca == F.col("cid")) & (pair.cb == F.col("p1")))
+        .select("cid", "simq", F.round(lam * F.col("simq") - (1 - lam) * F.col("s"), 7).alias("score"))
+    )
+    s2 = argmax(r2, "score")
+    pick2 = s2.select(F.col("cid").alias("p2"))
+    pa = pair.select(F.col("ca").alias("ca1"), F.col("cb").alias("cb1"), F.col("s").alias("s1v"))
+    pb = pair.select(F.col("ca").alias("ca2"), F.col("cb").alias("cb2"), F.col("s").alias("s2v"))
+    r3 = (
+        cand.select("cid", "simq")
+        .join(F.broadcast(pick1))
+        .join(F.broadcast(pick2))
+        .join(pa, (F.col("ca1") == F.col("cid")) & (F.col("cb1") == F.col("p1")))
+        .join(pb, (F.col("ca2") == F.col("cid")) & (F.col("cb2") == F.col("p2")))
+        .select(
+            "cid",
+            "simq",
+            F.round(
+                lam * F.col("simq")
+                - (1 - lam) * F.greatest(F.col("s1v"), F.col("s2v")),
+                7,
+            ).alias("score"),
+        )
+    )
+    s3 = argmax(r3, "score")
+    out1 = s1.select(
+        F.lit(1).cast("long").alias("sel_rank"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("simq").alias("relevance"),
+        F.col("simq").alias("mmr_score"),
+    )
+    out2 = s2.select(
+        F.lit(2).cast("long").alias("sel_rank"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("simq").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+    )
+    out3 = s3.select(
+        F.lit(3).cast("long").alias("sel_rank"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("simq").alias("relevance"),
+        F.col("score").alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
