@@ -1376,3 +1376,154 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "window-session-concurrency",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+                   ts
+            FROM gaps
+        ),
+        intervals AS (
+            SELECT user_id * 1000 + sid AS skey,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM sess GROUP BY user_id, sid
+        ),
+        deltas AS (
+            SELECT s_start AS ts, 1 AS delta, skey FROM intervals
+            UNION ALL
+            SELECT s_end, -1, skey FROM intervals
+        ),
+        running AS (
+            SELECT ts, delta,
+                   sum(delta) OVER (ORDER BY ts, delta, skey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS concurrency
+            FROM deltas
+        )
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+        FROM running
+        GROUP BY 1
+    """,
+    doc="Peak concurrent sessions per day — the max-overlapping-"
+    "intervals problem via the sweep-line trick: sessions (the "
+    "sessionize 30-min gap rule) become +1/-1 deltas at their "
+    "endpoints, a single ordered running sum is the live-session "
+    "count at every boundary, and a day rollup takes the max. The "
+    "capacity-planning number (licenses, connection pools, "
+    "autoscaler floors) that windowed counts can't give because "
+    "sessions span window boundaries. The total order carries "
+    "(ts, delta, session-key) so simultaneous endpoints resolve "
+    "identically everywhere: an end meeting a start at the same "
+    "instant counts conservatively (-1 sorts first). The global "
+    "ordered sum runs over 2x|sessions| boundary rows, not events; "
+    "at extreme scale the same sweep shards by day with carried-in "
+    "opening counts — the prefix-sum decomposition.",
+)
+def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = ev.select(
+        "user_id", "ts", new_session.alias("new_session")
+    ).select(
+        "user_id", "ts", F.sum("new_session").over(wrun).alias("sid")
+    )
+    intervals = sess.groupBy(
+        (F.col("user_id") * 1000 + F.col("sid")).alias("skey")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    deltas = intervals.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "skey"
+    ).unionByName(
+        intervals.select(
+            F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "skey"
+        )
+    )
+    wsweep = Window.orderBy("ts", "delta", "skey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = deltas.select(
+        "ts", F.sum("delta").over(wsweep).alias("concurrency")
+    )
+    return running.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+
+
+@query(
+    "embed-cluster-purity",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT label,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT bucket, label, CAST(count(*) AS BIGINT) AS n
+            FROM tagged GROUP BY bucket, label
+        ),
+        per_bucket AS (
+            SELECT bucket,
+                   CAST(sum(n) AS BIGINT) AS bucket_n,
+                   CAST(max(n) AS BIGINT) AS majority_n
+            FROM cells GROUP BY bucket
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(bucket_n) AS BIGINT) AS n_vectors,
+               round(CAST(sum(majority_n) AS DOUBLE) / sum(bucket_n), 6)
+                   AS weighted_purity,
+               round(avg(CAST(majority_n AS DOUBLE) / bucket_n), 6)
+                   AS macro_purity
+        FROM per_bucket
+    """,
+    doc="Cluster purity of the sign-LSH partitioning against the "
+    "embeddings' labels: per bucket, the majority-label share; "
+    "reported micro (vector-weighted) and macro (bucket-averaged) — "
+    "the external-validity check for ANY unsupervised partitioning "
+    "(LSH buckets here; swap the bucket expression for IVF "
+    "assignments to score simsearch-ivf-probe's k-means). High "
+    "purity means the buckets respect semantic structure, which is "
+    "what makes bucket-pruned ANN search (simsearch-lsh-probe) "
+    "recall-safe. Two map-side-combined groupBys, shuffles bounded "
+    "by |buckets|x|labels| then |buckets|.",
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "label", lsh_bucket(as_double(F.col("embedding"))).alias("bucket")
+    )
+    cells = tagged.groupBy("bucket", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_bucket = cells.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("bucket_n"),
+        F.max("n").cast("long").alias("majority_n"),
+    )
+    return per_bucket.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("bucket_n").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum("majority_n").cast("double") / F.sum("bucket_n"), 6
+        ).alias("weighted_purity"),
+        F.round(
+            F.avg(F.col("majority_n").cast("double") / F.col("bucket_n")), 6
+        ).alias("macro_purity"),
+    )

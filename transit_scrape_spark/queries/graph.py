@@ -479,16 +479,29 @@ def _kcore_oracle() -> str:
     "oracle computes the identical bounded peel.",
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    # localCheckpoint per round: each round's edge set heads the next
+    # round's lineage TWICE (degree pass + semi-join pass), so without
+    # the cut round r replays the 4-table edge derivation 2^r times
+    # (measured 12s at sf0.1 vs ~1s with the cut) — the same hygiene
+    # graph_components_iterative documents.
+    edges = _nation_edges(spark, sf_dir).localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy(F.col("a").alias("node")).agg(
             F.count("*").alias("deg")
         )
         survivors = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        edges = edges.join(
-            F.broadcast(survivors.withColumnRenamed("node", "a")), "a", "left_semi"
-        ).join(
-            F.broadcast(survivors.withColumnRenamed("node", "b")), "b", "left_semi"
+        edges = (
+            edges.join(
+                F.broadcast(survivors.withColumnRenamed("node", "a")),
+                "a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(survivors.withColumnRenamed("node", "b")),
+                "b",
+                "left_semi",
+            )
+            .localCheckpoint()
         )
     return (
         edges.groupBy(F.col("a").alias("node"))

@@ -730,3 +730,78 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_min.alias("lag_minutes"),
         (lag_min > 360).alias("is_stale"),
     )
+
+
+@query(
+    "dq-distribution-drift-psi",
+    oracle="""
+        WITH anchor AS (
+            SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+        ),
+        tagged AS (
+            SELECT value,
+                   epoch_us(ts) < t0 + (t1 - t0) // 2 AS first_half,
+                   least(CAST(floor(value / 50) AS BIGINT), 9) AS bin_id
+            FROM events, anchor
+        ),
+        shares AS (
+            SELECT bin_id,
+                   CAST(count(*) FILTER (WHERE first_half) AS DOUBLE)
+                       / sum(count(*) FILTER (WHERE first_half)) OVER () AS p,
+                   CAST(count(*) FILTER (WHERE NOT first_half) AS DOUBLE)
+                       / sum(count(*) FILTER (WHERE NOT first_half)) OVER () AS q
+            FROM tagged
+            GROUP BY bin_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               round(sum((p - q) * ln(p / q)), 6) AS psi,
+               sum((p - q) * ln(p / q)) > 0.2 AS drift_alert
+        FROM shares
+        WHERE p > 0 AND q > 0
+    """,
+    doc="Population Stability Index between the first and second half "
+    "of the event stream (time-split at the corpus midpoint so the "
+    "op is deterministic; production splits reference-vs-current "
+    "window): values bin into fixed buckets, PSI = "
+    "sum((p-q)*ln(p/q)) over bins, alert past the classic 0.2 "
+    "threshold — the model-monitoring drift metric that catches a "
+    "shifted feature distribution before accuracy dashboards do "
+    "(dq-volume-drift sees row counts; this sees SHAPE). One "
+    "grouped pass: both halves' bin counts come from FILTER-clause "
+    "aggregates in the same groupBy, normalized by window totals "
+    "over the 10-row bin relation. Bins with mass in only one half "
+    "are excluded (ln undefined); production smooths instead.",
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(anchor)).select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bin_id"
+        ),
+        (
+            F.unix_micros("ts")
+            < F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2).cast("long")
+        ).alias("first_half"),
+    )
+    w = Window.partitionBy()
+    counts = tagged.groupBy("bin_id").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("c_q"),
+    )
+    shares = counts.select(
+        "bin_id",
+        (F.col("c_p").cast("double") / F.sum("c_p").over(w)).alias("p"),
+        (F.col("c_q").cast("double") / F.sum("c_q").over(w)).alias("q"),
+    ).filter((F.col("p") > 0) & (F.col("q") > 0))
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return shares.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) > 0.2).alias("drift_alert"),
+    )

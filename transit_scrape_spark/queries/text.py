@@ -1160,3 +1160,110 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw.cast("long").alias("n_keywords"),
         ((ratio > 0.05) | (kw >= 3)).alias("looks_like_code"),
     )
+
+
+@query(
+    "text-bigram-perplexity",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+                SELECT unnest(toks) AS w FROM docs
+            ) GROUP BY w
+        ),
+        vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        bi AS (
+            SELECT d.doc_id, d.lang,
+                   toks[r.range] AS w1, toks[r.range + 1] AS w2
+            FROM docs d, range(1, 1000) r
+            WHERE r.range < len(d.toks)
+        ),
+        bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+            FROM bi GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT b.doc_id, b.lang,
+                   ln((bc.cb + 1.0) / (uni.cu + vocab.v)) AS lp
+            FROM bi b
+            JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            JOIN uni ON b.w1 = uni.w
+            CROSS JOIN vocab
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   exp(-sum(lp) / count(*)) AS ppl
+            FROM scored GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(ppl), 4) AS avg_ppl,
+               round(min(ppl), 4) AS min_ppl,
+               round(max(ppl), 4) AS max_ppl
+        FROM per_doc
+        GROUP BY lang
+    """,
+    doc="In-sample bigram language-model perplexity with add-1 "
+    "smoothing, reported per language: train bigram/unigram counts "
+    "on the corpus, score every document's bigram stream with "
+    "p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), perplexity = "
+    "exp(-mean log p) — the membership/quality signal LLM data "
+    "work uses constantly (high perplexity under the corpus's own "
+    "LM = outlier/noise; cf. text-unigram-logprob for the "
+    "order-free version). Bigrams come from indexing the token "
+    "array against a literal position range (no window sort); "
+    "count relations are map-side-combined groupBys bounded by "
+    "vocab^2-observed; scoring is two equi-joins on token strings "
+    "— at 100 TB those join keys become 8-byte hashes and the "
+    "count tables broadcast if the vocab allows, else shuffle on "
+    "w1.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)).alias(
+            "toks"
+        ),
+    )
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bi = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.exp(-F.sum("lp") / F.count("*")).alias("ppl")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        F.round(F.min("ppl"), 4).alias("min_ppl"),
+        F.round(F.max("ppl"), 4).alias("max_ppl"),
+    )

@@ -934,8 +934,16 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_PI_DIMS)
         for j in range(_PI_DIMS)
     ]
-    gram = flat.select(F.explode(F.array(*cells)).alias("c")).select(
-        "c.i", "c.j", "c.g"
+    # localCheckpoint: the gram relation (d^2 rows) heads every
+    # iteration's lineage — without the cut, iteration k re-executes
+    # the full-corpus aggregate once per reference (measured 12s at
+    # sf0.1 vs ~1s with the cut). Same hygiene for the d-row vector:
+    # vec_{k+1} references y_k twice (value + norm), doubling the
+    # replay per round.
+    gram = (
+        flat.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.i", "c.j", "c.g")
+        .localCheckpoint()
     )
     vec = spark.range(_PI_DIMS).select(
         F.col("id").alias("vi"), F.lit(1.0 / _PI_DIMS**0.5).alias("x")
@@ -947,8 +955,10 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
         )
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nn"))
-        vec = y.crossJoin(F.broadcast(norm)).select(
-            F.col("i").alias("vi"), (F.col("y") / F.col("nn")).alias("x")
+        vec = (
+            y.crossJoin(F.broadcast(norm))
+            .select(F.col("i").alias("vi"), (F.col("y") / F.col("nn")).alias("x"))
+            .localCheckpoint()
         )
     va = vec.select(F.col("vi").alias("ai"), F.col("x").alias("ax"))
     vb = vec.select(F.col("vi").alias("bi"), F.col("x").alias("bx"))
