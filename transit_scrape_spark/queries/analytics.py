@@ -1367,3 +1367,80 @@ def analytics_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((phat + z2h / n - half) / denom, 6).alias("wilson_lo"),
         F.round((phat + z2h / n + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "analytics-nrr",
+    oracle="""
+        WITH cust_month AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT cur.month,
+                   prev.rev AS prev_rev,
+                   cur2.rev AS retained_rev
+            FROM (SELECT DISTINCT month FROM cust_month) cur
+            JOIN cust_month prev
+              ON prev.month = cur.month - INTERVAL 1 MONTH
+            LEFT JOIN cust_month cur2
+              ON cur2.o_custkey = prev.o_custkey AND cur2.month = cur.month
+        )
+        SELECT month,
+               round(sum(prev_rev), 2) AS base_rev,
+               round(coalesce(sum(retained_rev), 0), 2) AS retained_rev,
+               round(coalesce(sum(retained_rev), 0) / sum(prev_rev), 6) AS nrr
+        FROM paired
+        GROUP BY month
+    """,
+    doc="Net revenue retention per month: revenue THIS month from the "
+    "customers who paid LAST month, over last month's revenue — the "
+    "SaaS health metric that separates expansion/contraction of the "
+    "existing base from new-logo growth (new customers are excluded "
+    "by construction; churned ones contribute zero via the left "
+    "join). NRR > 1 means the installed base grows even with zero "
+    "acquisition. Shape: one groupBy collapses orders to "
+    "(customer, month) cells; the cohort pairing is a self-join of "
+    "that summary on (customer, month-1) — cells are "
+    "|customers|x|months|, orders of magnitude under the fact, and "
+    "the month-shift join key keeps it an equi-join.",
+)
+def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust_month = o.groupBy(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    months = cust_month.select("month").distinct().select(
+        F.col("month").alias("cur_month")
+    )
+    prev = cust_month.select(
+        F.col("o_custkey").alias("p_cust"),
+        F.col("month").alias("p_month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    cur2 = cust_month.select(
+        F.col("o_custkey").alias("c_cust"),
+        F.col("month").alias("c_month"),
+        F.col("rev").alias("retained_rev"),
+    )
+    paired = (
+        months.join(prev, F.add_months(F.col("p_month"), 1) == F.col("cur_month"))
+        .join(
+            cur2,
+            (F.col("c_cust") == F.col("p_cust"))
+            & (F.col("c_month") == F.col("cur_month")),
+            "left",
+        )
+    )
+    return paired.groupBy(F.col("cur_month").alias("month")).agg(
+        F.round(F.sum("prev_rev"), 2).alias("base_rev"),
+        F.round(F.coalesce(F.sum("retained_rev"), F.lit(0.0)), 2).alias(
+            "retained_rev"
+        ),
+        F.round(
+            F.coalesce(F.sum("retained_rev"), F.lit(0.0)) / F.sum("prev_rev"), 6
+        ).alias("nrr"),
+    )

@@ -508,3 +508,100 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= _KCORE_K)
     )
+
+
+_SPARSE_EDGES_SQL = _EDGES_SQL.replace("% 13", "% 211")
+
+
+@query(
+    "graph-assortativity",
+    oracle=f"""
+        WITH edges AS ({{_sparse}}),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY a
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   avg(CAST(da.degree AS DOUBLE)) AS mx,
+                   avg(CAST(db.degree AS DOUBLE)) AS my,
+                   avg(CAST(da.degree AS DOUBLE) * db.degree) AS mxy,
+                   avg(CAST(da.degree AS DOUBLE) * da.degree) AS mx2,
+                   avg(CAST(db.degree AS DOUBLE) * db.degree) AS my2
+            FROM edges e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+        )
+        SELECT CAST(n AS BIGINT) AS n_directed_edges,
+               round((mxy - mx * my)
+                     / nullif(sqrt((mx2 - mx * mx) * (my2 - my * my)), 0), 6)
+                   AS assortativity,
+               round(mx, 4) AS avg_endpoint_degree
+        FROM m
+    """.replace("{_sparse}", _SPARSE_EDGES_SQL),
+    doc="Degree assortativity: Pearson correlation of endpoint degrees "
+    "over all (directed) edges — positive means hubs link to hubs "
+    "(social-network shape), negative means hub-and-spoke "
+    "(infrastructure shape). The one number that predicts how the "
+    "graph fragments under hub removal and how badly a power-law "
+    "skew will concentrate join load on a few partitions — worth "
+    "knowing before running components/pagerank at 100 TB (cf. "
+    "graph-degree-histogram for the marginal distribution). Both "
+    "endpoints' degrees attach via broadcast joins of the |V|-row "
+    "degree relation; corr() is a single-row aggregate with "
+    "map-side-combined moment partials.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sparser modulus than _nation_edges (211 vs 13): the dense trade
+    # graph is COMPLETE at small SF (every degree equal), which makes
+    # assortativity 0/0 — and Spark's ANSI-mode corr() raises
+    # DIVIDE_BY_ZERO on a zero-variance input while DuckDB returns
+    # NULL, so the statistic is assembled from raw moments with an
+    # explicit nullif guard instead (cf. agg-moments-battery).
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 211 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("a"),
+            F.col("s_nationkey").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    x = F.col("deg_a").cast("double")
+    y = F.col("deg_b").cast("double")
+    m = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(x).alias("mx"),
+            F.avg(y).alias("my"),
+            F.avg(x * y).alias("mxy"),
+            F.avg(x * x).alias("mx2"),
+            F.avg(y * y).alias("my2"),
+        )
+    )
+    mx, my, mxy, mx2, my2 = (F.col(k) for k in ("mx", "my", "mxy", "mx2", "my2"))
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            (mxy - mx * my)
+            / F.nullif(F.sqrt((mx2 - mx * mx) * (my2 - my * my)), F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+        F.round(mx, 4).alias("avg_endpoint_degree"),
+    )

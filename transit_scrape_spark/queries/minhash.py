@@ -642,3 +642,90 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         results = row if results is None else results.unionByName(row)
     return results
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sig_a[{k + 1}] = sig_b[{k + 1}] THEN 1 ELSE 0 END"
+    for k in range(NUM_PERM)
+)
+
+
+@query(
+    "dedup-minhash-estimation-error",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
+        ),
+        sigs AS (
+            SELECT doc_id, sh,
+                   {sql_minhash_signature('sh', NUM_PERM)} AS sig
+            FROM hashed
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a,
+                   a.sh AS sh_a, b.sh AS sh_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1000000
+            WHERE a.doc_id % 5 = 0
+        ),
+        scored AS (
+            SELECT doc_a,
+                   CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sh_a, sh_b))) AS j_exact,
+                   ({_EST_MATCH_SQL}) / {NUM_PERM}.0 AS j_est
+            FROM pairs
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(j_exact), 6) AS avg_exact,
+               round(avg(j_est), 6) AS avg_estimate,
+               round(avg(abs(j_est - j_exact)), 6) AS mean_abs_err,
+               round(max(abs(j_est - j_exact)), 6) AS max_abs_err
+        FROM scored
+    """,
+    doc=f"MinHash estimator validation: for every 5th (original, "
+    "mutated-twin) pair in the synthetic near-dup corpus, compare the "
+    f"{NUM_PERM}-permutation signature agreement rate (the MinHash "
+    "Jaccard estimate, E[match] = J) against the exact shingle-set "
+    "Jaccard, reporting mean/max absolute error — the calibration "
+    "check that justifies dedup-lsh-tuning's band math before "
+    "trusting the estimator at corpus scale (expected se = "
+    "sqrt(J(1-J)/k) ~ 0.14 at k=12, J=0.5; more permutations buy "
+    "precision linearly in 1/k). Known-aligned pairs, so no LSH join "
+    "is needed: the pairing is a key equi-join, signatures and "
+    "shingle sets ride the same single groupBy as "
+    "dedup-minhash-signature.",
+)
+def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_rows = shingle_hash_rows(_corpus(spark, sf_dir))
+    hashed = sh_rows.groupBy("doc_id").agg(
+        *signature_columns(NUM_PERM), F.collect_list("sh").alias("sh")
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"_m{k}").alias(f"a_m{k}") for k in range(NUM_PERM)],
+    ).filter(F.col("doc_a") % 5 == 0)
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"_m{k}").alias(f"b_m{k}") for k in range(NUM_PERM)],
+    )
+    pairs = a.join(b, b.doc_b == a.doc_a + 1000000)
+    matches = sum(
+        (F.col(f"a_m{k}") == F.col(f"b_m{k}")).cast("int") for k in range(NUM_PERM)
+    )
+    j_est = matches / float(NUM_PERM)
+    j_exact = jaccard(F.col("sh_a"), F.col("sh_b"))
+    scored = pairs.select(j_exact.alias("j_exact"), j_est.alias("j_est"))
+    err = F.abs(F.col("j_est") - F.col("j_exact"))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("j_exact"), 6).alias("avg_exact"),
+        F.round(F.avg("j_est"), 6).alias("avg_estimate"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )

@@ -846,3 +846,56 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_window").cast("long").alias("n_window"),
         F.round(F.col("c"), 4).alias("rolling_corr"),
     )
+
+
+@query(
+    "timeseries-yoy-growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   round(sum(o_totalprice), 2) AS rev,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT cur.month, cur.rev, cur.n_orders,
+               prev.rev AS rev_prior_year,
+               round((cur.rev - prev.rev) / prev.rev * 100, 4) AS yoy_pct
+        FROM monthly cur
+        JOIN monthly prev ON prev.month = cur.month - INTERVAL 12 MONTH
+    """,
+    doc="Year-over-year growth per month: monthly revenue joined to "
+    "itself at month minus 12 — the seasonality-free growth read "
+    "(timeseries-mom-growth compares adjacent months and conflates "
+    "seasonality with trend; YoY cancels it). Deliberately a "
+    "calendar-shift EQUI-JOIN rather than lag(12): lag counts ROWS, "
+    "so one missing month silently compares against the wrong year "
+    "forever after — the classic sparse-series bug. The join runs "
+    "on the |months| summary; months without a prior-year partner "
+    "drop out (inner join) rather than reporting a false base.",
+)
+def timeseries_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    prev = monthly.select(
+        F.col("month").alias("p_month"), F.col("rev").alias("rev_prior_year")
+    )
+    return (
+        monthly.join(prev, F.add_months(F.col("p_month"), 12) == F.col("month"))
+        .select(
+            "month",
+            "rev",
+            "n_orders",
+            "rev_prior_year",
+            F.round(
+                (F.col("rev") - F.col("rev_prior_year"))
+                / F.col("rev_prior_year")
+                * 100,
+                4,
+            ).alias("yoy_pct"),
+        )
+    )
