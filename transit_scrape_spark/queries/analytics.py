@@ -1444,3 +1444,65 @@ def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("retained_rev"), F.lit(0.0)) / F.sum("prev_rev"), 6
         ).alias("nrr"),
     )
+
+
+@query(
+    "analytics-cohort-ltv",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_day, count(*) AS n_users FROM first GROUP BY cohort_day
+        ),
+        p AS (
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_index,
+                   sum(e.value) AS rev
+            FROM events e JOIN first f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT p.cohort_day, CAST(p.day_index AS BIGINT) AS day_index,
+               CAST(s.n_users AS BIGINT) AS n_users,
+               round(sum(p.rev) OVER (PARTITION BY p.cohort_day
+                                      ORDER BY p.day_index), 4) AS cum_revenue
+        FROM p JOIN sizes s USING (cohort_day)
+    """,
+    doc="Cohort LTV curves: users cohorted by first-seen day, purchase "
+    "revenue accumulated by days-since-first-seen — the standard "
+    "'how much is a January-3rd signup worth by day 14' payback "
+    "table. Two hash aggregations over events (first-seen, then "
+    "(cohort, day_index) revenue) and the cumulative window runs on "
+    "the cohort-x-index AGGREGATE (~900 rows), partitioned by "
+    "cohort. The first-seen relation is per-user summary-sized, so "
+    "the attach-cohort join broadcasts at any realistic user "
+    "cardinality; at 100 TB the same plan holds with the first-seen "
+    "side as a shuffle-hash join on user_id.",
+    tags=("analytics",),
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_index"),
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_index")
+    return p.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("day_index").cast("long").alias("day_index"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.sum("rev").over(w), 4).alias("cum_revenue"),
+    )

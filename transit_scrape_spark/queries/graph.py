@@ -605,3 +605,77 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity"),
         F.round(mx, 4).alias("avg_endpoint_degree"),
     )
+
+
+@query(
+    "graph-clustering-coeff",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (SELECT a AS node, count(*) AS degree FROM edges GROUP BY a),
+        wedges AS (
+            SELECT x.a AS node, x.b AS u, y.b AS v
+            FROM edges x JOIN edges y ON x.a = y.a AND x.b < y.b
+        ),
+        tri AS (
+            SELECT w.node, count(*) AS triangles
+            FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v)
+            GROUP BY w.node
+        )
+        SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(COALESCE(t.triangles, 0) * 2.0
+                               / (d.degree * (d.degree - 1.0)), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN tri t ON d.node = t.node
+        ORDER BY d.node
+    """,
+    doc="Local clustering coefficient per node: closed-wedge count over "
+    "(degree choose 2). Wedges are generated by the self-join of the "
+    "directed edge list on the CENTER node (so they hash-partition by "
+    "center and never leave their partition-group), and closure is a "
+    "LEFT SEMI join against the edge list on the (u, v) endpoint pair "
+    "- the semi join carries no payload through the shuffle and "
+    "dedups for free. Same b<c ordering trick as graph-triangle-count "
+    "counts each wedge once. At scale the wedge count is "
+    "sum(deg^2)-bounded: high-degree hubs dominate, so the production "
+    "posture is to cap or sample hub wedges - noted, not needed at "
+    "nation-graph size.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    x = edges.select(F.col("a").alias("node"), F.col("b").alias("u"))
+    y = edges.select(F.col("a").alias("node"), F.col("b").alias("v"))
+    wedges = x.join(y, "node").filter(F.col("u") < F.col("v"))
+    closed = wedges.join(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    tri = closed.groupBy("node").agg(F.count("*").alias("triangles"))
+    out = (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.coalesce(F.col("triangles"), F.lit(0)) * 2.0
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
+    out = out.localCheckpoint()
+    edges.unpersist()
+    return out

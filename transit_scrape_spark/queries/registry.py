@@ -96,6 +96,7 @@ def _load_all() -> None:
         scale_demo,
         sketches,
         sources_sinks,
+        stats,
         timeseries,
         tpch,
         tpch_full,

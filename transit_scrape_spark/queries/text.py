@@ -1267,3 +1267,76 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ppl"), 4).alias("min_ppl"),
         F.round(F.max("ppl"), 4).alias("max_ppl"),
     )
+
+
+@query(
+    "text-repetition-score",
+    oracle="""
+        WITH t AS (
+            SELECT lang, string_split(text, ' ') AS toks FROM documents
+        ),
+        b AS (
+            SELECT lang,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bg
+            FROM t WHERE len(toks) >= 2
+        ),
+        f AS (
+            SELECT lang,
+                   1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                       AS dup_frac
+            FROM b
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(dup_frac), 6) AS avg_dup_bigram_frac,
+               round(max(dup_frac), 6) AS max_dup_bigram_frac,
+               CAST(sum(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repetitive
+        FROM f GROUP BY lang ORDER BY lang
+    """,
+    doc="Within-document repetition score (the Gopher/MassiveText "
+    "duplicate-n-gram quality signal): fraction of word bigrams that "
+    "are repeats of an earlier bigram in the same document, rolled up "
+    "per language with a >0.2 'repetitive' flag count. Pure "
+    "codegen-side array expressions (split -> indexed transform -> "
+    "array_distinct), zero Python; per-document work is "
+    "embarrassingly parallel and the only shuffle is the final "
+    "summary-sized groupBy(lang). The flag threshold is the "
+    "published Gopher repetition-filter shape (duplicate 2-gram "
+    "fraction), applied before LLM pretraining to drop loop-y "
+    "boilerplate pages.",
+    tags=("text", "curation"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    withb = (
+        d.select("lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            ).alias("bg"),
+        )
+        .select(
+            "lang",
+            (
+                1.0
+                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+            ).alias("dup_frac"),
+        )
+    )
+    return (
+        withb.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_bigram_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
