@@ -310,3 +310,285 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats-anova-oneway",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m,
+                   var_samp(value) AS s2
+            FROM events GROUP BY event_type
+        ),
+        grand AS (
+            SELECT sum(n * m) / sum(n) AS gm, sum(n) AS n_tot,
+                   count(*) AS k
+            FROM g
+        )
+        SELECT CAST(max(n_tot) AS BIGINT) AS n,
+               CAST(max(k) - 1 AS BIGINT) AS dof_between,
+               CAST(max(n_tot) - max(k) AS BIGINT) AS dof_within,
+               round(sum(n * power(m - gm, 2)) / (max(k) - 1), 6)
+                   AS ms_between,
+               round(sum((n - 1) * s2) / (max(n_tot) - max(k)), 6)
+                   AS ms_within,
+               round((sum(n * power(m - gm, 2)) / (max(k) - 1))
+                     / (sum((n - 1) * s2) / (max(n_tot) - max(k))), 6)
+                   AS f_stat
+        FROM g, grand
+    """,
+    doc="One-way ANOVA F-test (does mean value differ across "
+    "event_type groups): ONE hash aggregation computes per-group "
+    "(n, mean, var) partials — map-side combinable, no raw-row "
+    "shuffle — and SS_between / SS_within / F ride the 5-row "
+    "summary. The decomposition sum(n_g*(m_g-gm)^2) and "
+    "sum((n_g-1)*s2_g) is exactly how a distributed engine avoids "
+    "the two-pass textbook formula: group moments merge "
+    "associatively, grand mean is a weighted mean of group means.",
+    tags=("stats",),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    grand = g.agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.sum("n").alias("n_tot"),
+        F.count("*").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(grand))
+    ssb = F.sum(F.col("n") * F.pow(F.col("m") - F.col("gm"), 2))
+    ssw = F.sum((F.col("n") - 1) * F.col("s2"))
+    msb = ssb / (F.max("k") - 1)
+    msw = ssw / (F.max("n_tot") - F.max("k"))
+    return j.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        (F.max("k") - 1).cast("long").alias("dof_between"),
+        (F.max("n_tot") - F.max("k")).cast("long").alias("dof_within"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+@query(
+    "stats-welch-ttest",
+    oracle="""
+        WITH g AS (
+            SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n1,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n2,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+                   var_samp(CASE WHEN event_type = 'click' THEN value END)
+                       AS v1,
+                   var_samp(CASE WHEN event_type = 'view' THEN value END)
+                       AS v2
+            FROM events WHERE event_type IN ('click', 'view')
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               round(m1 - m2, 6) AS mean_diff,
+               round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+               round(power(v1 / n1 + v2 / n2, 2)
+                     / (power(v1 / n1, 2) / (n1 - 1)
+                        + power(v2 / n2, 2) / (n2 - 1)), 6) AS dof_welch
+        FROM g
+    """,
+    doc="Welch's unequal-variance t-test (click vs view mean value): "
+    "one conditional-aggregate pass computes both groups' "
+    "(n, mean, var) in a single scan — no split-then-union, no "
+    "second fact pass — and t plus the Welch-Satterthwaite degrees "
+    "of freedom are scalar arithmetic on the 1-row summary. The "
+    "conditional-agg single-scan shape is the scale move: two "
+    "filtered subqueries would read the fact table twice.",
+    tags=("stats",),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    g = ev.agg(
+        F.count(click).alias("n1"),
+        F.count(view).alias("n2"),
+        F.avg(click).alias("m1"),
+        F.avg(view).alias("m2"),
+        F.var_samp(click).alias("v1"),
+        F.var_samp(view).alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n1")
+    se2_2 = F.col("v2") / F.col("n2")
+    return g.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se2_1 + se2_2), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_1 + se2_2, 2)
+            / (
+                F.pow(se2_1, 2) / (F.col("n1") - 1)
+                + F.pow(se2_2, 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("dof_welch"),
+    )
+
+
+@query(
+    "stats-spearman-corr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY CAST(ts AS DATE)
+            HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+               AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+        ),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY x, day) AS rx,
+                   row_number() OVER (ORDER BY y, day) AS ry
+            FROM daily
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(CAST(rx AS DOUBLE), CAST(ry AS DOUBLE)), 6)
+                   AS spearman_rho,
+               round(1 - 6 * sum(power(CAST(rx AS DOUBLE) - ry, 2))
+                         / (count(*) * (power(count(*), 2) - 1.0)), 6)
+                   AS rho_formula
+        FROM ranked
+    """,
+    doc="Spearman rank correlation between daily mean click value and "
+    "daily mean view value: the fact pass is one conditional "
+    "groupBy(day) aggregation; BOTH rankings run over the ~30-row "
+    "daily summary (rank the aggregate, never the facts — a global "
+    "row_number over raw events is the single-partition sort that "
+    "kills rank statistics at scale). rho computed two ways — "
+    "Pearson-on-ranks and the classic 1 - 6*sum(d^2)/(n(n^2-1)) — "
+    "which must agree because continuous daily means plus a "
+    "deterministic (value, day) tie-break make ranks a permutation. "
+    "Cross-checking the two forms in one output row is the test.",
+    tags=("stats", "timeseries"),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(click).alias("x"),
+            F.avg(view).alias("y"),
+            F.count(click).alias("nx"),
+            F.count(view).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("x", "day")).alias("rx"),
+        F.row_number().over(Window.orderBy("y", "day")).alias("ry"),
+    )
+    rx = F.col("rx").cast("double")
+    ry = F.col("ry").cast("double")
+    n = F.count("*")
+    return ranked.agg(
+        n.cast("long").alias("n_days"),
+        F.round(F.corr(rx, ry), 6).alias("spearman_rho"),
+        F.round(
+            1 - 6 * F.sum(F.pow(rx - ry, 2)) / (n * (F.pow(n, 2) - 1.0)),
+            6,
+        ).alias("rho_formula"),
+    )
+
+
+@query(
+    "stats-benjamini-hochberg",
+    oracle="""
+        WITH grand AS (
+            SELECT avg(value) AS gm, var_samp(value) AS gv FROM events
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m
+            FROM events GROUP BY event_type
+        ),
+        tests AS (
+            SELECT event_type,
+                   abs(m - gm) / sqrt(gv / n) AS z,
+                   exp(-power(abs(m - gm) / sqrt(gv / n), 2) / 2) AS p
+            FROM g, grand
+        ),
+        ranked AS (
+            SELECT event_type, z, p,
+                   row_number() OVER (ORDER BY p, event_type) AS k,
+                   count(*) OVER () AS m_tests
+            FROM tests
+        ),
+        flagged AS (
+            SELECT *,
+                   max(CASE WHEN p <= 0.05 * k / m_tests THEN k ELSE 0 END)
+                       OVER () AS k_max
+            FROM ranked
+        )
+        SELECT event_type, round(z, 6) AS z, round(p, 6) AS p,
+               CAST(k AS BIGINT) AS k,
+               round(0.05 * k / m_tests, 6) AS bh_threshold,
+               k <= k_max AS rejected
+        FROM flagged ORDER BY k
+    """,
+    doc="Benjamini-Hochberg FDR control over a family of per-segment "
+    "location tests: each event_type's mean is z-tested against the "
+    "grand mean (p-value surrogate exp(-z^2/2) — the Chernoff upper "
+    "bound, engine-portable without erf, monotone in |z| which is "
+    "all BH's ORDERING needs), then the BH step-up runs entirely on "
+    "the 5-row test summary: sort by p, compare to alpha*k/m, and "
+    "the step-up 'reject all k <= argmax' via a window max. The "
+    "pattern for any metric-monitoring system running thousands of "
+    "parallel segment tests: facts aggregated once, multiple-testing "
+    "correction on the summary.",
+    tags=("stats",),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grand = ev.agg(
+        F.avg("value").alias("gm"), F.var_samp("value").alias("gv")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m")
+    )
+    z = F.abs(F.col("m") - F.col("gm")) / F.sqrt(F.col("gv") / F.col("n"))
+    tests = g.crossJoin(F.broadcast(grand)).select(
+        "event_type", z.alias("z"), F.exp(-F.pow(z, 2) / 2).alias("p")
+    )
+    ranked = tests.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(Window.orderBy("p", "event_type")).alias("k"),
+        F.count("*").over(Window.partitionBy()).alias("m_tests"),
+    )
+    flagged = ranked.withColumn(
+        "k_max",
+        F.max(
+            F.when(
+                F.col("p") <= 0.05 * F.col("k") / F.col("m_tests"), F.col("k")
+            ).otherwise(0)
+        ).over(Window.partitionBy()),
+    )
+    return flagged.select(
+        "event_type",
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.col("k").cast("long").alias("k"),
+        F.round(0.05 * F.col("k") / F.col("m_tests"), 6).alias("bh_threshold"),
+        (F.col("k") <= F.col("k_max")).alias("rejected"),
+    ).orderBy("k")

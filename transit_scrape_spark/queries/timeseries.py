@@ -13,7 +13,7 @@ survives a 1000-executor scan of a year of events.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_scrape_spark.queries.registry import query
@@ -898,4 +898,267 @@ def timeseries_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("yoy_pct"),
         )
+    )
+
+
+@query(
+    "timeseries-periodogram",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT x - avg(x) OVER () AS xc,
+                   CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS t,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        freqs AS (SELECT CAST(range AS DOUBLE) AS k FROM range(1, 11))
+        SELECT CAST(k AS BIGINT) AS k,
+               round(max(n) / k, 4) AS period_days,
+               round((power(sum(xc * cos(2 * pi() * k * t / n)), 2)
+                      + power(sum(xc * sin(2 * pi() * k * t / n)), 2))
+                     / power(max(n), 2), 6) AS power_norm
+        FROM idx, freqs
+        GROUP BY k ORDER BY k
+    """,
+    doc="Discrete-Fourier periodogram of the daily event-count series "
+    "at harmonics k=1..10: spectral power via two plain SUM "
+    "aggregates per frequency (sum(x*cos), sum(x*sin)) — the DFT as "
+    "a GROUP BY, no FFT library, no single-node gather. The fact "
+    "pass is one groupBy(day); mean-centering (kills the DC spike) "
+    "and the day index ride windows over the ~30-row daily summary, "
+    "which then cross-joins a 10-row frequency table. At 100 TB the "
+    "same plan holds: the only thing that grows is the first "
+    "hash-agg, and power at every frequency still reduces "
+    "map-side. Power normalized by N^2 to keep magnitudes O(var).",
+    tags=("timeseries", "stats"),
+)
+def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        (F.col("x") - F.avg("x").over(w_all)).alias("xc"),
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("double")
+        .alias("t"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    )
+    freqs = spark.range(1, 11).select(F.col("id").cast("double").alias("k"))
+    ang = 2 * F.expr("pi()") * F.col("k") * F.col("t") / F.col("n")
+    return (
+        idx.crossJoin(F.broadcast(freqs))
+        .groupBy("k")
+        .agg(
+            F.round(F.max("n") / F.col("k"), 4).alias("period_days"),
+            F.round(
+                (
+                    F.pow(F.sum(F.col("xc") * F.cos(ang)), 2)
+                    + F.pow(F.sum(F.col("xc") * F.sin(ang)), 2)
+                )
+                / F.pow(F.max("n"), 2),
+                6,
+            ).alias("power_norm"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"), "period_days", "power_norm"
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "timeseries-changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        cum AS (
+            SELECT event_type, day,
+                   row_number() OVER w AS t,
+                   sum(x) OVER w AS cs,
+                   sum(x * x) OVER w AS csq,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(x) OVER (PARTITION BY event_type) AS ts_,
+                   sum(x * x) OVER (PARTITION BY event_type) AS tsq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        gains AS (
+            SELECT event_type, day, t, n,
+                   (tsq - ts_ * ts_ / n)
+                   - (csq - cs * cs / t)
+                   - ((tsq - csq) - (ts_ - cs) * (ts_ - cs) / (n - t))
+                       AS gain,
+                   cs / t AS mean_left,
+                   (ts_ - cs) / (n - t) AS mean_right
+            FROM cum WHERE t >= 2 AND t <= n - 2
+        )
+        SELECT event_type, day AS split_day,
+               round(gain, 6) AS sse_gain,
+               round(mean_left, 6) AS mean_left,
+               round(mean_right, 6) AS mean_right
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY gain DESC, day) AS rk
+            FROM gains
+        ) WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="Single-changepoint detection (first step of binary "
+    "segmentation) per event_type series: the split t* maximizing "
+    "the SSE reduction SSE_full - SSE_left(t) - SSE_right(t), with "
+    "every candidate split scored in O(1) from running cumulative "
+    "(sum, sumsq) windows — the classic prefix-sum trick that turns "
+    "the naive O(n^2) segment-cost scan into one window pass. Facts "
+    "are touched once (groupBy day); all candidate scoring runs on "
+    "the ~30-row-per-series summary, co-partitioned by series key. "
+    "Interior splits only (2 <= t <= n-2) so both segment variances "
+    "are defined; deterministic earliest-day tie-break.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.sum("x").over(w).alias("cs"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("csq"),
+        F.count("*").over(w_tot).alias("n"),
+        F.sum("x").over(w_tot).alias("ts_"),
+        F.sum(F.col("x") * F.col("x")).over(w_tot).alias("tsq"),
+    )
+    gain = (
+        (F.col("tsq") - F.col("ts_") * F.col("ts_") / F.col("n"))
+        - (F.col("csq") - F.col("cs") * F.col("cs") / F.col("t"))
+        - (
+            (F.col("tsq") - F.col("csq"))
+            - (F.col("ts_") - F.col("cs"))
+            * (F.col("ts_") - F.col("cs"))
+            / (F.col("n") - F.col("t"))
+        )
+    )
+    gains = cum.filter(
+        (F.col("t") >= 2) & (F.col("t") <= F.col("n") - 2)
+    ).select(
+        "event_type",
+        "day",
+        gain.alias("gain"),
+        (F.col("cs") / F.col("t")).alias("mean_left"),
+        ((F.col("ts_") - F.col("cs")) / (F.col("n") - F.col("t"))).alias(
+            "mean_right"
+        ),
+    )
+    best = gains.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("gain").desc(), "day"
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.round("gain", 6).alias("sse_gain"),
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+    ).orderBy("event_type")
+
+
+@query(
+    "timeseries-stl-naive",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        tr AS (
+            SELECT day, x,
+                   CASE WHEN count(*) OVER w7 = 7
+                        THEN avg(x) OVER w7 END AS trend,
+                   (isodow(day) - 1) % 7 AS dow
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING)
+        ),
+        seas AS (
+            SELECT *,
+                   avg(x - trend) OVER (PARTITION BY dow) AS seasonal_raw
+            FROM tr
+        ),
+        norm AS (
+            SELECT *,
+                   seasonal_raw - avg(seasonal_raw) OVER () AS seasonal
+            FROM seas
+        )
+        SELECT day, x,
+               round(trend, 6) AS trend,
+               round(seasonal, 6) AS seasonal,
+               round(x - trend - seasonal, 6) AS residual
+        FROM norm WHERE trend IS NOT NULL ORDER BY day
+    """,
+    doc="Naive STL-style decomposition of the daily event-count "
+    "series: trend = centered 7-day moving average (emitted only "
+    "where the full 7-row frame exists — edge days get NULL, not a "
+    "shrunken-window estimate), seasonal = day-of-week mean of the "
+    "detrended series re-centered to sum to zero (the STL "
+    "identifiability constraint), residual = x - trend - seasonal. "
+    "Facts collapse in one groupBy(day) hash agg; every window "
+    "(moving average, per-dow mean, global recenter) runs over the "
+    "daily summary. Weekday via Spark weekday() == DuckDB "
+    "(isodow-1)%7, both 0=Monday, avoiding the engines' different "
+    "dayofweek conventions.",
+    tags=("timeseries",),
+)
+def timeseries_stl_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.when(F.count("*").over(w7) == 7, F.avg("x").over(w7)).alias(
+            "trend"
+        ),
+        F.weekday("day").alias("dow"),
+    )
+    seas = tr.withColumn(
+        "seasonal_raw",
+        F.avg(F.col("x") - F.col("trend")).over(Window.partitionBy("dow")),
+    )
+    norm = seas.withColumn(
+        "seasonal",
+        F.col("seasonal_raw")
+        - F.avg("seasonal_raw").over(Window.partitionBy()),
+    )
+    return (
+        norm.filter(F.col("trend").isNotNull())
+        .select(
+            "day",
+            "x",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("x") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
     )
