@@ -1506,3 +1506,134 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         F.round(F.sum("rev").over(w), 4).alias("cum_revenue"),
     )
+
+
+@query(
+    "analytics-stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM du),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        mau AS (
+            SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+            FROM spine s
+            JOIN du p ON p.day BETWEEN s.day - INTERVAL 29 DAY AND s.day
+            GROUP BY s.day
+        )
+        SELECT d.day, d.dau, m.mau,
+               round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        FROM dau d JOIN mau m ON d.day = m.day
+        ORDER BY d.day
+    """,
+    doc="DAU/MAU stickiness per day: dau = distinct users that day, mau "
+    "= distinct users in the trailing 30-day window (truncated at "
+    "series start), ratio = the classic engagement metric. Sliding "
+    "COUNT DISTINCT does not decompose into window partials, so the "
+    "scale-safe shape is: facts collapse ONCE to distinct (day, "
+    "user) pairs (one hash agg, map-side combinable), then the "
+    "30-day re-aggregation is a range join against the ~30-row day "
+    "spine — fan-out 30x the PAIR summary, never the fact table. "
+    "At 100 TB swap the exact pair join for per-day HLL sketches "
+    "merged over the trailing window (agg-sketch-merge shows the "
+    "merge); the exact form here is the oracle-checkable twin.",
+)
+def analytics_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    p = du.select(F.col("day").alias("pday"), "user_id")
+    mau = (
+        spine.join(
+            p,
+            (F.col("pday") <= F.col("day"))
+            & (F.col("pday") >= F.date_sub(F.col("day"), 29)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "window-sequence-gaps",
+    oracle="""
+        WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        nxt AS (
+            SELECT k, lead(k) OVER (ORDER BY k) AS next_k FROM k
+        )
+        SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+               CAST(next_k - k - 1 AS BIGINT) AS gap_len
+        FROM nxt WHERE next_k - k > 1
+        ORDER BY gap_len DESC, gap_start
+        LIMIT 100
+    """,
+    doc="Gaps-and-islands: the 100 largest missing ranges in the "
+    "o_orderkey sequence. The oracle states it as the textbook "
+    "global lead() — a single-partition sort of every key, dead at "
+    "scale. The Spark plan computes the SAME answer two-level: "
+    "keys bucket by k div 4096, lead() runs PARTITION-LOCAL within "
+    "each bucket (parallel, co-sorted), and the only global window "
+    "is over the per-bucket (min,max) summary to catch gaps that "
+    "straddle bucket boundaries — bucket-interior gaps and "
+    "boundary gaps partition the gap set exactly, so the union "
+    "reproduces the naive answer. The standard turn-a-global-sort-"
+    "into-a-bucketed-sort rewrite, here made oracle-provable.",
+)
+def window_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("bucket", (F.col("k") / 4096).cast("long"))
+    )
+    wb = Window.partitionBy("bucket").orderBy("k")
+    inner = (
+        k.withColumn("next_k", F.lead("k").over(wb))
+        .filter(F.col("next_k") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("next_k") - 1).alias("gap_end"),
+        )
+    )
+    summ = k.groupBy("bucket").agg(
+        F.min("k").alias("min_k"), F.max("k").alias("max_k")
+    )
+    ws = Window.orderBy("bucket")
+    boundary = (
+        summ.withColumn("next_min", F.lead("min_k").over(ws))
+        .filter(F.col("next_min") - F.col("max_k") > 1)
+        .select(
+            (F.col("max_k") + 1).alias("gap_start"),
+            (F.col("next_min") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        inner.unionByName(boundary)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("long")
+            .alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(100)
+    )

@@ -679,3 +679,83 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     edges.unpersist()
     return out
+
+
+@query(
+    "graph-adamic-adar",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY a
+        ),
+        wedge AS (
+            SELECT e1.a AS u, e2.a AS v, e1.b AS w
+            FROM edges e1 JOIN edges e2
+              ON e1.b = e2.b AND e1.a < e2.a
+        ),
+        scored AS (
+            SELECT wd.u, wd.v,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   sum(1.0 / ln(d.degree)) AS aa
+            FROM wedge wd JOIN deg d ON d.node = wd.w
+            WHERE d.degree > 1
+            GROUP BY wd.u, wd.v
+        )
+        SELECT s.u, s.v, s.n_common, round(s.aa, 6) AS aa_score,
+               (ex.a IS NOT NULL) AS is_edge
+        FROM scored s
+        LEFT JOIN (SELECT DISTINCT a, b FROM edges) ex
+               ON ex.a = s.u AND ex.b = s.v
+        WHERE s.aa >= 1.0
+        ORDER BY aa_score DESC, s.u, s.v
+    """,
+    doc="Adamic-Adar link prediction over the nation-trade graph: for "
+    "every node pair sharing a neighbor, score = sum over common "
+    "neighbors w of 1/ln(deg(w)) — rare shared neighbors are strong "
+    "evidence, hubs nearly none. Same wedge-join shape as "
+    "graph-jaccard-neighbors (edges self-joined on the shared "
+    "endpoint) with the weight attached by a broadcast degree join "
+    "BEFORE the pair aggregation, so the shuffle carries (u,v, "
+    "partial sums) — map-side combinable. is_edge marks pairs "
+    "already linked (candidate new links are is_edge=false). At "
+    "100 TB the wedge fan-out is sum(deg(w)^2) — 1/ln(deg) says "
+    "hub wedges contribute ~nothing, so the standard degree-cap "
+    "prune before the self-join loses no signal. deg>1 guard keeps "
+    "1/ln(deg) finite; threshold aa>=1 bounds the output.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w2"))
+    wedge = e1.join(
+        e2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v"))
+    ).select("u", "v", "w")
+    dw = deg.select(F.col("node").alias("w"), "degree")
+    scored = (
+        wedge.join(F.broadcast(dw), "w")
+        .filter(F.col("degree") > 1)
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("degree"))).alias("aa"),
+        )
+    )
+    ex = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.lit(1).alias("hit")
+    ).distinct()
+    return (
+        scored.join(F.broadcast(ex), ["u", "v"], "left")
+        .filter(F.col("aa") >= 1.0)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round("aa", 6).alias("aa_score"),
+            F.col("hit").isNotNull().alias("is_edge"),
+        )
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+    )

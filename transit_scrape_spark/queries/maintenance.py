@@ -805,3 +805,119 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("psi"),
         (F.sum(term) > 0.2).alias("drift_alert"),
     )
+
+
+@query(
+    "dq-profile-drift",
+    oracle="""
+        WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+        pa AS (
+            SELECT 'o_orderstatus' AS col_name,
+                   count(*) - count(o_orderstatus) AS nulls,
+                   count(DISTINCT o_orderstatus) AS n_distinct,
+                   count(*) AS n FROM a
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), count(*) FROM a
+            UNION ALL
+            SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice), count(*) FROM a
+            UNION ALL
+            SELECT 'o_custkey', count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey), count(*) FROM a
+        ),
+        pb AS (
+            SELECT 'o_orderstatus' AS col_name,
+                   count(*) - count(o_orderstatus) AS nulls,
+                   count(DISTINCT o_orderstatus) AS n_distinct,
+                   count(*) AS n FROM b
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority), count(*) FROM b
+            UNION ALL
+            SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice), count(*) FROM b
+            UNION ALL
+            SELECT 'o_custkey', count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey), count(*) FROM b
+        )
+        SELECT pa.col_name,
+               round(CAST(pa.nulls AS DOUBLE) / pa.n, 6) AS null_frac_a,
+               round(CAST(pb.nulls AS DOUBLE) / pb.n, 6) AS null_frac_b,
+               CAST(pa.n_distinct AS BIGINT) AS distinct_a,
+               CAST(pb.n_distinct AS BIGINT) AS distinct_b,
+               round(abs(CAST(pa.n_distinct AS DOUBLE) / pa.n
+                         - CAST(pb.n_distinct AS DOUBLE) / pb.n), 6)
+                   AS distinct_rate_drift,
+               (abs(CAST(pa.n_distinct AS DOUBLE) / pa.n
+                    - CAST(pb.n_distinct AS DOUBLE) / pb.n) > 0.05
+                OR abs(CAST(pa.nulls AS DOUBLE) / pa.n
+                       - CAST(pb.nulls AS DOUBLE) / pb.n) > 0.01)
+                   AS drifted
+        FROM pa JOIN pb USING (col_name)
+        ORDER BY col_name
+    """,
+    doc="Column-profile drift report between two dataset snapshots "
+    "(deterministic o_orderkey%2 halves standing in for yesterday/"
+    "today): per column, null fraction and distinct-rate on each "
+    "side plus a drift flag — the schema-stability check a "
+    "warehouse runs before promoting a new load, complementing "
+    "dq-distribution-drift-psi (which compares VALUE distributions "
+    "of one column; this compares STRUCTURAL profiles of many). "
+    "Each half is ONE conditional-aggregate pass producing a "
+    "4-column-profile wide row (count distinct per column shares "
+    "the scan via Expand, as in agg-multi-distinct-expand); the "
+    "long-format pivot and the drift comparison run on the 4-row "
+    "summary. Facts read twice (once per half) at worst, never "
+    "per-column.",
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(half: DataFrame) -> DataFrame:
+        cols = ["o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"]
+        aggs = [F.count("*").alias("n")]
+        for c in cols:
+            aggs.append((F.count("*") - F.count(c)).alias(f"nulls_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        wide = half.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', nulls_{c}, nd_{c}" for c in cols
+        )
+        return wide.selectExpr(
+            "n",
+            f"stack({len(cols)}, {stack}) AS (col_name, nulls, n_distinct)",
+        )
+
+    pa = profile(o.filter(F.col("o_orderkey") % 2 == 0)).select(
+        "col_name",
+        F.col("nulls").alias("nulls_a"),
+        F.col("n_distinct").alias("nd_a"),
+        F.col("n").alias("n_a"),
+    )
+    pb = profile(o.filter(F.col("o_orderkey") % 2 == 1)).select(
+        "col_name",
+        F.col("nulls").alias("nulls_b"),
+        F.col("n_distinct").alias("nd_b"),
+        F.col("n").alias("n_b"),
+    )
+    nf_a = F.col("nulls_a").cast("double") / F.col("n_a")
+    nf_b = F.col("nulls_b").cast("double") / F.col("n_b")
+    dr_a = F.col("nd_a").cast("double") / F.col("n_a")
+    dr_b = F.col("nd_b").cast("double") / F.col("n_b")
+    return (
+        pa.join(pb, "col_name")
+        .select(
+            "col_name",
+            F.round(nf_a, 6).alias("null_frac_a"),
+            F.round(nf_b, 6).alias("null_frac_b"),
+            F.col("nd_a").cast("long").alias("distinct_a"),
+            F.col("nd_b").cast("long").alias("distinct_b"),
+            F.round(F.abs(dr_a - dr_b), 6).alias("distinct_rate_drift"),
+            (
+                (F.abs(dr_a - dr_b) > 0.05) | (F.abs(nf_a - nf_b) > 0.01)
+            ).alias("drifted"),
+        )
+        .orderBy("col_name")
+    )

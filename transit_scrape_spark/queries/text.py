@@ -1340,3 +1340,109 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_RAKE_STOPS = (
+    "the|and|of|to|in|a|is|for|on|with|as|by|at|an|be|or|it|this|"
+    "that|are|was|were|from|has|have|had|not|but|its"
+)
+_RAKE_SPLIT = rf"\b(?:{_RAKE_STOPS})\b"
+
+
+@query(
+    "text-rake-keywords",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g') AS t
+            FROM documents
+        ),
+        frag AS (
+            SELECT doc_id,
+                   trim(regexp_replace(unnest(
+                       regexp_split_to_array(t, '{_RAKE_SPLIT}')),
+                       ' +', ' ', 'g')) AS phrase
+            FROM norm
+        ),
+        phrases AS (
+            SELECT phrase,
+                   string_split(phrase, ' ') AS ws,
+                   len(string_split(phrase, ' ')) AS plen
+            FROM frag
+            WHERE phrase <> ''
+              AND len(string_split(phrase, ' ')) BETWEEN 2 AND 4
+        ),
+        words AS (
+            SELECT unnest(ws) AS word, plen FROM phrases
+        ),
+        wscore AS (
+            SELECT word,
+                   CAST(sum(plen) AS DOUBLE) / count(*) AS score
+            FROM words GROUP BY word
+        ),
+        uniq AS (
+            SELECT DISTINCT phrase, unnest(ws) AS word, plen
+            FROM phrases
+        ),
+        pscore AS (
+            SELECT u.phrase,
+                   CAST(max(u.plen) AS BIGINT) AS n_words,
+                   round(sum(w.score), 6) AS rake_score
+            FROM uniq u JOIN wscore w ON w.word = u.word
+            GROUP BY u.phrase
+        )
+        SELECT phrase, n_words, rake_score
+        FROM pscore
+        ORDER BY rake_score DESC, phrase
+        LIMIT 15
+    """,
+    doc="RAKE keyword extraction over the documents corpus: candidate "
+    "phrases are the maximal runs between stopwords/punctuation, "
+    "each word scores degree/frequency (degree = sum of lengths of "
+    "phrases it appears in — co-occurrence credit; frequency = raw "
+    "count), and a phrase scores the sum of its distinct words' "
+    "scores. Top-15 multi-word (2-4 token) keyphrases. Pure "
+    "explode + two hash aggregations + one equi-join on word — the "
+    "word-score relation is vocabulary-sized (broadcastable), the "
+    "phrase aggregation is map-side combinable, nothing leaves the "
+    "JVM. Both engines run the identical regex pipeline (ASCII "
+    "word-boundary split is RE2/Java-regex-portable by "
+    "construction).",
+    tags=("text",),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z ]", " ").alias("t"),
+    )
+    frag = norm.select(
+        "doc_id", F.explode(F.split("t", _RAKE_SPLIT)).alias("raw")
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace("raw", " +", " ")).alias("phrase"),
+    )
+    phrases = (
+        frag.filter(F.col("phrase") != "")
+        .withColumn("ws", F.split("phrase", " "))
+        .withColumn("plen", F.size("ws"))
+        .filter((F.col("plen") >= 2) & (F.col("plen") <= 4))
+    )
+    words = phrases.select(F.explode("ws").alias("word"), "plen")
+    wscore = words.groupBy("word").agg(
+        (F.sum("plen").cast("double") / F.count("*")).alias("score")
+    )
+    uniq = phrases.select(
+        "phrase", F.explode("ws").alias("word"), "plen"
+    ).distinct()
+    pscore = (
+        uniq.join(F.broadcast(wscore), "word")
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.round(F.sum("score"), 6).alias("rake_score"),
+        )
+    )
+    return pscore.select("phrase", "n_words", "rake_score").orderBy(
+        F.col("rake_score").desc(), "phrase"
+    ).limit(15)
