@@ -1637,3 +1637,96 @@ def window_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gap_len").desc(), "gap_start")
         .limit(100)
     )
+
+
+@query(
+    "analytics-event-study",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pivoted AS (
+            SELECT event_type, day, m,
+                   min(day) OVER () + INTERVAL 14 DAY AS t0
+            FROM daily
+        ),
+        sides AS (
+            SELECT event_type,
+                   CASE WHEN day >= t0 THEN 'post' ELSE 'pre' END AS side, m
+            FROM pivoted
+            WHERE day BETWEEN t0 - INTERVAL 7 DAY AND t0 + INTERVAL 6 DAY
+        ),
+        g AS (
+            SELECT event_type,
+                   count(CASE WHEN side = 'pre' THEN 1 END) AS n_pre,
+                   count(CASE WHEN side = 'post' THEN 1 END) AS n_post,
+                   avg(CASE WHEN side = 'pre' THEN m END) AS m_pre,
+                   avg(CASE WHEN side = 'post' THEN m END) AS m_post,
+                   var_samp(CASE WHEN side = 'pre' THEN m END) AS v_pre,
+                   var_samp(CASE WHEN side = 'post' THEN m END) AS v_post
+            FROM sides GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_pre AS BIGINT) AS n_pre,
+               CAST(n_post AS BIGINT) AS n_post,
+               round(m_post - m_pre, 6) AS lift,
+               round((m_post - m_pre)
+                     / sqrt(v_pre / n_pre + v_post / n_post), 6) AS t_stat
+        FROM g ORDER BY event_type
+    """,
+    doc="Event-study / intervention analysis: mean metric lift in the "
+    "7 days after a pivot date (series start + 14d) vs the 7 days "
+    "before, per event_type, with a Welch t on the daily means. The "
+    "generic pre/post launch readout: one fact hash-agg to daily "
+    "means, the pivot date derived by a window min over the summary "
+    "(no second fact pass, no driver round-trip), conditional "
+    "aggregation splits pre/post in one pass. At 100 TB the "
+    "pre/post date filter pushes into the parquet scan when t0 is "
+    "known ahead; here it stays data-derived to keep the op "
+    "self-contained across SFs.",
+)
+def analytics_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    pivoted = daily.withColumn(
+        "t0", F.date_add(F.min("day").over(Window.partitionBy()), 14)
+    )
+    sides = pivoted.filter(
+        (F.col("day") >= F.date_sub(F.col("t0"), 7))
+        & (F.col("day") <= F.date_add(F.col("t0"), 6))
+    ).select(
+        "event_type",
+        F.when(F.col("day") >= F.col("t0"), "post").otherwise("pre").alias(
+            "side"
+        ),
+        "m",
+    )
+    pre = F.when(F.col("side") == "pre", F.col("m"))
+    post = F.when(F.col("side") == "post", F.col("m"))
+    g = sides.groupBy("event_type").agg(
+        F.count(pre).alias("n_pre"),
+        F.count(post).alias("n_post"),
+        F.avg(pre).alias("m_pre"),
+        F.avg(post).alias("m_post"),
+        F.var_samp(pre).alias("v_pre"),
+        F.var_samp(post).alias("v_post"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round(F.col("m_post") - F.col("m_pre"), 6).alias("lift"),
+        F.round(
+            (F.col("m_post") - F.col("m_pre"))
+            / F.sqrt(
+                F.col("v_pre") / F.col("n_pre")
+                + F.col("v_post") / F.col("n_post")
+            ),
+            6,
+        ).alias("t_stat"),
+    ).orderBy("event_type")

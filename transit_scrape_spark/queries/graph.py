@@ -759,3 +759,74 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("aa_score").desc(), "u", "v")
     )
+
+
+@query(
+    "graph-two-hop-neighbors",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        twohop AS (
+            SELECT DISTINCT e1.a AS node, e2.b AS nbr2
+            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+            WHERE e2.b <> e1.a
+        ),
+        strict2 AS (
+            SELECT t.node, t.nbr2
+            FROM twohop t
+            LEFT JOIN edges d ON d.a = t.node AND d.b = t.nbr2
+            WHERE d.a IS NULL
+        ),
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS n_direct
+            FROM edges GROUP BY a
+        )
+        SELECT d.node, d.n_direct,
+               CAST(coalesce(s.n2, 0) AS BIGINT) AS n_exactly_two_hops
+        FROM deg d
+        LEFT JOIN (SELECT node, count(*) AS n2 FROM strict2 GROUP BY node) s
+               ON s.node = d.node
+        ORDER BY d.node
+    """,
+    doc="Exactly-2-hop reach per node: distinct nodes reachable in two "
+    "edges but NOT one (friend-of-friend minus friend — the "
+    "expansion metric behind contact-graph reach and "
+    "recommendation candidate pools). Plan: one self-join on the "
+    "shared endpoint (the wedge join every 2-hop question costs), "
+    "DISTINCT to collapse multiplicity, an anti-join against the "
+    "direct edges (LEFT JOIN ... IS NULL on both sides so the "
+    "oracle and Spark agree on the null-extension), then a count "
+    "per node joined onto the degree table so zero-reach nodes "
+    "still appear. At scale the wedge fan-out is sum(deg^2) — "
+    "degree-cap hubs first (a hub's 2-hop set approaches V and "
+    "stops being informative) exactly as graph-jaccard-neighbors "
+    "documents.",
+)
+def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    e1 = edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("nbr2"))
+    twohop = (
+        e1.join(e2, "mid")
+        .filter(F.col("nbr2") != F.col("node"))
+        .select("node", "nbr2")
+        .distinct()
+    )
+    direct = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr2")
+    )
+    strict2 = twohop.join(direct, ["node", "nbr2"], "left_anti")
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("n_direct")
+    )
+    n2 = strict2.groupBy("node").agg(F.count("*").alias("n2"))
+    return (
+        deg.join(n2, "node", "left")
+        .select(
+            "node",
+            "n_direct",
+            F.coalesce(F.col("n2"), F.lit(0))
+            .cast("long")
+            .alias("n_exactly_two_hops"),
+        )
+        .orderBy("node")
+    )

@@ -592,3 +592,242 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.05 * F.col("k") / F.col("m_tests"), 6).alias("bh_threshold"),
         (F.col("k") <= F.col("k_max")).alias("rejected"),
     ).orderBy("k")
+
+
+@query(
+    "stats-mutual-information",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS x, CAST(user_id % 4 AS BIGINT) AS y,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM events GROUP BY event_type, user_id % 4
+        ),
+        p AS (
+            SELECT x, y, c / sum(c) OVER () AS pxy,
+                   sum(c) OVER (PARTITION BY x) / sum(c) OVER () AS px,
+                   sum(c) OVER (PARTITION BY y) / sum(c) OVER () AS py
+            FROM cells
+        )
+        SELECT round(sum(pxy * ln(pxy / (px * py))), 6) AS mi_nats,
+               round(-sum(CASE WHEN y = (SELECT min(y) FROM p)
+                               THEN px * ln(px) ELSE 0 END), 6) AS h_x,
+               round(-sum(CASE WHEN x = (SELECT min(x) FROM p)
+                               THEN py * ln(py) ELSE 0 END), 6) AS h_y,
+               round(sum(pxy * ln(pxy / (px * py)))
+                     / least(-sum(CASE WHEN y = (SELECT min(y) FROM p)
+                                       THEN px * ln(px) ELSE 0 END),
+                             -sum(CASE WHEN x = (SELECT min(x) FROM p)
+                                       THEN py * ln(py) ELSE 0 END)), 6)
+                   AS nmi
+        FROM p
+    """,
+    doc="Mutual information I(event_type; user segment) in nats, with "
+    "marginal entropies and min-normalized NMI: ONE hash aggregation "
+    "builds the r x c contingency table; joint and marginal "
+    "probabilities ride windows over the 20-cell summary, and the "
+    "MI/entropy sums reduce it to one row. Marginal entropies are "
+    "summed over one representative slice of the cell grid (the "
+    "min-key row/column) rather than a second DISTINCT pass — every "
+    "quantity from a single fact scan. The information-theoretic "
+    "companion to stats-chi-square on the same table: chi2 tests "
+    "independence, MI measures its strength in bits/nats.",
+    tags=("stats",),
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (F.col("user_id") % 4).cast("long").alias("y"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    w_all = Window.partitionBy()
+    p = cells.select(
+        "x",
+        "y",
+        (F.col("c") / F.sum("c").over(w_all)).alias("pxy"),
+        (
+            F.sum("c").over(Window.partitionBy("x")) / F.sum("c").over(w_all)
+        ).alias("px"),
+        (
+            F.sum("c").over(Window.partitionBy("y")) / F.sum("c").over(w_all)
+        ).alias("py"),
+    ).withColumn("min_y", F.min("y").over(w_all)).withColumn(
+        "min_x", F.min("x").over(w_all)
+    )
+    mi = F.sum(F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py"))))
+    h_x = -F.sum(
+        F.when(F.col("y") == F.col("min_y"), F.col("px") * F.log("px")).otherwise(
+            0.0
+        )
+    )
+    h_y = -F.sum(
+        F.when(F.col("x") == F.col("min_x"), F.col("py") * F.log("py")).otherwise(
+            0.0
+        )
+    )
+    return p.agg(
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(h_x, 6).alias("h_x"),
+        F.round(h_y, 6).alias("h_y"),
+        F.round(mi / F.least(h_x, h_y), 6).alias("nmi"),
+    )
+
+
+@query(
+    "timeseries-granger-1lag",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS c,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS v
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT c AS y, lag(c) OVER (ORDER BY day) AS x1,
+                   lag(v) OVER (ORDER BY day) AS x2
+            FROM daily
+        ),
+        cc AS (SELECT * FROM lagged WHERE x1 IS NOT NULL),
+        ctr AS (
+            SELECT y - avg(y) OVER () AS yc,
+                   x1 - avg(x1) OVER () AS x1c,
+                   x2 - avg(x2) OVER () AS x2c
+            FROM cc
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   sum(yc * yc) AS syy, sum(x1c * x1c) AS s11,
+                   sum(x2c * x2c) AS s22, sum(x1c * x2c) AS s12,
+                   sum(x1c * yc) AS s1y, sum(x2c * yc) AS s2y
+            FROM ctr
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6)
+                   AS beta_own_lag,
+               round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6)
+                   AS beta_cross_lag,
+               round(((syy - s1y * s1y / s11)
+                      - (syy - (s22 * s1y - s12 * s2y)
+                               / (s11 * s22 - s12 * s12) * s1y
+                             - (s11 * s2y - s12 * s1y)
+                               / (s11 * s22 - s12 * s12) * s2y))
+                     / ((syy - (s22 * s1y - s12 * s2y)
+                               / (s11 * s22 - s12 * s12) * s1y
+                             - (s11 * s2y - s12 * s1y)
+                               / (s11 * s22 - s12 * s12) * s2y)
+                        / (n - 3)), 6) AS granger_f
+        FROM s
+    """,
+    doc="Granger causality test (1 lag): does yesterday's view count "
+    "help predict today's click count beyond yesterday's clicks? "
+    "OLS solved in CLOSED FORM from the 2x2 normal equations on "
+    "mean-centered sums (beta = inv([[S11,S12],[S12,S22]]) * "
+    "[S1y,S2y]) — no ML library, no iteration: one fact-table hash "
+    "agg to the daily series, lag + centering windows over the "
+    "~30-row summary, then a single-row moment aggregation carries "
+    "everything the F-statistic needs. F = (RSS_restricted - "
+    "RSS_unrestricted) / (RSS_u / (n-3)). The template for pushing "
+    "ANY small-k regression to 100 TB: stream the k x k moment "
+    "matrix (map-side combinable sums), solve on the summary.",
+    tags=("stats", "timeseries"),
+)
+def timeseries_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x1"),
+        F.lag("v").over(w).alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    w_all = Window.partitionBy()
+    ctr = lagged.select(
+        (F.col("y") - F.avg("y").over(w_all)).alias("yc"),
+        (F.col("x1") - F.avg("x1").over(w_all)).alias("x1c"),
+        (F.col("x2") - F.avg("x2").over(w_all)).alias("x2c"),
+    )
+    s = ctr.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+        F.sum(F.col("x1c") * F.col("x1c")).alias("s11"),
+        F.sum(F.col("x2c") * F.col("x2c")).alias("s22"),
+        F.sum(F.col("x1c") * F.col("x2c")).alias("s12"),
+        F.sum(F.col("x1c") * F.col("yc")).alias("s1y"),
+        F.sum(F.col("x2c") * F.col("yc")).alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    rss_u = F.col("syy") - b1 * F.col("s1y") - b2 * F.col("s2y")
+    rss_r = F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1, 6).alias("beta_own_lag"),
+        F.round(b2, 6).alias("beta_cross_lag"),
+        F.round((rss_r - rss_u) / (rss_u / (F.col("n") - 3)), 6).alias(
+            "granger_f"
+        ),
+    )
+
+
+@query(
+    "agg-trimmed-mean",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.1) AS p10,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(avg(e.value), 6) AS trimmed_mean,
+               round(max(b.p10), 6) AS p10,
+               round(max(b.p90), 6) AS p90
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+        WHERE e.value BETWEEN b.p10 AND b.p90
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="10%-trimmed mean of value per event_type — the robust "
+    "location estimate dashboards want when a metric has outlier "
+    "tails but MAD is too blunt. Two fact passes by construction: "
+    "pass 1 computes exact interpolated p10/p90 per group "
+    "(percentile aggregate; at 100 TB approx_percentile's "
+    "t-digest sketch replaces it with one map-side-combinable "
+    "pass at bounded error), pass 2 re-filters the facts against "
+    "the BROADCAST 5-row bounds table and averages — the "
+    "filter-against-broadcast-thresholds join keeps the second "
+    "pass shuffle-free except the final per-group agg. Spark "
+    "percentile() and DuckDB quantile_cont both linearly "
+    "interpolate, so the bounds agree exactly.",
+    tags=("stats",),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .filter(
+            (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+            F.round(F.max("p10"), 6).alias("p10"),
+            F.round(F.max("p90"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
