@@ -1730,3 +1730,155 @@ def analytics_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     ).orderBy("event_type")
+
+
+@query(
+    "event-markov-stationary",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS i,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS j
+            FROM events
+        ),
+        t AS (
+            SELECT i, j,
+                   count(*) / sum(count(*)) OVER (PARTITION BY i) AS p
+            FROM seq WHERE j IS NOT NULL GROUP BY i, j
+        ),
+        p0 AS (
+            SELECT i AS state, 1.0 / count(*) OVER () AS pi
+            FROM (SELECT DISTINCT i FROM t)
+        ),
+        p1 AS (
+            SELECT t.j AS state, sum(p0.pi * t.p) AS pi
+            FROM p0 JOIN t ON t.i = p0.state GROUP BY t.j
+        ),
+        p2 AS (
+            SELECT t.j AS state, sum(p1.pi * t.p) AS pi
+            FROM p1 JOIN t ON t.i = p1.state GROUP BY t.j
+        ),
+        p3 AS (
+            SELECT t.j AS state, sum(p2.pi * t.p) AS pi
+            FROM p2 JOIN t ON t.i = p2.state GROUP BY t.j
+        ),
+        p4 AS (
+            SELECT t.j AS state, sum(p3.pi * t.p) AS pi
+            FROM p3 JOIN t ON t.i = p3.state GROUP BY t.j
+        )
+        SELECT state, round(pi / sum(pi) OVER (), 6) AS pi_stationary
+        FROM p4 ORDER BY state
+    """,
+    doc="Stationary distribution of the per-user event Markov chain: "
+    "four unrolled power-iteration steps pi <- pi*T from a uniform "
+    "start, renormalized at the end (mass can leak if a state is "
+    "absorbing-adjacent; renormalization keeps it a distribution). "
+    "The fact table is touched ONCE to build the |types|^2 "
+    "transition matrix (same lead() window as "
+    "event-transition-matrix); every iteration is a join+groupBy "
+    "over the <=25-cell matrix — the whole chain analysis is lazy, "
+    "one Spark plan, no driver loop, because the state space (not "
+    "the data) bounds the iteration cost. Where pi converges in a "
+    "handful of steps this IS the steady-state next-action profile "
+    "at any data scale.",
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(w).alias("j"),
+    ).filter(F.col("j").isNotNull())
+    t = (
+        seq.groupBy("i", "j")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "p", F.col("n") / F.sum("n").over(Window.partitionBy("i"))
+        )
+        .select("i", "j", "p")
+    )
+    pi = t.select("i").distinct().withColumn(
+        "pi", 1.0 / F.count("*").over(Window.partitionBy())
+    ).withColumnRenamed("i", "state")
+    for _ in range(4):
+        pi = (
+            pi.join(t, pi.state == t.i)
+            .groupBy(F.col("j").alias("state2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            .withColumnRenamed("state2", "state")
+        )
+    return pi.select(
+        "state",
+        F.round(
+            F.col("pi") / F.sum("pi").over(Window.partitionBy()), 6
+        ).alias("pi_stationary"),
+    ).orderBy("state")
+
+
+@query(
+    "anomaly-alert-debounce",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        scored AS (
+            SELECT event_type, day,
+                   (x - avg(x) OVER (PARTITION BY event_type))
+                   / stddev_samp(x) OVER (PARTITION BY event_type) AS z
+            FROM daily
+        ),
+        alerts AS (
+            SELECT event_type, day, z,
+                   lag(day) OVER (PARTITION BY event_type ORDER BY day)
+                       AS prev_alert
+            FROM scored WHERE abs(z) > 1.5
+        )
+        SELECT event_type, day AS alert_day, round(z, 6) AS z,
+               (prev_alert IS NULL
+                OR date_diff('day', prev_alert, day) >= 3) AS fired
+        FROM alerts ORDER BY event_type, alert_day
+    """,
+    doc="Alert debouncing over daily volume anomalies: days with "
+    "|z| > 1.5 against the series mean become candidate alerts; an "
+    "alert FIRES only if no candidate occurred in the previous 3 "
+    "days (gap-based cooldown — the deterministic, window-"
+    "expressible form of debounce: a candidate is suppressed iff "
+    "its predecessor candidate is <3 days old, which a single "
+    "lag() answers without iterative state). One fact hash-agg to "
+    "the daily series; scoring and debouncing ride per-series "
+    "windows over the ~30-row summaries, co-partitioned by series "
+    "key — the alerting pattern every metrics monitor at scale "
+    "needs to avoid paging 7 times for one incident.",
+)
+def anomaly_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    wt = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        (
+            (F.col("x") - F.avg("x").over(wt)) / F.stddev_samp("x").over(wt)
+        ).alias("z"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("day")
+    alerts = scored.filter(F.abs("z") > 1.5).withColumn(
+        "prev_alert", F.lag("day").over(ws)
+    )
+    return alerts.select(
+        "event_type",
+        F.col("day").alias("alert_day"),
+        F.round("z", 6).alias("z"),
+        (
+            F.col("prev_alert").isNull()
+            | (F.datediff(F.col("day"), F.col("prev_alert")) >= 3)
+        ).alias("fired"),
+    ).orderBy("event_type", "alert_day")

@@ -831,3 +831,161 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats-runs-test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        moves AS (
+            SELECT day,
+                   CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+                        WHEN x < lag(x) OVER (ORDER BY day) THEN 0
+                        END AS up
+            FROM daily
+        ),
+        runs AS (
+            SELECT up,
+                   CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                             OR up <> lag(up) OVER (ORDER BY day)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM moves WHERE up IS NOT NULL
+        ),
+        s AS (
+            SELECT CAST(sum(up) AS DOUBLE) AS n1,
+                   CAST(sum(1 - up) AS DOUBLE) AS n2,
+                   CAST(sum(new_run) AS DOUBLE) AS r
+            FROM runs
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+               CAST(r AS BIGINT) AS n_runs,
+               round(2 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+               round((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                     / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                            / (power(n1 + n2, 2) * (n1 + n2 - 1))), 6)
+                   AS z
+        FROM s
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily volume's "
+    "up/down moves: consecutive same-direction moves collapse into "
+    "runs (a lag()-equality flag summed — the gaps-and-islands "
+    "counter), and the observed run count is z-scored against the "
+    "E[R] = 2*n1*n2/(n1+n2)+1 null of an exchangeable sequence. "
+    "Too few runs = trending, too many = oscillating. Facts "
+    "collapse in one hash agg; every window runs over the ~30-row "
+    "daily summary. Ties (x equal to previous) drop out as NULL "
+    "moves, the standard treatment. Integer counts make tie days "
+    "possible but rare; they shrink n, not correctness.",
+    tags=("stats", "timeseries"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), 0)
+        .alias("up"),
+    )
+    runs = moves.filter(F.col("up").isNotNull()).select(
+        "day",
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.col("up") != F.lag("up").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+        F.sum("new_run").cast("double").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        n1.cast("long").alias("n_up"),
+        n2.cast("long").alias("n_down"),
+        r.cast("long").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((r - er) / F.sqrt(vr), 6).alias("z"),
+    )
+
+
+_CRONBACH_ITEMS = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "stats-cronbach-alpha",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {", ".join(
+                       f"avg(CASE WHEN event_type = '{t}' THEN value END)"
+                       f" AS i{n}" for n, t in enumerate(_CRONBACH_ITEMS))}
+            FROM events GROUP BY CAST(ts AS DATE)
+            HAVING {" AND ".join(
+                f"count(CASE WHEN event_type = '{t}' THEN 1 END) > 0"
+                for t in _CRONBACH_ITEMS)}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round({" + ".join(f"var_samp(i{n})"
+                                 for n in range(len(_CRONBACH_ITEMS)))}, 6)
+                   AS sum_item_var,
+               round(var_samp({" + ".join(f"i{n}"
+                              for n in range(len(_CRONBACH_ITEMS)))}), 6)
+                   AS total_var,
+               round({len(_CRONBACH_ITEMS)} / ({len(_CRONBACH_ITEMS)} - 1.0)
+                     * (1 - ({" + ".join(f"var_samp(i{n})"
+                              for n in range(len(_CRONBACH_ITEMS)))})
+                            / var_samp({" + ".join(f"i{n}"
+                              for n in range(len(_CRONBACH_ITEMS)))})), 6)
+                   AS cronbach_alpha
+        FROM daily
+    """,
+    doc="Cronbach's alpha internal-consistency coefficient treating the "
+    "five event types' daily mean values as test items and days as "
+    "subjects: alpha = k/(k-1) * (1 - sum(var_item)/var(total)). "
+    "One conditional-aggregate pass pivots the facts to the "
+    "day x item matrix (complete-case days only), then one "
+    "summary aggregation produces every variance — the "
+    "psychometric reliability statistic as two hash aggs, the "
+    "wide-pivot-then-moment shape any metric-battery consistency "
+    "check uses at scale.",
+    tags=("stats",),
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs, havings = [], []
+    for n, t in enumerate(_CRONBACH_ITEMS):
+        item = F.when(F.col("event_type") == t, F.col("value"))
+        aggs.append(F.avg(item).alias(f"i{n}"))
+        havings.append(F.count(item).alias(f"n{n}"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(*aggs, *havings)
+    for n in range(len(_CRONBACH_ITEMS)):
+        daily = daily.filter(F.col(f"n{n}") > 0)
+    k = len(_CRONBACH_ITEMS)
+    sum_var = sum(
+        (F.var_samp(f"i{n}") for n in range(1, k)), F.var_samp("i0")
+    )
+    total = sum((F.col(f"i{n}") for n in range(1, k)), F.col("i0"))
+    return daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(sum_var, 6).alias("sum_item_var"),
+        F.round(F.var_samp(total), 6).alias("total_var"),
+        F.round(
+            k / (k - 1.0) * (1 - sum_var / F.var_samp(total)), 6
+        ).alias("cronbach_alpha"),
+    )

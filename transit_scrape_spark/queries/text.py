@@ -1446,3 +1446,94 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pscore.select("phrase", "n_words", "rake_score").orderBy(
         F.col("rake_score").desc(), "phrase"
     ).limit(15)
+
+
+@query(
+    "text-js-divergence",
+    oracle="""
+        WITH tok AS (
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT grp, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY grp, w
+        ),
+        p AS (
+            SELECT w,
+                   coalesce(sum(CASE WHEN grp = 'en' THEN c END), 0)
+                       / sum(sum(CASE WHEN grp = 'en' THEN c END)) OVER ()
+                       AS pw,
+                   coalesce(sum(CASE WHEN grp = 'other' THEN c END), 0)
+                       / sum(sum(CASE WHEN grp = 'other' THEN c END)) OVER ()
+                       AS qw
+            FROM cnt GROUP BY w
+        )
+        SELECT CAST(count(*) AS BIGINT) AS vocab,
+               round(0.5 * sum(CASE WHEN pw > 0
+                                    THEN pw * ln(pw / ((pw + qw) / 2))
+                                    ELSE 0 END)
+                     + 0.5 * sum(CASE WHEN qw > 0
+                                      THEN qw * ln(qw / ((pw + qw) / 2))
+                                      ELSE 0 END), 6) AS js_nats,
+               round(sqrt(0.5 * sum(CASE WHEN pw > 0
+                                         THEN pw * ln(pw / ((pw + qw) / 2))
+                                         ELSE 0 END)
+                          + 0.5 * sum(CASE WHEN qw > 0
+                                           THEN qw * ln(qw / ((pw + qw) / 2))
+                                           ELSE 0 END)), 6) AS js_distance
+        FROM p
+    """,
+    doc="Jensen-Shannon divergence between the English and non-English "
+    "token distributions of the corpus (the symmetric, bounded, "
+    "zero-safe alternative to KL for corpus-mix monitoring): one "
+    "explode + groupBy(grp, token) hash agg collapses facts to "
+    "vocabulary-sized counts, a pivot-style re-aggregation by token "
+    "aligns P and Q (absent tokens contribute 0 to their side's "
+    "sum — JS needs no smoothing because the mixture M dominates "
+    "both), and the divergence reduces in one summary pass. "
+    "sqrt(JS) is reported too — a true metric, the form drift "
+    "alarms should threshold. At 100 TB vocabulary, not corpus, "
+    "bounds the shuffle — the same reason agg-heavy-hitters "
+    "scales.",
+    tags=("text",),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp"),
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = tok.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    en_c = F.sum(F.when(F.col("grp") == "en", F.col("c")))
+    ot_c = F.sum(F.when(F.col("grp") == "other", F.col("c")))
+    w_all = Window.partitionBy()
+    p = (
+        cnt.groupBy("w")
+        .agg(
+            F.coalesce(en_c, F.lit(0)).alias("ce"),
+            F.coalesce(ot_c, F.lit(0)).alias("co"),
+        )
+        .select(
+            "w",
+            (F.col("ce") / F.sum("ce").over(w_all)).alias("pw"),
+            (F.col("co") / F.sum("co").over(w_all)).alias("qw"),
+        )
+    )
+    m = (F.col("pw") + F.col("qw")) / 2
+    js = 0.5 * F.sum(
+        F.when(F.col("pw") > 0, F.col("pw") * F.log(F.col("pw") / m)).otherwise(
+            0.0
+        )
+    ) + 0.5 * F.sum(
+        F.when(F.col("qw") > 0, F.col("qw") * F.log(F.col("qw") / m)).otherwise(
+            0.0
+        )
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.round(js, 6).alias("js_nats"),
+        F.round(F.sqrt(js), 6).alias("js_distance"),
+    )
