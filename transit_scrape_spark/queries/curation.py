@@ -1079,3 +1079,67 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removal_rate"
         ),
     )
+
+
+@query(
+    "corpus-dedup-impact",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS toks,
+                   md5(lower(trim(text))) AS k
+            FROM documents
+        ),
+        kept AS (
+            SELECT source, k, min(doc_id) AS keep_id,
+                   count(*) AS n_copies, max(toks) AS toks
+            FROM keyed GROUP BY source, k
+        )
+        SELECT source,
+               CAST(sum(n_copies) AS BIGINT) AS docs_before,
+               CAST(count(*) AS BIGINT) AS docs_after,
+               CAST(sum((n_copies - 1) * toks) AS BIGINT)
+                   AS tokens_removed,
+               round(1 - CAST(count(*) AS DOUBLE) / sum(n_copies), 6)
+                   AS dup_rate
+        FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="Dedup impact report per source: exact duplicates keyed by "
+    "md5 of the normalized text, keep-first (min doc_id), and per "
+    "source the before/after doc counts, tokens that dedup would "
+    "drop, and the duplicate rate — the before-you-commit summary "
+    "every corpus-curation pipeline prints ahead of the actual "
+    "dedup write (dedup-exact-hash does the removal; this prices "
+    "it). One hash agg on (source, text-hash) — the 16-byte digest "
+    "is the shuffle key, never the text — then a source-level "
+    "rollup of the group-size summary. Token counts ride the "
+    "first pass as max() per group (copies tie by construction).",
+    tags=("dedup", "corpus"),
+)
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("toks"),
+        F.md5(F.lower(F.trim("text"))).alias("k"),
+    )
+    kept = keyed.groupBy("source", "k").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.max("toks").alias("toks"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("docs_before"),
+            F.count("*").cast("long").alias("docs_after"),
+            F.sum((F.col("n_copies") - 1) * F.col("toks"))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.round(
+                1 - F.count("*").cast("double") / F.sum("n_copies"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

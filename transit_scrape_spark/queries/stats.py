@@ -989,3 +989,300 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             k / (k - 1.0) * (1 - sum_var / F.var_samp(total)), 6
         ).alias("cronbach_alpha"),
     )
+
+
+@query(
+    "stats-gini-split",
+    oracle="""
+        WITH ext AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        ),
+        binned AS (
+            SELECT least(31, CAST(floor((value - lo) / (hi - lo) * 32.0)
+                                  AS INT)) AS bin,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events, ext
+        ),
+        cells AS (
+            SELECT bin, CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin,
+                   sum(pos) OVER (ORDER BY bin) AS lpos,
+                   sum(n) OVER (ORDER BY bin) AS ln_,
+                   sum(pos) OVER () AS tpos,
+                   sum(n) OVER () AS tn,
+                   lo, hi
+            FROM cells, ext
+        ),
+        scored AS (
+            SELECT bin,
+                   round(lo + (bin + 1) * (hi - lo) / 32.0, 6) AS threshold,
+                   (ln_ / tn) * (2 * (lpos / ln_) * (1 - lpos / ln_))
+                   + ((tn - ln_) / tn)
+                     * (2 * ((tpos - lpos) / (tn - ln_))
+                          * (1 - (tpos - lpos) / (tn - ln_)))
+                       AS gini_w,
+                   2 * (tpos / tn) * (1 - tpos / tn) AS gini_root
+            FROM cum WHERE ln_ > 0 AND ln_ < tn
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, threshold,
+               round(gini_w, 6) AS weighted_gini,
+               round(gini_root - gini_w, 6) AS gini_gain
+        FROM scored
+        ORDER BY gini_w, bin LIMIT 1
+    """,
+    doc="Best decision-stump split of `value` for predicting "
+    "event_type='purchase', by weighted Gini impurity over a 32-bin "
+    "candidate grid — exactly how distributed tree learners "
+    "(XGBoost hist mode, Spark MLlib trees) find splits at scale: "
+    "NEVER sort the raw column; bin it in one hash agg (map-side "
+    "combinable class-count cells), then every candidate "
+    "threshold's left/right class distributions come from "
+    "cumulative windows over the 32-row summary. Min-bound "
+    "min/max pre-pass broadcast for bin edges; argmin via "
+    "deterministic (gini, bin) ordering + LIMIT 1.",
+    tags=("stats",),
+)
+def stats_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(31),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 32.0
+            ).cast("int"),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("y").cast("double").alias("pos"),
+        F.count("*").cast("double").alias("n"),
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    cum = cells.crossJoin(F.broadcast(ext)).select(
+        "bin",
+        "lo",
+        "hi",
+        F.sum("pos").over(w_cum).alias("lpos"),
+        F.sum("n").over(w_cum).alias("ln_"),
+        F.sum("pos").over(w_all).alias("tpos"),
+        F.sum("n").over(w_all).alias("tn"),
+    )
+    lp = F.col("lpos") / F.col("ln_")
+    rp = (F.col("tpos") - F.col("lpos")) / (F.col("tn") - F.col("ln_"))
+    gini_w = (F.col("ln_") / F.col("tn")) * (2 * lp * (1 - lp)) + (
+        (F.col("tn") - F.col("ln_")) / F.col("tn")
+    ) * (2 * rp * (1 - rp))
+    gini_root = (
+        2 * (F.col("tpos") / F.col("tn")) * (1 - F.col("tpos") / F.col("tn"))
+    )
+    scored = cum.filter(
+        (F.col("ln_") > 0) & (F.col("ln_") < F.col("tn"))
+    ).select(
+        "bin",
+        F.round(
+            F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 32.0,
+            6,
+        ).alias("threshold"),
+        gini_w.alias("gini_w"),
+        gini_root.alias("gini_root"),
+    )
+    return (
+        scored.select(
+            F.col("bin").cast("long").alias("bin"),
+            "threshold",
+            F.round("gini_w", 6).alias("weighted_gini"),
+            F.round(F.col("gini_root") - F.col("gini_w"), 6).alias(
+                "gini_gain"
+            ),
+        )
+        .orderBy("weighted_gini", "bin")
+        .limit(1)
+    )
+
+
+@query(
+    "timeseries-hurst-rs",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT x, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+        ),
+        blocks AS (
+            SELECT m.m, idx.t // m.m AS blk, idx.t, idx.x
+            FROM idx, (SELECT unnest([4, 8, 16]) AS m) m
+        ),
+        full_blocks AS (
+            SELECT m, blk FROM blocks GROUP BY m, blk HAVING count(*) = m
+        ),
+        withmean AS (
+            SELECT b.m, b.blk, b.t, b.x,
+                   avg(b.x) OVER (PARTITION BY b.m, b.blk) AS mu,
+                   stddev_pop(b.x) OVER (PARTITION BY b.m, b.blk) AS s
+            FROM blocks b JOIN full_blocks f ON b.m = f.m AND b.blk = f.blk
+        ),
+        dev AS (
+            SELECT m, blk, s,
+                   sum(x - mu) OVER (PARTITION BY m, blk ORDER BY t) AS z
+            FROM withmean
+        ),
+        rs AS (
+            SELECT m, blk, (max(z) - min(z)) / max(s) AS rs
+            FROM dev WHERE s > 0 GROUP BY m, blk
+        ),
+        pts AS (
+            SELECT ln(CAST(m AS DOUBLE)) AS lx, ln(avg(rs)) AS ly
+            FROM rs GROUP BY m
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_scales,
+               round((sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                     / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)), 6)
+                   AS hurst_exponent
+        FROM pts
+    """,
+    doc="Hurst exponent by rescaled-range (R/S) analysis of the daily "
+    "volume series: for block sizes m in {4,8,16}, each full block's "
+    "R = range of cumulative mean-deviations and S = block stddev "
+    "give R/S; H is the log-log slope of mean R/S vs m (H>0.5 "
+    "trending/persistent, <0.5 mean-reverting). Facts collapse "
+    "once; the block machinery — block id by integer division of "
+    "the day index, cumulative deviation windows partitioned by "
+    "(m, block) — runs over a 3x-exploded ~30-row summary, and the "
+    "final slope is the closed-form simple regression on 3 points. "
+    "Long-memory detection with zero iteration, windows and joins "
+    "only.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    ms = spark.range(0, 3).selectExpr(
+        "CAST(shiftleft(4, CAST(id AS INT)) AS BIGINT) AS m"
+    )
+    blocks = idx.crossJoin(F.broadcast(ms)).select(
+        "m", (F.col("t") / F.col("m")).cast("long").alias("blk"), "t", "x"
+    )
+    full = blocks.groupBy("m", "blk").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") == F.col("m")
+    ).select("m", "blk")
+    wb = Window.partitionBy("m", "blk")
+    wbo = Window.partitionBy("m", "blk").orderBy("t")
+    withmean = blocks.join(full, ["m", "blk"]).select(
+        "m",
+        "blk",
+        "t",
+        "x",
+        F.avg("x").over(wb).alias("mu"),
+        F.stddev_pop("x").over(wb).alias("s"),
+    )
+    dev = withmean.select(
+        "m",
+        "blk",
+        "s",
+        F.sum(F.col("x") - F.col("mu")).over(wbo).alias("z"),
+    )
+    rs = (
+        dev.filter(F.col("s") > 0)
+        .groupBy("m", "blk")
+        .agg(((F.max("z") - F.min("z")) / F.max("s")).alias("rs"))
+    )
+    pts = rs.groupBy("m").agg(F.avg("rs").alias("mean_rs")).select(
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log("mean_rs").alias("ly"),
+    )
+    n = F.count("*")
+    slope = (F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly") / n) / (
+        F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx") / n
+    )
+    return pts.agg(
+        n.cast("long").alias("n_scales"),
+        F.round(slope, 6).alias("hurst_exponent"),
+    )
+
+
+@query(
+    "stats-mahalanobis-outliers",
+    oracle="""
+        WITH feat AS (
+            SELECT o.o_orderkey, o.o_totalprice AS p,
+                   CAST(count(l.l_orderkey) AS DOUBLE) AS q
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        m AS (
+            SELECT avg(p) AS mp, avg(q) AS mq,
+                   var_pop(p) AS vp, var_pop(q) AS vq,
+                   covar_pop(p, q) AS c
+            FROM feat
+        )
+        SELECT f.o_orderkey, round(f.p, 2) AS totalprice,
+               CAST(f.q AS BIGINT) AS n_items,
+               round(((f.p - mp) * (f.p - mp) * vq
+                      - 2 * (f.p - mp) * (f.q - mq) * c
+                      + (f.q - mq) * (f.q - mq) * vp)
+                     / (vp * vq - c * c), 6) AS mahalanobis_sq
+        FROM feat f, m
+        ORDER BY mahalanobis_sq DESC, f.o_orderkey
+        LIMIT 20
+    """,
+    doc="Multivariate outlier detection: squared Mahalanobis distance "
+    "of each order in the (total price, item count) plane, top-20 "
+    "most anomalous — catches price/size combinations that neither "
+    "univariate z-score would flag (cheap-but-huge, "
+    "costly-but-tiny). The 2x2 covariance inverts in CLOSED FORM, "
+    "so the plan is: one join+agg builds the feature relation, one "
+    "single-row moment aggregation (mean/var/cov — all map-side "
+    "combinable), broadcast back, per-row distance in codegen, "
+    "TakeOrderedAndProject for the top-k. The k-feature "
+    "generalization streams the k x k moment matrix the same way "
+    "(timeseries-granger-1lag shows the pattern) and solves on "
+    "the driver.",
+    tags=("stats",),
+)
+def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").cast("double").alias("q"))
+        .select("o_orderkey", F.col("o_totalprice").alias("p"), "q")
+    )
+    m = feat.agg(
+        F.avg("p").alias("mp"),
+        F.avg("q").alias("mq"),
+        F.var_pop("p").alias("vp"),
+        F.var_pop("q").alias("vq"),
+        F.covar_pop("p", "q").alias("c"),
+    )
+    dp = F.col("p") - F.col("mp")
+    dq = F.col("q") - F.col("mq")
+    d2 = (
+        dp * dp * F.col("vq") - 2 * dp * dq * F.col("c") + dq * dq * F.col("vp")
+    ) / (F.col("vp") * F.col("vq") - F.col("c") * F.col("c"))
+    return (
+        feat.crossJoin(F.broadcast(m))
+        .select(
+            "o_orderkey",
+            F.round("p", 2).alias("totalprice"),
+            F.col("q").cast("long").alias("n_items"),
+            F.round(d2, 6).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), "o_orderkey")
+        .limit(20)
+    )
