@@ -830,3 +830,73 @@ def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "graph-reciprocity",
+    oracle="""
+        WITH directed AS (
+            SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE l.l_partkey % 13 = 0 AND c.c_nationkey <> s.s_nationkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reciprocal,
+               round(CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS reciprocity
+        FROM directed d
+        LEFT JOIN directed r ON r.src = d.dst AND r.dst = d.src
+    """,
+    doc="Edge reciprocity of the DIRECTED nation-trade graph (customer "
+    "nation buys-from supplier nation): fraction of edges whose "
+    "reverse also exists — do trading relationships flow both "
+    "ways? Derivation matches _nation_edges (graph.py:22) minus "
+    "the symmetrization those undirected ops apply, because "
+    "direction IS the question here. Plan: distinct edge set "
+    "(one hash agg over the FK-chain join), self-join on the "
+    "swapped key pair (equi-join, co-partitionable on the edge "
+    "key), conditional count. |E| rows through every shuffle, "
+    "facts touched once.",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 13 == 0
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    directed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    rev = directed.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    j = directed.join(rev, ["src", "dst"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("has_rev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+        F.round(
+            F.sum(F.when(F.col("has_rev").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("reciprocity"),
+    )

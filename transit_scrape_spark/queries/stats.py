@@ -1286,3 +1286,62 @@ def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mahalanobis_sq").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "agg-corr-matrix",
+    oracle=f"""
+        WITH pairs AS (
+            {" UNION ALL ".join(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"corr({a}, {b}) AS r, covar_samp({a}, {b}) AS cov "
+                f"FROM lineitem"
+                for i, a in enumerate(_CORR_COLS)
+                for b in _CORR_COLS[i + 1:])}
+        )
+        SELECT col_a, col_b, round(r, 6) AS pearson_r,
+               round(cov, 6) AS covariance
+        FROM pairs ORDER BY col_a, col_b
+    """,
+    doc="Full pairwise Pearson correlation matrix (upper triangle) of "
+    "the four lineitem numeric measures in ONE fact scan: all six "
+    "corr() and covar_samp() states accumulate side by side in a "
+    "single hash-free scalar aggregation — each is a streaming "
+    "5-tuple of moments, map-side combinable, so the matrix costs "
+    "one pass regardless of how many pairs (k^2 states of O(1) "
+    "each, the same trick MLlib's Statistics.corr uses). The "
+    "oracle spells it as per-pair scans; Spark's single "
+    "multi-aggregate plan must produce identical numbers — that "
+    "equivalence (fused scan == per-pair scans) is what the "
+    "parity check proves.",
+    tags=("stats",),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.corr(a, b).alias(f"r_{a}_{b}"))
+            aggs.append(F.covar_samp(a, b).alias(f"c_{a}_{b}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', r_{a}_{b}, c_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    n_pairs = sum(1 for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])
+    return (
+        wide.selectExpr(
+            f"stack({n_pairs}, {stack_args}) AS (col_a, col_b, r, cov)"
+        )
+        .select(
+            "col_a",
+            "col_b",
+            F.round("r", 6).alias("pearson_r"),
+            F.round("cov", 6).alias("covariance"),
+        )
+        .orderBy("col_a", "col_b")
+    )

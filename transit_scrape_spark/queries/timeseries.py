@@ -1162,3 +1162,111 @@ def timeseries_stl_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries-vwap",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   sum(l_extendedprice * l_quantity) AS pq,
+                   sum(l_quantity) AS q
+            FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+        )
+        SELECT day,
+               round(pq / q, 6) AS day_vwap,
+               round(sum(pq) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                                   AND CURRENT ROW)
+                     / sum(q) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW), 6) AS vwap_7d,
+               round(sum(pq) OVER (ORDER BY day)
+                     / sum(q) OVER (ORDER BY day), 6) AS vwap_cum
+        FROM daily ORDER BY day
+    """,
+    doc="Volume-weighted average price of shipped lineitems: per-day "
+    "VWAP plus 7-day rolling and cumulative variants. The "
+    "ratio-of-sums decomposes perfectly for scale: ONE fact hash "
+    "agg produces per-day (sum pq, sum q) partials — map-side "
+    "combinable — and every rolling/cumulative frame sums the "
+    "PARTIALS over the daily summary then divides once (never "
+    "average the daily ratios: avg-of-VWAPs is not the VWAP). "
+    "The frame windows share one sort of the ~2500-row summary.",
+    tags=("timeseries",),
+)
+def timeseries_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pq"),
+        F.sum("l_quantity").alias("q"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        F.round(F.col("pq") / F.col("q"), 6).alias("day_vwap"),
+        F.round(F.sum("pq").over(w7) / F.sum("q").over(w7), 6).alias(
+            "vwap_7d"
+        ),
+        F.round(F.sum("pq").over(wc) / F.sum("q").over(wc), 6).alias(
+            "vwap_cum"
+        ),
+    ).orderBy("day")
+
+
+@query(
+    "timeseries-max-drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        cum AS (
+            SELECT day, sum(rev) OVER (ORDER BY day) AS equity
+            FROM daily
+        ),
+        dd AS (
+            SELECT day, equity,
+                   max(equity) OVER (ORDER BY day) AS peak
+            FROM cum
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(max((peak - equity) / peak), 6) AS max_drawdown,
+               round(max(peak - equity), 2) AS max_drawdown_abs
+        FROM dd
+    """,
+    doc="Maximum drawdown of the cumulative daily revenue curve: "
+    "running peak via a cumulative max window, drawdown = "
+    "(peak - equity)/peak, global max — the risk metric every "
+    "equity-curve monitor reports, in three windows and an "
+    "aggregate. One fact hash agg to the daily series; the "
+    "cumulative sum and cumulative max share one sort of the "
+    "summary. Revenue is monotone-positive here so equity only "
+    "rises day-over-day — the drawdown within a day's partial "
+    "fills would need intraday buckets, same plan one level "
+    "finer.",
+    tags=("timeseries",),
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select("day", F.sum("rev").over(wc).alias("equity"))
+    dd = cum.select(
+        "day", "equity", F.max("equity").over(wc).alias("peak")
+    )
+    return dd.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.max((F.col("peak") - F.col("equity")) / F.col("peak")), 6
+        ).alias("max_drawdown"),
+        F.round(F.max(F.col("peak") - F.col("equity")), 2).alias(
+            "max_drawdown_abs"
+        ),
+    )
