@@ -1345,3 +1345,211 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_a", "col_b")
     )
+
+
+@query(
+    "stats-levene-median",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS md
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.md) AS z
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n, avg(z) AS mz,
+                   var_samp(z) AS s2
+            FROM dev GROUP BY event_type
+        ),
+        grand AS (
+            SELECT sum(n * mz) / sum(n) AS gm, sum(n) AS n_tot,
+                   count(*) AS k
+            FROM g
+        )
+        SELECT CAST(max(n_tot) AS BIGINT) AS n,
+               CAST(max(k) - 1 AS BIGINT) AS dof_between,
+               CAST(max(n_tot) - max(k) AS BIGINT) AS dof_within,
+               round((sum(n * power(mz - gm, 2)) / (max(k) - 1))
+                     / (sum((n - 1) * s2) / (max(n_tot) - max(k))), 6)
+                   AS levene_w
+        FROM g, grand
+    """,
+    doc="Brown-Forsythe / Levene test for homogeneity of variances "
+    "across event_type groups: a one-way ANOVA on absolute "
+    "deviations from each group's MEDIAN (the robust variant — "
+    "mean-centered Levene inflates under skew). Two fact passes by "
+    "necessity: exact per-group medians (percentile aggregate; "
+    "approx_percentile at 100 TB), then deviations re-aggregated "
+    "through the SAME group-moment decomposition as "
+    "stats-anova-oneway — the median join is a broadcast of 5 "
+    "rows, everything else map-side combinable. The test to run "
+    "BEFORE trusting stats-anova-oneway, which assumes the "
+    "variances this one checks.",
+    tags=("stats",),
+)
+def stats_levene_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("md")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("md")).alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("z").alias("mz"),
+        F.var_samp("z").alias("s2"),
+    )
+    grand = g.agg(
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gm"),
+        F.sum("n").alias("n_tot"),
+        F.count("*").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(grand))
+    msb = F.sum(F.col("n") * F.pow(F.col("mz") - F.col("gm"), 2)) / (
+        F.max("k") - 1
+    )
+    msw = F.sum((F.col("n") - 1) * F.col("s2")) / (
+        F.max("n_tot") - F.max("k")
+    )
+    return j.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        (F.max("k") - 1).cast("long").alias("dof_between"),
+        (F.max("n_tot") - F.max("k")).cast("long").alias("dof_within"),
+        F.round(msb / msw, 6).alias("levene_w"),
+    )
+
+
+@query(
+    "stats-jarque-bera",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n, avg(value) AS mu,
+                   avg(value * value) AS m2r,
+                   avg(value * value * value) AS m3r,
+                   avg(value * value * value * value) AS m4r
+            FROM events
+        ),
+        c AS (
+            SELECT n,
+                   m2r - mu * mu AS v,
+                   m3r - 3 * mu * m2r + 2 * mu * mu * mu AS m3,
+                   m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                       - 3 * mu * mu * mu * mu AS m4
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(m3 / power(v, 1.5), 6) AS skewness,
+               round(m4 / (v * v) - 3, 6) AS excess_kurtosis,
+               round(n / 6.0 * (power(m3 / power(v, 1.5), 2)
+                                + power(m4 / (v * v) - 3, 2) / 4), 6)
+                   AS jarque_bera
+        FROM c
+    """,
+    doc="Jarque-Bera normality test of the value column: skewness and "
+    "excess kurtosis from the first four RAW moments (one scalar "
+    "aggregation — four sums, map-side combinable, the "
+    "moments-to-central-moments algebra on the single summary "
+    "row), JB = n/6 * (S^2 + K^2/4) ~ chi2(2) under normality. "
+    "Population moments on both sides (avg of powers), matching "
+    "the textbook JB definition rather than Spark's "
+    "sample-corrected skewness()/kurtosis() builtins — which is "
+    "also what makes the DuckDB oracle an exact twin rather than "
+    "a bias-correction scavenger hunt.",
+    tags=("stats",),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.agg(
+        F.count("*").alias("n"),
+        F.avg(v).alias("mu"),
+        F.avg(v * v).alias("m2r"),
+        F.avg(v * v * v).alias("m3r"),
+        F.avg(v * v * v * v).alias("m4r"),
+    )
+    mu = F.col("mu")
+    var = F.col("m2r") - mu * mu
+    m3 = F.col("m3r") - 3 * mu * F.col("m2r") + 2 * mu * mu * mu
+    m4 = (
+        F.col("m4r")
+        - 4 * mu * F.col("m3r")
+        + 6 * mu * mu * F.col("m2r")
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(var, 1.5)
+    kurt = m4 / (var * var) - 3
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4), 6
+        ).alias("jarque_bera"),
+    )
+
+
+@query(
+    "stats-power-proportions",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS p1
+            FROM events
+        ),
+        params AS (
+            SELECT p1, p1 * 1.10 AS p2, 1.959964 AS za, 0.841621 AS zb
+            FROM base
+        )
+        SELECT round(p1, 6) AS baseline_rate,
+               round(p2, 6) AS target_rate,
+               CAST(ceil(power(za * sqrt(2 * ((p1 + p2) / 2)
+                                         * (1 - (p1 + p2) / 2))
+                               + zb * sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+                               2)
+                         / power(p2 - p1, 2)) AS BIGINT)
+                   AS n_per_variant
+        FROM params
+    """,
+    doc="A/B test sample-size calculator for a two-proportion z-test "
+    "(alpha=5% two-sided, power=80%, MDE = +10% relative): the "
+    "baseline conversion rate comes from ONE fact aggregation "
+    "(purchase share of events), and the pooled-variance "
+    "formula n = (z_a*sqrt(2*pbar*(1-pbar)) + "
+    "z_b*sqrt(p1(1-p1)+p2(1-p2)))^2 / (p2-p1)^2 is scalar algebra "
+    "on the 1-row summary. The normal quantiles are literals "
+    "(1.959964, 0.841621) — engine-portable without an inverse-"
+    "erf, and fixed by the chosen alpha/power, not the data. The "
+    "planning query every experimentation platform runs before "
+    "launching a test.",
+    tags=("stats",),
+)
+def stats_power_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("p1")
+    )
+    p1, za, zb = F.col("p1"), F.lit(1.959964), F.lit(0.841621)
+    p2 = p1 * 1.10
+    pbar = (p1 + p2) / 2
+    n = F.ceil(
+        F.pow(
+            za * F.sqrt(2 * pbar * (1 - pbar))
+            + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            2,
+        )
+        / F.pow(p2 - p1, 2)
+    )
+    return base.select(
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n.cast("long").alias("n_per_variant"),
+    )

@@ -1537,3 +1537,111 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(js, 6).alias("js_nats"),
         F.round(F.sqrt(js), 6).alias("js_distance"),
     )
+
+
+@query(
+    "text-ngram-novelty",
+    oracle="""
+        WITH tri AS (
+            SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS tg
+            FROM (
+                SELECT doc_id,
+                       ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+                FROM (
+                    SELECT doc_id,
+                           string_split(lower(text), ' ') AS ws
+                    FROM documents
+                ), LATERAL (
+                    SELECT unnest(range(1, len(ws) - 1)) AS i
+                )
+            )
+        ),
+        first_seen AS (
+            SELECT tg, min(doc_id) AS first_doc FROM tri GROUP BY tg
+        ),
+        per_doc AS (
+            SELECT t.doc_id,
+                   count(*) AS n_tri,
+                   sum(CASE WHEN f.first_doc = t.doc_id
+                            THEN 1 ELSE 0 END) AS n_novel
+            FROM tri t JOIN first_seen f ON f.tg = t.tg
+            GROUP BY t.doc_id
+        ),
+        deciles AS (
+            SELECT ntile(10) OVER (ORDER BY doc_id) AS decile,
+                   n_tri, n_novel
+            FROM per_doc
+        )
+        SELECT CAST(decile AS BIGINT) AS corpus_decile,
+               CAST(sum(n_tri) AS BIGINT) AS trigrams,
+               round(CAST(sum(n_novel) AS DOUBLE) / sum(n_tri), 6)
+                   AS novelty_rate
+        FROM deciles GROUP BY decile ORDER BY decile
+    """,
+    doc="N-gram novelty curve: for each document (in doc_id ingestion "
+    "order), the fraction of its trigrams never seen in any earlier "
+    "document, rolled up to corpus deciles — the redundancy-"
+    "saturation diagnostic for training-data collection (novelty "
+    "collapsing toward 0 says more of the same source adds "
+    "nothing). 'Seen earlier' needs no ordered scan: min(doc_id) "
+    "per trigram in one hash agg IS first-occurrence, then a "
+    "trigram-keyed equi-join marks novelty — fully parallel, "
+    "shuffles keyed on the trigram (at 100 TB: on its 8-byte "
+    "xxhash). The decile ntile runs over the per-doc summary, "
+    "never the trigram relation.",
+    tags=("text", "corpus"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    tri = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                        F.element_at(ws, i + 3),
+                    ),
+                )
+            ).alias("tg"),
+        )
+    )
+    first_seen = tri.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tri.join(first_seen, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    deciles = per_doc.select(
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        "n_tri",
+        "n_novel",
+    )
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.sum("n_tri").cast("long").alias("trigrams"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_tri"), 6
+            ).alias("novelty_rate"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("corpus_decile"),
+            "trigrams",
+            "novelty_rate",
+        )
+        .orderBy("corpus_decile")
+    )

@@ -1270,3 +1270,76 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_abs"
         ),
     )
+
+
+@query(
+    "timeseries-time-weighted-avg",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, ts, value,
+                   lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        weighted AS (
+            SELECT event_type, day, value,
+                   date_diff('second', ts, nxt) AS dt
+            FROM seq WHERE nxt IS NOT NULL
+        )
+        SELECT event_type, day,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               round(sum(value * dt) / sum(dt), 6) AS twap,
+               round(avg(value), 6) AS naive_avg
+        FROM weighted
+        WHERE day IN (SELECT day FROM weighted GROUP BY day
+                      ORDER BY day LIMIT 5)
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+    """,
+    doc="Time-weighted average (TWAP) per series per day for "
+    "irregularly-sampled values: each observation is weighted by "
+    "its holding time (seconds until the next observation, via "
+    "lead() within the day), so bursts of samples don't dominate "
+    "the way they do in the naive mean (reported alongside for "
+    "contrast). The sensor/price aggregation every irregular "
+    "series needs. One window shuffle on (series, day) — "
+    "observations stay in their partition — then a hash agg of "
+    "(sum v*dt, sum dt) partials; restricted to the first 5 days "
+    "to keep the parity fixture small, the full-range plan is "
+    "identical.",
+    tags=("timeseries",),
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    weighted = seq.select(
+        "event_type",
+        "day",
+        "value",
+        (F.col("nxt").cast("long") - F.col("ts").cast("long")).alias("dt"),
+    )
+    days = (
+        weighted.select("day").distinct().orderBy("day").limit(5)
+    )
+    return (
+        weighted.join(F.broadcast(days), "day")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("naive_avg"),
+        )
+        .select("event_type", "day", "n_intervals", "twap", "naive_avg")
+        .orderBy("event_type", "day")
+    )
