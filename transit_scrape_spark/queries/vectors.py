@@ -1241,3 +1241,85 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("mmr_score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+@query(
+    "embed-intrinsic-dim",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        anchors AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        d2 AS (
+            SELECT a.vec_id AS aid, b.vec_id AS bid,
+                   list_dot_product(a.e, a.e)
+                   - 2 * list_dot_product(a.e, b.e)
+                   + list_dot_product(b.e, b.e) AS dd
+            FROM anchors a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        top2 AS (
+            SELECT aid, dd,
+                   row_number() OVER (PARTITION BY aid
+                                      ORDER BY dd, bid) AS rn
+            FROM d2
+        ),
+        mu AS (
+            SELECT aid,
+                   0.5 * ln(max(CASE WHEN rn = 2 THEN dd END)
+                            / max(CASE WHEN rn = 1 THEN dd END)) AS ln_mu
+            FROM top2 WHERE rn <= 2 GROUP BY aid
+            HAVING max(CASE WHEN rn = 1 THEN dd END) > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+               round(count(*) / sum(ln_mu), 6) AS intrinsic_dim
+        FROM mu
+    """,
+    doc="TwoNN intrinsic-dimension estimate of the embedding manifold "
+    "(Facco et al.: ID = n / sum(ln(d2/d1)) over the ratio of each "
+    "point's two nearest-neighbor distances) on a deterministic "
+    "1-in-10 anchor sample: the estimator needs only each anchor's "
+    "NN ratio, so the scan is anchors x corpus with the anchor "
+    "side broadcast — bounded fan-out, corpus never shuffled. "
+    "Distances stay SQUARED throughout (d^2 = x.x - 2x.q + q.q via "
+    "three dot products; ln(mu) = 0.5*ln(d2^2/d1^2)) — no sqrt, "
+    "fewer rounding seams between engines. The curse-of-"
+    "dimensionality probe to run before trusting any ANN index "
+    "choice: IVF/LSH recall targets depend on ID, not ambient "
+    "dim.",
+    tags=("embed",),
+)
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("e").alias("ae")
+    )
+    pairs = emb.join(
+        F.broadcast(anchors), F.col("aid") != F.col("vec_id")
+    ).select(
+        "aid",
+        F.col("vec_id").alias("bid"),
+        (
+            dot(F.col("ae"), F.col("ae"))
+            - 2 * dot(F.col("ae"), F.col("e"))
+            + dot(F.col("e"), F.col("e"))
+        ).alias("dd"),
+    )
+    w = Window.partitionBy("aid").orderBy("dd", "bid")
+    top2 = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    d1 = F.max(F.when(F.col("rn") == 1, F.col("dd")))
+    d2_ = F.max(F.when(F.col("rn") == 2, F.col("dd")))
+    mu = (
+        top2.groupBy("aid")
+        .agg((0.5 * F.log(d2_ / d1)).alias("ln_mu"), d1.alias("d1"))
+        .filter(F.col("d1") > 0)
+    )
+    return mu.agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.round(F.count("*") / F.sum("ln_mu"), 6).alias("intrinsic_dim"),
+    )
