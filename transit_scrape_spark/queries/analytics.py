@@ -1882,3 +1882,158 @@ def anomaly_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.datediff(F.col("day"), F.col("prev_alert")) >= 3)
         ).alias("fired"),
     ).orderBy("event_type", "alert_day")
+
+
+@query(
+    "analytics-session-conversion",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_type, ts,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM gaps
+        ),
+        per_session AS (
+            SELECT user_id, sid,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               round(avg(CAST(converted AS DOUBLE)), 6)
+                   AS session_conversion,
+               round(avg(CAST(n_events AS DOUBLE)), 6)
+                   AS avg_events_per_session
+        FROM per_session
+    """,
+    doc="Session-level conversion rate: the 30-minute-gap "
+    "sessionization (same two shared-sort windows as the "
+    "`sessionize` op — gap flag via lag, session id via running "
+    "sum) rolled up to per-session converted/size, then one "
+    "scalar summary. Sessions never leave their user_id "
+    "partition, so the whole pipeline is ONE shuffle on user_id "
+    "plus a map-side-combinable agg — the canonical "
+    "'rate per session, not per event' metric that corrects for "
+    "activity skew. Ties on ts within a session keep determinism "
+    "via the (ts, event_id) sort.",
+)
+def analytics_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session").over(wr).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count("*").alias("n_events"),
+    )
+    return per_session.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.avg(F.col("converted").cast("double")), 6).alias(
+            "session_conversion"
+        ),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_events_per_session"
+        ),
+    )
+
+
+@query(
+    "event-audience-overlap",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM tu GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT i.type_a, i.type_b, i.n_both,
+               round(CAST(i.n_both AS DOUBLE)
+                     / (sa.n + sb.n - i.n_both), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+        ORDER BY i.type_a, i.type_b
+    """,
+    doc="Audience-overlap matrix: Jaccard similarity of user sets "
+    "between every pair of event types — 'do clickers also "
+    "purchase?' as set algebra. Facts collapse ONCE to distinct "
+    "(type, user) pairs (hash agg, map-side combinable); the "
+    "pairwise intersection is a self-join ON user_id — "
+    "co-partitioned, each user contributes only its own types' "
+    "pairs, fan-out bounded by |types|^2 per user — and set sizes "
+    "join back broadcast. The same wedge shape as "
+    "graph-jaccard-neighbors transposed to bipartite "
+    "(type, user) membership. At 100 TB swap exact sets for "
+    "per-type HLL sketches and inclusion-exclusion when even the "
+    "distinct pairs are too hot.",
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

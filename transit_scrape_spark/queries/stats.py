@@ -1553,3 +1553,86 @@ def stats_power_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("target_rate"),
         n.cast("long").alias("n_per_variant"),
     )
+
+
+@query(
+    "stats-delta-method-ci",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0 END) AS DOUBLE) AS rev,
+                   CAST(count(*) AS DOUBLE) AS n_ev
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT count(*) AS n, avg(rev) AS mx, avg(n_ev) AS my,
+                   var_samp(rev) AS vx, var_samp(n_ev) AS vy,
+                   covar_samp(rev, n_ev) AS cxy
+            FROM per_user
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(mx / my, 6) AS revenue_per_event,
+               round((mx / my) * (mx / my)
+                     * (vx / (mx * mx) + vy / (my * my)
+                        - 2 * cxy / (mx * my)) / n, 6) AS var_delta,
+               round(mx / my - 1.959964
+                     * sqrt((mx / my) * (mx / my)
+                            * (vx / (mx * mx) + vy / (my * my)
+                               - 2 * cxy / (mx * my)) / n), 6) AS ci_lo,
+               round(mx / my + 1.959964
+                     * sqrt((mx / my) * (mx / my)
+                            * (vx / (mx * mx) + vy / (my * my)
+                               - 2 * cxy / (mx * my)) / n), 6) AS ci_hi
+        FROM m
+    """,
+    doc="Delta-method confidence interval for a RATIO metric (revenue "
+    "per event, unit = user): naive per-event variance is wrong "
+    "because events cluster within users — the experimentation-"
+    "platform classic. var(X/Y) ~ (mx/my)^2 * (vx/mx^2 + vy/my^2 "
+    "- 2*cov/(mx*my)) / n over per-USER aggregates (the "
+    "randomization unit). One fact hash agg to user rollups, one "
+    "moment aggregation (mean/var/cov all map-side combinable), "
+    "scalar algebra on the 1-row summary. The pattern behind "
+    "every CUPED/ratio-metric readout at 100 TB.",
+    tags=("stats",),
+)
+def stats_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        )
+        .cast("double")
+        .alias("rev"),
+        F.count("*").cast("double").alias("n_ev"),
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.avg("rev").alias("mx"),
+        F.avg("n_ev").alias("my"),
+        F.var_samp("rev").alias("vx"),
+        F.var_samp("n_ev").alias("vy"),
+        F.covar_samp("rev", "n_ev").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    var_d = (
+        r
+        * r
+        * (
+            F.col("vx") / (F.col("mx") * F.col("mx"))
+            + F.col("vy") / (F.col("my") * F.col("my"))
+            - 2 * F.col("cxy") / (F.col("mx") * F.col("my"))
+        )
+        / F.col("n")
+    )
+    z = F.lit(1.959964)
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(r, 6).alias("revenue_per_event"),
+        F.round(var_d, 6).alias("var_delta"),
+        F.round(r - z * F.sqrt(var_d), 6).alias("ci_lo"),
+        F.round(r + z * F.sqrt(var_d), 6).alias("ci_hi"),
+    )
