@@ -900,3 +900,73 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+@query(
+    "graph-modularity",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        member AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS node,
+                   CAST(n_regionkey AS BIGINT) AS comm
+            FROM nation
+        ),
+        labeled AS (
+            SELECT ma.comm AS ca, mb.comm AS cb
+            FROM edges e
+            JOIN member ma ON ma.node = e.a
+            JOIN member mb ON mb.node = e.b
+        ),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM labeled),
+        per_comm AS (
+            SELECT ca AS comm,
+                   CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS e_in,
+                   CAST(count(*) AS DOUBLE) AS deg_sum
+            FROM labeled GROUP BY ca
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               round(sum(e_in / m2 - power(deg_sum / m2, 2)), 6)
+                   AS modularity_q
+        FROM per_comm, m
+    """,
+    doc="Newman modularity Q of the region partition over the "
+    "nation-trade graph: Q = sum over communities of "
+    "[intra-edge fraction - (degree fraction)^2] — how much more "
+    "intra-community linkage than a degree-preserving random "
+    "rewiring. Both terms come from ONE pass over the "
+    "community-labeled directed edge list (two broadcast "
+    "membership joins, then a groupBy(comm) that counts "
+    "intra-edges and total endpoint degree together), so Q for "
+    "ANY candidate partition costs one fact-scan — which is why "
+    "Louvain's inner loop is exactly this computation "
+    "incrementalized. The quality gate to run after "
+    "graph-components-iterative or any clustering claims "
+    "structure.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    member = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("node"),
+        F.col("n_regionkey").cast("long").alias("comm"),
+    )
+    ma = member.select(F.col("node").alias("a"), F.col("comm").alias("ca"))
+    mb = member.select(F.col("node").alias("b"), F.col("comm").alias("cb"))
+    labeled = edges.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+    m2 = labeled.agg(F.count("*").cast("double").alias("m2"))
+    per_comm = labeled.groupBy(F.col("ca").alias("comm")).agg(
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("double")
+        .alias("e_in"),
+        F.count("*").cast("double").alias("deg_sum"),
+    )
+    return per_comm.crossJoin(F.broadcast(m2)).agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("e_in") / F.col("m2")
+                - F.pow(F.col("deg_sum") / F.col("m2"), 2)
+            ),
+            6,
+        ).alias("modularity_q"),
+    )

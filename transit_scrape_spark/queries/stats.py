@@ -1636,3 +1636,186 @@ def stats_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - z * F.sqrt(var_d), 6).alias("ci_lo"),
         F.round(r + z * F.sqrt(var_d), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "stats-rank-biased-overlap",
+    oracle="""
+        WITH tok AS (
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        ranked AS (
+            SELECT grp, w,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY count(*) DESC, w) AS r
+            FROM tok WHERE w <> '' GROUP BY grp, w
+        ),
+        ra AS (SELECT w, r FROM ranked WHERE grp = 'en' AND r <= 20),
+        rb AS (SELECT w, r FROM ranked WHERE grp = 'other' AND r <= 20),
+        pairs AS (
+            SELECT ra.r AS r1, rb.r AS r2
+            FROM ra JOIN rb ON ra.w = rb.w
+        ),
+        depths AS (SELECT unnest(range(1, 21)) AS d),
+        agreement AS (
+            SELECT d.d,
+                   CAST((SELECT count(*) FROM pairs p
+                         WHERE p.r1 <= d.d AND p.r2 <= d.d) AS DOUBLE)
+                       / d.d AS a_d
+            FROM depths d
+        )
+        SELECT round((1 - 0.9) * sum(power(0.9, d - 1) * a_d), 6)
+                   AS rbo_p09,
+               round(max(CASE WHEN d = 20 THEN a_d END), 6)
+                   AS overlap_at_20
+        FROM agreement
+    """,
+    doc="Rank-biased overlap (Webber et al.) between the top-20 token "
+    "rankings of the English vs non-English sub-corpora: RBO(p=0.9) "
+    "= (1-p) * sum_d p^(d-1) * |A_d intersect B_d| / d — the "
+    "top-weighted, length-tolerant way to compare two rankings "
+    "(Kendall needs identical item sets; RBO doesn't). Heavy "
+    "passes: one token count agg per the usual vocabulary-bounded "
+    "shape, per-group ranking via WindowGroupLimit-prunable "
+    "row_number. The overlap-at-every-depth table comes from a "
+    "20-row depth spine range-joined against the matched-rank "
+    "pairs — all summary-sized. The ranking-drift monitor for "
+    "search/recsys: compare yesterday's top-k to today's.",
+    tags=("stats", "text"),
+)
+def stats_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp"),
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    counted = tok.groupBy("grp", "w").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("grp").orderBy(F.col("n").desc(), "w")
+    ranked = counted.select(
+        "grp", "w", F.row_number().over(wr).alias("r")
+    ).filter(F.col("r") <= 20)
+    ra = ranked.filter(F.col("grp") == "en").select(
+        "w", F.col("r").alias("r1")
+    )
+    rb = ranked.filter(F.col("grp") == "other").select(
+        "w", F.col("r").alias("r2")
+    )
+    pairs = ra.join(rb, "w").select("r1", "r2")
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    agreement = (
+        depths.join(
+            F.broadcast(pairs),
+            (F.col("r1") <= F.col("d")) & (F.col("r2") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            (F.count("r1").cast("double") / F.first("d")).alias("a_d")
+        )
+    )
+    return agreement.agg(
+        F.round(
+            (1 - 0.9)
+            * F.sum(F.pow(F.lit(0.9), F.col("d") - 1) * F.col("a_d")),
+            6,
+        ).alias("rbo_p09"),
+        F.round(
+            F.max(F.when(F.col("d") == 20, F.col("a_d"))), 6
+        ).alias("overlap_at_20"),
+    )
+
+
+@query(
+    "stats-exponential-fit-ks",
+    oracle="""
+        WITH arr AS (
+            SELECT user_id, ts,
+                   date_diff('second', lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id), ts) AS dt
+            FROM events
+        ),
+        gaps AS (SELECT CAST(dt AS DOUBLE) AS dt FROM arr
+                 WHERE dt IS NOT NULL AND dt > 0),
+        lam AS (SELECT 1.0 / avg(dt) AS lambda_, count(*) AS n FROM gaps),
+        binned AS (
+            SELECT CAST(floor(dt * lambda_ / 0.125) AS BIGINT) AS bin,
+                   count(*) AS c, max(lambda_) AS lambda_, max(n) AS n
+            FROM gaps, lam
+            WHERE dt * lambda_ < 8.0
+            GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT bin,
+                   CAST(sum(c) OVER (ORDER BY bin) AS DOUBLE)
+                       / max(n) OVER () AS f_emp,
+                   1 - exp(-((bin + 1) * 0.125)) AS f_fit,
+                   lambda_, n
+            FROM binned
+        )
+        SELECT round(max(lambda_) * 3600, 6) AS events_per_hour,
+               CAST(max(n) AS BIGINT) AS n_gaps,
+               round(max(abs(f_emp - f_fit)), 6) AS ks_to_exponential
+        FROM ecdf
+    """,
+    doc="Exponential goodness-of-fit for per-user inter-event times "
+    "(the Poisson-process sanity check behind every arrival-rate "
+    "model): MLE rate lambda = 1/mean(gap) in one pass, then the "
+    "binned-ECDF KS distance (same distributed-safe 64-bin "
+    "discretization as stats-ks-binned — exact KS would demand a "
+    "global sort) against the fitted CDF 1-e^(-lambda*t), "
+    "evaluated at upper bin edges in standardized lambda*t units "
+    "so the bin grid is scale-free. Gaps computed with one "
+    "lag() window inside each user partition; zero gaps "
+    "(same-timestamp events) excluded as ties, standardized "
+    "domain capped at 8 mean-lifetimes (P(beyond) < 0.04%).",
+    tags=("stats", "timeseries"),
+)
+def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = ev.select(
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("dt")
+    )
+    gaps = arr.filter(F.col("dt").isNotNull() & (F.col("dt") > 0)).select(
+        F.col("dt").cast("double").alias("dt")
+    )
+    lam = gaps.agg(
+        (1.0 / F.avg("dt")).alias("lambda_"), F.count("*").alias("n")
+    )
+    binned = (
+        gaps.crossJoin(F.broadcast(lam))
+        .filter(F.col("dt") * F.col("lambda_") < 8.0)
+        .groupBy(
+            F.floor(F.col("dt") * F.col("lambda_") / 0.125)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.max("lambda_").alias("lambda_"),
+            F.max("n").alias("n"),
+        )
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    ecdf = binned.select(
+        "bin",
+        (
+            F.sum("c").over(w_cum).cast("double")
+            / F.max("n").over(w_all)
+        ).alias("f_emp"),
+        (1 - F.exp(-((F.col("bin") + 1) * 0.125))).alias("f_fit"),
+        "lambda_",
+        "n",
+    )
+    return ecdf.agg(
+        F.round(F.max("lambda_") * 3600, 6).alias("events_per_hour"),
+        F.max("n").cast("long").alias("n_gaps"),
+        F.round(F.max(F.abs(F.col("f_emp") - F.col("f_fit"))), 6).alias(
+            "ks_to_exponential"
+        ),
+    )

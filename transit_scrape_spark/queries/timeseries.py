@@ -1343,3 +1343,73 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_intervals", "twap", "naive_avg")
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries-peak-detect",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        ctx AS (
+            SELECT event_type, day, x,
+                   lag(x) OVER w AS prev, lead(x) OVER w AS nxt,
+                   avg(x) OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day AS peak_day, x AS volume,
+               round((x - mu) / sd, 6) AS z
+        FROM ctx
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND x > prev AND x > nxt AND (x - mu) / sd > 0.5
+        ORDER BY event_type, peak_day
+    """,
+    doc="Local-peak detection on daily volume per series: a day is a "
+    "peak when it exceeds BOTH neighbors (strict local maximum "
+    "via lag/lead on one shared sort) AND clears a z > 0.5 "
+    "prominence floor against the series mean (otherwise every "
+    "noise wiggle is a 'peak'). Interior days only — endpoints "
+    "have one neighbor and are excluded rather than "
+    "half-compared. One fact hash agg; all four window "
+    "expressions ride the same per-series partition of the "
+    "~30-row summary. The spike-finder feeding "
+    "anomaly-alert-debounce's cooldown logic.",
+    tags=("timeseries",),
+)
+def timeseries_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("nxt"),
+        F.avg("x").over(wt).alias("mu"),
+        F.stddev_samp("x").over(wt).alias("sd"),
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    return (
+        ctx.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("x") > F.col("prev"))
+            & (F.col("x") > F.col("nxt"))
+            & (z > 0.5)
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            F.col("x").alias("volume"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_type", "peak_day")
+    )
