@@ -2037,3 +2037,130 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "analytics-growth-accounting",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day',
+                        (SELECT min(CAST(ts AS DATE)) FROM events),
+                        CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+            FROM events
+        ),
+        first_wk AS (
+            SELECT user_id, min(wk) AS fw FROM uw GROUP BY user_id
+        ),
+        labeled AS (
+            SELECT u.user_id, u.wk, f.fw,
+                   lag(u.wk) OVER (PARTITION BY u.user_id ORDER BY u.wk)
+                       AS prev_wk
+            FROM uw u JOIN first_wk f ON f.user_id = u.user_id
+        ),
+        states AS (
+            SELECT wk,
+                   CASE WHEN wk = fw THEN 'new'
+                        WHEN prev_wk = wk - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS state
+            FROM labeled
+        ),
+        churn AS (
+            SELECT wk + 1 AS wk, 'churned' AS state
+            FROM labeled
+            WHERE (SELECT max(wk) FROM uw) >= wk + 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM uw x
+                  WHERE x.user_id = labeled.user_id AND x.wk = labeled.wk + 1
+              )
+        ),
+        all_states AS (
+            SELECT wk, state FROM states
+            UNION ALL SELECT wk, state FROM churn
+        )
+        SELECT wk AS week,
+               CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS resurrected,
+               CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS churned
+        FROM all_states GROUP BY wk ORDER BY wk
+    """,
+    doc="Weekly growth accounting (the Social-Capital MAU decomposition "
+    "new + retained + resurrected - churned): facts collapse once to "
+    "distinct (user, week) pairs; each appearance classifies from "
+    "its user's FIRST week (one hash agg) and PREVIOUS active week "
+    "(one lag window inside the user partition) — new if first, "
+    "retained if active last week, else resurrected — and churn "
+    "events materialize as week+1 markers for actives with no "
+    "successor week (anti-join shape via lead-absence, here spelled "
+    "lag-forward). Everything after the pair dedup is "
+    "summary-sized per user. The bookkeeping identity "
+    "active_t = new_t + retained_t + resurrected_t holds by "
+    "construction — an implicit self-check the parity test "
+    "exercises.",
+)
+def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    uw = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    first_wk = uw.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    labeled = uw.join(first_wk, "user_id").select(
+        "user_id", "wk", "fw", F.lag("wk").over(wlag).alias("prev_wk")
+    )
+    states = labeled.select(
+        "wk",
+        F.when(F.col("wk") == F.col("fw"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    nxt_active = uw.select(
+        F.col("user_id").alias("uid2"), F.col("wk").alias("wk2")
+    )
+    churn = (
+        labeled.join(
+            nxt_active,
+            (labeled.user_id == F.col("uid2"))
+            & (F.col("wk2") == labeled.wk + 1),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("max_wk") >= F.col("wk") + 1)
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    )
+    all_states = states.unionByName(churn)
+    return (
+        all_states.groupBy(F.col("wk").alias("week"))
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("retained"),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("resurrected"),
+            F.sum(F.when(F.col("state") == "churned", 1).otherwise(0))
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("week")
+    )

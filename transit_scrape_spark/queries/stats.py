@@ -1819,3 +1819,132 @@ def stats_exponential_fit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_to_exponential"
         ),
     )
+
+
+@query(
+    "stats-capture-recapture",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        s1 AS (
+            SELECT DISTINCT user_id FROM events, span
+            WHERE CAST(ts AS DATE) BETWEEN d0 AND d0 + INTERVAL 6 DAY
+        ),
+        s2 AS (
+            SELECT DISTINCT user_id FROM events, span
+            WHERE CAST(ts AS DATE) BETWEEN d0 + INTERVAL 7 DAY
+                                       AND d0 + INTERVAL 13 DAY
+        ),
+        counts AS (
+            SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s1 JOIN s2 USING (user_id)) AS m
+        )
+        SELECT CAST(n1 AS BIGINT) AS week1_users,
+               CAST(n2 AS BIGINT) AS week2_users,
+               CAST(m AS BIGINT) AS recaptured,
+               round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1, 6)
+                   AS chapman_estimate
+        FROM counts
+    """,
+    doc="Capture-recapture (Chapman-corrected Lincoln-Petersen) "
+    "estimate of the true audience size from two observation "
+    "windows: users seen in week 1 are the 'marked' sample, week "
+    "2 the recapture; N-hat = (n1+1)(n2+1)/(m+1) - 1 estimates "
+    "the population INCLUDING users your telemetry never saw — "
+    "the standard trick for estimating coverage gaps in event "
+    "collection (or dedup undercounts). Two distinct-user hash "
+    "aggs + one co-partitioned semi-join on user_id; every count "
+    "is map-side combinable. At 100 TB the distinct sets become "
+    "HLL sketches and m comes from inclusion-exclusion of the "
+    "merged sketch.",
+    tags=("stats",),
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    dated = ev.crossJoin(F.broadcast(span)).select(
+        "user_id", F.to_date("ts").alias("day"), "d0"
+    )
+    s1 = dated.filter(
+        (F.col("day") >= F.col("d0"))
+        & (F.col("day") <= F.date_add(F.col("d0"), 6))
+    ).select("user_id").distinct()
+    s2 = dated.filter(
+        (F.col("day") >= F.date_add(F.col("d0"), 7))
+        & (F.col("day") <= F.date_add(F.col("d0"), 13))
+    ).select("user_id").distinct()
+    n1 = s1.agg(F.count("*").alias("n1"))
+    n2 = s2.agg(F.count("*").alias("n2"))
+    m = s1.join(s2, "user_id").agg(F.count("*").alias("m"))
+    counts = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    est = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m") + 1)
+        - 1
+    )
+    return counts.select(
+        F.col("n1").cast("long").alias("week1_users"),
+        F.col("n2").cast("long").alias("week2_users"),
+        F.col("m").cast("long").alias("recaptured"),
+        F.round(est, 6).alias("chapman_estimate"),
+    )
+
+
+@query(
+    "stats-odds-ratio",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(sum(CASE WHEN user_id % 2 = 0 AND
+                                      event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+                   CAST(sum(CASE WHEN user_id % 2 = 0 AND
+                                      event_type <> 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 AND
+                                      event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 AND
+                                      event_type <> 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS d
+            FROM events
+        )
+        SELECT round((a * d) / (b * c), 6) AS odds_ratio,
+               round(exp(ln((a * d) / (b * c))
+                         - 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)), 6)
+                   AS ci_lo,
+               round(exp(ln((a * d) / (b * c))
+                         + 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)), 6)
+                   AS ci_hi
+        FROM cells
+    """,
+    doc="Odds ratio of purchasing between the two user-id-parity "
+    "segments, with the Woolf log-OR 95% CI (se = sqrt(sum of "
+    "reciprocal cell counts)): the 2x2 table collapses out of the "
+    "fact scan in ONE conditional aggregation — four sums, "
+    "map-side combinable, no groupBy shuffle at all — and the "
+    "ratio + CI are scalar algebra on the single summary row. "
+    "The epidemiology/risk-analysis companion to "
+    "stats-chi-square's r x c independence test; at any scale "
+    "the cost is exactly one scan.",
+    tags=("stats",),
+)
+def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    purch = F.col("event_type") == "purchase"
+    cells = ev.agg(
+        F.sum(F.when(even & purch, 1).otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when(even & ~purch, 1).otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when(~even & purch, 1).otherwise(0)).cast("double").alias("c"),
+        F.sum(F.when(~even & ~purch, 1).otherwise(0)).cast("double").alias("d"),
+    )
+    orr = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c"))
+    se = F.sqrt(
+        1 / F.col("a") + 1 / F.col("b") + 1 / F.col("c") + 1 / F.col("d")
+    )
+    z = F.lit(1.959964)
+    return cells.select(
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - z * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orr) + z * se), 6).alias("ci_hi"),
+    )
