@@ -2164,3 +2164,142 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "event-entropy-rate",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS i,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS j
+            FROM events
+        ),
+        t AS (
+            SELECT i, j, CAST(count(*) AS DOUBLE) AS n
+            FROM seq WHERE j IS NOT NULL GROUP BY i, j
+        ),
+        probs AS (
+            SELECT i, j,
+                   n / sum(n) OVER (PARTITION BY i) AS p,
+                   sum(n) OVER (PARTITION BY i) / sum(n) OVER () AS pi
+            FROM t
+        ),
+        row_ent AS (
+            SELECT i, max(pi) AS pi,
+                   -sum(p * ln(p)) AS h_row
+            FROM probs GROUP BY i
+        ),
+        marg AS (
+            SELECT -sum(pi * ln(pi)) AS h0,
+                   sum(pi * h_row) AS h_rate
+            FROM row_ent
+        )
+        SELECT round(h0, 6) AS entropy_marginal,
+               round(h_rate, 6) AS entropy_rate,
+               round(1 - h_rate / h0, 6) AS predictability_gain
+        FROM marg
+    """,
+    doc="Entropy rate of the per-user event Markov chain: H_rate = "
+    "sum_i pi_i * H(row_i) with the empirical visit distribution "
+    "pi as weights, against the zeroth-order marginal entropy H0 "
+    "— the gap (1 - H_rate/H0) is how much knowing the PREVIOUS "
+    "action shrinks next-action uncertainty, i.e. whether a "
+    "sequence model is worth building at all. One lead() window "
+    "(sequences stay in their user partition) + one |types|^2 "
+    "hash agg; all entropy algebra runs on the <=25-cell "
+    "transition summary. Uses the empirical occupancy pi rather "
+    "than the fixpoint eigenvector — consistent estimates of the "
+    "same quantity, and window-expressible without iteration "
+    "(event-markov-stationary computes the fixpoint twin).",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(w).alias("j"),
+    ).filter(F.col("j").isNotNull())
+    t = seq.groupBy("i", "j").agg(F.count("*").cast("double").alias("n"))
+    wi = Window.partitionBy("i")
+    wall = Window.partitionBy()
+    probs = t.select(
+        "i",
+        "j",
+        (F.col("n") / F.sum("n").over(wi)).alias("p"),
+        (F.sum("n").over(wi) / F.sum("n").over(wall)).alias("pi"),
+    )
+    row_ent = probs.groupBy("i").agg(
+        F.max("pi").alias("pi"),
+        (-F.sum(F.col("p") * F.log("p"))).alias("h_row"),
+    )
+    return row_ent.agg(
+        F.round(-F.sum(F.col("pi") * F.log("pi")), 6).alias(
+            "entropy_marginal"
+        ),
+        F.round(F.sum(F.col("pi") * F.col("h_row")), 6).alias(
+            "entropy_rate"
+        ),
+        F.round(
+            1
+            - F.sum(F.col("pi") * F.col("h_row"))
+            / (-F.sum(F.col("pi") * F.log("pi"))),
+            6,
+        ).alias("predictability_gain"),
+    )
+
+
+@query(
+    "analytics-hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation, sum(o.o_totalprice) AS r
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        shares AS (
+            SELECT nation, r / sum(r) OVER () AS s FROM rev
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_nations,
+               round(sum(s * s) * 10000, 6) AS hhi,
+               round(1.0 / sum(s * s), 6) AS effective_n,
+               round(max(s), 6) AS top_share
+        FROM shares
+    """,
+    doc="Herfindahl-Hirschman concentration index of revenue by "
+    "customer nation (x10000 on the antitrust scale; <1500 "
+    "unconcentrated, >2500 concentrated), plus the effective "
+    "number of nations 1/sum(s^2) — the inverse-Simpson "
+    "diversity — and the top share. One FK-chain join with the "
+    "dims broadcast, one hash agg to 25 nation rows, shares via "
+    "a window over the summary. The market-structure readout of "
+    "the same aggregate abc-revenue-deciles ranks; at 100 TB the "
+    "only fact-sized cost is the orders scan.",
+)
+def analytics_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    shares = rev.select(
+        "nation", (F.col("r") / F.sum("r").over(Window.partitionBy())).alias("s")
+    )
+    return shares.agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.round(F.sum(F.col("s") * F.col("s")) * 10000, 6).alias("hhi"),
+        F.round(1.0 / F.sum(F.col("s") * F.col("s")), 6).alias(
+            "effective_n"
+        ),
+        F.round(F.max("s"), 6).alias("top_share"),
+    )

@@ -970,3 +970,85 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity_q"),
     )
+
+
+@query(
+    "graph-rich-club",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT a AS node, count(*) AS degree FROM edges GROUP BY a
+        ),
+        ks AS (SELECT unnest(range(1, 9)) AS k),
+        rich AS (
+            SELECT k.k, d.node FROM ks k JOIN deg d ON d.degree > k.k
+        ),
+        club_edges AS (
+            SELECT r1.k, CAST(count(*) AS DOUBLE) AS e2
+            FROM edges e
+            JOIN rich r1 ON r1.node = e.a
+            JOIN rich r2 ON r2.node = e.b AND r2.k = r1.k
+            GROUP BY r1.k
+        ),
+        club_size AS (
+            SELECT k, CAST(count(*) AS DOUBLE) AS nk FROM rich GROUP BY k
+        )
+        SELECT s.k AS k,
+               CAST(s.nk AS BIGINT) AS n_rich,
+               CAST(coalesce(c.e2, 0) / 2 AS BIGINT) AS rich_edges,
+               round(coalesce(c.e2, 0) / (s.nk * (s.nk - 1)), 6)
+                   AS rich_club_coeff
+        FROM club_size s LEFT JOIN club_edges c ON c.k = s.k
+        WHERE s.nk >= 2
+        ORDER BY s.k
+    """,
+    doc="Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) for "
+    "degree thresholds k=1..8: do high-degree nodes preferentially "
+    "connect to each other (phi -> 1 = an elite trading core)? "
+    "Membership at every threshold materializes as a (k, node) "
+    "relation in one broadcast range-join off the degree table, "
+    "then club-internal edges come from two membership joins on "
+    "the symmetric edge list (each undirected edge counted twice, "
+    "halved at the end). All shuffles carry node-ids or the "
+    "8-threshold summary. The hub-structure diagnostic that "
+    "motivates the degree-cap pruning graph-jaccard-neighbors and "
+    "graph-adamic-adar document.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    ks = spark.range(1, 9).select(F.col("id").alias("k"))
+    rich = ks.join(F.broadcast(deg), F.col("degree") > F.col("k")).select(
+        "k", "node"
+    )
+    r1 = rich.select(F.col("k"), F.col("node").alias("a"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("node").alias("b2"))
+    club_edges = (
+        edges.join(F.broadcast(r1), "a")
+        .join(
+            F.broadcast(r2),
+            (F.col("k") == F.col("k2")) & (F.col("b") == F.col("b2")),
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("double").alias("e2"))
+    )
+    club_size = rich.groupBy("k").agg(F.count("*").cast("double").alias("nk"))
+    return (
+        club_size.join(club_edges, "k", "left")
+        .filter(F.col("nk") >= 2)
+        .select(
+            "k",
+            F.col("nk").cast("long").alias("n_rich"),
+            (F.coalesce(F.col("e2"), F.lit(0.0)) / 2)
+            .cast("long")
+            .alias("rich_edges"),
+            F.round(
+                F.coalesce(F.col("e2"), F.lit(0.0))
+                / (F.col("nk") * (F.col("nk") - 1)),
+                6,
+            ).alias("rich_club_coeff"),
+        )
+        .orderBy("k")
+    )

@@ -1645,3 +1645,187 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("corpus_decile")
     )
+
+
+@query(
+    "text-burstiness",
+    oracle="""
+        WITH td AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT w, doc_id, CAST(count(*) AS DOUBLE) AS c
+            FROM td WHERE w <> '' GROUP BY w, doc_id
+        ),
+        n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        stats AS (
+            SELECT w,
+                   sum(c) AS total,
+                   count(*) AS df,
+                   sum(c) / nd AS mu,
+                   (sum(c * c) / nd) - power(sum(c) / nd, 2) AS var_
+            FROM per_doc, n_docs
+            GROUP BY w, nd
+        )
+        SELECT w AS token, CAST(total AS BIGINT) AS total,
+               CAST(df AS BIGINT) AS doc_freq,
+               round(var_ / mu, 6) AS fano_factor
+        FROM stats
+        WHERE total >= 50
+        ORDER BY fano_factor DESC, token
+        LIMIT 20
+    """,
+    doc="Token burstiness via the Fano factor (variance-to-mean ratio "
+    "of per-document counts, zeros included): ~1 means Poisson-"
+    "scattered function words, >>1 means topical terms that cluster "
+    "in few documents — the signal separating content from "
+    "boilerplate that pure frequency misses. The zero-inflated "
+    "variance needs NO dense doc x token matrix: with k nonzero "
+    "counts out of N docs, E[c]=sum(c)/N and E[c^2]=sum(c^2)/N "
+    "come from the sparse (token, doc) relation alone. One "
+    "explode + two vocabulary-bounded hash aggs + a broadcast "
+    "1-row doc count; top-20 via TakeOrderedAndProject.",
+    tags=("text", "corpus"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    td = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = td.groupBy("w", "doc_id").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("nd"))
+    stats = (
+        per_doc.crossJoin(F.broadcast(n_docs))
+        .groupBy("w")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count("*").alias("df"),
+            (F.sum("c") / F.first("nd")).alias("mu"),
+            (
+                F.sum(F.col("c") * F.col("c")) / F.first("nd")
+                - F.pow(F.sum("c") / F.first("nd"), 2)
+            ).alias("var_"),
+        )
+    )
+    return (
+        stats.filter(F.col("total") >= 50)
+        .select(
+            F.col("w").alias("token"),
+            F.col("total").cast("long").alias("total"),
+            F.col("df").cast("long").alias("doc_freq"),
+            F.round(F.col("var_") / F.col("mu"), 6).alias("fano_factor"),
+        )
+        .orderBy(F.col("fano_factor").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text-heaps-law",
+    oracle="""
+        WITH td AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, w FROM td WHERE w <> ''),
+        doc_order AS (
+            SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile,
+                   CAST(count(*) AS DOUBLE) AS n_tok
+            FROM tok GROUP BY doc_id
+        ),
+        first_use AS (
+            SELECT w, min(doc_id) AS fd FROM tok GROUP BY w
+        ),
+        new_types AS (
+            SELECT d.decile, CAST(count(*) AS DOUBLE) AS v_new
+            FROM first_use f JOIN doc_order d ON d.doc_id = f.fd
+            GROUP BY d.decile
+        ),
+        curve AS (
+            SELECT o.decile,
+                   sum(sum(o.n_tok)) OVER (ORDER BY o.decile) AS n_cum,
+                   sum(coalesce(max(nt.v_new), 0))
+                       OVER (ORDER BY o.decile) AS v_cum
+            FROM doc_order o LEFT JOIN new_types nt ON nt.decile = o.decile
+            GROUP BY o.decile
+        ),
+        pts AS (
+            SELECT ln(n_cum) AS lx, ln(v_cum) AS ly FROM curve
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round((sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                     / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)), 6)
+                   AS heaps_beta,
+               round(exp((sum(ly) - ((sum(lx * ly) - sum(lx) * sum(ly)
+                                      / count(*))
+                                     / (sum(lx * lx) - sum(lx) * sum(lx)
+                                        / count(*))) * sum(lx))
+                         / count(*)), 6) AS heaps_k
+        FROM pts
+    """,
+    doc="Heaps'-law fit V(n) = K * n^beta for vocabulary growth: the "
+    "corpus (in doc_id order) splits into deciles; cumulative "
+    "token and distinct-type counts per decile give 10 points on "
+    "the growth curve, and (K, beta) come from the closed-form "
+    "log-log regression. 'First use' is min(doc_id) per token — "
+    "ONE vocabulary-bounded hash agg, the same no-ordered-scan "
+    "trick as text-ngram-novelty — so cumulative type counts are "
+    "a window over 10 decile rows, never a running distinct over "
+    "the stream. beta ~0.4-0.6 for natural text; the check that "
+    "tells you whether more data keeps buying vocabulary.",
+    tags=("text", "corpus"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    doc_order = tok.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("n_tok")
+    ).select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        "n_tok",
+    )
+    first_use = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    new_types = (
+        first_use.join(
+            doc_order.select(F.col("doc_id").alias("fd"), "decile"), "fd"
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("double").alias("v_new"))
+    )
+    per_dec = (
+        doc_order.groupBy("decile")
+        .agg(F.sum("n_tok").alias("toks"))
+        .join(new_types, "decile", "left")
+        .select(
+            "decile",
+            "toks",
+            F.coalesce(F.col("v_new"), F.lit(0.0)).alias("v_new"),
+        )
+    )
+    wc = Window.orderBy("decile")
+    curve = per_dec.select(
+        "decile",
+        F.sum("toks").over(wc).alias("n_cum"),
+        F.sum("v_new").over(wc).alias("v_cum"),
+    )
+    pts = curve.select(
+        F.log("n_cum").alias("lx"), F.log("v_cum").alias("ly")
+    )
+    n = F.count("*")
+    sxy = F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly") / n
+    sxx = F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx") / n
+    beta = sxy / sxx
+    intercept = (F.sum("ly") - beta * F.sum("lx")) / n
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept), 6).alias("heaps_k"),
+    )
