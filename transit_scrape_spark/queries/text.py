@@ -1596,34 +1596,36 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
-    tri = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))
-                    ),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(ws, i + 1),
-                        F.element_at(ws, i + 2),
-                        F.element_at(ws, i + 3),
-                    ),
-                )
-            ).alias("tg"),
-        )
+    # generate trigram keys as 8-byte hashes DIRECTLY (multi-arg
+    # xxhash64 over the three tokens — no concat string ever built;
+    # tokens are space-split so (w1,w2,w3) <-> "w1 w2 w3" is injective
+    # and the oracle's string form keys identically, modulo ~n^2/2^65
+    # collision odds). The explode runs ONCE: per-(tg,doc) counts are
+    # the working relation, first-occurrence is a window min over tg —
+    # no second trigram pass, no self-join.
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))
+                ),
+                lambda i: F.xxhash64(
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                ),
+            )
+        ).alias("tg"),
     )
-    first_seen = tri.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        tri.join(first_seen, "tg")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tri"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    grouped = tri.groupBy("tg", "doc_id").agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("tg")
+    marked = grouped.withColumn("first_doc", F.min("doc_id").over(wt))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tri"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), F.col("c")).otherwise(0)
+        ).alias("n_novel"),
     )
     deciles = per_doc.select(
         F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
