@@ -2303,3 +2303,67 @@ def analytics_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("s"), 6).alias("top_share"),
     )
+
+
+@query(
+    "event-dwell-time",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dwell
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(CAST(dwell AS DOUBLE), 0.5), 4) AS p50_sec,
+               round(quantile_cont(CAST(dwell AS DOUBLE), 0.9), 4) AS p90_sec,
+               round(avg(dwell), 4) AS mean_sec
+        FROM seq
+        WHERE dwell IS NOT NULL AND dwell BETWEEN 1 AND 1800
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Dwell-time distribution per event type: time until the "
+    "user's NEXT action (lead within the user partition — "
+    "sequences never leave their shuffle partition) as the "
+    "engagement proxy, summarized as p50/p90/mean per type with "
+    "a 1s-30min validity window (0s = duplicate instrumentation, "
+    ">30min = session boundary, both excluded — the same gap "
+    "threshold sessionize uses). One window shuffle + one hash "
+    "agg; exact interpolated percentiles per group (percentile "
+    "<-> quantile_cont), swap for approx_percentile's sketch at "
+    "100 TB. The per-surface engagement readout behind every "
+    "'time on page' dashboard.",
+)
+def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.lead(F.col("ts").cast("long")).over(w)
+            - F.col("ts").cast("long")
+        ).alias("dwell"),
+    )
+    return (
+        seq.filter(
+            F.col("dwell").isNotNull()
+            & (F.col("dwell") >= 1)
+            & (F.col("dwell") <= 1800)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.expr("percentile(CAST(dwell AS DOUBLE), 0.5)"), 4
+            ).alias("p50_sec"),
+            F.round(
+                F.expr("percentile(CAST(dwell AS DOUBLE), 0.9)"), 4
+            ).alias("p90_sec"),
+            F.round(F.avg("dwell"), 4).alias("mean_sec"),
+        )
+        .orderBy("event_type")
+    )

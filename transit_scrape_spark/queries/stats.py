@@ -1948,3 +1948,161 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(orr) - z * se), 6).alias("ci_lo"),
         F.round(F.exp(F.log(orr) + z * se), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "stats-friedman-test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS m
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ),
+        complete AS (
+            SELECT day FROM daily GROUP BY day HAVING count(*) = 5
+        ),
+        ranked AS (
+            SELECT d.day, d.event_type,
+                   CAST(rank() OVER (PARTITION BY d.day ORDER BY d.m)
+                        AS DOUBLE) AS r
+            FROM daily d JOIN complete c ON c.day = d.day
+        ),
+        rsums AS (
+            SELECT event_type, sum(r) AS rj,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM ranked GROUP BY event_type
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS k_treatments,
+               round(12.0 / (max(n) * count(*) * (count(*) + 1))
+                     * sum(rj * rj)
+                     - 3 * max(n) * (count(*) + 1), 6) AS friedman_chi2
+        FROM rsums
+    """,
+    doc="Friedman test (nonparametric repeated-measures ANOVA): do "
+    "the five event types' daily mean values rank consistently "
+    "across days? Each complete day is a block; types are ranked "
+    "WITHIN the day (a 5-row partition — the ranking is "
+    "summary-local, never a global sort) and chi2_F = "
+    "12/(n*k*(k+1)) * sum(Rj^2) - 3n(k+1) reduces the per-type "
+    "rank sums. One fact hash agg + a per-day window over the "
+    "~150-row daily summary. The rank-based complement to "
+    "stats-anova-oneway when normality is off the table; "
+    "continuous daily means make within-day ties measure-zero so "
+    "rank() needs no tie correction.",
+    tags=("stats",),
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    complete = daily.groupBy("day").agg(F.count("*").alias("k")).filter(
+        F.col("k") == 5
+    ).select("day")
+    ranked = daily.join(F.broadcast(complete), "day").select(
+        "day",
+        "event_type",
+        F.rank()
+        .over(Window.partitionBy("day").orderBy("m"))
+        .cast("double")
+        .alias("r"),
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"), F.count("*").cast("double").alias("n")
+    )
+    n = F.max("n")
+    k = F.count("*")
+    return rsums.agg(
+        n.cast("long").alias("n_days"),
+        k.cast("long").alias("k_treatments"),
+        F.round(
+            12.0 / (n * k * (k + 1)) * F.sum(F.col("rj") * F.col("rj"))
+            - 3 * n * (k + 1),
+            6,
+        ).alias("friedman_chi2"),
+    )
+
+
+@query(
+    "stats-mcnemar",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        flags AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE)
+                                BETWEEN d0 AND d0 + INTERVAL 6 DAY
+                            THEN 1 ELSE 0 END) AS w1,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE)
+                                BETWEEN d0 + INTERVAL 7 DAY
+                                    AND d0 + INTERVAL 13 DAY
+                            THEN 1 ELSE 0 END) AS w2
+            FROM events, span GROUP BY user_id
+        ),
+        cells AS (
+            SELECT CAST(sum(CASE WHEN w1 = 1 AND w2 = 0
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+                   CAST(sum(CASE WHEN w1 = 0 AND w2 = 1
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM flags
+        )
+        SELECT n AS n_users,
+               CAST(b AS BIGINT) AS lost_purchasers,
+               CAST(c AS BIGINT) AS gained_purchasers,
+               round(power(abs(b - c) - 1, 2) / (b + c), 6)
+                   AS mcnemar_chi2
+        FROM cells WHERE b + c > 0
+    """,
+    doc="McNemar test for PAIRED proportion change: did the same "
+    "users' purchase behavior flip between week 1 and week 2? "
+    "Only the discordant cells matter — b (purchased then "
+    "stopped) vs c (started purchasing) — and chi2 = "
+    "(|b-c|-1)^2/(b+c) with the Edwards continuity correction. "
+    "The unpaired stats-odds-ratio would be WRONG here (same "
+    "users both periods); pairing happens for free in one "
+    "conditional hash agg per user, then a single-row cell "
+    "aggregation. The before/after launch readout when the "
+    "population is fixed.",
+    tags=("stats",),
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    evd = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "d0",
+    )
+    purch = F.col("event_type") == "purchase"
+    in_w1 = (F.col("day") >= F.col("d0")) & (
+        F.col("day") <= F.date_add(F.col("d0"), 6)
+    )
+    in_w2 = (F.col("day") >= F.date_add(F.col("d0"), 7)) & (
+        F.col("day") <= F.date_add(F.col("d0"), 13)
+    )
+    flags = evd.groupBy("user_id").agg(
+        F.max(F.when(purch & in_w1, 1).otherwise(0)).alias("w1"),
+        F.max(F.when(purch & in_w2, 1).otherwise(0)).alias("w2"),
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return cells.filter(F.col("b") + F.col("c") > 0).select(
+        F.col("n").alias("n_users"),
+        F.col("b").cast("long").alias("lost_purchasers"),
+        F.col("c").cast("long").alias("gained_purchasers"),
+        F.round(
+            F.pow(F.abs(F.col("b") - F.col("c")) - 1, 2)
+            / (F.col("b") + F.col("c")),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

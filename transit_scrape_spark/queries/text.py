@@ -1831,3 +1831,81 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.exp(intercept), 6).alias("heaps_k"),
     )
+
+
+@query(
+    "corpus-vocab-overlap",
+    oracle="""
+        WITH vocab AS (
+            SELECT DISTINCT lang,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        v AS (SELECT lang, w FROM vocab WHERE w <> ''),
+        en AS (SELECT w FROM v WHERE lang = 'en'),
+        sizes AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size
+            FROM v GROUP BY lang
+        ),
+        hits AS (
+            SELECT v.lang, CAST(count(*) AS BIGINT) AS n_shared
+            FROM v JOIN en ON en.w = v.w
+            WHERE v.lang <> 'en'
+            GROUP BY v.lang
+        )
+        SELECT s.lang, s.vocab_size,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS shared_with_en,
+               round(CAST(coalesce(h.n_shared, 0) AS DOUBLE)
+                     / s.vocab_size, 6) AS en_coverage
+        FROM sizes s LEFT JOIN hits h ON h.lang = s.lang
+        WHERE s.lang <> 'en'
+        ORDER BY s.lang
+    """,
+    doc="Cross-lingual vocabulary overlap: for each non-English "
+    "sub-corpus, what fraction of its distinct tokens also appear "
+    "in the English vocabulary — the contamination/code-switching "
+    "screen run before trusting language labels for corpus "
+    "mixing (high en_coverage on a 'de' slice means mislabeled or "
+    "heavily code-switched text). Facts collapse once to the "
+    "distinct (lang, token) relation (vocabulary-bounded, the "
+    "agg-heavy-hitters scaling argument); the overlap is a "
+    "token-keyed semi-join against the English slice and the "
+    "rates ride a 4-row summary join.",
+    tags=("text", "corpus"),
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    en = v.filter(F.col("lang") == "en").select("w")
+    sizes = v.groupBy("lang").agg(
+        F.count("*").cast("long").alias("vocab_size")
+    )
+    hits = (
+        v.filter(F.col("lang") != "en")
+        .join(en, "w")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        sizes.filter(F.col("lang") != "en")
+        .join(hits, "lang", "left")
+        .select(
+            "lang",
+            "vocab_size",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("shared_with_en"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("vocab_size"),
+                6,
+            ).alias("en_coverage"),
+        )
+        .orderBy("lang")
+    )

@@ -1328,3 +1328,100 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_anchors"),
         F.round(F.count("*") / F.sum("ln_mu"), 6).alias("intrinsic_dim"),
     )
+
+
+@query(
+    "embed-hubness",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) AS bb
+            FROM embeddings
+        ),
+        anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        d2 AS (
+            SELECT a.vec_id AS aid, b.vec_id AS bid,
+                   a.bb - 2 * list_dot_product(a.e, b.e) + b.bb AS dd
+            FROM anchors a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT aid, bid FROM (
+                SELECT aid, bid,
+                       row_number() OVER (PARTITION BY aid
+                                          ORDER BY dd, bid) AS rn
+                FROM d2
+            ) WHERE rn <= 10
+        ),
+        occ AS (
+            SELECT bid, CAST(count(*) AS DOUBLE) AS k_occ
+            FROM topk GROUP BY bid
+        ),
+        m AS (
+            SELECT avg(k_occ) AS mu, stddev_samp(k_occ) AS sd,
+                   avg(k_occ * k_occ * k_occ) AS m3r,
+                   avg(k_occ * k_occ) AS m2r,
+                   max(k_occ) AS mx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM occ
+        )
+        SELECT n AS n_in_some_topk,
+               round(mx, 6) AS max_k_occurrence,
+               round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                     / power(m2r - mu * mu, 1.5), 6) AS k_skewness
+        FROM m
+    """,
+    doc="Hubness diagnostic for the embedding space: how skewed is "
+    "the k-occurrence distribution (how often each vector lands in "
+    "another's 10-NN list)? High positive skew = hub vectors that "
+    "appear in everyone's neighbor list — the high-dimensional "
+    "pathology that silently degrades ANN recall and makes "
+    "dedup-near-embedding over-merge. Anchors (1-in-5 sample) x "
+    "corpus with broadcast anchors and hoisted self-dots (the "
+    "embed-intrinsic-dim scan shape), per-anchor top-10 via a "
+    "rank window, then k-occurrence counts and their moment-based "
+    "skewness in two summary aggs. Population skewness from raw "
+    "moments — identical algebra to stats-jarque-bera.",
+    tags=("embed", "simsearch"),
+)
+def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).withColumn("bb", dot(F.col("e"), F.col("e")))
+    anchors = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("e").alias("ae"),
+        F.col("bb").alias("aa"),
+    )
+    d2 = emb.join(
+        F.broadcast(anchors), F.col("aid") != F.col("vec_id")
+    ).select(
+        "aid",
+        F.col("vec_id").alias("bid"),
+        (F.col("aa") - 2 * dot(F.col("ae"), F.col("e")) + F.col("bb")).alias(
+            "dd"
+        ),
+    )
+    w = Window.partitionBy("aid").orderBy("dd", "bid")
+    topk = d2.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    occ = topk.groupBy("bid").agg(F.count("*").cast("double").alias("k_occ"))
+    k = F.col("k_occ")
+    m = occ.agg(
+        F.avg(k).alias("mu"),
+        F.avg(k * k).alias("m2r"),
+        F.avg(k * k * k).alias("m3r"),
+        F.max(k).alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mu = F.col("mu")
+    m3 = F.col("m3r") - 3 * mu * F.col("m2r") + 2 * mu * mu * mu
+    var = F.col("m2r") - mu * mu
+    return m.select(
+        F.col("n").alias("n_in_some_topk"),
+        F.round(F.col("mx"), 6).alias("max_k_occurrence"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("k_skewness"),
+    )
