@@ -921,3 +921,128 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "sample-weighted-priority",
+    oracle="""
+        WITH rev AS (
+            SELECT c_custkey, sum(o_totalprice) AS w
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        ),
+        keyed AS (
+            SELECT c_custkey, w,
+                   power(((c_custkey * 2654435761 % 2147483648) + 0.5)
+                         / 2147483648.0, 1.0 / w) AS priority
+            FROM rev
+        )
+        SELECT c_custkey, round(w, 2) AS weight,
+               round(priority, 6) AS priority
+        FROM keyed
+        ORDER BY priority DESC, c_custkey
+        LIMIT 10
+    """,
+    doc="Weighted sampling without replacement via priority keys "
+    "(Efraimidis-Spirakis A-ES): each customer gets key u^(1/w) "
+    "with w = lifetime revenue and u a DETERMINISTIC uniform from "
+    "the portable Knuth mix (no rand() — reproducible across "
+    "engines, reruns, and partitionings, the same discipline as "
+    "sample-hash-split); the top-k keys ARE a weighted sample "
+    "without replacement. The property that makes A-ES the "
+    "distributed-systems answer: priorities are embarrassingly "
+    "parallel to compute and top-k merges via "
+    "TakeOrderedAndProject — no sequential pass, no rejection "
+    "loop, no global state. One join+agg for weights, one "
+    "map-only priority projection, one bounded top-k.",
+    tags=("sample",),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("w"))
+    )
+    u = (
+        (F.col("c_custkey") * 2654435761 % 2147483648) + 0.5
+    ) / 2147483648.0
+    keyed = rev.select(
+        "c_custkey",
+        "w",
+        F.pow(u, 1.0 / F.col("w")).alias("priority"),
+    )
+    return (
+        keyed.select(
+            "c_custkey",
+            F.round("w", 2).alias("weight"),
+            F.round("priority", 6).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "dq-reconciliation",
+    oracle="""
+        WITH expected AS (
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS computed_total
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        cmp AS (
+            SELECT o.o_orderkey,
+                   o.o_totalprice,
+                   e.computed_total,
+                   abs(o.o_totalprice - e.computed_total)
+                       / o.o_totalprice AS rel_err
+            FROM orders o JOIN expected e ON e.l_orderkey = o.o_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN rel_err > 0.01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatched,
+               round(max(rel_err), 6) AS worst_rel_err,
+               round(avg(rel_err), 6) AS mean_rel_err
+        FROM cmp
+    """,
+    doc="Cross-table reconciliation: does each order's header total "
+    "agree with the recomputed sum over its line items "
+    "(extendedprice * (1-discount) * (1+tax))? The financial-"
+    "close control every warehouse runs between a summary table "
+    "and its detail — and the TPC-H-style generator here does "
+    "NOT maintain the invariant, which is exactly what the "
+    "report quantifies (mismatch count at 1% tolerance, worst "
+    "and mean relative error) rather than asserting. One "
+    "map-side-combinable detail aggregation, one key-"
+    "co-partitioned join, one scalar rollup; at 100 TB this is "
+    "the cheapest possible two-table audit because nothing but "
+    "(key, total) survives either scan.",
+    tags=("dq",),
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    expected = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("computed_total")
+    )
+    cmp = o.join(expected, o.o_orderkey == expected.l_orderkey).select(
+        (
+            F.abs(F.col("o_totalprice") - F.col("computed_total"))
+            / F.col("o_totalprice")
+        ).alias("rel_err")
+    )
+    return cmp.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("rel_err") > 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(F.max("rel_err"), 6).alias("worst_rel_err"),
+        F.round(F.avg("rel_err"), 6).alias("mean_rel_err"),
+    )

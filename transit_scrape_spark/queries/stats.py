@@ -2106,3 +2106,138 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "stats-srm-check",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   (user_id * 2654435761 % 2147483648) % 2 AS variant
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        counts AS (
+            SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n0,
+                   CAST(sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n1
+            FROM assign
+        )
+        SELECT CAST(n0 AS BIGINT) AS variant_a,
+               CAST(n1 AS BIGINT) AS variant_b,
+               round(power(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                     + power(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2), 6)
+                   AS srm_chi2,
+               (power(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                + power(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2))
+                   > 3.841459 AS srm_flag
+        FROM counts
+    """,
+    doc="Sample-ratio-mismatch guard — the first thing every "
+    "experimentation platform checks before reading ANY metric: "
+    "users assigned 50/50 by an explicit portable Knuth "
+    "multiplicative mix (user_id * 2654435761 mod 2^31, mod 2 — "
+    "spelled out rather than relying on either engine's builtin "
+    "hash, which differ bit-for-bit), then a 1-dof chi-square of "
+    "the observed split against exact 50/50, flagged past the "
+    "3.84 alpha=5% critical value. A failed SRM invalidates the "
+    "whole experiment regardless of metric lift. One distinct-"
+    "user hash agg + one conditional count — two scans of "
+    "nothing but user_id.",
+    tags=("stats",),
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    variant = (F.col("user_id") * 2654435761 % 2147483648) % 2
+    assign = ev.select("user_id").distinct().select(variant.alias("variant"))
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") != 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2
+    chi2 = F.pow(F.col("n0") - exp, 2) / exp + F.pow(F.col("n1") - exp, 2) / exp
+    return counts.select(
+        F.col("n0").cast("long").alias("variant_a"),
+        F.col("n1").cast("long").alias("variant_b"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+@query(
+    "stats-sprt-monitor",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        llr AS (
+            SELECT day,
+                   x * ln(0.22 / 0.20) + (n - x) * ln(0.78 / 0.80)
+                       AS llr_day
+            FROM daily
+        ),
+        walk AS (
+            SELECT day,
+                   sum(llr_day) OVER (ORDER BY day) AS llr_cum
+            FROM llr
+        )
+        SELECT day, round(llr_cum, 6) AS llr_cum,
+               CASE WHEN llr_cum >= ln((1 - 0.2) / 0.05) THEN 'accept_h1'
+                    WHEN llr_cum <= ln(0.2 / (1 - 0.05)) THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM walk ORDER BY day
+    """,
+    doc="Sequential probability ratio test (Wald SPRT) monitoring the "
+    "daily purchase rate against H0: p=0.20 vs H1: p=0.22 "
+    "(alpha=5%, beta=20%): each day contributes a binomial "
+    "log-likelihood-ratio increment x*ln(p1/p0) + "
+    "(n-x)*ln((1-p1)/(1-p0)); the cumulative LLR random walk "
+    "(one window over the daily summary) crosses ln((1-b)/a) to "
+    "accept H1 or ln(b/(1-a)) to accept H0 — the always-valid "
+    "peeking-safe alternative to fixed-horizon tests. Facts "
+    "collapse in one conditional hash agg; the decision sequence "
+    "is the whole output so the parity check pins every "
+    "intermediate state of the walk, not just the verdict.",
+    tags=("stats", "timeseries"),
+)
+def stats_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.count("*").cast("double").alias("n"),
+    )
+    llr_day = F.col("x") * math.log(0.22 / 0.20) + (
+        F.col("n") - F.col("x")
+    ) * math.log(0.78 / 0.80)
+    walk = daily.select(
+        "day",
+        F.sum(llr_day)
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("llr_cum"),
+    )
+    hi = math.log((1 - 0.2) / 0.05)
+    lo = math.log(0.2 / (1 - 0.05))
+    return walk.select(
+        "day",
+        F.round("llr_cum", 6).alias("llr_cum"),
+        F.when(F.col("llr_cum") >= hi, "accept_h1")
+        .when(F.col("llr_cum") <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
