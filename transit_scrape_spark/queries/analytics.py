@@ -2367,3 +2367,72 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event-next-action-baseline",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS i,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS j
+            FROM events
+        ),
+        t AS (
+            SELECT i, j, CAST(count(*) AS DOUBLE) AS n
+            FROM seq WHERE j IS NOT NULL GROUP BY i, j
+        ),
+        best AS (
+            SELECT i, j AS predicted_next, n,
+                   sum(n) OVER (PARTITION BY i) AS row_n,
+                   sum(n) OVER () AS total,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY n DESC, j) AS rk
+            FROM t
+        )
+        SELECT i AS current_action, predicted_next,
+               round(n / row_n, 6) AS hit_rate,
+               round(row_n / total, 6) AS support
+        FROM best WHERE rk = 1 ORDER BY i
+    """,
+    doc="Majority-class next-action baseline: for each current event "
+    "type, the most likely next action and its hit rate — the "
+    "floor any sequence model must beat, and with "
+    "event-entropy-rate the full 'is a model worth it' readout "
+    "(overall baseline accuracy = sum(support * hit_rate)). Same "
+    "single lead() window + |types|^2 hash agg as "
+    "event-transition-matrix; the argmax per row is a "
+    "WindowGroupLimit-prunable rank over the 25-cell summary "
+    "with a deterministic (count, label) tie-break.",
+)
+def event_next_action_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(w).alias("j"),
+    ).filter(F.col("j").isNotNull())
+    t = seq.groupBy("i", "j").agg(F.count("*").cast("double").alias("n"))
+    wi = Window.partitionBy("i")
+    wall = Window.partitionBy()
+    wrk = Window.partitionBy("i").orderBy(F.col("n").desc(), "j")
+    best = t.select(
+        "i",
+        F.col("j").alias("predicted_next"),
+        "n",
+        F.sum("n").over(wi).alias("row_n"),
+        F.sum("n").over(wall).alias("total"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return (
+        best.filter(F.col("rk") == 1)
+        .select(
+            F.col("i").alias("current_action"),
+            "predicted_next",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("hit_rate"),
+            F.round(F.col("row_n") / F.col("total"), 6).alias("support"),
+        )
+        .orderBy("current_action")
+    )

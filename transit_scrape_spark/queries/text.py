@@ -1909,3 +1909,76 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text-mattr-diversity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, w, CAST((idx - 1) // 50 AS BIGINT) AS chunk
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w,
+                       generate_subscripts(
+                           string_split(lower(text), ' '), 1) AS idx
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        chunks AS (
+            SELECT doc_id, chunk,
+                   CAST(count(DISTINCT w) AS DOUBLE) AS types,
+                   CAST(count(*) AS DOUBLE) AS tokens
+            FROM tok GROUP BY doc_id, chunk
+            HAVING count(*) = 50
+        ),
+        per_doc AS (
+            SELECT doc_id, avg(types / tokens) AS mattr,
+                   CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(mattr), 6) AS corpus_mattr,
+               round(min(mattr), 6) AS min_doc_mattr,
+               round(max(mattr), 6) AS max_doc_mattr
+        FROM per_doc
+    """,
+    doc="Moving-average type-token ratio (MATTR-style, tumbling "
+    "50-token chunks): raw TTR is length-biased garbage — long "
+    "docs always look less diverse — so diversity is measured as "
+    "the mean distinct-type ratio over fixed-size chunks (full "
+    "chunks only; the ragged tail would re-introduce the length "
+    "bias). Chunk id = token position div 50 via posexplode, so "
+    "chunking is a map-side expression, the per-chunk distinct "
+    "count is a (doc, chunk)-keyed hash agg, and everything "
+    "after is summary-sized. The lexical-diversity quality "
+    "signal corpus curation uses alongside text-char-entropy "
+    "(which measures characters; this measures vocabulary "
+    "recycling).",
+    tags=("text", "corpus"),
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("idx0", "w"),
+    ).filter(F.col("w") != "").select(
+        "doc_id", "w", (F.col("idx0") / 50).cast("long").alias("chunk")
+    )
+    chunks = (
+        tok.groupBy("doc_id", "chunk")
+        .agg(
+            F.countDistinct("w").cast("double").alias("types"),
+            F.count("*").cast("double").alias("tokens"),
+        )
+        .filter(F.col("tokens") == 50)
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.avg(F.col("types") / F.col("tokens")).alias("mattr"),
+        F.count("*").cast("long").alias("n_chunks"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("mattr"), 6).alias("corpus_mattr"),
+        F.round(F.min("mattr"), 6).alias("min_doc_mattr"),
+        F.round(F.max("mattr"), 6).alias("max_doc_mattr"),
+    )

@@ -1413,3 +1413,60 @@ def timeseries_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "peak_day")
     )
+
+
+@query(
+    "timeseries-variance-ratio",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        rets AS (
+            SELECT day,
+                   ln(x / lag(x) OVER (ORDER BY day)) AS r1,
+                   ln(x / lag(x, 5) OVER (ORDER BY day)) AS r5
+            FROM daily
+        )
+        SELECT CAST(count(r1) AS BIGINT) AS n_returns,
+               round(var_samp(r1), 6) AS var_1d,
+               round(var_samp(r5), 6) AS var_5d,
+               round(var_samp(r5) / (5 * var_samp(r1)), 6)
+                   AS variance_ratio,
+               round((var_samp(r5) / (5 * var_samp(r1)) - 1)
+                     * sqrt(count(r5) * 5.0 / (2 * (5 - 1))), 6)
+                   AS z_approx
+        FROM rets
+    """,
+    doc="Lo-MacKinlay variance-ratio test on daily log-changes of "
+    "event volume: under a random walk, Var of 5-day log changes "
+    "= 5x Var of 1-day changes; VR < 1 flags mean reversion, "
+    "> 1 momentum (the z uses the homoskedastic asymptotic "
+    "sqrt(nq/(2(q-1)))). Overlapping q-day changes come from a "
+    "second lag(x,5) on the SAME window sort — both horizons, "
+    "one sort of the ~30-row daily summary, facts aggregated "
+    "once. Companion evidence to stats-runs-test (sign-based) "
+    "and timeseries-hurst-rs (range-based): three independent "
+    "looks at the same 'is this series trending' question.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = Window.orderBy("day")
+    rets = daily.select(
+        F.log(F.col("x") / F.lag("x", 1).over(w)).alias("r1"),
+        F.log(F.col("x") / F.lag("x", 5).over(w)).alias("r5"),
+    )
+    vr = F.var_samp("r5") / (5 * F.var_samp("r1"))
+    return rets.agg(
+        F.count("r1").cast("long").alias("n_returns"),
+        F.round(F.var_samp("r1"), 6).alias("var_1d"),
+        F.round(F.var_samp("r5"), 6).alias("var_5d"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(
+            (vr - 1) * F.sqrt(F.count("r5") * 5.0 / (2 * (5 - 1))), 6
+        ).alias("z_approx"),
+    )
