@@ -2241,3 +2241,192 @@ def stats_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+@query(
+    "stats-pca-2d",
+    oracle="""
+        WITH m AS (
+            SELECT var_pop(l_quantity) AS vx,
+                   var_pop(l_extendedprice) AS vy,
+                   covar_pop(l_quantity, l_extendedprice) AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT n AS n_rows,
+               round((vx + vy + sqrt(power(vx - vy, 2) + 4 * c * c)) / 2, 6)
+                   AS lambda1,
+               round((vx + vy - sqrt(power(vx - vy, 2) + 4 * c * c)) / 2, 6)
+                   AS lambda2,
+               round((vx + vy + sqrt(power(vx - vy, 2) + 4 * c * c))
+                     / (2 * (vx + vy)), 6) AS explained_ratio,
+               round(degrees(atan2(
+                   (vy - vx + sqrt(power(vx - vy, 2) + 4 * c * c)) / 2,
+                   c)), 6) AS pc1_angle_deg
+        FROM m
+    """,
+    doc="Closed-form 2-variable PCA of (quantity, price): the 2x2 "
+    "covariance eigendecomposition has an exact formula — "
+    "lambda = (vx+vy +/- sqrt((vx-vy)^2 + 4c^2))/2, PC1 direction "
+    "atan2(lambda1 - vx, c) — so the whole analysis is ONE "
+    "streaming-moment aggregation (var/var/cov, map-side "
+    "combinable) plus scalar algebra on the summary row: "
+    "distributed PCA with zero linear-algebra library, zero "
+    "iteration. The k-dim version streams the k x k moment "
+    "matrix the same way and solves on the driver "
+    "(embed-power-iteration is the large-k iterative sibling). "
+    "Explained-variance ratio is the 'is this 2D cloud really "
+    "1D' answer.",
+    tags=("stats",),
+)
+def stats_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.var_pop("l_quantity").alias("vx"),
+        F.var_pop("l_extendedprice").alias("vy"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    vx, vy, c = F.col("vx"), F.col("vy"), F.col("c")
+    disc = F.sqrt(F.pow(vx - vy, 2) + 4 * c * c)
+    l1 = (vx + vy + disc) / 2
+    l2 = (vx + vy - disc) / 2
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(l1 / (vx + vy), 6).alias("explained_ratio"),
+        F.round(F.degrees(F.atan2((vy - vx + disc) / 2, c)), 6).alias(
+            "pc1_angle_deg"
+        ),
+    )
+
+
+@query(
+    "timeseries-ljung-box",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ctr AS (
+            SELECT day, x - avg(x) OVER () AS xc,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        lagged AS (
+            SELECT n, xc,
+                   lag(xc, 1) OVER (ORDER BY day) AS l1,
+                   lag(xc, 2) OVER (ORDER BY day) AS l2,
+                   lag(xc, 3) OVER (ORDER BY day) AS l3,
+                   lag(xc, 4) OVER (ORDER BY day) AS l4,
+                   lag(xc, 5) OVER (ORDER BY day) AS l5
+            FROM ctr
+        ),
+        rho AS (
+            SELECT max(n) AS n,
+                   sum(xc * l1) / sum(xc * xc) AS r1,
+                   sum(xc * l2) / sum(xc * xc) AS r2,
+                   sum(xc * l3) / sum(xc * xc) AS r3,
+                   sum(xc * l4) / sum(xc * xc) AS r4,
+                   sum(xc * l5) / sum(xc * xc) AS r5
+            FROM lagged
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r1, 6) AS rho1,
+               round(n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                     + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)
+                     + r5 * r5 / (n - 5)), 6) AS ljung_box_q
+        FROM rho
+    """,
+    doc="Ljung-Box portmanteau test (lags 1-5) for autocorrelation in "
+    "the daily volume series: Q = n(n+2) * sum_k rho_k^2/(n-k) ~ "
+    "chi2(5) under white noise — the residual-whiteness gate after "
+    "any forecast fit (run it on timeseries-stl-naive's residuals "
+    "to validate the decomposition). All five lag products come "
+    "from one shared window sort of the ~30-row mean-centered "
+    "daily summary, then a single moment aggregation; "
+    "sum(xc*lag_k)/sum(xc^2) is the standard biased ACF estimator "
+    "(denominator over the full series) on both engines. Facts "
+    "touched once.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w_all = Window.partitionBy()
+    ctr = daily.select(
+        "day",
+        (F.col("x") - F.avg("x").over(w_all)).alias("xc"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    )
+    w = Window.orderBy("day")
+    lagged = ctr.select(
+        "n",
+        "xc",
+        *[F.lag("xc", k).over(w).alias(f"l{k}") for k in range(1, 6)],
+    )
+    denom = F.sum(F.col("xc") * F.col("xc"))
+    rho = lagged.agg(
+        F.max("n").alias("n"),
+        *[
+            (F.sum(F.col("xc") * F.col(f"l{k}")) / denom).alias(f"r{k}")
+            for k in range(1, 6)
+        ],
+    )
+    n = F.col("n")
+    q = n * (n + 2) * sum(
+        F.col(f"r{k}") * F.col(f"r{k}") / (n - k) for k in range(1, 6)
+    )
+    return rho.select(
+        n.cast("long").alias("n_days"),
+        F.round(F.col("r1"), 6).alias("rho1"),
+        F.round(q, 6).alias("ljung_box_q"),
+    )
+
+
+@query(
+    "stats-hill-tail-index",
+    oracle="""
+        WITH xm AS (
+            SELECT quantile_cont(o_totalprice, 0.9) AS xmin FROM orders
+        ),
+        tail AS (
+            SELECT o_totalprice AS x, xmin FROM orders, xm
+            WHERE o_totalprice > xmin
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_tail,
+               round(max(xmin), 2) AS xmin_p90,
+               round(1.0 + count(*) / sum(ln(x / xmin)), 6)
+                   AS hill_alpha,
+               round(count(*) / sum(ln(x / xmin)), 6) AS tail_index
+        FROM tail
+    """,
+    doc="Hill estimator of the power-law tail index of order values "
+    "above the p90 threshold: alpha = 1 + k / sum(ln(x_i/xmin)) "
+    "over the k tail observations — finite mean needs alpha > 2, "
+    "finite variance alpha > 3, and an alpha near 2 warns that "
+    "revenue concentration metrics (HHI, top-share) are "
+    "sample-unstable. Two passes by necessity: exact p90 "
+    "(percentile agg -> approx_percentile sketch at 100 TB), "
+    "then one broadcast-threshold filter + log-moment "
+    "aggregation, both map-side combinable. The heavy-tail "
+    "companion to dq-benford-screen on the same column.",
+    tags=("stats",),
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xm = o.agg(F.expr("percentile(o_totalprice, 0.9)").alias("xmin"))
+    tail = o.crossJoin(F.broadcast(xm)).filter(
+        F.col("o_totalprice") > F.col("xmin")
+    )
+    k = F.count("*")
+    s = F.sum(F.log(F.col("o_totalprice") / F.col("xmin")))
+    return tail.agg(
+        k.cast("long").alias("n_tail"),
+        F.round(F.max("xmin"), 2).alias("xmin_p90"),
+        F.round(1.0 + k / s, 6).alias("hill_alpha"),
+        F.round(k / s, 6).alias("tail_index"),
+    )
