@@ -959,3 +959,116 @@ def geo_grid_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("tss_grr_pts")
+
+
+@query(
+    "geo-line-interpolate",
+    oracle=f"""
+        WITH src AS ({_SYNTH_SQL}),
+        segs AS (
+            SELECT n_nationkey,
+                   coordinates[1][1] AS x1, coordinates[1][2] AS y1,
+                   coordinates[2][1] AS x2, coordinates[2][2] AS y2,
+                   coordinates[3][1] AS x3, coordinates[3][2] AS y3,
+                   sqrt(power(coordinates[2][1] - coordinates[1][1], 2)
+                        + power(coordinates[2][2] - coordinates[1][2], 2))
+                       AS l1,
+                   sqrt(power(coordinates[3][1] - coordinates[2][1], 2)
+                        + power(coordinates[3][2] - coordinates[2][2], 2))
+                       AS l2
+            FROM src
+        )
+        SELECT n_nationkey,
+               round(CASE WHEN (l1 + l2) / 2 <= l1
+                    THEN x1 + (x2 - x1) * ((l1 + l2) / 2) / l1
+                    ELSE x2 + (x3 - x2) * ((l1 + l2) / 2 - l1) / l2 END, 6)
+                   AS mid_x,
+               round(CASE WHEN (l1 + l2) / 2 <= l1
+                    THEN y1 + (y2 - y1) * ((l1 + l2) / 2) / l1
+                    ELSE y2 + (y3 - y2) * ((l1 + l2) / 2 - l1) / l2 END, 6)
+                   AS mid_y,
+               round(l1 + l2, 6) AS total_len
+        FROM segs ORDER BY n_nationkey
+    """,
+    doc="ST_LineInterpolatePoint(0.5) re-expressed relationally: the "
+    "point exactly halfway ALONG each route (by arc length, not the "
+    "middle vertex — the distinction that matters for stop "
+    "placement and progress markers). Cumulative segment lengths "
+    "locate the containing segment, then linear interpolation "
+    "within it; on the fixed 3-vertex fixture the cumulative "
+    "search is a closed-form CASE, and for general linestrings "
+    "the same logic is posexplode + a running-length window "
+    "partitioned per route (route vertices never leave their "
+    "partition). Pure per-row codegen here — zero exchanges, the "
+    "plan any per-geometry derivation should have. Reference "
+    "anchor: route geometry handling in "
+    "/root/reference/src/process_cycle_networks.py.",
+)
+def geo_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    src = _synth_coords(n, "n_nationkey")
+    c = F.col("coordinates")
+    x1, y1 = c[0][0], c[0][1]
+    x2, y2 = c[1][0], c[1][1]
+    x3, y3 = c[2][0], c[2][1]
+    l1 = F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
+    l2 = F.sqrt(F.pow(x3 - x2, 2) + F.pow(y3 - y2, 2))
+    half = (l1 + l2) / 2
+    mid_x = F.when(half <= l1, x1 + (x2 - x1) * half / l1).otherwise(
+        x2 + (x3 - x2) * (half - l1) / l2
+    )
+    mid_y = F.when(half <= l1, y1 + (y2 - y1) * half / l1).otherwise(
+        y2 + (y3 - y2) * (half - l1) / l2
+    )
+    return src.select(
+        "n_nationkey",
+        F.round(mid_x, 6).alias("mid_x"),
+        F.round(mid_y, 6).alias("mid_y"),
+        F.round(l1 + l2, 6).alias("total_len"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "geo-route-bearing",
+    oracle=f"""
+        WITH src AS ({_SYNTH_SQL})
+        SELECT n_nationkey,
+               round(degrees(atan2(coordinates[2][1] - coordinates[1][1],
+                                   coordinates[2][2] - coordinates[1][2])),
+                     6) AS initial_bearing_deg,
+               round(degrees(atan2(coordinates[3][1] - coordinates[2][1],
+                                   coordinates[3][2] - coordinates[2][2])),
+                     6) AS final_bearing_deg,
+               round(abs(((degrees(atan2(coordinates[3][1] - coordinates[2][1],
+                                         coordinates[3][2] - coordinates[2][2]))
+                           - degrees(atan2(coordinates[2][1] - coordinates[1][1],
+                                           coordinates[2][2] - coordinates[1][2]))
+                           + 540.0) % 360.0) - 180.0), 6) AS turn_angle_deg
+        FROM src ORDER BY n_nationkey
+    """,
+    doc="Per-route bearing profile: initial and final compass bearings "
+    "(atan2(dx, dy) — north-referenced, the navigation convention, "
+    "NOT math atan2(dy, dx)) and the absolute turn angle between "
+    "them, normalized to [0, 180] via the (delta + 540) % 360 - 180 "
+    "wrap-around identity that correctly handles turns crossing "
+    "north. Planar approximation consistent with the projected "
+    "fixture coordinates (the geodesic version swaps in the "
+    "spherical bearing formula, same per-row shape). Pure codegen "
+    "projection, zero exchanges; the turn-angle profile is the "
+    "route-quality signal (switchback detection) in cycling-network "
+    "audits. Reference anchor: /root/reference/src/"
+    "process_cycle_networks.py route geometry derivations.",
+)
+def geo_route_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    src = _synth_coords(n, "n_nationkey")
+    c = F.col("coordinates")
+    b1 = F.degrees(F.atan2(c[1][0] - c[0][0], c[1][1] - c[0][1]))
+    b2 = F.degrees(F.atan2(c[2][0] - c[1][0], c[2][1] - c[1][1]))
+    turn = F.abs(((b2 - b1 + 540.0) % 360.0) - 180.0)
+    return src.select(
+        "n_nationkey",
+        F.round(b1, 6).alias("initial_bearing_deg"),
+        F.round(b2, 6).alias("final_bearing_deg"),
+        F.round(turn, 6).alias("turn_angle_deg"),
+    ).orderBy("n_nationkey")
