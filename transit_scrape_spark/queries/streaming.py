@@ -926,3 +926,56 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
         else:
             spark.conf.set(key, old)
+
+
+@query(
+    "stream-windowed-topk",
+    oracle="""
+        WITH agg AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY window_start
+                          ORDER BY n DESC, event_type) AS rk
+            FROM agg
+        ) WHERE rk = 1
+        ORDER BY window_start
+    """,
+    doc="Per-window top-k over a stream: the leading event type in "
+    "every tumbling hour. Rank-over-aggregate is not expressible "
+    "inside a single streaming query (no window functions on "
+    "streaming aggregates), so this op shows the PRODUCTION "
+    "two-stage shape: a watermarked tumbling count maintains the "
+    "per-(window, type) state stream-side (bounded by watermark), "
+    "and the top-k rank runs batch-side over the materialized "
+    "aggregate — exactly how leaderboards sit on top of a "
+    "continuously-maintained rollup table. availableNow replay "
+    "makes the composite deterministic and oracle-checkable "
+    "against the batch equivalent.",
+    tags=("streaming",),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = _run_stream_to_memory(agg, "complete")
+    mat = spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        mat.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start")
+    )
