@@ -2436,3 +2436,117 @@ def event_next_action_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("current_action")
     )
+
+
+@query(
+    "analytics-retention-decay-fit",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            WHERE event_type = 'purchase'
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS d0 FROM p GROUP BY user_id
+        ),
+        maxd AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+        activity AS (
+            SELECT DISTINCT p.user_id,
+                   CAST(date_diff('day', f.d0, p.day) AS BIGINT) AS age
+            FROM p JOIN firsts f ON f.user_id = p.user_id
+        ),
+        cohorts AS (
+            SELECT d0, CAST(count(*) AS DOUBLE) AS size,
+                   CAST(date_diff('day', d0, md) AS BIGINT) AS capacity
+            FROM firsts, maxd GROUP BY d0, md
+        ),
+        ages AS (SELECT DISTINCT age FROM activity WHERE age >= 1),
+        observable AS (
+            SELECT a.age, sum(c.size) AS denom
+            FROM ages a JOIN cohorts c ON c.capacity >= a.age
+            GROUP BY a.age
+        ),
+        active AS (
+            SELECT age, CAST(count(*) AS DOUBLE) AS numer
+            FROM activity WHERE age >= 1 GROUP BY age
+        ),
+        pts AS (
+            SELECT ln(CAST(o.age AS DOUBLE)) AS lx,
+                   ln(a.numer / o.denom) AS ly
+            FROM observable o JOIN active a ON a.age = o.age
+            WHERE a.numer > 0 AND a.numer < o.denom
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_ages,
+               round((sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                     / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)), 6)
+                   AS decay_exponent,
+               round(exp((sum(ly) - (sum(lx * ly) - sum(lx) * sum(ly)
+                                     / count(*))
+                                    / (sum(lx * lx) - sum(lx) * sum(lx)
+                                       / count(*)) * sum(lx))
+                         / count(*)), 6) AS day1_retention_fit
+        FROM pts
+    """,
+    doc="Power-law fit of the purchase-retention decay curve r(t) ~ "
+    "K * t^(-beta) at DAILY granularity (age = days since first "
+    "purchase): retention at age t uses a right-censoring-aware "
+    "denominator — only cohorts old enough to be observed at age "
+    "t count, because a naive all-users denominator fakes decay "
+    "at the series edge — and the decay exponent comes from the "
+    "closed-form log-log regression, the number LTV projection "
+    "extrapolates with (sum over t of K*t^-beta). One first-"
+    "touch agg, one fact join, a cohort x age capacity join over "
+    "summary relations, one regression aggregation; the same "
+    "no-iteration curve-fit shape as text-heaps-law and "
+    "timeseries-hurst-rs.",
+)
+def analytics_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0"))
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
+    activity = (
+        p.join(firsts, "user_id")
+        .select("user_id", F.datediff(F.col("day"), F.col("d0")).cast("long").alias("age"))
+        .distinct()
+    )
+    cohorts = (
+        firsts.crossJoin(F.broadcast(maxd))
+        .groupBy("d0", "md")
+        .agg(F.count("*").cast("double").alias("size"))
+        .select(
+            "d0",
+            "size",
+            F.datediff(F.col("md"), F.col("d0")).cast("long").alias("capacity"),
+        )
+    )
+    ages = activity.filter(F.col("age") >= 1).select("age").distinct()
+    observable = (
+        ages.join(F.broadcast(cohorts), F.col("capacity") >= F.col("age"))
+        .groupBy("age")
+        .agg(F.sum("size").alias("denom"))
+    )
+    active = (
+        activity.filter(F.col("age") >= 1)
+        .groupBy("age")
+        .agg(F.count("*").cast("double").alias("numer"))
+    )
+    pts = (
+        observable.join(active, "age")
+        .filter((F.col("numer") > 0) & (F.col("numer") < F.col("denom")))
+        .select(
+            F.log(F.col("age").cast("double")).alias("lx"),
+            F.log(F.col("numer") / F.col("denom")).alias("ly"),
+        )
+    )
+    n = F.count("*")
+    sxy = F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly") / n
+    sxx = F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx") / n
+    beta = sxy / sxx
+    intercept = (F.sum("ly") - beta * F.sum("lx")) / n
+    return pts.agg(
+        n.cast("long").alias("n_ages"),
+        F.round(beta, 6).alias("decay_exponent"),
+        F.round(F.exp(intercept), 6).alias("day1_retention_fit"),
+    )

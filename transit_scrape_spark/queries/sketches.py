@@ -224,3 +224,126 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("no_false_negatives"),
     )
+
+
+@query(
+    "agg-kmv-sketch",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id,
+                   ((user_id * 2654435761 % 2147483648) + 0.5)
+                       / 2147483648.0 AS u
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        ranked AS (
+            SELECT event_type, user_id, u,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY u, user_id) AS rk
+            FROM du
+        ),
+        kth AS (
+            SELECT event_type, max(u) AS uk
+            FROM ranked WHERE rk <= 64 GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+            FROM du GROUP BY event_type
+        ),
+        uni AS (
+            SELECT user_id, u,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS in_a,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM du GROUP BY user_id, u
+        ),
+        uranked AS (
+            SELECT *, row_number() OVER (ORDER BY u, user_id) AS rk
+            FROM uni
+        ),
+        usk AS (
+            SELECT max(u) AS uk_union,
+                   CAST(sum(in_a * in_b) AS DOUBLE) / 64 AS jacc_est
+            FROM uranked WHERE rk <= 64
+        )
+        SELECT e.event_type, e.exact_distinct,
+               round(63.0 / k.uk, 2) AS kmv_estimate,
+               round(abs(63.0 / k.uk - e.exact_distinct)
+                     / e.exact_distinct, 4) AS rel_err,
+               round((SELECT jacc_est * (63.0 / uk_union) FROM usk), 2)
+                   AS est_intersection
+        FROM exact e JOIN kth k ON k.event_type = e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="KMV (k-minimum-values) distinct sketch, k=64, spelled "
+    "relationally: hash every member to a deterministic uniform "
+    "(the same portable Knuth mix as stats-srm-check — no engine "
+    "builtin hash, both sides bit-identical), keep each set's 64 "
+    "smallest, estimate |S| = (k-1)/u_(k). The estimator theta "
+    "sketches build on — and unlike HLL, KMV supports "
+    "INTERSECTION: the union sketch's members that belong to "
+    "both sets give a Jaccard estimate, x union size = "
+    "|click AND view| without ever counting it exactly. Exact "
+    "distincts computed alongside so the output quantifies its "
+    "own error. All sketch state is k rows per set "
+    "(WindowGroupLimit prunes the rank); at 100 TB the k-smallest "
+    "per partition merge to k-smallest overall — associative, "
+    "map-side, bounded.",
+    tags=("agg", "sketch"),
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    u = ((F.col("user_id") * 2654435761 % 2147483648) + 0.5) / 2147483648.0
+    du = ev.select("event_type", "user_id").distinct().withColumn("u", u)
+    wr = Window.partitionBy("event_type").orderBy("u", "user_id")
+    kth = (
+        du.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 64)
+        .groupBy("event_type")
+        .agg(F.max("u").alias("uk"))
+    )
+    exact = du.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    uni = du.groupBy("user_id", "u").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    wu = Window.orderBy("u", "user_id")
+    usk = (
+        uni.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= 64)
+        .agg(
+            F.max("u").alias("uk_union"),
+            (F.sum(F.col("in_a") * F.col("in_b")).cast("double") / 64).alias(
+                "jacc_est"
+            ),
+        )
+    )
+    est = 63.0 / F.col("uk")
+    return (
+        exact.join(kth, "event_type")
+        .crossJoin(F.broadcast(usk))
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+            F.round(
+                F.col("jacc_est") * (63.0 / F.col("uk_union")), 2
+            ).alias("est_intersection"),
+        )
+        .orderBy("event_type")
+    )
