@@ -1046,3 +1046,194 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rel_err"), 6).alias("worst_rel_err"),
         F.round(F.avg("rel_err"), 6).alias("mean_rel_err"),
     )
+
+
+@query(
+    "featurestore-time-decay-score",
+    oracle="""
+        WITH ref AS (SELECT max(ts) AS now_ts FROM events),
+        scored AS (
+            SELECT user_id,
+                   sum(value * exp(-0.1 * date_diff('second', ts, now_ts)
+                                   / 86400.0)) AS decay_score,
+                   sum(value) AS raw_score,
+                   count(*) AS n_events
+            FROM events, ref
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT user_id, round(decay_score, 6) AS decay_score,
+               round(raw_score, 4) AS raw_score,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM scored
+        ORDER BY decay_score DESC, user_id
+        LIMIT 20
+    """,
+    doc="Exponentially time-decayed engagement score per user "
+    "(half-life ~6.9 days at lambda=0.1/day): each click/purchase "
+    "contributes value * e^(-lambda * age) against the corpus "
+    "max-timestamp reference — the recency-weighted feature every "
+    "ranking/churn model wants, computed as ONE map-side-"
+    "combinable aggregation because e^(-l*(now-t)) factors "
+    "per-row (no window, no sort, unlike a sliding-window "
+    "recency). The reference timestamp comes from a 1-row "
+    "broadcast, making the op deterministic across runs on "
+    "static data while the production variant pins now() at "
+    "feature-materialization time — the point-in-time discipline "
+    "featurestore-pit-join enforces downstream.",
+    tags=("featurestore",),
+)
+def featurestore_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ref = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("now_ts")
+    )
+    age_days = (
+        F.col("now_ts").cast("long") - F.col("ts").cast("long")
+    ) / 86400.0
+    scored = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * F.exp(-0.1 * age_days)).alias(
+                "decay_score"
+            ),
+            F.sum("value").alias("raw_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return (
+        scored.select(
+            "user_id",
+            F.round("decay_score", 6).alias("decay_score"),
+            F.round("raw_score", 4).alias("raw_score"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("decay_score").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "dq-sequence-monotonicity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_ts
+            FROM events
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               round(CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS violation_rate
+        FROM seq WHERE prev_ts IS NOT NULL
+    """,
+    doc="Sequence-monotonicity audit: within each user, do timestamps "
+    "increase with event_id (the does-the-sequence-key-agree-with-"
+    "event-time invariant that breaks when producers retry or "
+    "clocks skew)? One lag() window per user partition, one "
+    "conditional count — the cheapest ordering audit a pipeline "
+    "can run, and the one that decides whether event_id is safe "
+    "as a tiebreaker (every sessionize/funnel op here relies on "
+    "it). Violations counted, not asserted, so the op stays a "
+    "report on dirty data rather than a crash.",
+    tags=("dq",),
+)
+def dq_sequence_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    viol = F.sum(F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0))
+    return seq.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        viol.cast("long").alias("n_violations"),
+        F.round(viol.cast("double") / F.count("*"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@query(
+    "privacy-randomized-response",
+    oracle="""
+        WITH flags AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN user_id IN (
+                       SELECT user_id FROM events
+                       WHERE event_type = 'purchase'
+                   ) THEN 1 ELSE 0 END AS truth
+            FROM events
+        ),
+        coins AS (
+            SELECT user_id, truth,
+                   (user_id * 2654435761 % 2147483648)
+                       / 2147483648.0 AS c1,
+                   (user_id * 2246822519 % 2147483648)
+                       / 2147483648.0 AS c2
+            FROM flags
+        ),
+        reported AS (
+            SELECT CASE WHEN c1 < 0.5 THEN truth
+                        WHEN c2 < 0.5 THEN 1 ELSE 0 END AS resp,
+                   truth
+            FROM coins
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(CAST(resp AS DOUBLE)), 6) AS reported_rate,
+               round((avg(CAST(resp AS DOUBLE)) - 0.25) / 0.5, 6)
+                   AS debiased_estimate,
+               round(avg(CAST(truth AS DOUBLE)), 6) AS true_rate
+        FROM reported
+    """,
+    doc="Warner randomized response — the classic local-DP mechanism: "
+    "each user answers truthfully with prob 1/2, else flips a "
+    "second coin (ln(3)-LDP for the 'did you purchase' bit); the "
+    "population rate debiases as (observed - 1/4) / (1/2). Coins "
+    "are deterministic per-user uniforms from two different "
+    "multiplicative mixes (reproducible across engines and runs — "
+    "the corpus-curation hash-not-rand discipline applied to "
+    "privacy), and the true rate is reported alongside so the "
+    "output quantifies the mechanism's own estimation error. One "
+    "distinct-user semi-join + one map-only projection + one "
+    "scalar agg.",
+    tags=("privacy",),
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct().withColumn("truth", F.lit(1))
+    flags = (
+        ev.select("user_id")
+        .distinct()
+        .join(purchasers, "user_id", "left")
+        .select(
+            "user_id", F.coalesce(F.col("truth"), F.lit(0)).alias("truth")
+        )
+    )
+    c1 = (F.col("user_id") * 2654435761 % 2147483648) / 2147483648.0
+    c2 = (F.col("user_id") * 2246822519 % 2147483648) / 2147483648.0
+    resp = F.when(c1 < 0.5, F.col("truth")).otherwise(
+        F.when(c2 < 0.5, 1).otherwise(0)
+    )
+    reported = flags.select(
+        resp.alias("resp"), F.col("truth")
+    )
+    return reported.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg(F.col("resp").cast("double")), 6).alias(
+            "reported_rate"
+        ),
+        F.round(
+            (F.avg(F.col("resp").cast("double")) - 0.25) / 0.5, 6
+        ).alias("debiased_estimate"),
+        F.round(F.avg(F.col("truth").cast("double")), 6).alias("true_rate"),
+    )

@@ -263,3 +263,55 @@ def multimodal_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shard", "n_payloads", "shard_bytes", "balance_ratio")
     )
+
+
+@query(
+    "multimodal-clip-score-filter",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   (CAST(('0x' || substring(md5(text), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 AS clip_score
+            FROM documents
+        )
+        SELECT doc_id, lang, byte_len, round(clip_score, 6) AS clip_score
+        FROM scored
+        WHERE clip_score >= 0.75
+        ORDER BY clip_score DESC, doc_id
+        LIMIT 25
+    """,
+    doc="CLIP-style image-text alignment filtering, the LAION curation "
+    "shape: score every (media payload, caption) pair, threshold at "
+    "0.75, keep the top alignment scores. The scoring model is a "
+    "STUB — a deterministic uniform derived from md5 of the payload "
+    "bytes (this container has no vision libs; the real scorer is a "
+    "Pandas-UDF batch over the BinaryType payload exactly like "
+    "operators/multimodal.py decode_images) — but everything the "
+    "cluster cares about is real: the score is a per-row codegen/"
+    "hash projection, the filter prunes BEFORE any downstream "
+    "join, the top-k is TakeOrderedAndProject, and the payload "
+    "bytes never shuffle. Swapping the stub for a real "
+    "mapInPandas model call changes per-batch CPU, not the plan.",
+    tags=("multimodal",),
+)
+def multimodal_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_bin = attach_binary_payload(d)
+    score = (
+        F.conv(F.substring(F.md5(F.col("payload")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1000000
+    ) / 1000000.0
+    scored = with_bin.select(
+        "doc_id",
+        "lang",
+        F.col("media_meta.byte_len").cast("long").alias("byte_len"),
+        F.round(score, 6).alias("clip_score"),
+    )
+    return (
+        scored.filter(F.col("clip_score") >= 0.75)
+        .orderBy(F.col("clip_score").desc(), "doc_id")
+        .limit(25)
+    )
