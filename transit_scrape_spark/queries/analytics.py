@@ -2550,3 +2550,82 @@ def analytics_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(beta, 6).alias("decay_exponent"),
         F.round(F.exp(intercept), 6).alias("day1_retention_fit"),
     )
+
+
+@query(
+    "analytics-lift-chart",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, avg(value) AS score,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT ntile(10) OVER (ORDER BY score DESC, user_id) AS decile,
+                   converted
+            FROM per_user
+        ),
+        byd AS (
+            SELECT decile, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(converted) AS DOUBLE) AS conv
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (
+            SELECT sum(n) AS tn, sum(conv) AS tc FROM byd
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n AS BIGINT) AS n_users,
+               round(conv / n, 6) AS conversion_rate,
+               round((conv / n) / (tc / tn), 6) AS lift,
+               round(sum(conv) OVER (ORDER BY decile) / tc, 6)
+                   AS cum_gain
+        FROM byd, tot ORDER BY decile
+    """,
+    doc="Decile lift-and-gains chart: users ranked by mean event value "
+    "as a targeting score, split into deciles, each reporting its "
+    "conversion rate, lift over the base rate, and cumulative "
+    "gain (what fraction of all converters the top-k deciles "
+    "capture) — the campaign-targeting readout that tells you to "
+    "mail deciles 1-3 and skip the rest. Per-user rollup is one "
+    "hash agg; the ntile runs over the ~150-row user summary "
+    "with a deterministic (score, user_id) tie-break; lift and "
+    "gains are windows over 10 rows. The business-facing "
+    "companion to stats-roc-auc-binned on the same score.",
+)
+def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.avg("value").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    ranked = per_user.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+        "converted",
+    )
+    byd = ranked.groupBy("decile").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    with_tot = byd.withColumn("tn", F.sum("n").over(w_all)).withColumn(
+        "tc", F.sum("conv").over(w_all)
+    )
+    return with_tot.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.col("conv") / F.col("n"), 6).alias("conversion_rate"),
+        F.round(
+            (F.col("conv") / F.col("n")) / (F.col("tc") / F.col("tn")), 6
+        ).alias("lift"),
+        F.round(F.sum("conv").over(w_cum) / F.col("tc"), 6).alias(
+            "cum_gain"
+        ),
+    ).orderBy("decile")

@@ -2430,3 +2430,181 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 + k / s, 6).alias("hill_alpha"),
         F.round(k / s, 6).alias("tail_index"),
     )
+
+
+@query(
+    "stats-roc-auc-binned",
+    oracle="""
+        WITH s AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        ext AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        binned AS (
+            SELECT least(255, CAST(floor((score - lo) / (hi - lo) * 256.0)
+                                   AS INT)) AS bin,
+                   CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(sum(1 - y) AS DOUBLE) AS neg
+            FROM s, ext GROUP BY 1
+        ),
+        rates AS (
+            SELECT bin,
+                   sum(pos) OVER (ORDER BY bin DESC) / sum(pos) OVER ()
+                       AS tpr,
+                   sum(neg) OVER (ORDER BY bin DESC) / sum(neg) OVER ()
+                       AS fpr
+            FROM binned
+        ),
+        curve AS (
+            SELECT bin, tpr, fpr,
+                   lag(tpr, 1, 0.0) OVER (ORDER BY bin DESC) AS tpr_prev,
+                   lag(fpr, 1, 0.0) OVER (ORDER BY bin DESC) AS fpr_prev
+            FROM rates
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_thresholds,
+               round(sum((fpr - fpr_prev) * (tpr + tpr_prev) / 2), 6)
+                   AS roc_auc
+        FROM curve
+    """,
+    doc="Binned ROC-AUC for `value` as a purchase classifier score: "
+    "descending-threshold sweep over 256 equi-width score bins "
+    "(the distributed-safe ROC — exact AUC needs a global rank of "
+    "raw scores, i.e. the single-partition sort every rank "
+    "statistic here refuses), cumulative TPR/FPR per threshold "
+    "via windows over the 256-row bin summary, area by the "
+    "trapezoid rule. The binned estimate converges to exact AUC "
+    "at bin-width resolution — the same tradeoff "
+    "stats-ks-binned makes, and exactly how Spark MLlib's "
+    "BinaryClassificationMetrics(numBins) works. One fact hash "
+    "agg after a broadcast min/max pre-pass.",
+    tags=("stats",),
+)
+def stats_roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ext = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("double").alias("pos"),
+            F.sum(1 - F.col("y")).cast("double").alias("neg"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("bin").desc())
+    w_all = Window.partitionBy()
+    curve = binned.select(
+        "bin",
+        (F.sum("pos").over(w_desc) / F.sum("pos").over(w_all)).alias("tpr"),
+        (F.sum("neg").over(w_desc) / F.sum("neg").over(w_all)).alias("fpr"),
+    ).select(
+        "bin",
+        "tpr",
+        "fpr",
+        F.lag("tpr", 1, 0.0).over(w_desc).alias("tpr_prev"),
+        F.lag("fpr", 1, 0.0).over(w_desc).alias("fpr_prev"),
+    )
+    return curve.agg(
+        F.count("*").cast("long").alias("n_thresholds"),
+        F.round(
+            F.sum(
+                (F.col("fpr") - F.col("fpr_prev"))
+                * (F.col("tpr") + F.col("tpr_prev"))
+                / 2
+            ),
+            6,
+        ).alias("roc_auc"),
+    )
+
+
+@query(
+    "stats-calibration-curve",
+    oracle="""
+        WITH s AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        ext AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        scaled AS (
+            SELECT (score - lo) / (hi - lo) AS conf, y FROM s, ext
+        ),
+        bins AS (
+            SELECT least(9, CAST(floor(conf * 10) AS INT)) AS bin,
+                   avg(conf) AS mean_conf,
+                   avg(CAST(y AS DOUBLE)) AS obs_rate,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM scaled GROUP BY 1
+        )
+        , tot AS (SELECT sum(n) AS tn FROM bins)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               round(mean_conf, 6) AS mean_confidence,
+               round(obs_rate, 6) AS observed_rate,
+               CAST(n AS BIGINT) AS n,
+               round(sum(abs(obs_rate - mean_conf) * n / tn) OVER (), 6)
+                   AS ece
+        FROM bins, tot ORDER BY bin
+    """,
+    doc="Reliability diagram + expected calibration error, treating "
+    "min-max-scaled `value` as a purchase-probability prediction: "
+    "10 confidence bins, each reporting mean predicted confidence "
+    "vs observed positive rate, with ECE = sum(|obs - conf| * "
+    "n_b/n) repeated on every row via a window over the 10-bin "
+    "summary (so the single-number verdict and the curve travel "
+    "together). The is-my-model-honest check that AUC cannot "
+    "answer — a perfectly-ranked model can still be badly "
+    "calibrated. One broadcast min/max pre-pass + one hash agg; "
+    "at 100 TB identical, ECE is algebra over 10 rows.",
+    tags=("stats",),
+)
+def stats_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ext = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    scaled = s.crossJoin(F.broadcast(ext)).select(
+        (
+            (F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+        ).alias("conf"),
+        "y",
+    )
+    bins = scaled.groupBy(
+        F.least(F.lit(9), F.floor(F.col("conf") * 10).cast("int")).alias(
+            "bin"
+        )
+    ).agg(
+        F.avg("conf").alias("mean_conf"),
+        F.avg(F.col("y").cast("double")).alias("obs_rate"),
+        F.count("*").cast("double").alias("n"),
+    )
+    w_all = Window.partitionBy()
+    with_tot = bins.withColumn("tn", F.sum("n").over(w_all))
+    return with_tot.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("mean_conf", 6).alias("mean_confidence"),
+        F.round("obs_rate", 6).alias("observed_rate"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.abs(F.col("obs_rate") - F.col("mean_conf"))
+                * F.col("n")
+                / F.col("tn")
+            ).over(w_all),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
