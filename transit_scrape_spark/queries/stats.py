@@ -2608,3 +2608,131 @@ def stats_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     ).orderBy("bin")
+
+
+@query(
+    "agg-median-of-means",
+    oracle="""
+        WITH grouped AS (
+            SELECT event_id * 2654435761 % 2147483648 % 10 AS grp,
+                   avg(value) AS grp_mean,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               round(quantile_cont(grp_mean, 0.5), 6) AS median_of_means,
+               round(sum(grp_mean * n) / sum(n), 6) AS plain_mean
+        FROM grouped
+    """,
+    doc="Median-of-means robust mean estimator: rows hash into 10 "
+    "deterministic groups (the portable Knuth mix — reshuffling "
+    "the data cannot change the answer, unlike a "
+    "partition-id-based grouping), each group's mean is computed "
+    "map-side-combinably, and the MEDIAN of the 10 group means "
+    "resists heavy-tailed contamination that drags the plain "
+    "mean (reported alongside) — sub-Gaussian concentration from "
+    "a purely aggregate plan, the estimator sketch-based robust "
+    "statistics build on. Exact interpolated median over 10 "
+    "summary rows; the fact table is touched once.",
+    tags=("stats", "agg"),
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.col("event_id") * 2654435761 % 2147483648 % 10
+    grouped = ev.groupBy(grp.alias("grp")).agg(
+        F.avg("value").alias("grp_mean"), F.count("*").alias("n")
+    )
+    return grouped.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.expr("percentile(grp_mean, 0.5)"), 6).alias(
+            "median_of_means"
+        ),
+        F.round(
+            F.sum(F.col("grp_mean") * F.col("n")) / F.sum("n"), 6
+        ).alias("plain_mean"),
+    )
+
+
+@query(
+    "stats-eb-shrinkage",
+    oracle="""
+        WITH rates AS (
+            SELECT c.c_nationkey,
+                   CAST(sum(CASE WHEN o.o_orderstatus = 'F'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS conv,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        ),
+        mom AS (
+            SELECT avg(conv / n) AS mu, var_samp(conv / n) AS v,
+                   avg(n) AS nbar
+            FROM rates
+        ),
+        prior AS (
+            SELECT mu,
+                   mu * (mu * (1 - mu) / v - 1) AS alpha,
+                   (1 - mu) * (mu * (1 - mu) / v - 1) AS beta
+            FROM mom
+        )
+        SELECT r.c_nationkey,
+               CAST(r.n AS BIGINT) AS n_orders,
+               round(r.conv / r.n, 6) AS raw_rate,
+               round((r.conv + p.alpha) / (r.n + p.alpha + p.beta), 6)
+                   AS shrunk_rate,
+               round(p.mu, 6) AS prior_mean
+        FROM rates r, prior p
+        ORDER BY r.c_nationkey
+    """,
+    doc="Empirical-Bayes beta-binomial shrinkage of per-nation "
+    "order-completion rates: method-of-moments fits the Beta prior "
+    "from the BETWEEN-nation rate distribution (alpha+beta = "
+    "mu(1-mu)/var - 1), then every nation's raw rate shrinks "
+    "toward the prior mean by exactly as much as its sample size "
+    "fails to earn — small nations move a lot, big ones barely. "
+    "The fix for 'tiny segment tops the leaderboard' in every "
+    "rate ranking. One fact join+agg to the 25-nation summary, "
+    "one moment aggregation, one broadcast prior join: the "
+    "borrowing-strength pattern at any scale.",
+    tags=("stats",),
+)
+def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rates = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("double")
+            .alias("conv"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    r = F.col("conv") / F.col("n")
+    mom = rates.agg(
+        F.avg(r).alias("mu"), F.var_samp(r).alias("v")
+    )
+    strength = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    prior = mom.select(
+        "mu",
+        (F.col("mu") * strength).alias("alpha"),
+        ((1 - F.col("mu")) * strength).alias("beta"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .select(
+            "c_nationkey",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(r, 6).alias("raw_rate"),
+            F.round(
+                (F.col("conv") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round("mu", 6).alias("prior_mean"),
+        )
+        .orderBy("c_nationkey")
+    )

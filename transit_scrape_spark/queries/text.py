@@ -1982,3 +1982,79 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mattr"), 6).alias("min_doc_mattr"),
         F.round(F.max("mattr"), 6).alias("max_doc_mattr"),
     )
+
+
+@query(
+    "text-langid-eval",
+    oracle="""
+        WITH pred AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and'))) >= 3
+                        THEN 1 ELSE 0 END AS predicted
+            FROM documents
+        ),
+        cells AS (
+            SELECT CAST(sum(actual * predicted) AS DOUBLE) AS tp,
+                   CAST(sum((1 - actual) * predicted) AS DOUBLE) AS fp,
+                   CAST(sum(actual * (1 - predicted)) AS DOUBLE) AS fn,
+                   CAST(sum((1 - actual) * (1 - predicted)) AS DOUBLE) AS tn,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM pred
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               round(tp / (tp + fp), 6) AS precision_,
+               round(tp / (tp + fn), 6) AS recall_,
+               round(2 * tp / (2 * tp + fp + fn), 6) AS f1,
+               round(((tp + tn) / n
+                      - ((tp + fp) * (tp + fn)
+                         + (fn + tn) * (fp + tn)) / (n * n))
+                     / (1 - ((tp + fp) * (tp + fn)
+                             + (fn + tn) * (fp + tn)) / (n * n)), 6)
+                   AS cohens_kappa
+        FROM cells
+    """,
+    doc="Classifier evaluation harness for text-lang-id's stopword "
+    "heuristic against the labeled lang column (binary en vs "
+    "other): the full confusion matrix from ONE conditional "
+    "aggregation (tp/fp/fn/tn as products of indicator columns — "
+    "no groupBy, no shuffle), then precision, recall, F1, and "
+    "Cohen's kappa (chance-corrected agreement — the honest "
+    "number when classes are imbalanced; accuracy alone "
+    "flatters). The evaluate-any-classifier-at-scale template: "
+    "predictions and labels never leave the scan, the confusion "
+    "matrix IS the shuffle payload (4 doubles).",
+    tags=("text", "stats"),
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    pred = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("actual"),
+        F.when(en_hits >= 3, 1).otherwise(0).alias("predicted"),
+    )
+    a, p = F.col("actual"), F.col("predicted")
+    cells = pred.agg(
+        F.sum(a * p).cast("double").alias("tp"),
+        F.sum((1 - a) * p).cast("double").alias("fp"),
+        F.sum(a * (1 - p)).cast("double").alias("fn"),
+        F.sum((1 - a) * (1 - p)).cast("double").alias("tn"),
+        F.count("*").cast("double").alias("n"),
+    )
+    tp, fp, fn, tn, n = (
+        F.col("tp"),
+        F.col("fp"),
+        F.col("fn"),
+        F.col("tn"),
+        F.col("n"),
+    )
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    po = (tp + tn) / n
+    return cells.select(
+        n.cast("long").alias("n_docs"),
+        F.round(tp / (tp + fp), 6).alias("precision_"),
+        F.round(tp / (tp + fn), 6).alias("recall_"),
+        F.round(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
