@@ -2629,3 +2629,95 @@ def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_gain"
         ),
     ).orderBy("decile")
+
+
+@query(
+    "analytics-session-paths",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                       event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW) AS sid
+            FROM gaps
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   string_agg(event_type, ' > ' ORDER BY ts, event_id)
+                       AS path
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths
+        WHERE len(string_split(path, ' > ')) <= 4
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 15
+    """,
+    doc="Top session journey paths: the 30-minute sessionization "
+    "(shared machinery with `sessionize`), each session's ordered "
+    "event-type sequence collapsed to a ' > ' path string via "
+    "ORDER-BY string aggregation (Spark: sort structs then "
+    "concat — collect order is partition-dependent, sorting "
+    "before joining is the determinism discipline "
+    "agg-collect-sorted pins), short paths (<=4 steps) counted "
+    "and ranked. The exploratory complement to funnel-conversion: "
+    "funnels test a hypothesized path, this surfaces the paths "
+    "users actually take. One user_id window shuffle + one "
+    "(user, session) agg + one path-keyed count.",
+)
+def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session").over(wr).alias("sid"),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return (
+        paths.filter(F.size(F.split("path", " > ")) <= 4)
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

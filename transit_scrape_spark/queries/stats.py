@@ -2736,3 +2736,54 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "stats-overdispersion",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS k
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, avg(k) AS mu,
+                   var_samp(k) AS v
+            FROM per_user
+        )
+        SELECT n AS n_users,
+               round(mu, 6) AS mean_events,
+               round(v / mu, 6) AS dispersion_index,
+               round((v - mu) / (mu * mu), 6) AS nb_alpha,
+               round((n - 1) * v / mu, 6) AS poisson_chi2
+        FROM m
+    """,
+    doc="Overdispersion diagnostics for per-user event counts: the "
+    "variance-to-mean dispersion index (1 under Poisson), the "
+    "negative-binomial overdispersion alpha = (v - mu)/mu^2 "
+    "(the NB2 parameter a count regression would need), and the "
+    "(n-1)*v/mu chi-square against the Poisson null. Decides "
+    "whether per-user activity modeling can assume Poisson "
+    "arrivals (stats-exponential-fit-ks tests the same "
+    "assumption from the inter-arrival side — two views, one "
+    "conclusion). Two hash aggs: facts to per-user counts, "
+    "counts to a single moment row.",
+    tags=("stats",),
+)
+def stats_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("k")
+    )
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("k").alias("mu"),
+        F.var_samp("k").alias("v"),
+    )
+    mu, v, n = F.col("mu"), F.col("v"), F.col("n")
+    return m.select(
+        n.alias("n_users"),
+        F.round(mu, 6).alias("mean_events"),
+        F.round(v / mu, 6).alias("dispersion_index"),
+        F.round((v - mu) / (mu * mu), 6).alias("nb_alpha"),
+        F.round((n - 1) * v / mu, 6).alias("poisson_chi2"),
+    )

@@ -1470,3 +1470,102 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vr - 1) * F.sqrt(F.count("r5") * 5.0 / (2 * (5 - 1))), 6
         ).alias("z_approx"),
     )
+
+
+@query(
+    "timeseries-stl-anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        tr AS (
+            SELECT day, x,
+                   CASE WHEN count(*) OVER w7 = 7
+                        THEN avg(x) OVER w7 END AS trend,
+                   (isodow(day) - 1) % 7 AS dow
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING)
+        ),
+        seas AS (
+            SELECT *, avg(x - trend) OVER (PARTITION BY dow)
+                          AS seasonal_raw
+            FROM tr
+        ),
+        norm AS (
+            SELECT *, seasonal_raw - avg(seasonal_raw) OVER () AS seasonal
+            FROM seas
+        ),
+        resid AS (
+            SELECT day, x, x - trend - seasonal AS r
+            FROM norm WHERE trend IS NOT NULL
+        ),
+        scored AS (
+            SELECT day, x, r,
+                   (r - avg(r) OVER ()) / stddev_samp(r) OVER () AS z
+            FROM resid
+        )
+        SELECT day, x AS volume, round(r, 6) AS residual,
+               round(z, 6) AS residual_z
+        FROM scored WHERE abs(z) > 1.5 ORDER BY day
+    """,
+    doc="Seasonality-aware anomaly detection: the timeseries-stl-naive "
+    "decomposition's RESIDUAL is z-scored and days beyond |z| > 1.5 "
+    "flagged — the upgrade over anomaly-zscore that stops crying "
+    "wolf every weekend, because the day-of-week effect and the "
+    "trend are subtracted BEFORE scoring (raw z-scores conflate "
+    "'anomalous' with 'Saturday'). Identical window pipeline to "
+    "the decomposition op (one fact agg, everything else over the "
+    "daily summary) plus one more scoring window; anomalies on "
+    "residuals compose with anomaly-alert-debounce's cooldown "
+    "downstream.",
+    tags=("timeseries",),
+)
+def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.when(F.count("*").over(w7) == 7, F.avg("x").over(w7)).alias(
+            "trend"
+        ),
+        F.weekday("day").alias("dow"),
+    )
+    seas = tr.withColumn(
+        "seasonal_raw",
+        F.avg(F.col("x") - F.col("trend")).over(Window.partitionBy("dow")),
+    )
+    w_all = Window.partitionBy()
+    norm = seas.withColumn(
+        "seasonal",
+        F.col("seasonal_raw") - F.avg("seasonal_raw").over(w_all),
+    )
+    resid = norm.filter(F.col("trend").isNotNull()).select(
+        "day",
+        "x",
+        (F.col("x") - F.col("trend") - F.col("seasonal")).alias("r"),
+    )
+    scored = resid.select(
+        "day",
+        "x",
+        "r",
+        (
+            (F.col("r") - F.avg("r").over(w_all))
+            / F.stddev_samp("r").over(w_all)
+        ).alias("z"),
+    )
+    return (
+        scored.filter(F.abs("z") > 1.5)
+        .select(
+            "day",
+            F.col("x").alias("volume"),
+            F.round("r", 6).alias("residual"),
+            F.round("z", 6).alias("residual_z"),
+        )
+        .orderBy("day")
+    )
