@@ -2721,3 +2721,182 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+@query(
+    "attribution-position-based",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id,
+                   p.p_ts, p.p_id
+            FROM events e
+            JOIN purchases p ON p.user_id = e.user_id
+             AND e.ts >= p.p_ts - INTERVAL 24 HOUR AND e.ts < p.p_ts
+            WHERE e.event_type IN ('click', 'view', 'signup')
+        ),
+        ranked AS (
+            SELECT event_type, p_id,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY ts, event_id) AS pos,
+                   count(*) OVER (PARTITION BY p_id) AS n_touch
+            FROM touches
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE WHEN n_touch = 1 THEN 1.0
+                        WHEN n_touch = 2 THEN 0.5
+                        WHEN pos = 1 THEN 0.4
+                        WHEN pos = n_touch THEN 0.4
+                        ELSE 0.2 / (n_touch - 2) END AS credit
+            FROM ranked
+        )
+        SELECT event_type,
+               round(sum(credit), 4) AS attributed_conversions,
+               CAST(count(*) AS BIGINT) AS n_touches
+        FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution: "
+    "every touchpoint in the 24h window before a purchase gets "
+    "credit — 40% first touch, 40% last, the middle 20% split "
+    "evenly — so channel totals sum exactly to conversions (the "
+    "conservation property single-touch models get for free and "
+    "multi-touch models must prove; the parity check enforces "
+    "it). Touch windows via a time-range join on the user key "
+    "(co-partitioned, bounded by the 24h lookback), position via "
+    "one window per conversion, credit as pure codegen CASE. The "
+    "multi-touch upgrade of attribution-last-touch on the same "
+    "touch relation.",
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (
+            F.col("ts")
+            >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")
+        )
+        & (F.col("ts") < F.col("p_ts")),
+    )
+    wp = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("p_id")
+    ranked = touches.select(
+        "event_type",
+        "p_id",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wn).alias("n_touch"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, 1.0)
+        .when(F.col("n_touch") == 2, 0.5)
+        .when(F.col("pos") == 1, 0.4)
+        .when(F.col("pos") == F.col("n_touch"), 0.4)
+        .otherwise(0.2 / (F.col("n_touch") - 2))
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("attributed_conversions"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "analytics-revenue-decomposition",
+    oracle="""
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                   CAST(count(DISTINCT o_custkey) AS DOUBLE) AS buyers,
+                   CAST(count(*) AS DOUBLE) AS orders_,
+                   sum(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT wk, buyers, orders_, revenue,
+                   lag(buyers) OVER (ORDER BY wk) AS pb,
+                   lag(orders_) OVER (ORDER BY wk) AS po,
+                   lag(revenue) OVER (ORDER BY wk) AS pr
+            FROM weekly
+        )
+        SELECT wk AS week,
+               round(ln(revenue / pr) * 100, 4) AS revenue_growth_logpct,
+               round(ln(buyers / pb) * 100, 4) AS buyers_contrib,
+               round(ln((orders_ / buyers) / (po / pb)) * 100, 4)
+                   AS frequency_contrib,
+               round(ln((revenue / orders_) / (pr / po)) * 100, 4)
+                   AS aov_contrib
+        FROM lagged WHERE pr IS NOT NULL ORDER BY wk
+    """,
+    doc="Multiplicative revenue-growth decomposition: revenue = "
+    "buyers x orders-per-buyer x average-order-value, so weekly "
+    "log-growth splits EXACTLY into three additive "
+    "contributions (ln turns the product into a sum — the "
+    "decomposition identity revenue_growth = buyers_contrib + "
+    "frequency_contrib + aov_contrib holds to the last bit, and "
+    "the parity hash enforces it). Answers 'did revenue move "
+    "because of more buyers, more frequent buying, or bigger "
+    "baskets' in one plan: a weekly multi-distinct agg and lag "
+    "windows over the ~5-row weekly summary.",
+)
+def analytics_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+    ).agg(
+        F.countDistinct("o_custkey").cast("double").alias("buyers"),
+        F.count("*").cast("double").alias("orders_"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("wk")
+    lagged = weekly.select(
+        "wk",
+        "buyers",
+        "orders_",
+        "revenue",
+        F.lag("buyers").over(w).alias("pb"),
+        F.lag("orders_").over(w).alias("po"),
+        F.lag("revenue").over(w).alias("pr"),
+    ).filter(F.col("pr").isNotNull())
+    return lagged.select(
+        F.col("wk").alias("week"),
+        F.round(F.log(F.col("revenue") / F.col("pr")) * 100, 4).alias(
+            "revenue_growth_logpct"
+        ),
+        F.round(F.log(F.col("buyers") / F.col("pb")) * 100, 4).alias(
+            "buyers_contrib"
+        ),
+        F.round(
+            F.log(
+                (F.col("orders_") / F.col("buyers"))
+                / (F.col("po") / F.col("pb"))
+            )
+            * 100,
+            4,
+        ).alias("frequency_contrib"),
+        F.round(
+            F.log(
+                (F.col("revenue") / F.col("orders_"))
+                / (F.col("pr") / F.col("po"))
+            )
+            * 100,
+            4,
+        ).alias("aov_contrib"),
+    ).orderBy("week")
