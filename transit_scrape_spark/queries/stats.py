@@ -2787,3 +2787,88 @@ def stats_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((v - mu) / (mu * mu), 6).alias("nb_alpha"),
         F.round((n - 1) * v / mu, 6).alias("poisson_chi2"),
     )
+
+
+@query(
+    "stats-durbin-watson",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                       AS t, day
+            FROM daily
+        ),
+        fit AS (
+            SELECT (sum(t * y) - sum(t) * sum(y) / count(*))
+                   / (sum(t * t) - sum(t) * sum(t) / count(*)) AS b,
+                   avg(y) AS my, avg(t) AS mt
+            FROM idx
+        ),
+        resid AS (
+            SELECT i.day, i.y - (f.my + f.b * (i.t - f.mt)) AS r
+            FROM idx i, fit f
+        ),
+        seq AS (
+            SELECT r, lag(r) OVER (ORDER BY day) AS rp FROM resid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(sum(CASE WHEN rp IS NOT NULL
+                              THEN power(r - rp, 2) ELSE 0 END)
+                     / sum(r * r), 6) AS durbin_watson
+        FROM seq
+    """,
+    doc="Durbin-Watson test for serial correlation in the residuals "
+    "of a linear trend fit to daily mean value: DW = "
+    "sum((r_t - r_(t-1))^2) / sum(r_t^2), ~2 when residuals are "
+    "independent, ->0 under positive autocorrelation (meaning "
+    "the trend-line's standard errors are lies — THE check "
+    "before trusting any regression on a time series). The OLS "
+    "slope comes from the closed-form moment aggregation "
+    "(timeseries-granger-1lag's pattern, k=1), residuals from a "
+    "broadcast of the 1-row fit, DW from one lag window over "
+    "the ~30-row summary. Facts aggregated exactly once.",
+    tags=("stats", "timeseries"),
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    n = F.count("*")
+    b = (F.sum(F.col("t") * F.col("y")) - F.sum("t") * F.sum("y") / n) / (
+        F.sum(F.col("t") * F.col("t")) - F.sum("t") * F.sum("t") / n
+    )
+    fit = idx.agg(
+        b.alias("b"), F.avg("y").alias("my"), F.avg("t").alias("mt")
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "day",
+        (
+            F.col("y")
+            - (F.col("my") + F.col("b") * (F.col("t") - F.col("mt")))
+        ).alias("r"),
+    )
+    seq = resid.select(
+        "r", F.lag("r").over(Window.orderBy("day")).alias("rp")
+    )
+    return seq.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rp").isNotNull(),
+                    F.pow(F.col("r") - F.col("rp"), 2),
+                ).otherwise(0.0)
+            )
+            / F.sum(F.col("r") * F.col("r")),
+            6,
+        ).alias("durbin_watson"),
+    )

@@ -1425,3 +1425,99 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mx"), 6).alias("max_k_occurrence"),
         F.round(m3 / F.pow(var, 1.5), 6).alias("k_skewness"),
     )
+
+
+@query(
+    "embed-norm-drift-ks",
+    oracle="""
+        WITH norms AS (
+            SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS is0,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                       AS nrm
+            FROM embeddings
+        ),
+        ext AS (SELECT min(nrm) AS lo, max(nrm) AS hi FROM norms),
+        binned AS (
+            SELECT least(63, CAST(floor((nrm - lo) / (hi - lo) * 64.0)
+                                  AS INT)) AS bin,
+                   sum(is0) AS c0, sum(1 - is0) AS c1
+            FROM norms, ext GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT bin,
+                   sum(c0) OVER (ORDER BY bin) AS cum0,
+                   sum(c1) OVER (ORDER BY bin) AS cum1,
+                   sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+            FROM binned
+        )
+        SELECT CAST(max(n0) AS BIGINT) AS n_label0,
+               CAST(max(n1) AS BIGINT) AS n_label1,
+               round(max(abs(CAST(cum0 AS DOUBLE) / n0
+                             - CAST(cum1 AS DOUBLE) / n1)), 6)
+                   AS norm_ks_d
+        FROM ecdf
+    """,
+    doc="Embedding-norm drift screen: binned two-sample KS distance "
+    "between the L2-norm distributions of label-0 and label-1 "
+    "vectors — the cheapest possible detector for 'these two "
+    "embedding populations came from different model versions or "
+    "preprocessing' (norm shifts are the classic symptom of a "
+    "silent encoder swap, and they poison cosine thresholds "
+    "calibrated on the old population). Same 64-bin "
+    "distributed-safe ECDF machinery as stats-ks-binned applied "
+    "to a derived vector statistic: one fold per vector for the "
+    "norm, one min/max pre-pass, one hash agg, windows over 64 "
+    "summary rows. Run it before trusting any cross-batch "
+    "dedup-near-embedding threshold.",
+    tags=("embed", "dq"),
+)
+def embed_norm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    norms = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("is0"),
+        F.sqrt(dot(v, v)).alias("nrm"),
+    )
+    ext = norms.agg(F.min("nrm").alias("lo"), F.max("nrm").alias("hi"))
+    binned = (
+        norms.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("nrm") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 64.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("is0").alias("c0"),
+            F.sum(1 - F.col("is0")).alias("c1"),
+        )
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    ecdf = binned.select(
+        "bin",
+        F.sum("c0").over(w_cum).alias("cum0"),
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c0").over(w_all).alias("n0"),
+        F.sum("c1").over(w_all).alias("n1"),
+    )
+    return ecdf.agg(
+        F.max("n0").cast("long").alias("n_label0"),
+        F.max("n1").cast("long").alias("n_label1"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum0").cast("double") / F.col("n0")
+                    - F.col("cum1").cast("double") / F.col("n1")
+                )
+            ),
+            6,
+        ).alias("norm_ks_d"),
+    )
