@@ -58,6 +58,20 @@ LSH_DEDUP = [
     "dedup-simhash",
     "dedup-ngram-jaccard",
 ]
+# round-4 additions: the heaviest of the ~110 new ops (token-explode
+# and anchors-x-corpus shapes whose 10x behavior is worth pinning)
+R4_HEAVY = [
+    "text-ngram-novelty",
+    "text-burstiness",
+    "text-heaps-law",
+    "embed-intrinsic-dim",
+    "embed-hubness",
+    "analytics-stickiness",
+    "corpus-dedup-impact",
+    "text-rake-keywords",
+    "stats-levene-median",
+    "agg-kmv-sketch",
+]
 
 
 def main() -> None:
@@ -68,7 +82,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     worst = 0.0
-    for op in EXPENSIVE + LSH_DEDUP:
+    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY:
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

@@ -1052,3 +1052,71 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "graph-spectral-radius",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        v0 AS (SELECT node, 1.0 AS x FROM nodes),
+        v1 AS (
+            SELECT e.b AS node, sum(v0.x) AS x
+            FROM edges e JOIN v0 ON v0.node = e.a GROUP BY e.b
+        ),
+        v2 AS (
+            SELECT e.b AS node, sum(v1.x) AS x
+            FROM edges e JOIN v1 ON v1.node = e.a GROUP BY e.b
+        ),
+        v3 AS (
+            SELECT e.b AS node, sum(v2.x) AS x
+            FROM edges e JOIN v2 ON v2.node = e.a GROUP BY e.b
+        ),
+        v4 AS (
+            SELECT e.b AS node, sum(v3.x) AS x
+            FROM edges e JOIN v3 ON v3.node = e.a GROUP BY e.b
+        ),
+        n3 AS (SELECT sqrt(sum(x * x)) AS nrm FROM v3),
+        n4 AS (SELECT sqrt(sum(x * x)) AS nrm FROM v4)
+        SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+               round(n4.nrm / n3.nrm, 6) AS spectral_radius_est
+        FROM n3, n4
+    """,
+    doc="Spectral radius (largest adjacency eigenvalue) of the "
+    "nation-trade graph by four UNROLLED power-method steps from "
+    "the all-ones vector: each step is matvec-as-join-aggregate "
+    "(edges join vector on source, sum into target — the "
+    "fundamental sparse-matvec shape every graph algorithm here "
+    "reduces to), and lambda_max ~ ||A^4 v|| / ||A^3 v||. "
+    "Lambda_max bounds connectivity (>= avg degree, <= max "
+    "degree) and sets epidemic/cascade thresholds (1/lambda). "
+    "Unrolled lazily in ONE Spark plan — no driver loop, no "
+    "collect; embed-power-iteration is the driver-loop sibling "
+    "for when iteration count must be data-dependent.",
+)
+def graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    v = nodes.withColumn("x", F.lit(1.0))
+    vecs = [v]
+    for _ in range(4):
+        v = (
+            edges.join(v, edges.a == v.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.sum("x").alias("x"))
+            .withColumnRenamed("node2", "node")
+        )
+        vecs.append(v)
+    n3 = vecs[3].agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm3"))
+    n4 = vecs[4].agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm4"))
+    cnt = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    return (
+        cnt.crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(n4))
+        .select(
+            "n_nodes",
+            F.round(F.col("nrm4") / F.col("nrm3"), 6).alias(
+                "spectral_radius_est"
+            ),
+        )
+    )

@@ -2872,3 +2872,147 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("durbin_watson"),
     )
+
+
+@query(
+    "stats-wasserstein-binned",
+    oracle="""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        ext AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        binned AS (
+            SELECT least(255, CAST(floor((v - lo) / (hi - lo) * 256.0)
+                                   AS INT)) AS bin,
+                   sum(is1) AS c1, sum(1 - is1) AS c2,
+                   max(hi - lo) AS span
+            FROM s, ext GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT bin, span,
+                   sum(c1) OVER (ORDER BY bin) AS cum1,
+                   sum(c2) OVER (ORDER BY bin) AS cum2,
+                   sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+            FROM binned
+        )
+        SELECT CAST(max(n1) AS BIGINT) AS n1,
+               CAST(max(n2) AS BIGINT) AS n2,
+               round(sum(abs(CAST(cum1 AS DOUBLE) / n1
+                             - CAST(cum2 AS DOUBLE) / n2)
+                         * span / 256.0), 6) AS wasserstein_1
+        FROM ecdf
+    """,
+    doc="Binned 1-D Wasserstein (earth-mover) distance between the "
+    "click and view value distributions: W1 = integral of "
+    "|ECDF1 - ECDF2|, discretized over the same 256-bin grid as "
+    "stats-ks-binned — and the pair is deliberately "
+    "complementary: KS is the MAX ECDF gap (sensitive to one "
+    "sharp shift), W1 the INTEGRAL (sensitive to broad mass "
+    "displacement; drift monitors want both, PSI being the "
+    "log-weighted third). Same scale shape: one min/max "
+    "broadcast pre-pass, one hash agg to 256 cells, cumulative "
+    "windows over the summary, one scalar reduce.",
+    tags=("stats",),
+)
+def stats_wasserstein_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    ext = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("is1").alias("c1"),
+            F.sum(1 - F.col("is1")).alias("c2"),
+            F.max(F.col("hi") - F.col("lo")).alias("span"),
+        )
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    ecdf = binned.select(
+        "bin",
+        "span",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    return ecdf.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+                * F.col("span")
+                / 256.0
+            ),
+            6,
+        ).alias("wasserstein_1"),
+    )
+
+
+@query(
+    "stats-partial-corr",
+    oracle="""
+        WITH m AS (
+            SELECT corr(l_quantity, l_extendedprice) AS rxy,
+                   corr(l_quantity, l_discount) AS rxz,
+                   corr(l_extendedprice, l_discount) AS ryz,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT n AS n_rows,
+               round(rxy, 6) AS corr_qty_price,
+               round((rxy - rxz * ryz)
+                     / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)), 6)
+                   AS partial_corr_given_discount
+        FROM m
+    """,
+    doc="First-order partial correlation of quantity and price "
+    "CONTROLLING for discount: r_xy.z = (r_xy - r_xz*r_yz) / "
+    "sqrt((1-r_xz^2)(1-r_yz^2)) — does the quantity-price "
+    "relationship survive once the shared driver is removed, the "
+    "one-line confounder check that separates 'correlated' from "
+    "'correlated only through z'. All three pairwise "
+    "correlations accumulate side by side in ONE streaming-"
+    "moment scan (the agg-corr-matrix fused-scan shape), and "
+    "the partial is scalar algebra on the summary row. The "
+    "k-confounder generalization inverts the k x k correlation "
+    "matrix driver-side from the same one-pass moments.",
+    tags=("stats",),
+)
+def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("rxy"),
+        F.corr("l_quantity", "l_discount").alias("rxz"),
+        F.corr("l_extendedprice", "l_discount").alias("ryz"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(rxy, 6).alias("corr_qty_price"),
+        F.round(
+            (rxy - rxz * ryz)
+            / (F.sqrt(1 - rxz * rxz) * F.sqrt(1 - ryz * ryz)),
+            6,
+        ).alias("partial_corr_given_discount"),
+    )
