@@ -3016,3 +3016,173 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_corr_given_discount"),
     )
+
+
+@query(
+    "stats-sign-test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY CAST(ts AS DATE)
+            HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+               AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+        ),
+        s AS (
+            SELECT CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS plus,
+                   CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS minus
+            FROM daily
+        )
+        SELECT CAST(plus AS BIGINT) AS days_click_higher,
+               CAST(minus AS BIGINT) AS days_view_higher,
+               round((plus - (plus + minus) / 2)
+                     / sqrt((plus + minus) / 4), 6) AS sign_z
+        FROM s
+    """,
+    doc="Paired sign test: on how many days does the click mean exceed "
+    "the view mean, z-scored against the fair-coin null "
+    "(median difference = 0)? The assumption-free-est paired test "
+    "there is — no normality, no symmetry, just exchangeability — "
+    "and the right first look when stats-welch-ttest's variance "
+    "assumptions are suspect. Pairing by day happens in the one "
+    "conditional daily hash agg (complete days only, ties drop "
+    "out as neither plus nor minus); the binomial z is algebra on "
+    "a 1-row summary. Wilcoxon signed-rank is the power upgrade "
+    "— rank over the same ~30-row summary if needed.",
+    tags=("stats",),
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(click).alias("x"),
+            F.avg(view).alias("y"),
+            F.count(click).alias("nx"),
+            F.count(view).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+    )
+    s = daily.agg(
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+        .cast("double")
+        .alias("plus"),
+        F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+        .cast("double")
+        .alias("minus"),
+    )
+    plus, minus = F.col("plus"), F.col("minus")
+    return s.select(
+        plus.cast("long").alias("days_click_higher"),
+        minus.cast("long").alias("days_view_higher"),
+        F.round(
+            (plus - (plus + minus) / 2) / F.sqrt((plus + minus) / 4), 6
+        ).alias("sign_z"),
+    )
+
+
+@query(
+    "stats-cochran-q",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        flags AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' AND
+                            CAST(ts AS DATE) BETWEEN d0 AND
+                                d0 + INTERVAL 6 DAY
+                            THEN 1 ELSE 0 END) AS w1,
+                   max(CASE WHEN event_type = 'purchase' AND
+                            CAST(ts AS DATE) BETWEEN d0 + INTERVAL 7 DAY
+                                AND d0 + INTERVAL 13 DAY
+                            THEN 1 ELSE 0 END) AS w2,
+                   max(CASE WHEN event_type = 'purchase' AND
+                            CAST(ts AS DATE) BETWEEN d0 + INTERVAL 14 DAY
+                                AND d0 + INTERVAL 20 DAY
+                            THEN 1 ELSE 0 END) AS w3
+            FROM events, span GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(w1) AS DOUBLE) AS c1,
+                   CAST(sum(w2) AS DOUBLE) AS c2,
+                   CAST(sum(w3) AS DOUBLE) AS c3,
+                   CAST(sum(w1 + w2 + w3) AS DOUBLE) AS sr,
+                   CAST(sum(power(w1 + w2 + w3, 2)) AS DOUBLE) AS sr2
+            FROM flags
+        )
+        SELECT n AS n_users,
+               CAST(c1 AS BIGINT) AS week1_purchasers,
+               CAST(c2 AS BIGINT) AS week2_purchasers,
+               CAST(c3 AS BIGINT) AS week3_purchasers,
+               round(3 * 2 * (power(c1 - sr / 3, 2) + power(c2 - sr / 3, 2)
+                              + power(c3 - sr / 3, 2))
+                     / (3 * sr - sr2), 6) AS cochran_q
+        FROM s
+    """,
+    doc="Cochran's Q test — the k-treatment generalization of "
+    "stats-mcnemar: did the same users' weekly purchase incidence "
+    "change across three weeks? Q = k(k-1) * sum_j(C_j - "
+    "Cbar)^2 / (k*sum(R_i) - sum(R_i^2)) ~ chi2(k-1), where "
+    "column totals C_j and per-user row totals R_i both fall out "
+    "of ONE conditional per-user aggregation (the paired "
+    "structure — each user is their own control — costs nothing "
+    "extra in the plan). Under k=2 this algebraically reduces to "
+    "McNemar without the continuity correction; the parity check "
+    "pins all the intermediate column totals so a regression in "
+    "the window logic can't hide in the final scalar.",
+    tags=("stats",),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    evd = ev.crossJoin(F.broadcast(span)).select(
+        "user_id", "event_type", F.to_date("ts").alias("day"), "d0"
+    )
+    purch = F.col("event_type") == "purchase"
+
+    def wk(lo: int, hi: int):
+        return F.max(
+            F.when(
+                purch
+                & (F.col("day") >= F.date_add(F.col("d0"), lo))
+                & (F.col("day") <= F.date_add(F.col("d0"), hi)),
+                1,
+            ).otherwise(0)
+        )
+
+    flags = evd.groupBy("user_id").agg(
+        wk(0, 6).alias("w1"), wk(7, 13).alias("w2"), wk(14, 20).alias("w3")
+    )
+    r = F.col("w1") + F.col("w2") + F.col("w3")
+    s = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w1").cast("double").alias("c1"),
+        F.sum("w2").cast("double").alias("c2"),
+        F.sum("w3").cast("double").alias("c3"),
+        F.sum(r).cast("double").alias("sr"),
+        F.sum(F.pow(r, 2)).cast("double").alias("sr2"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    sr, sr2 = F.col("sr"), F.col("sr2")
+    cbar = sr / 3
+    q = (
+        3
+        * 2
+        * (F.pow(c1 - cbar, 2) + F.pow(c2 - cbar, 2) + F.pow(c3 - cbar, 2))
+        / (3 * sr - sr2)
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        c1.cast("long").alias("week1_purchasers"),
+        c2.cast("long").alias("week2_purchasers"),
+        c3.cast("long").alias("week3_purchasers"),
+        F.round(q, 6).alias("cochran_q"),
+    )
