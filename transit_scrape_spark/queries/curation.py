@@ -1143,3 +1143,55 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus-cross-source-dup",
+    oracle="""
+        WITH keyed AS (
+            SELECT DISTINCT source, md5(lower(trim(text))) AS k
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_docs
+            FROM keyed a JOIN keyed b
+              ON a.k = b.k AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, shared_docs
+        FROM pairs
+        ORDER BY shared_docs DESC, source_a, source_b
+        LIMIT 20
+    """,
+    doc="Cross-source duplication matrix: which source pairs share "
+    "identical (normalized) documents — the syndication/mirror "
+    "detector that tells a corpus curator two 'different' crawl "
+    "sources are the same feed, so their combined weight in "
+    "corpus-resample-mix double-counts. Facts collapse to "
+    "distinct (source, content-hash) pairs; the pair join is "
+    "hash-keyed and equi — each content key contributes only "
+    "its own sources' pairs, fan-out bounded by copies-per-key "
+    "(the dedup-containment-score df-cap applies verbatim if a "
+    "key goes viral). 16-byte digests through every shuffle, "
+    "never text.",
+    tags=("dedup", "corpus"),
+)
+def corpus_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source", F.md5(F.lower(F.trim("text"))).alias("k")
+    ).distinct()
+    a = keyed.select(F.col("source").alias("source_a"), "k")
+    b = keyed.select(F.col("source").alias("source_b"), F.col("k").alias("k2"))
+    return (
+        a.join(
+            b,
+            (F.col("k") == F.col("k2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_docs"))
+        .orderBy(F.col("shared_docs").desc(), "source_a", "source_b")
+        .limit(20)
+    )

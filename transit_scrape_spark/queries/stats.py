@@ -3186,3 +3186,122 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         c3.cast("long").alias("week3_purchasers"),
         F.round(q, 6).alias("cochran_q"),
     )
+
+
+@query(
+    "stats-breusch-pagan",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+            FROM daily
+        ),
+        fit AS (
+            SELECT (sum(t * y) - sum(t) * sum(y) / count(*))
+                   / (sum(t * t) - sum(t) * sum(t) / count(*)) AS b,
+                   avg(y) AS my, avg(t) AS mt
+            FROM idx
+        ),
+        r2aux AS (
+            SELECT count(*) AS n,
+                   power(corr(power(i.y - (f.my + f.b * (i.t - f.mt)), 2),
+                              i.t), 2) AS r2
+            FROM idx i, fit f
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r2, 6) AS aux_r2,
+               round(n * r2, 6) AS breusch_pagan_lm
+        FROM r2aux
+    """,
+    doc="Breusch-Pagan heteroskedasticity test on the daily-mean "
+    "trend fit: regress SQUARED residuals on time — for one "
+    "regressor the auxiliary R^2 is just corr(e^2, t)^2 — and "
+    "LM = n*R^2 ~ chi2(1) under constant variance. Fanning "
+    "residuals mean the trend's confidence bands are wrong in "
+    "opposite directions at the two ends, the partner pathology "
+    "to the serial correlation stats-durbin-watson catches on "
+    "the same fit. Same closed-form-OLS + broadcast-fit "
+    "pipeline; the extra test costs one more moment "
+    "aggregation over the ~30-row summary.",
+    tags=("stats", "timeseries"),
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    n = F.count("*")
+    b = (F.sum(F.col("t") * F.col("y")) - F.sum("t") * F.sum("y") / n) / (
+        F.sum(F.col("t") * F.col("t")) - F.sum("t") * F.sum("t") / n
+    )
+    fit = idx.agg(
+        b.alias("b"), F.avg("y").alias("my"), F.avg("t").alias("mt")
+    )
+    joined = idx.crossJoin(F.broadcast(fit))
+    e2 = F.pow(
+        F.col("y") - (F.col("my") + F.col("b") * (F.col("t") - F.col("mt"))),
+        2,
+    )
+    r2aux = joined.agg(
+        F.count("*").alias("n"),
+        F.pow(F.corr(e2, F.col("t")), 2).alias("r2"),
+    )
+    return r2aux.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("r2", 6).alias("aux_r2"),
+        F.round(F.col("n") * F.col("r2"), 6).alias("breusch_pagan_lm"),
+    )
+
+
+@query(
+    "stats-gamma-fit",
+    oracle="""
+        WITH pos AS (SELECT value AS x FROM events WHERE value > 0),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mu,
+                   var_samp(x) AS v
+            FROM pos
+        )
+        SELECT n AS n_rows,
+               round(mu * mu / v, 6) AS gamma_shape_k,
+               round(v / mu, 6) AS gamma_scale_theta,
+               round(mu, 6) AS mean_check,
+               round(2.0 / sqrt(mu * mu / v), 6) AS implied_skewness
+        FROM m
+    """,
+    doc="Method-of-moments Gamma fit for the positive value "
+    "distribution: shape k = mu^2/var, scale theta = var/mu "
+    "(ONE moment aggregation — the same streaming (n, sum, "
+    "sumsq) state as every var_samp, map-side combinable), plus "
+    "the fit's implied skewness 2/sqrt(k) for a free sanity "
+    "check against stats-jarque-bera's empirical skewness — "
+    "disagreement means Gamma is the wrong family. The "
+    "parametric summary revenue/latency modeling starts from; "
+    "MLE refinement needs digamma iterations but STARTS from "
+    "exactly these MoM values.",
+    tags=("stats",),
+)
+def stats_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.filter(F.col("value") > 0).select(F.col("value").alias("x"))
+    m = pos.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("x").alias("mu"),
+        F.var_samp("x").alias("v"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    k = mu * mu / v
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(k, 6).alias("gamma_shape_k"),
+        F.round(v / mu, 6).alias("gamma_scale_theta"),
+        F.round(mu, 6).alias("mean_check"),
+        F.round(2.0 / F.sqrt(k), 6).alias("implied_skewness"),
+    )
