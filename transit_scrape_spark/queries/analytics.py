@@ -2900,3 +2900,110 @@ def analytics_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
             4,
         ).alias("aov_contrib"),
     ).orderBy("week")
+
+
+@query(
+    "analytics-segment-migration",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        halves AS (
+            SELECT user_id,
+                   CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
+                        THEN 'p1' ELSE 'p2' END AS period,
+                   value, event_type
+            FROM events, span
+        ),
+        scored AS (
+            SELECT user_id, period,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN value ELSE 0 END) AS spend
+            FROM halves GROUP BY user_id, period
+        ),
+        seg AS (
+            SELECT user_id, period,
+                   CASE WHEN spend = 0 THEN 'dormant'
+                        WHEN spend < 50 THEN 'low'
+                        WHEN spend < 200 THEN 'mid'
+                        ELSE 'high' END AS segment
+            FROM scored
+        ),
+        mat AS (
+            SELECT coalesce(a.segment, 'absent') AS seg_from,
+                   coalesce(b.segment, 'absent') AS seg_to,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id, segment FROM seg WHERE period = 'p1') a
+            FULL OUTER JOIN
+                 (SELECT user_id, segment FROM seg WHERE period = 'p2') b
+              ON a.user_id = b.user_id
+            GROUP BY 1, 2
+        )
+        SELECT seg_from, seg_to, n_users,
+               round(n_users / sum(n_users)
+                     OVER (PARTITION BY seg_from), 6) AS p_migrate
+        FROM mat ORDER BY seg_from, seg_to
+    """,
+    doc="Customer segment-migration matrix: users bucketed by purchase "
+    "spend (dormant/low/mid/high) in the first vs second half of "
+    "the window, full-outer-joined on user so appearing/"
+    "disappearing users land in an 'absent' segment instead of "
+    "silently vanishing (the bookkeeping every migration matrix "
+    "gets wrong first), then row-normalized migration "
+    "probabilities. The engine behind 'X% of high-value "
+    "customers downgraded' alerts: two conditional hash aggs, "
+    "one user-keyed full-outer join, one |segments|^2 summary. "
+    "Threshold constants stand in for the quantile cuts "
+    "analytics-rfm derives data-dependently.",
+)
+def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    halves = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.when(
+            F.to_date("ts") < F.date_add(F.col("d0"), 14), "p1"
+        ).otherwise("p2").alias("period"),
+        "value",
+        "event_type",
+    )
+    scored = halves.groupBy("user_id", "period").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("spend")
+    )
+    seg = scored.select(
+        "user_id",
+        "period",
+        F.when(F.col("spend") == 0, "dormant")
+        .when(F.col("spend") < 50, "low")
+        .when(F.col("spend") < 200, "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("period") == "p1").select(
+        "user_id", F.col("segment").alias("seg_a")
+    )
+    b = seg.filter(F.col("period") == "p2").select(
+        F.col("user_id").alias("uid_b"), F.col("segment").alias("seg_b")
+    )
+    mat = (
+        a.join(b, a.user_id == b.uid_b, "full_outer")
+        .select(
+            F.coalesce(F.col("seg_a"), F.lit("absent")).alias("seg_from"),
+            F.coalesce(F.col("seg_b"), F.lit("absent")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    wf = Window.partitionBy("seg_from")
+    return mat.select(
+        "seg_from",
+        "seg_to",
+        "n_users",
+        F.round(F.col("n_users") / F.sum("n_users").over(wf), 6).alias(
+            "p_migrate"
+        ),
+    ).orderBy("seg_from", "seg_to")

@@ -3305,3 +3305,89 @@ def stats_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("mean_check"),
         F.round(2.0 / F.sqrt(k), 6).alias("implied_skewness"),
     )
+
+
+@query(
+    "stats-wilcoxon-signed-rank",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END)
+                   - avg(CASE WHEN event_type = 'view' THEN value END)
+                       AS d
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY CAST(ts AS DATE)
+            HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+               AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+        ),
+        ranked AS (
+            SELECT d,
+                   CAST(row_number() OVER (ORDER BY abs(d), day)
+                        AS DOUBLE) AS r
+            FROM daily WHERE d <> 0
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS w_plus
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(w_plus, 2) AS w_plus,
+               round((w_plus - n * (n + 1) / 4)
+                     / sqrt(n * (n + 1) * (2 * n + 1) / 24), 6)
+                   AS wilcoxon_z
+        FROM s
+    """,
+    doc="Wilcoxon signed-rank test on daily click-minus-view mean "
+    "differences: |d| is ranked (over the ~30-row daily summary "
+    "ONLY — rank the aggregate, the house discipline), W+ sums "
+    "the ranks of positive differences, and the normal "
+    "approximation z = (W+ - n(n+1)/4)/sqrt(n(n+1)(2n+1)/24) "
+    "judges symmetry around zero. Strictly more powerful than "
+    "stats-sign-test (which ignores magnitudes) while still "
+    "normality-free — the standard escalation path when a paired "
+    "design needs more sensitivity. Zero differences drop per "
+    "the classic treatment; continuous daily means make "
+    "|d|-ties measure-zero, so the deterministic (|d|, day) "
+    "tie-break changes nothing statistically but keeps both "
+    "engines bit-identical.",
+    tags=("stats",),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (F.avg(click) - F.avg(view)).alias("d"),
+            F.count(click).alias("nx"),
+            F.count(view).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+    )
+    ranked = daily.filter(F.col("d") != 0).select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.abs("d"), "day"))
+        .cast("double")
+        .alias("r"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+    )
+    n, wp = F.col("n"), F.col("w_plus")
+    return s.select(
+        n.cast("long").alias("n_days"),
+        F.round(wp, 2).alias("w_plus"),
+        F.round(
+            (wp - n * (n + 1) / 4)
+            / F.sqrt(n * (n + 1) * (2 * n + 1) / 24),
+            6,
+        ).alias("wilcoxon_z"),
+    )
