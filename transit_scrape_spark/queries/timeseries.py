@@ -1569,3 +1569,101 @@ def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "timeseries-slope-change",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        seg AS (
+            SELECT y, t, CASE WHEN t <= n / 2 THEN 'pre' ELSE 'post' END
+                       AS period
+            FROM idx
+        ),
+        fits AS (
+            SELECT period,
+                   count(*) AS n,
+                   (sum(t * y) - sum(t) * sum(y) / count(*))
+                   / (sum(t * t) - sum(t) * sum(t) / count(*)) AS slope,
+                   (sum(y * y) - sum(y) * sum(y) / count(*)
+                    - power(sum(t * y) - sum(t) * sum(y) / count(*), 2)
+                      / (sum(t * t) - sum(t) * sum(t) / count(*)))
+                   / (count(*) - 2)
+                   / (sum(t * t) - sum(t) * sum(t) / count(*)) AS var_slope
+            FROM seg GROUP BY period
+        )
+        SELECT round(max(CASE WHEN period = 'pre' THEN slope END), 6)
+                   AS slope_pre,
+               round(max(CASE WHEN period = 'post' THEN slope END), 6)
+                   AS slope_post,
+               round(max(CASE WHEN period = 'post' THEN slope END)
+                     - max(CASE WHEN period = 'pre' THEN slope END), 6)
+                   AS slope_change,
+               round((max(CASE WHEN period = 'post' THEN slope END)
+                      - max(CASE WHEN period = 'pre' THEN slope END))
+                     / sqrt(max(CASE WHEN period = 'pre'
+                                     THEN var_slope END)
+                            + max(CASE WHEN period = 'post'
+                                       THEN var_slope END)), 6)
+                   AS slope_change_z
+        FROM fits
+    """,
+    doc="Interrupted-time-series slope-change test: independent OLS "
+    "trend fits on the first and second halves of the daily "
+    "series, with the slope difference z-scored against the "
+    "combined slope standard errors (var(b) = MSE/Sxx, both in "
+    "closed form from the same moment sums — no matrix algebra, "
+    "no library). Detects TREND breaks that analytics-event-"
+    "study's level comparison misses entirely (a series can keep "
+    "its mean while reversing direction). One fact hash agg; "
+    "both fits come from a single grouped moment aggregation "
+    "over the ~30-row summary — the per-GROUP closed-form-OLS "
+    "generalization of the global fit in stats-durbin-watson.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_slope_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    )
+    seg = idx.select(
+        "y",
+        "t",
+        F.when(F.col("t") <= F.col("n") / 2, "pre").otherwise("post").alias(
+            "period"
+        ),
+    )
+    cnt = F.count("*")
+    sxx = F.sum(F.col("t") * F.col("t")) - F.sum("t") * F.sum("t") / cnt
+    sxy = F.sum(F.col("t") * F.col("y")) - F.sum("t") * F.sum("y") / cnt
+    syy = F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / cnt
+    fits = seg.groupBy("period").agg(
+        (sxy / sxx).alias("slope"),
+        ((syy - F.pow(sxy, 2) / sxx) / (cnt - 2) / sxx).alias("var_slope"),
+    )
+    pre_s = F.max(F.when(F.col("period") == "pre", F.col("slope")))
+    post_s = F.max(F.when(F.col("period") == "post", F.col("slope")))
+    pre_v = F.max(F.when(F.col("period") == "pre", F.col("var_slope")))
+    post_v = F.max(F.when(F.col("period") == "post", F.col("var_slope")))
+    return fits.agg(
+        F.round(pre_s, 6).alias("slope_pre"),
+        F.round(post_s, 6).alias("slope_post"),
+        F.round(post_s - pre_s, 6).alias("slope_change"),
+        F.round((post_s - pre_s) / F.sqrt(pre_v + post_v), 6).alias(
+            "slope_change_z"
+        ),
+    )

@@ -1521,3 +1521,84 @@ def embed_norm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_ks_d"),
     )
+
+
+@query(
+    "embed-centroid-eval",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, t.i AS i, avg(e[t.i]) AS avg_val
+            FROM v, range(1, 65) t(i)
+            GROUP BY label, t.i
+        ),
+        cents AS (
+            SELECT label AS c_label, list(avg_val ORDER BY i) AS cv
+            FROM dims GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, c.c_label,
+                   list_dot_product(v.e, c.cv)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+            FROM v CROSS JOIN cents c
+        ),
+        best AS (
+            SELECT vec_id, label, c_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, c_label) AS rk
+            FROM scored
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(CASE WHEN label = c_label
+                              THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+        FROM best WHERE rk = 1
+    """,
+    doc="Nearest-centroid (Rocchio) classifier evaluation over the "
+    "labeled embeddings: per-label mean vectors (ONE grouped "
+    "aggregation of 64 avg()s — map-side combinable, k x dim "
+    "state), every vector scored against all k centroids by "
+    "cosine with the centroids broadcast (k is tiny; the corpus "
+    "never shuffles), argmax per vector, accuracy vs true label. "
+    "The cheapest possible are-these-embeddings-separable probe "
+    "— run it before investing in a real classifier head; "
+    "accuracy near 1/k means the labels are not in the geometry "
+    "and no ANN tuning will fix retrieval. Companion to "
+    "embed-cluster-purity (unsupervised view of the same "
+    "question).",
+    tags=("embed",),
+)
+def embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    dim = 64
+    cents = emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("e")[i]) for i in range(dim)]
+        ).alias("cv")
+    ).select(F.col("label").alias("c_label"), "cv")
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        cosine(F.col("e"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return best.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(
+            F.avg(
+                F.when(F.col("label") == F.col("c_label"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+    )
