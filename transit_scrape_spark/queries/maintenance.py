@@ -1237,3 +1237,119 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("debiased_estimate"),
         F.round(F.avg(F.col("truth").cast("double")), 6).alias("true_rate"),
     )
+
+
+@query(
+    "dq-winsorize-impact",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                   quantile_cont(o_totalprice, 0.99) AS p99
+            FROM orders
+        ),
+        capped AS (
+            SELECT o_totalprice AS x,
+                   least(greatest(o_totalprice, p01), p99) AS xc,
+                   p01, p99
+            FROM orders, b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN x <> xc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_capped,
+               round(avg(x), 4) AS mean_before,
+               round(avg(xc), 4) AS mean_after,
+               round(stddev_samp(x), 4) AS sd_before,
+               round(stddev_samp(xc), 4) AS sd_after
+        FROM capped
+    """,
+    doc="Winsorization impact report: what 1%/99% capping of order "
+    "totals would change — rows affected, mean and stddev before "
+    "vs after — priced BEFORE committing the transform, the same "
+    "look-before-you-leap posture as corpus-dedup-impact. Capping "
+    "is least(greatest(x, p01), p99) pure codegen after an exact-"
+    "percentile pre-pass broadcast (approx_percentile at 100 TB); "
+    "both raw and capped moment sets accumulate in the SAME "
+    "single-scan aggregation, so the comparison costs one extra "
+    "pass over nothing. Complements agg-trimmed-mean: trimming "
+    "drops tails, winsorizing clamps them — this op quantifies "
+    "the difference on real data.",
+    tags=("dq",),
+)
+def dq_winsorize_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    capped = o.crossJoin(F.broadcast(b)).select(
+        F.col("o_totalprice").alias("x"),
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+        ).alias("xc"),
+    )
+    return capped.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("x") != F.col("xc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+        F.round(F.avg("x"), 4).alias("mean_before"),
+        F.round(F.avg("xc"), 4).alias("mean_after"),
+        F.round(F.stddev_samp("x"), 4).alias("sd_before"),
+        F.round(F.stddev_samp("xc"), 4).alias("sd_after"),
+    )
+
+
+@query(
+    "tpch-refresh-sim",
+    oracle="""
+        WITH inserts AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 100 = 7
+        ),
+        deletes AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 13
+        ),
+        refreshed AS (
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+            UNION ALL
+            SELECT * FROM inserts
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_revenue
+        FROM refreshed
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="TPC-H refresh-stream simulation (RF1 insert + RF2 delete, "
+    "spelled deterministically as keymod slices): ~1% of orders "
+    "re-inserted under shifted keys, a disjoint ~1% deleted via "
+    "anti-join, then the Q1-style status rollup over the "
+    "refreshed relation — the maintenance pattern behind every "
+    "warehouse's nightly incremental load, and the batch twin of "
+    "what merge-upsert/cdc-snapshot-diff do row-wise. The "
+    "anti-join is a broadcast semi-filter (delete keys are "
+    "tiny); the insert branch unions BY POSITION after identical "
+    "projections. At 100 TB the same plan runs partition-"
+    "pruned: refresh slices land in today's partition, the "
+    "rollup re-aggregates only affected partitions.",
+    tags=("tpch", "maintenance"),
+)
+def tpch_refresh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    inserts = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    deletes = o.filter(F.col("o_orderkey") % 100 == 13).select("o_orderkey")
+    kept = o.join(F.broadcast(deletes), "o_orderkey", "left_anti")
+    refreshed = kept.unionByName(inserts)
+    return (
+        refreshed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

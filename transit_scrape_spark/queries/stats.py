@@ -3391,3 +3391,84 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wilcoxon_z"),
     )
+
+
+@query(
+    "stats-holm-bonferroni",
+    oracle="""
+        WITH grand AS (
+            SELECT avg(value) AS gm, var_samp(value) AS gv FROM events
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m
+            FROM events GROUP BY event_type
+        ),
+        tests AS (
+            SELECT event_type,
+                   exp(-power(abs(m - gm) / sqrt(gv / n), 2) / 2) AS p
+            FROM g, grand
+        ),
+        ranked AS (
+            SELECT event_type, p,
+                   row_number() OVER (ORDER BY p, event_type) AS k,
+                   count(*) OVER () AS m_tests
+            FROM tests
+        ),
+        flagged AS (
+            SELECT *,
+                   min(CASE WHEN p > 0.05 / (m_tests - k + 1)
+                            THEN k ELSE m_tests + 1 END)
+                       OVER () AS first_fail
+            FROM ranked
+        )
+        SELECT event_type, round(p, 6) AS p,
+               CAST(k AS BIGINT) AS k,
+               round(0.05 / (m_tests - k + 1), 6) AS holm_threshold,
+               k < first_fail AS rejected
+        FROM flagged ORDER BY k
+    """,
+    doc="Holm-Bonferroni step-DOWN multiple-testing correction over "
+    "the same per-segment test family as stats-benjamini-hochberg "
+    "(deliberately paired: BH steps UP controlling FDR, Holm "
+    "steps DOWN controlling family-wise error — strictly fewer "
+    "rejections, zero false-positive tolerance): sort p "
+    "ascending, compare p_(k) to alpha/(m-k+1), reject "
+    "everything BEFORE the first failure (a min over the ranked "
+    "summary — once one test fails, all later ones fail by "
+    "construction). Same one-fact-pass shape: the whole "
+    "correction runs on the 5-row test summary.",
+    tags=("stats",),
+)
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grand = ev.agg(
+        F.avg("value").alias("gm"), F.var_samp("value").alias("gv")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m")
+    )
+    z = F.abs(F.col("m") - F.col("gm")) / F.sqrt(F.col("gv") / F.col("n"))
+    tests = g.crossJoin(F.broadcast(grand)).select(
+        "event_type", F.exp(-F.pow(z, 2) / 2).alias("p")
+    )
+    w_all = Window.partitionBy()
+    ranked = tests.select(
+        "event_type",
+        "p",
+        F.row_number().over(Window.orderBy("p", "event_type")).alias("k"),
+        F.count("*").over(w_all).alias("m_tests"),
+    )
+    thresh = 0.05 / (F.col("m_tests") - F.col("k") + 1)
+    first_fail = ranked.withColumn(
+        "fail_k",
+        F.when(F.col("p") > thresh, F.col("k")).otherwise(
+            F.col("m_tests") + 1
+        ),
+    ).withColumn("first_fail", F.min("fail_k").over(w_all))
+    return first_fail.select(
+        "event_type",
+        F.round("p", 6).alias("p"),
+        F.col("k").cast("long").alias("k"),
+        F.round(thresh, 6).alias("holm_threshold"),
+        (F.col("k") < F.col("first_fail")).alias("rejected"),
+    ).orderBy("k")
