@@ -3472,3 +3472,148 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(thresh, 6).alias("holm_threshold"),
         (F.col("k") < F.col("first_fail")).alias("rejected"),
     ).orderBy("k")
+
+
+@query(
+    "stats-tost-equivalence",
+    oracle="""
+        WITH g AS (
+            SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n1,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n2,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+                   var_samp(CASE WHEN event_type = 'click' THEN value END)
+                       AS v1,
+                   var_samp(CASE WHEN event_type = 'view' THEN value END)
+                       AS v2
+            FROM events WHERE event_type IN ('click', 'view')
+        )
+        SELECT round(m1 - m2, 6) AS mean_diff,
+               round((m1 - m2 + 5.0) / sqrt(v1 / n1 + v2 / n2), 6)
+                   AS t_lower,
+               round((m1 - m2 - 5.0) / sqrt(v1 / n1 + v2 / n2), 6)
+                   AS t_upper,
+               ((m1 - m2 + 5.0) / sqrt(v1 / n1 + v2 / n2) > 1.644854
+                AND (m1 - m2 - 5.0) / sqrt(v1 / n1 + v2 / n2) < -1.644854)
+                   AS equivalent
+        FROM g
+    """,
+    doc="TOST equivalence test (two one-sided tests, margin +/-5.0): "
+    "rejects BOTH 'diff <= -delta' AND 'diff >= +delta' to "
+    "positively conclude the click and view means are "
+    "equivalent — the statistically honest way to claim 'no "
+    "difference', which a non-significant Welch t (stats-welch-"
+    "ttest on the same summary) can never do. Both one-sided t "
+    "statistics come from the IDENTICAL single conditional-"
+    "aggregate scan; the 1.645 threshold is the one-sided "
+    "alpha=5% normal quantile literal. The do-no-harm launch "
+    "gate: ship when equivalent=true, not when p>0.05.",
+    tags=("stats",),
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    g = ev.agg(
+        F.count(click).alias("n1"),
+        F.count(view).alias("n2"),
+        F.avg(click).alias("m1"),
+        F.avg(view).alias("m2"),
+        F.var_samp(click).alias("v1"),
+        F.var_samp(view).alias("v2"),
+    )
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    diff = F.col("m1") - F.col("m2")
+    t_lo = (diff + 5.0) / se
+    t_hi = (diff - 5.0) / se
+    return g.select(
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > 1.644854) & (t_hi < -1.644854)).alias("equivalent"),
+    )
+
+
+@query(
+    "stats-cuped-adjustment",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        per_user AS (
+            SELECT user_id,
+                   avg(CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
+                            THEN value END) AS x_pre,
+                   avg(CASE WHEN CAST(ts AS DATE) >= d0 + INTERVAL 14 DAY
+                            THEN value END) AS y_post
+            FROM events, span GROUP BY user_id
+        ),
+        cc AS (
+            SELECT x_pre, y_post FROM per_user
+            WHERE x_pre IS NOT NULL AND y_post IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   covar_samp(y_post, x_pre) / var_samp(x_pre) AS theta,
+                   var_samp(y_post) AS vy,
+                   power(corr(y_post, x_pre), 2) AS rho2
+            FROM cc
+        )
+        SELECT n AS n_users,
+               round(theta, 6) AS theta,
+               round(vy, 6) AS var_raw,
+               round(vy * (1 - rho2), 6) AS var_cuped,
+               round(rho2, 6) AS variance_reduction
+        FROM m
+    """,
+    doc="CUPED (controlled-experiment using pre-experiment data) "
+    "variance reduction: each user's pre-period mean value is the "
+    "covariate, theta = cov(Y,X)/var(X) is the optimal adjustment "
+    "coefficient, and the adjusted metric Y - theta*(X - mean(X)) "
+    "has variance var(Y)*(1 - rho^2) — every percentage point of "
+    "rho^2 is experiment runtime you don't need. The single most "
+    "valuable trick in large-scale experimentation, and it is "
+    "ONE conditional per-user aggregation plus ONE moment "
+    "aggregation (cov/var/corr accumulate together, map-side "
+    "combinable) — complete-case users only, since first-session "
+    "users have no pre-period. Pairs with stats-delta-method-ci "
+    "(ratio metrics) and stats-srm-check (validity) as the "
+    "experimentation readout stack.",
+    tags=("stats",),
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cutoff = F.date_add(F.col("d0"), 14)
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.avg(
+                F.when(F.to_date("ts") < cutoff, F.col("value"))
+            ).alias("x_pre"),
+            F.avg(
+                F.when(F.to_date("ts") >= cutoff, F.col("value"))
+            ).alias("y_post"),
+        )
+    )
+    cc = per_user.filter(
+        F.col("x_pre").isNotNull() & F.col("y_post").isNotNull()
+    )
+    m = cc.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.covar_samp("y_post", "x_pre") / F.var_samp("x_pre")
+        ).alias("theta"),
+        F.var_samp("y_post").alias("vy"),
+        F.pow(F.corr("y_post", "x_pre"), 2).alias("rho2"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round("theta", 6).alias("theta"),
+        F.round("vy", 6).alias("var_raw"),
+        F.round(F.col("vy") * (1 - F.col("rho2")), 6).alias("var_cuped"),
+        F.round("rho2", 6).alias("variance_reduction"),
+    )
