@@ -1249,7 +1249,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
-        anchors AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        anchors AS (SELECT * FROM v WHERE vec_id % 10 = 0 AND vec_id < 2000),
         d2 AS (
             SELECT a.vec_id AS aid, b.vec_id AS bid,
                    list_dot_product(a.e, a.e)
@@ -1299,7 +1299,15 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double(F.col("embedding")).alias("e"),
     ).withColumn("bb", dot(F.col("e"), F.col("e")))
-    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+    # FIXED anchor set (ids < 2000), not a fixed fraction: a %-of-corpus
+    # sample makes the anchors x corpus pair count grow QUADRATICALLY
+    # with data size (10x corpus -> 100x pairs); a bounded anchor set
+    # keeps the scan linear in the corpus at any scale, and the TwoNN
+    # estimate needs only enough anchors for a stable mean, not a
+    # constant fraction.
+    anchors = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("aid"),
         F.col("e").alias("ae"),
         F.col("bb").alias("aa"),
@@ -1339,7 +1347,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     CAST(embedding AS DOUBLE[])) AS bb
             FROM embeddings
         ),
-        anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0 AND vec_id < 2000),
         d2 AS (
             SELECT a.vec_id AS aid, b.vec_id AS bid,
                    a.bb - 2 * list_dot_product(a.e, b.e) + b.bb AS dd
@@ -1390,7 +1398,12 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).withColumn("bb", dot(F.col("e"), F.col("e")))
-    anchors = emb.filter(F.col("vec_id") % 5 == 0).select(
+    # fixed anchor set (ids < 2000) for the same linear-scan reason as
+    # embed-intrinsic-dim: fraction-of-corpus anchors would square the
+    # pair count under data growth
+    anchors = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("aid"),
         F.col("e").alias("ae"),
         F.col("bb").alias("aa"),
