@@ -3617,3 +3617,182 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vy") * (1 - F.col("rho2")), 6).alias("var_cuped"),
         F.round("rho2", 6).alias("variance_reduction"),
     )
+
+
+@query(
+    "stats-meta-analysis",
+    oracle="""
+        WITH seg AS (
+            SELECT (isodow(CAST(ts AS DATE)) - 1) % 7 AS dow,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n1,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n2,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+                   var_samp(CASE WHEN event_type = 'click' THEN value END)
+                       AS v1,
+                   var_samp(CASE WHEN event_type = 'view' THEN value END)
+                       AS v2
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1
+        ),
+        effects AS (
+            SELECT dow, m1 - m2 AS d,
+                   v1 / n1 + v2 / n2 AS var_d
+            FROM seg WHERE n1 > 1 AND n2 > 1
+        ),
+        pooled AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(d / var_d) / sum(1 / var_d) AS d_pooled,
+                   1 / sum(1 / var_d) AS var_pooled,
+                   sum(power(d, 2) / var_d)
+                   - power(sum(d / var_d), 2) / sum(1 / var_d) AS q
+            FROM effects
+        )
+        SELECT k AS n_strata,
+               round(d_pooled, 6) AS pooled_effect,
+               round(sqrt(var_pooled), 6) AS pooled_se,
+               round(q, 6) AS cochran_q_het,
+               round(greatest(0, (q - (k - 1)) / q), 6) AS i_squared
+        FROM pooled
+    """,
+    doc="Fixed-effect (inverse-variance) meta-analysis pooling the "
+    "click-vs-view mean difference across day-of-week strata: "
+    "pooled effect = sum(d_i/v_i)/sum(1/v_i), its SE, Cochran's Q "
+    "heterogeneity statistic, and I^2 = (Q-(k-1))/Q — the fraction "
+    "of between-stratum variance that is real signal rather than "
+    "noise (high I^2 says one pooled number is hiding "
+    "effect-modification and a random-effects model or per-"
+    "stratum report is owed). ONE conditional hash agg builds "
+    "every stratum's moments; the pooling identities, including "
+    "Q in its computational one-pass form, reduce the 7-row "
+    "summary. The pattern for combining per-region/per-platform "
+    "experiment readouts at fleet scale.",
+    tags=("stats",),
+)
+def stats_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    seg = ev.groupBy(F.weekday(F.to_date("ts")).alias("dow")).agg(
+        F.count(click).alias("n1"),
+        F.count(view).alias("n2"),
+        F.avg(click).alias("m1"),
+        F.avg(view).alias("m2"),
+        F.var_samp(click).alias("v1"),
+        F.var_samp(view).alias("v2"),
+    )
+    effects = seg.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        (F.col("m1") - F.col("m2")).alias("d"),
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias(
+            "var_d"
+        ),
+    )
+    k = F.count("*")
+    w_sum = F.sum(1 / F.col("var_d"))
+    dw_sum = F.sum(F.col("d") / F.col("var_d"))
+    q = F.sum(F.pow(F.col("d"), 2) / F.col("var_d")) - F.pow(dw_sum, 2) / w_sum
+    pooled = effects.agg(
+        k.cast("long").alias("k"),
+        (dw_sum / w_sum).alias("d_pooled"),
+        (1 / w_sum).alias("var_pooled"),
+        q.alias("q"),
+    )
+    return pooled.select(
+        F.col("k").alias("n_strata"),
+        F.round("d_pooled", 6).alias("pooled_effect"),
+        F.round(F.sqrt("var_pooled"), 6).alias("pooled_se"),
+        F.round("q", 6).alias("cochran_q_het"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), (F.col("q") - (F.col("k") - 1)) / F.col("q")
+            ),
+            6,
+        ).alias("i_squared"),
+    )
+
+
+@query(
+    "stats-cmh-pooled-or",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS k
+            FROM events GROUP BY user_id
+        ),
+        thr AS (SELECT avg(k) AS kbar FROM counts),
+        strata AS (
+            SELECT user_id,
+                   CAST(user_id % 5 AS BIGINT) AS stratum,
+                   user_id % 2 = 0 AS treated,
+                   CASE WHEN k > kbar THEN 1 ELSE 0 END AS converted
+            FROM counts, thr
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(sum(CASE WHEN treated AND converted = 1
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+                   CAST(sum(CASE WHEN treated AND converted = 0
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+                   CAST(sum(CASE WHEN NOT treated AND converted = 1
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+                   CAST(sum(CASE WHEN NOT treated AND converted = 0
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM strata GROUP BY stratum
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               round(sum(a * d / n) / sum(b * c / n), 6) AS cmh_odds_ratio,
+               round(sum(a), 0) AS treated_converters,
+               round(sum(c), 0) AS control_converters
+        FROM cells
+    """,
+    doc="Cochran-Mantel-Haenszel pooled odds ratio: the treatment-vs-"
+    "conversion odds ratio POOLED ACROSS STRATA as OR_cmh = "
+    "sum(a_i*d_i/n_i) / sum(b_i*c_i/n_i) — the confounder-"
+    "adjusted upgrade of stats-odds-ratio (a crude 2x2 collapsed "
+    "over heterogeneous strata can reverse sign: Simpson's "
+    "paradox; CMH can't). Converted = above-average purchase count (a median-split-style "
+    "outcome that stays non-degenerate at every SF); strata are "
+    "deterministic user buckets standing in for the covariate bands a real analysis "
+    "would stratify on. One per-user conditional agg, one "
+    "per-stratum cell agg (5x4 summary), one pooling reduce — "
+    "the entire adjusted analysis is three map-side-combinable "
+    "aggregations.",
+    tags=("stats",),
+)
+def stats_cmh_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k")
+    )
+    thr = counts.agg(F.avg("k").alias("kbar"))
+    strata = counts.crossJoin(F.broadcast(thr)).select(
+        (F.col("user_id") % 5).cast("long").alias("stratum"),
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.when(F.col("k") > F.col("kbar"), 1).otherwise(0).alias("converted"),
+    )
+    t, cv = F.col("treated"), F.col("converted")
+    cells = strata.groupBy("stratum").agg(
+        F.sum(F.when(t & (cv == 1), 1).otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when(t & (cv == 0), 1).otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when(~t & (cv == 1), 1).otherwise(0)).cast("double").alias("c"),
+        F.sum(F.when(~t & (cv == 0), 1).otherwise(0)).cast("double").alias("d"),
+        F.count("*").cast("double").alias("n"),
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.round(
+            F.sum(F.col("a") * F.col("d") / F.col("n"))
+            / F.sum(F.col("b") * F.col("c") / F.col("n")),
+            6,
+        ).alias("cmh_odds_ratio"),
+        F.round(F.sum("a"), 0).alias("treated_converters"),
+        F.round(F.sum("c"), 0).alias("control_converters"),
+    )
