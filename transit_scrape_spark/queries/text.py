@@ -2058,3 +2058,103 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
         F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
     )
+
+
+@query(
+    "text-pmi-cooccurrence",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        df AS (
+            SELECT w, CAST(count(*) AS DOUBLE) AS d
+            FROM tok WHERE w <> '' GROUP BY w
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        top_ AS (
+            SELECT w, d FROM df ORDER BY d DESC, w LIMIT 50
+        ),
+        keep AS (
+            SELECT t.doc_id, t.w, tp.d FROM tok t
+            JOIN top_ tp ON tp.w = t.w
+        ),
+        pairs AS (
+            SELECT a.w AS w1, b.w AS w2,
+                   CAST(count(*) AS DOUBLE) AS both_,
+                   max(a.d) AS d1, max(b.d) AS d2
+            FROM keep a JOIN keep b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY a.w, b.w
+        )
+        SELECT w1, w2, CAST(both_ AS BIGINT) AS n_docs_both,
+               round(ln((both_ / n) / ((d1 / n) * (d2 / n))), 6) AS pmi
+        FROM pairs, nd
+        WHERE both_ >= 5
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 20
+    """,
+    doc="Pointwise mutual information between frequent-token pairs at "
+    "the document level: PMI = ln(p(both)/(p(x)p(y))) over "
+    "document co-occurrence, surfacing collocations that raw "
+    "co-count buries under function-word pairs. The scale "
+    "discipline is the TOP-50-df CAP applied BEFORE the "
+    "doc-keyed self-join — unbounded vocabulary self-joined on "
+    "doc_id is the classic co-occurrence blow-up; capping to a "
+    "broadcastable term set bounds per-doc fan-out at "
+    "C(50,2) and is how real collocation miners window their "
+    "vocabulary. Distinct (doc, token) membership (presence, "
+    "not counts) keeps the relation minimal; n>=5 support "
+    "floor stabilizes the log.",
+    tags=("text", "corpus"),
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    df = tok.groupBy("w").agg(F.count("*").cast("double").alias("d"))
+    nd = d.agg(F.count("*").cast("double").alias("n"))
+    top = df.orderBy(F.col("d").desc(), "w").limit(50)
+    keep = tok.join(F.broadcast(top), "w")
+    a = keep.select("doc_id", F.col("w").alias("w1"), F.col("d").alias("d1"))
+    b = keep.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("w").alias("w2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc2")) & (F.col("w1") < F.col("w2")),
+        )
+        .groupBy("w1", "w2")
+        .agg(
+            F.count("*").cast("double").alias("both_"),
+            F.max("d1").alias("d1"),
+            F.max("d2").alias("d2"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .filter(F.col("both_") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("both_").cast("long").alias("n_docs_both"),
+            F.round(
+                F.log(
+                    (F.col("both_") / F.col("n"))
+                    / ((F.col("d1") / F.col("n")) * (F.col("d2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

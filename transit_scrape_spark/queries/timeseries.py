@@ -1667,3 +1667,89 @@ def timeseries_slope_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_change_z"
         ),
     )
+
+
+@query(
+    "timeseries-spectral-entropy",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT x - avg(x) OVER () AS xc,
+                   CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE)
+                       AS t,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        freqs AS (SELECT CAST(range AS DOUBLE) AS k FROM range(1, 11)),
+        power_ AS (
+            SELECT k,
+                   power(sum(xc * cos(2 * pi() * k * t / n)), 2)
+                   + power(sum(xc * sin(2 * pi() * k * t / n)), 2) AS p
+            FROM idx, freqs GROUP BY k
+        ),
+        norm AS (
+            SELECT k, p / sum(p) OVER () AS q FROM power_
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_freqs,
+               round(-sum(CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END), 6)
+                   AS spectral_entropy,
+               round(-sum(CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END)
+                     / ln(count(*)), 6) AS normalized_se,
+               round(max(q), 6) AS peak_share
+        FROM norm
+    """,
+    doc="Spectral entropy of the daily volume series: the periodogram "
+    "powers (same GROUP-BY DFT as timeseries-periodogram, "
+    "harmonics 1-10) normalized to a distribution, then Shannon "
+    "entropy over frequencies — low entropy = energy concentrated "
+    "in one cycle = FORECASTABLE; entropy near ln(k) = white-"
+    "noise-like, don't bother with seasonal models (the "
+    "forecastability triage feature in every auto-forecasting "
+    "system, e.g. the catch22/tsfeatures battery). Normalized "
+    "variant in [0,1] plus the peak frequency's power share. "
+    "Same scale shape as the periodogram: one fact hash agg, a "
+    "10-row frequency cross, two summary reduces.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        (F.col("x") - F.avg("x").over(w_all)).alias("xc"),
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("double")
+        .alias("t"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    )
+    freqs = spark.range(1, 11).select(F.col("id").cast("double").alias("k"))
+    ang = 2 * F.expr("pi()") * F.col("k") * F.col("t") / F.col("n")
+    power_ = (
+        idx.crossJoin(F.broadcast(freqs))
+        .groupBy("k")
+        .agg(
+            (
+                F.pow(F.sum(F.col("xc") * F.cos(ang)), 2)
+                + F.pow(F.sum(F.col("xc") * F.sin(ang)), 2)
+            ).alias("p")
+        )
+    )
+    norm = power_.select(
+        "k", (F.col("p") / F.sum("p").over(w_all)).alias("q")
+    )
+    ent = -F.sum(
+        F.when(F.col("q") > 0, F.col("q") * F.log("q")).otherwise(0.0)
+    )
+    return norm.agg(
+        F.count("*").cast("long").alias("n_freqs"),
+        F.round(ent, 6).alias("spectral_entropy"),
+        F.round(ent / F.log(F.count("*").cast("double")), 6).alias(
+            "normalized_se"
+        ),
+        F.round(F.max("q"), 6).alias("peak_share"),
+    )
