@@ -3796,3 +3796,71 @@ def stats_cmh_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("a"), 0).alias("treated_converters"),
         F.round(F.sum("c"), 0).alias("control_converters"),
     )
+
+
+@query(
+    "stats-gumbel-maxima",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   max(o_totalprice) AS day_max
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        weekly AS (
+            SELECT CAST(date_trunc('week', day) AS DATE) AS wk,
+                   max(day_max) AS block_max
+            FROM daily GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, avg(block_max) AS mu_x,
+                   stddev_samp(block_max) AS sd
+            FROM weekly
+        )
+        SELECT n AS n_blocks,
+               round(sd * sqrt(6) / pi(), 6) AS gumbel_beta,
+               round(mu_x - 0.5772156649 * sd * sqrt(6) / pi(), 6)
+                   AS gumbel_mu,
+               round(mu_x - 0.5772156649 * sd * sqrt(6) / pi()
+                     - sd * sqrt(6) / pi() * ln(-ln(1 - 1.0 / 52)), 6)
+                   AS return_level_52wk
+        FROM m
+    """,
+    doc="Extreme-value analysis by block maxima: weekly maxima of "
+    "order totals fitted to a Gumbel distribution by method of "
+    "moments (beta = sd*sqrt(6)/pi, mu = mean - gamma*beta with "
+    "Euler-Mascheroni gamma), and the 52-week return level "
+    "mu - beta*ln(-ln(1-1/52)) — 'the largest order we should "
+    "expect in a year', the capacity-planning number that mean "
+    "and p99 cannot give because extremes follow their own "
+    "distribution (Fisher-Tippett). Block maxima are two nested "
+    "hash aggs (day then week — both map-side combinable "
+    "max()), the fit one moment row. The EVT companion to "
+    "stats-hill-tail-index: Hill reads the tail exponent, this "
+    "projects forward.",
+    tags=("stats",),
+)
+def stats_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("wk")
+    ).agg(F.max("day_max").alias("block_max"))
+    m = weekly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("block_max").alias("mu_x"),
+        F.stddev_samp("block_max").alias("sd"),
+    )
+    beta = F.col("sd") * math.sqrt(6) / math.pi
+    mu = F.col("mu_x") - 0.5772156649 * beta
+    return m.select(
+        F.col("n").alias("n_blocks"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(
+            mu - beta * math.log(-math.log(1 - 1.0 / 52)), 6
+        ).alias("return_level_52wk"),
+    )

@@ -2158,3 +2158,61 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text-yule-k",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        counts AS (
+            SELECT w, CAST(count(*) AS DOUBLE) AS m
+            FROM tok WHERE w <> '' GROUP BY w
+        ),
+        s AS (
+            SELECT sum(m) AS n, sum(m * m) AS sm2,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM counts
+        )
+        SELECT CAST(n AS BIGINT) AS n_tokens,
+               v AS vocabulary,
+               round(10000 * (sm2 - n) / (n * n), 6) AS yule_k,
+               round(CAST(v AS DOUBLE) / n, 6) AS ttr
+        FROM s
+    """,
+    doc="Yule's characteristic K — the classic length-invariant "
+    "vocabulary-repetitiveness constant: K = 10^4 * "
+    "(sum(m_w^2) - N) / N^2 over per-token counts m_w (high K = "
+    "few tokens dominate = repetitive/boilerplate corpus; K is "
+    "what raw type-token ratio pretends to be but TTR shrinks "
+    "with corpus size while K does not — both reported so the "
+    "contrast is visible). sum(m^2) is the second moment of the "
+    "count distribution — one explode + one vocabulary-bounded "
+    "hash agg + one scalar reduce, the cheapest corpus-"
+    "fingerprint there is; complements text-mattr-diversity "
+    "(windowed TTR) and text-zipf-slope (rank-frequency shape) "
+    "as the lexical-health triple.",
+    tags=("text", "corpus"),
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("m"))
+    )
+    s = counts.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("m")).alias("sm2"),
+        F.count("*").cast("long").alias("v"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("long").alias("n_tokens"),
+        F.col("v").alias("vocabulary"),
+        F.round(10000 * (F.col("sm2") - n) / (n * n), 6).alias("yule_k"),
+        F.round(F.col("v").cast("double") / n, 6).alias("ttr"),
+    )
