@@ -3864,3 +3864,177 @@ def stats_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu - beta * math.log(-math.log(1 - 1.0 / 52)), 6
         ).alias("return_level_52wk"),
     )
+
+
+@query(
+    "stats-var-backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        rets AS (
+            SELECT day, ln(rev / lag(rev) OVER (ORDER BY day)) AS r
+            FROM daily
+        ),
+        var_ AS (
+            SELECT quantile_cont(r, 0.05) AS var05 FROM rets
+            WHERE r IS NOT NULL
+        ),
+        viol AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN r < var05 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS x
+            FROM rets, var_ WHERE r IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(x AS BIGINT) AS n_violations,
+               round(x / n, 6) AS violation_rate,
+               round(-2 * ((n - x) * ln(0.95) + x * ln(0.05)
+                           - (n - x) * ln(1 - x / n) - x * ln(x / n)),
+                     6) AS kupiec_lr
+        FROM viol WHERE x > 0 AND x < n
+    """,
+    doc="Value-at-Risk backtest on daily revenue log-changes: the "
+    "empirical 5% VaR (exact interpolated quantile; the t-digest "
+    "sketch at 100 TB), violation counting, and the Kupiec "
+    "proportion-of-failures likelihood ratio -2*ln[L(p0)/L(p-"
+    "hat)] ~ chi2(1) — does the model's claimed 5% tail actually "
+    "fire 5% of the time? In-sample here (the quantile and the "
+    "violations share the window) which biases the LR low; the "
+    "production variant computes VaR on a trailing window and "
+    "tests out-of-sample — same plan plus one lag. The "
+    "risk-engine counterpart of stats-calibration-curve: both "
+    "ask 'are your claimed probabilities real'.",
+    tags=("stats", "timeseries"),
+)
+def stats_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    rets = daily.select(
+        "day",
+        F.log(F.col("rev") / F.lag("rev").over(Window.orderBy("day"))).alias(
+            "r"
+        ),
+    ).filter(F.col("r").isNotNull())
+    var_ = rets.agg(F.expr("percentile(r, 0.05)").alias("var05"))
+    viol = rets.crossJoin(F.broadcast(var_)).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("r") < F.col("var05"), 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    import math
+
+    lr = -2 * (
+        (n - x) * math.log(0.95)
+        + x * math.log(0.05)
+        - (n - x) * F.log(1 - x / n)
+        - x * F.log(x / n)
+    )
+    return viol.filter((x > 0) & (x < n)).select(
+        n.cast("long").alias("n_days"),
+        x.cast("long").alias("n_violations"),
+        F.round(x / n, 6).alias("violation_rate"),
+        F.round(lr, 6).alias("kupiec_lr"),
+    )
+
+
+@query(
+    "timeseries-approx-entropy",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT x, lead(x) OVER (ORDER BY day) AS x1,
+                   row_number() OVER (ORDER BY day) AS i,
+                   0.2 * stddev_samp(x) OVER () AS r,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        c1 AS (
+            SELECT a.i, CAST(count(*) AS DOUBLE) / max(a.n) AS ci
+            FROM idx a JOIN idx b ON abs(a.x - b.x) < a.r
+            GROUP BY a.i
+        ),
+        c2 AS (
+            SELECT a.i, CAST(count(*) AS DOUBLE) / (max(a.n) - 1) AS ci
+            FROM idx a JOIN idx b
+              ON abs(a.x - b.x) < a.r AND abs(a.x1 - b.x1) < a.r
+             AND a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+            GROUP BY a.i
+        ),
+        phi AS (
+            SELECT (SELECT avg(ln(ci)) FROM c1) AS phi1,
+                   (SELECT avg(ln(ci)) FROM c2) AS phi2
+        )
+        SELECT round(phi1, 6) AS phi_m1,
+               round(phi2, 6) AS phi_m2,
+               round(phi1 - phi2, 6) AS approx_entropy
+        FROM phi
+    """,
+    doc="Approximate entropy ApEn(m=1, r=0.2*sd) of the daily volume "
+    "series: the regularity statistic from physiological signal "
+    "analysis — low ApEn = patterns repeat (predictable), high = "
+    "irregular. phi_m = mean ln of the fraction of days whose "
+    "length-m template matches within tolerance r; ApEn = phi_1 "
+    "- phi_2. The O(n^2) template matching is a self-join ON THE "
+    "~30-ROW DAILY SUMMARY (the Theil-Sen discipline: quadratic "
+    "in the summary, linear in the facts), with the m=2 "
+    "condition just one extra lead() column in the same join. "
+    "Completes the complexity battery: spectral entropy "
+    "(frequency domain), Hurst (scaling), ApEn (pattern "
+    "recurrence).",
+    tags=("timeseries", "stats"),
+)
+def timeseries_approx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w_all = Window.partitionBy()
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "x",
+        F.lead("x").over(w).alias("x1"),
+        F.row_number().over(w).alias("i"),
+        (0.2 * F.stddev_samp("x").over(w_all)).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    c1 = (
+        a.join(b, F.abs(F.col("a.x") - F.col("b.x")) < F.col("a.r"))
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(
+            (F.count("*").cast("double") / F.max(F.col("a.n"))).alias("ci")
+        )
+    )
+    c2 = (
+        a.join(
+            b,
+            (F.abs(F.col("a.x") - F.col("b.x")) < F.col("a.r"))
+            & (F.abs(F.col("a.x1") - F.col("b.x1")) < F.col("a.r"))
+            & F.col("a.x1").isNotNull()
+            & F.col("b.x1").isNotNull(),
+        )
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(
+            (
+                F.count("*").cast("double") / (F.max(F.col("a.n")) - 1)
+            ).alias("ci")
+        )
+    )
+    phi1 = c1.agg(F.avg(F.log("ci")).alias("phi1"))
+    phi2 = c2.agg(F.avg(F.log("ci")).alias("phi2"))
+    return phi1.crossJoin(F.broadcast(phi2)).select(
+        F.round("phi1", 6).alias("phi_m1"),
+        F.round("phi2", 6).alias("phi_m2"),
+        F.round(F.col("phi1") - F.col("phi2"), 6).alias("approx_entropy"),
+    )
