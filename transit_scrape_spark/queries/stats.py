@@ -4038,3 +4038,125 @@ def timeseries_approx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("phi2", 6).alias("phi_m2"),
         F.round(F.col("phi1") - F.col("phi2"), 6).alias("approx_entropy"),
     )
+
+
+@query(
+    "stats-lorenz-asymmetry",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS r
+            FROM orders GROUP BY o_custkey
+        ),
+        m AS (SELECT avg(r) AS mu, sum(r) AS tot,
+                     CAST(count(*) AS DOUBLE) AS n FROM rev)
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               round(sum(CASE WHEN r < mu THEN 1 ELSE 0 END) / max(n), 6)
+                   AS f_below_mean,
+               round(sum(CASE WHEN r < mu THEN r ELSE 0 END) / max(tot), 6)
+                   AS share_below_mean,
+               round(sum(CASE WHEN r < mu THEN 1 ELSE 0 END) / max(n)
+                     + sum(CASE WHEN r < mu THEN r ELSE 0 END) / max(tot),
+                     6) AS lorenz_asymmetry_s
+        FROM rev, m
+    """,
+    doc="Lorenz asymmetry coefficient S = F(mu) + L(mu): the fraction "
+    "of customers below mean revenue plus their revenue share — "
+    "S = 1 means the Lorenz curve is symmetric, S > 1 says "
+    "inequality is driven by a few giants, S < 1 by many smalls; "
+    "two populations with IDENTICAL Gini (agg-gini-coefficient) "
+    "can differ here, which is why ecology and concentration "
+    "audits report both. Unlike Gini's rank machinery this needs "
+    "NO sort at all: one per-customer agg, one broadcast mean, "
+    "one conditional reduce — strictly cheaper at any scale.",
+    tags=("stats",),
+)
+def stats_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    m = rev.agg(
+        F.avg("r").alias("mu"),
+        F.sum("r").alias("tot"),
+        F.count("*").cast("double").alias("n"),
+    )
+    j = rev.crossJoin(F.broadcast(m))
+    below = F.when(F.col("r") < F.col("mu"), 1).otherwise(0)
+    below_r = F.when(F.col("r") < F.col("mu"), F.col("r")).otherwise(0.0)
+    f_below = F.sum(below) / F.max("n")
+    l_below = F.sum(below_r) / F.max("tot")
+    return j.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(f_below, 6).alias("f_below_mean"),
+        F.round(l_below, 6).alias("share_below_mean"),
+        F.round(f_below + l_below, 6).alias("lorenz_asymmetry_s"),
+    )
+
+
+@query(
+    "timeseries-turning-points",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ctx AS (
+            SELECT x, lag(x) OVER (ORDER BY day) AS p,
+                   lead(x) OVER (ORDER BY day) AS nx,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        s AS (
+            SELECT max(n) AS n,
+                   CAST(sum(CASE WHEN (x > p AND x > nx)
+                                   OR (x < p AND x < nx)
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS tp
+            FROM ctx WHERE p IS NOT NULL AND nx IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(tp AS BIGINT) AS turning_points,
+               round(2 * (n - 2) / 3, 6) AS expected_tp,
+               round((tp - 2 * (n - 2) / 3)
+                     / sqrt((16 * n - 29) / 90), 6) AS z
+        FROM s
+    """,
+    doc="Turning-points test for serial independence: count strict "
+    "local extrema in the daily series and z-score against the "
+    "i.i.d. expectation E[T] = 2(n-2)/3, Var = (16n-29)/90 — too "
+    "FEW turning points means trending, too MANY means "
+    "oscillation/overdifferencing. The third member of the "
+    "randomness triad with stats-runs-test (signs of changes) "
+    "and timeseries-variance-ratio (magnitude scaling): all "
+    "three window the same ~30-row daily summary after one fact "
+    "hash agg, and together they triangulate WHY a series fails "
+    "randomness, not just that it does. Interior days only via "
+    "lag+lead null guards.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    ctx = daily.select(
+        "x",
+        F.lag("x").over(w).alias("p"),
+        F.lead("x").over(w).alias("nx"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    ).filter(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    is_tp = (
+        ((F.col("x") > F.col("p")) & (F.col("x") > F.col("nx")))
+        | ((F.col("x") < F.col("p")) & (F.col("x") < F.col("nx")))
+    )
+    s = ctx.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("double").alias("tp"),
+    )
+    n, tp = F.col("n"), F.col("tp")
+    et = 2 * (n - 2) / 3
+    return s.select(
+        n.cast("long").alias("n_days"),
+        tp.cast("long").alias("turning_points"),
+        F.round(et, 6).alias("expected_tp"),
+        F.round((tp - et) / F.sqrt((16 * n - 29) / 90), 6).alias("z"),
+    )
