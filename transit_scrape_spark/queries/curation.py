@@ -1195,3 +1195,72 @@ def corpus_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_docs").desc(), "source_a", "source_b")
         .limit(20)
     )
+
+
+@query(
+    "corpus-chinchilla-budget",
+    oracle="""
+        WITH keyed AS (
+            SELECT md5(lower(trim(text))) AS k,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        deduped AS (
+            SELECT k, max(toks) AS toks FROM keyed GROUP BY k
+        ),
+        corpus AS (
+            SELECT CAST(sum(toks) AS DOUBLE) AS unique_tokens FROM deduped
+        ),
+        models AS (
+            SELECT unnest([100000000.0, 1000000000.0, 10000000000.0])
+                       AS n_params
+        )
+        SELECT CAST(n_params AS BIGINT) AS model_params,
+               CAST(n_params * 20 AS BIGINT) AS tokens_needed,
+               CAST(unique_tokens AS BIGINT) AS tokens_available,
+               round(unique_tokens / (n_params * 20), 6) AS coverage,
+               CAST(ceil(n_params * 20 / unique_tokens) AS BIGINT)
+                   AS epochs_required
+        FROM models, corpus
+        ORDER BY model_params
+    """,
+    doc="Chinchilla-style training-budget planning: unique (post-"
+    "exact-dedup) token supply vs the ~20-tokens-per-parameter "
+    "compute-optimal demand for candidate model sizes — coverage "
+    "ratio and the epoch count you'd be forced into (epochs > 1 "
+    "means repeating data, with the diminishing returns "
+    "text-ngram-novelty's saturation curve predicts). The "
+    "corpus-side supply number is ONE dedup hash-agg + ONE sum "
+    "(16-byte digests through the shuffle, the corpus-dedup-"
+    "impact machinery); the demand side is a 3-row literal "
+    "model table. The planning readout that decides whether to "
+    "crawl more or dedup less, before any GPU is booked.",
+    tags=("corpus",),
+)
+def corpus_chinchilla_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.md5(F.lower(F.trim("text"))).alias("k"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    deduped = keyed.groupBy("k").agg(F.max("toks").alias("toks"))
+    corpus = deduped.agg(
+        F.sum("toks").cast("double").alias("unique_tokens")
+    )
+    models = spark.createDataFrame(
+        [(1e8,), (1e9,), (1e10,)], "n_params DOUBLE"
+    )
+    need = F.col("n_params") * 20
+    return (
+        models.crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("n_params").cast("long").alias("model_params"),
+            need.cast("long").alias("tokens_needed"),
+            F.col("unique_tokens").cast("long").alias("tokens_available"),
+            F.round(F.col("unique_tokens") / need, 6).alias("coverage"),
+            F.ceil(need / F.col("unique_tokens"))
+            .cast("long")
+            .alias("epochs_required"),
+        )
+        .orderBy("model_params")
+    )
