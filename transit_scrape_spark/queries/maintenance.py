@@ -1353,3 +1353,127 @@ def tpch_refresh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dq-drift-battery",
+    oracle="""
+        WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        s AS (
+            SELECT value AS v,
+                   CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events, span
+        ),
+        ext AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        binned AS (
+            SELECT least(63, CAST(floor((v - lo) / (hi - lo) * 64.0)
+                                  AS INT)) AS bin,
+                   CAST(sum(is_ref) AS DOUBLE) AS c_ref,
+                   CAST(sum(1 - is_ref) AS DOUBLE) AS c_cur,
+                   max(hi - lo) AS span_
+            FROM s, ext GROUP BY 1
+        ),
+        probs AS (
+            SELECT bin, span_,
+                   (c_ref + 0.5) / sum(c_ref + 0.5) OVER () AS p,
+                   (c_cur + 0.5) / sum(c_cur + 0.5) OVER () AS q,
+                   sum(c_ref) OVER (ORDER BY bin)
+                       / sum(c_ref) OVER () AS cdf_ref,
+                   sum(c_cur) OVER (ORDER BY bin)
+                       / sum(c_cur) OVER () AS cdf_cur
+            FROM binned
+        )
+        SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+               round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_d,
+               round(sum(abs(cdf_ref - cdf_cur) * span_ / 64.0), 6)
+                   AS wasserstein_1,
+               round(0.5 * sum(abs(p - q)), 6) AS total_variation
+        FROM probs
+    """,
+    doc="Unified drift battery: PSI, KS, Wasserstein-1, and total "
+    "variation between the first-fortnight (reference) and "
+    "later (current) value distributions, ALL from one shared "
+    "64-bin histogram — four drift metrics, one fact scan, one "
+    "summary window pass. Each metric fails differently (PSI "
+    "explodes on empty-bin mismatches — hence the +0.5 Laplace "
+    "smoothing on the density-based pair only; KS sees the "
+    "worst point; W1 sees total mass displacement; TV bounds "
+    "classifier advantage), so monitors should alert on the "
+    "battery, not a single favorite — and computing all four "
+    "costs exactly what computing one does, which is the point "
+    "of sharing the binned-ECDF machinery across "
+    "dq-distribution-drift-psi / stats-ks-binned / "
+    "stats-wasserstein-binned.",
+    tags=("dq", "stats"),
+)
+def dq_drift_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    s = ev.crossJoin(F.broadcast(span)).select(
+        F.col("value").alias("v"),
+        F.when(
+            F.to_date("ts") < F.date_add(F.col("d0"), 14), 1
+        ).otherwise(0).alias("is_ref"),
+    )
+    ext = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 64.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("is_ref").cast("double").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).cast("double").alias("c_cur"),
+            F.max(F.col("hi") - F.col("lo")).alias("span_"),
+        )
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    probs = binned.select(
+        "bin",
+        "span_",
+        (
+            (F.col("c_ref") + 0.5)
+            / F.sum(F.col("c_ref") + 0.5).over(w_all)
+        ).alias("p"),
+        (
+            (F.col("c_cur") + 0.5)
+            / F.sum(F.col("c_cur") + 0.5).over(w_all)
+        ).alias("q"),
+        (
+            F.sum("c_ref").over(w_cum) / F.sum("c_ref").over(w_all)
+        ).alias("cdf_ref"),
+        (
+            F.sum("c_cur").over(w_cum) / F.sum("c_cur").over(w_all)
+        ).alias("cdf_cur"),
+    )
+    return probs.agg(
+        F.round(
+            F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+            6,
+        ).alias("psi"),
+        F.round(
+            F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6
+        ).alias("ks_d"),
+        F.round(
+            F.sum(
+                F.abs(F.col("cdf_ref") - F.col("cdf_cur"))
+                * F.col("span_")
+                / 64.0
+            ),
+            6,
+        ).alias("wasserstein_1"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 6).alias(
+            "total_variation"
+        ),
+    )

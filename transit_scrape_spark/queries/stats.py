@@ -4160,3 +4160,100 @@ def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(et, 6).alias("expected_tp"),
         F.round((tp - et) / F.sqrt((16 * n - 29) / 90), 6).alias("z"),
     )
+
+
+@query(
+    "stats-youden-threshold",
+    oracle="""
+        WITH s AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        ext AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        binned AS (
+            SELECT least(255, CAST(floor((score - lo) / (hi - lo) * 256.0)
+                                   AS INT)) AS bin,
+                   CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(sum(1 - y) AS DOUBLE) AS neg,
+                   max(lo) AS lo, max(hi) AS hi
+            FROM s, ext GROUP BY 1
+        ),
+        curve AS (
+            SELECT bin, lo, hi,
+                   sum(pos) OVER (ORDER BY bin DESC) / sum(pos) OVER ()
+                       AS tpr,
+                   sum(neg) OVER (ORDER BY bin DESC) / sum(neg) OVER ()
+                       AS fpr
+            FROM binned
+        )
+        SELECT round(lo + bin * (hi - lo) / 256.0, 6) AS threshold,
+               round(tpr, 6) AS tpr,
+               round(fpr, 6) AS fpr,
+               round(tpr - fpr, 6) AS youden_j
+        FROM curve
+        ORDER BY youden_j DESC, bin
+        LIMIT 1
+    """,
+    doc="Optimal classification threshold by Youden's J = TPR - FPR, "
+    "maximized over the same 256-bin descending-threshold sweep as "
+    "stats-roc-auc-binned (shared machinery, different question: "
+    "AUC scores the ranking, J picks the OPERATING POINT — the "
+    "threshold a deployed alert/filter actually needs). J's "
+    "maximum is also the KS statistic of score separation, "
+    "closing the loop with stats-ks-binned. Argmax via "
+    "deterministic (J desc, bin) ordering + LIMIT 1 over the "
+    "256-row summary; one fact hash agg after the broadcast "
+    "min/max pre-pass.",
+    tags=("stats",),
+)
+def stats_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ext = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("double").alias("pos"),
+            F.sum(1 - F.col("y")).cast("double").alias("neg"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("bin").desc())
+    w_all = Window.partitionBy()
+    curve = binned.select(
+        "bin",
+        "lo",
+        "hi",
+        (F.sum("pos").over(w_desc) / F.sum("pos").over(w_all)).alias("tpr"),
+        (F.sum("neg").over(w_desc) / F.sum("neg").over(w_all)).alias("fpr"),
+    )
+    return (
+        curve.select(
+            F.round(
+                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 256.0,
+                6,
+            ).alias("threshold"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+            F.round(F.col("tpr") - F.col("fpr"), 6).alias("youden_j"),
+            F.col("bin"),
+        )
+        .orderBy(F.col("youden_j").desc(), "bin")
+        .limit(1)
+        .drop("bin")
+    )
