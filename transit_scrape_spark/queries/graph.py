@@ -1120,3 +1120,62 @@ def graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph-ktruss-support",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        canon AS (
+            SELECT a, b FROM edges WHERE a < b
+        ),
+        support AS (
+            SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM canon c
+            JOIN edges e1 ON e1.a = c.a
+            JOIN edges e2 ON e2.a = c.b AND e2.b = e1.b
+            GROUP BY c.a, c.b
+        )
+        SELECT s.a, s.b, s.n_triangles,
+               s.n_triangles >= 2 AS in_4truss
+        FROM support s
+        ORDER BY s.n_triangles DESC, s.a, s.b
+        LIMIT 25
+    """,
+    doc="Edge triangle-support and 4-truss membership: each "
+    "(canonical a<b) edge's triangle count comes from the "
+    "two-join wedge closure (neighbors of a intersect neighbors "
+    "of b, expressed as edges joined on both endpoints — the "
+    "graph-triangle-count join re-aggregated PER EDGE), and "
+    "support >= k-2 is the k-truss condition, the "
+    "community-core definition that is strictly stronger than "
+    "k-core (graph-k-core peels on degree; truss peels on "
+    "triangle embedding). One peel round shown; the full truss "
+    "decomposition iterates exactly this query on the "
+    "surviving edge set, cost shrinking per round. Shuffles "
+    "carry node-id pairs only.",
+)
+def graph_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    canon = edges.filter(F.col("a") < F.col("b"))
+    e1 = edges.select(F.col("a").alias("u1"), F.col("b").alias("w1"))
+    e2 = edges.select(F.col("a").alias("u2"), F.col("b").alias("w2"))
+    support = (
+        canon.join(e1, canon.a == F.col("u1"))
+        .join(
+            e2,
+            (canon.b == F.col("u2")) & (F.col("w1") == F.col("w2")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        support.select(
+            "a",
+            "b",
+            "n_triangles",
+            (F.col("n_triangles") >= 2).alias("in_4truss"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "a", "b")
+        .limit(25)
+    )

@@ -1477,3 +1477,93 @@ def dq_drift_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_variation"
         ),
     )
+
+
+@query(
+    "privacy-ldp-histogram",
+    oracle="""
+        WITH flags AS (
+            SELECT DISTINCT user_id,
+                   CAST(user_id % 4 AS BIGINT) AS true_bucket
+            FROM events
+        ),
+        coins AS (
+            SELECT user_id, true_bucket,
+                   (user_id * 2654435761 % 2147483648)
+                       / 2147483648.0 AS c1,
+                   CAST(user_id * 2246822519 % 2147483648 AS BIGINT) % 4
+                       AS rand_bucket
+            FROM flags
+        ),
+        reported AS (
+            SELECT CASE WHEN c1 < 0.5 THEN true_bucket
+                        ELSE rand_bucket END AS bucket,
+                   true_bucket
+            FROM coins
+        ),
+        obs AS (
+            SELECT bucket, CAST(count(*) AS DOUBLE) AS c,
+                   CAST(sum(count(*)) OVER () AS DOUBLE) AS n
+            FROM reported GROUP BY bucket
+        ),
+        truth AS (
+            SELECT true_bucket AS bucket,
+                   CAST(count(*) AS BIGINT) AS true_count
+            FROM reported GROUP BY true_bucket
+        )
+        SELECT o.bucket,
+               CAST(o.c AS BIGINT) AS reported_count,
+               round((o.c - o.n * 0.5 / 4) / 0.5, 2) AS debiased_count,
+               t.true_count
+        FROM obs o JOIN truth t ON t.bucket = o.bucket
+        ORDER BY o.bucket
+    """,
+    doc="Local-DP histogram by generalized randomized response "
+    "(k-RR, k=4 user segments): each user reports their true "
+    "bucket with prob 1/2, else a uniformly random bucket — the "
+    "aggregator NEVER sees true per-user values — and per-bucket "
+    "counts debias as (c - n*(1-p)/k)/p. Deterministic coin and "
+    "random-bucket draws from two independent multiplicative "
+    "mixes (the privacy-randomized-response discipline extended "
+    "from a bit to a categorical), true counts alongside so the "
+    "output exhibits the mechanism's error. One distinct-user "
+    "agg, one map-only mechanism projection, one grouped count "
+    "with a window total — the frequency-oracle shape RAPPOR-"
+    "style telemetry ships at fleet scale.",
+    tags=("privacy",),
+)
+def privacy_ldp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 4).cast("long").alias("true_bucket")
+    )
+    c1 = (F.col("user_id") * 2654435761 % 2147483648) / 2147483648.0
+    rand_bucket = (
+        (F.col("user_id") * 2246822519 % 2147483648).cast("long") % 4
+    )
+    reported = flags.select(
+        F.when(c1 < 0.5, F.col("true_bucket"))
+        .otherwise(rand_bucket)
+        .alias("bucket"),
+        "true_bucket",
+    )
+    obs = reported.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("c")
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    truth = reported.groupBy(
+        F.col("true_bucket").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("true_count"))
+    return (
+        obs.join(truth, "bucket")
+        .select(
+            "bucket",
+            F.col("c").cast("long").alias("reported_count"),
+            F.round((F.col("c") - F.col("n") * 0.5 / 4) / 0.5, 2).alias(
+                "debiased_count"
+            ),
+            "true_count",
+        )
+        .orderBy("bucket")
+    )

@@ -4257,3 +4257,116 @@ def stats_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("bin")
     )
+
+
+@query(
+    "stats-bic-trend-select",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+            FROM daily
+        ),
+        ctr AS (
+            SELECT y - avg(y) OVER () AS yc,
+                   t - avg(t) OVER () AS t1,
+                   t * t - avg(t * t) OVER () AS t2
+            FROM idx
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   sum(yc * yc) AS syy,
+                   sum(t1 * t1) AS s11, sum(t2 * t2) AS s22,
+                   sum(t1 * t2) AS s12,
+                   sum(t1 * yc) AS s1y, sum(t2 * yc) AS s2y
+            FROM ctr
+        ),
+        rss AS (
+            SELECT n, syy AS rss0,
+                   syy - s1y * s1y / s11 AS rss1,
+                   syy - ((s22 * s1y - s12 * s2y) * s1y
+                          + (s11 * s2y - s12 * s1y) * s2y)
+                         / (s11 * s22 - s12 * s12) AS rss2
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(n * ln(rss0 / n) + 1 * ln(n), 6) AS bic_constant,
+               round(n * ln(rss1 / n) + 2 * ln(n), 6) AS bic_linear,
+               round(n * ln(rss2 / n) + 3 * ln(n), 6) AS bic_quadratic,
+               CASE
+                   WHEN n * ln(rss0 / n) + 1 * ln(n)
+                        <= least(n * ln(rss1 / n) + 2 * ln(n),
+                                 n * ln(rss2 / n) + 3 * ln(n))
+                       THEN 'constant'
+                   WHEN n * ln(rss1 / n) + 2 * ln(n)
+                        <= n * ln(rss2 / n) + 3 * ln(n)
+                       THEN 'linear'
+                   ELSE 'quadratic' END AS best_model
+        FROM rss
+    """,
+    doc="BIC model selection for the daily trend: constant vs linear "
+    "vs quadratic fits, each RSS in CLOSED FORM from one moment "
+    "aggregation (the quadratic uses the same centered 2x2 "
+    "normal-equation solve as timeseries-granger-1lag with "
+    "regressors t and t^2), then BIC = n*ln(RSS/n) + k*ln(n) "
+    "picks the model — the principled is-there-even-a-trend "
+    "gate to run before quoting timeseries-slope-change or any "
+    "forecast. All three models share ONE fact hash agg and ONE "
+    "summary moment pass; adding models costs columns, not "
+    "scans. Ties break toward fewer parameters (the <= "
+    "ordering), as parsimony demands.",
+    tags=("stats", "timeseries"),
+)
+def stats_bic_trend_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    w_all = Window.partitionBy()
+    ctr = idx.select(
+        (F.col("y") - F.avg("y").over(w_all)).alias("yc"),
+        (F.col("t") - F.avg("t").over(w_all)).alias("t1"),
+        (
+            F.col("t") * F.col("t")
+            - F.avg(F.col("t") * F.col("t")).over(w_all)
+        ).alias("t2"),
+    )
+    s = ctr.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+        F.sum(F.col("t1") * F.col("t1")).alias("s11"),
+        F.sum(F.col("t2") * F.col("t2")).alias("s22"),
+        F.sum(F.col("t1") * F.col("t2")).alias("s12"),
+        F.sum(F.col("t1") * F.col("yc")).alias("s1y"),
+        F.sum(F.col("t2") * F.col("yc")).alias("s2y"),
+    )
+    n = F.col("n")
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    rss0 = F.col("syy")
+    rss1 = F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")
+    rss2 = F.col("syy") - (
+        (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y"))
+        * F.col("s1y")
+        + (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y"))
+        * F.col("s2y")
+    ) / det
+    bic0 = n * F.log(rss0 / n) + 1 * F.log(n)
+    bic1 = n * F.log(rss1 / n) + 2 * F.log(n)
+    bic2 = n * F.log(rss2 / n) + 3 * F.log(n)
+    return s.select(
+        n.cast("long").alias("n_days"),
+        F.round(bic0, 6).alias("bic_constant"),
+        F.round(bic1, 6).alias("bic_linear"),
+        F.round(bic2, 6).alias("bic_quadratic"),
+        F.when(bic0 <= F.least(bic1, bic2), "constant")
+        .when(bic1 <= bic2, "linear")
+        .otherwise("quadratic")
+        .alias("best_model"),
+    )
