@@ -4370,3 +4370,114 @@ def stats_bic_trend_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("quadratic")
         .alias("best_model"),
     )
+
+
+@query(
+    "stats-xbar-control-chart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS xbar,
+                   var_samp(value) AS s2, count(*) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        pooled AS (
+            SELECT sum(xbar * n) / sum(n) AS gm,
+                   sqrt(sum((n - 1) * s2) / sum(n - 1)) AS sw
+            FROM daily
+        )
+        SELECT day, round(xbar, 6) AS xbar,
+               round(gm - 3 * sw / sqrt(n), 6) AS lcl,
+               round(gm + 3 * sw / sqrt(n), 6) AS ucl,
+               (xbar < gm - 3 * sw / sqrt(n)
+                OR xbar > gm + 3 * sw / sqrt(n)) AS out_of_control
+        FROM daily, pooled
+        ORDER BY day
+    """,
+    doc="X-bar control chart (Shewhart SPC): each day's mean value "
+    "against 3-sigma control limits derived from the POOLED "
+    "WITHIN-day standard deviation — the SPC insight that "
+    "between-day z-scores (anomaly-zscore) get backwards: "
+    "limits must come from common-cause (within-subgroup) "
+    "variation, so a day can be flagged even when between-day "
+    "variance is huge, and vice versa. Variable subgroup sizes "
+    "handled exactly via sw/sqrt(n_day) per-day limits rather "
+    "than tabulated A-constants. One fact hash agg (mean, var, "
+    "n per day), one pooled reduce broadcast back over the "
+    "~30-row summary.",
+    tags=("stats", "timeseries"),
+)
+def stats_xbar_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("xbar"),
+        F.var_samp("value").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    pooled = daily.agg(
+        (F.sum(F.col("xbar") * F.col("n")) / F.sum("n")).alias("gm"),
+        F.sqrt(
+            F.sum((F.col("n") - 1) * F.col("s2")) / F.sum(F.col("n") - 1)
+        ).alias("sw"),
+    )
+    j = daily.crossJoin(F.broadcast(pooled))
+    lcl = F.col("gm") - 3 * F.col("sw") / F.sqrt(F.col("n"))
+    ucl = F.col("gm") + 3 * F.col("sw") / F.sqrt(F.col("n"))
+    return j.select(
+        "day",
+        F.round("xbar", 6).alias("xbar"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        ((F.col("xbar") < lcl) | (F.col("xbar") > ucl)).alias(
+            "out_of_control"
+        ),
+    ).orderBy("day")
+
+
+@query(
+    "stats-uniformity-hours",
+    oracle="""
+        WITH hours AS (
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT sum(c) AS n, count(*) AS k FROM hours)
+        SELECT CAST(max(n) AS BIGINT) AS n_events,
+               CAST(max(k) AS BIGINT) AS n_hours_present,
+               round(sum(power(c - n / 24, 2) / (n / 24)), 6)
+                   AS chi2_uniform,
+               round(max(c) / min(c), 6) AS peak_to_trough
+        FROM hours, tot
+    """,
+    doc="Hour-of-day uniformity chi-square: are events uniformly "
+    "spread over the 24 clock hours (expected n/24 each) or is "
+    "there diurnal structure? Large chi2 vs chi2(23) plus the "
+    "peak-to-trough ratio quantify how much hourly capacity "
+    "planning matters; near-uniform says the synthetic load has "
+    "no diurnal cycle worth modeling (and on real traffic this "
+    "statistic is the first feature of load forecasting). ONE "
+    "hash agg to <=24 cells — expected counts derive from the "
+    "cell sums themselves, no second scan. Timezone note: "
+    "hour() reads session-local time in both engines over the "
+    "same NTZ-normalized timestamps, so parity pins the "
+    "timezone handling too.",
+    tags=("stats", "timeseries"),
+)
+def stats_uniformity_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("double").alias("c"))
+    w_all = Window.partitionBy()
+    j = hours.withColumn("n", F.sum("c").over(w_all)).withColumn(
+        "k", F.count("*").over(w_all)
+    )
+    exp = F.col("n") / 24
+    return j.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("k").cast("long").alias("n_hours_present"),
+        F.round(F.sum(F.pow(F.col("c") - exp, 2) / exp), 6).alias(
+            "chi2_uniform"
+        ),
+        F.round(F.max("c") / F.min("c"), 6).alias("peak_to_trough"),
+    )

@@ -1753,3 +1753,122 @@ def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("q"), 6).alias("peak_share"),
     )
+
+
+@query(
+    "timeseries-lttb-downsample",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT day, y,
+                   CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE)
+                       AS t,
+                   CAST(count(*) OVER () AS DOUBLE) AS n
+            FROM daily
+        ),
+        bucketed AS (
+            SELECT *, least(9, CAST(floor(t * 10 / n) AS INT)) AS bucket
+            FROM idx
+        ),
+        means AS (
+            SELECT bucket, avg(t) AS mt, avg(y) AS my FROM bucketed
+            GROUP BY bucket
+        ),
+        ctx AS (
+            SELECT b.bucket, b.day, b.y, b.t, m.my,
+                   lp.mt AS prev_mt, lp.my AS prev_my,
+                   ln.mt AS next_mt, ln.my AS next_my
+            FROM bucketed b
+            JOIN means m ON m.bucket = b.bucket
+            LEFT JOIN means lp ON lp.bucket = b.bucket - 1
+            LEFT JOIN means ln ON ln.bucket = b.bucket + 1
+        ),
+        scored AS (
+            SELECT bucket, day, y,
+                   abs((coalesce(prev_mt, t - 1) - next_mt)
+                       * (y - coalesce(next_my, y))
+                       - (coalesce(prev_mt, t - 1) - t)
+                       * (coalesce(next_my, my) - y)) AS area
+            FROM ctx
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, day,
+               CAST(y AS BIGINT) AS value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY bucket
+                          ORDER BY area DESC, day) AS rk
+            FROM scored
+        ) WHERE rk = 1
+        ORDER BY bucket
+    """,
+    doc="LTTB-style downsampling (largest-triangle three-buckets, "
+    "parallel variant): the series splits into 10 buckets and "
+    "each keeps the point forming the largest triangle with its "
+    "NEIGHBOR BUCKETS' MEAN points — the visually-faithful "
+    "downsample dashboards need (uniform sampling erases peaks; "
+    "this provably keeps them). Canonical LTTB anchors on the "
+    "previously SELECTED point, a sequential dependency; "
+    "anchoring on bucket means instead (documented deviation, "
+    "both engines identical) makes every bucket independent — "
+    "fully parallel, one window per bucket — at negligible "
+    "visual cost. Edge buckets fall back to degenerate anchors "
+    "via coalesce. The plan: one fact agg, a 10-row means "
+    "join, WindowGroupLimit argmax per bucket.",
+    tags=("timeseries",),
+)
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("double")
+        .alias("t"),
+        F.count("*").over(w_all).cast("double").alias("n"),
+    )
+    bucketed = idx.withColumn(
+        "bucket",
+        F.least(F.lit(9), F.floor(F.col("t") * 10 / F.col("n")).cast("int")),
+    )
+    means = bucketed.groupBy("bucket").agg(
+        F.avg("t").alias("mt"), F.avg("y").alias("my")
+    )
+    lp = means.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("mt").alias("prev_mt"),
+        F.col("my").alias("prev_my"),
+    )
+    ln_ = means.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("mt").alias("next_mt"),
+        F.col("my").alias("next_my"),
+    )
+    ctx = (
+        bucketed.join(F.broadcast(means), "bucket")
+        .join(F.broadcast(lp), "bucket", "left")
+        .join(F.broadcast(ln_), "bucket", "left")
+    )
+    area = F.abs(
+        (F.coalesce(F.col("prev_mt"), F.col("t") - 1) - F.col("next_mt"))
+        * (F.col("y") - F.coalesce(F.col("next_my"), F.col("y")))
+        - (F.coalesce(F.col("prev_mt"), F.col("t") - 1) - F.col("t"))
+        * (F.coalesce(F.col("next_my"), F.col("my")) - F.col("y"))
+    )
+    scored = ctx.select("bucket", "day", "y", area.alias("area"))
+    wr = Window.partitionBy("bucket").orderBy(F.col("area").desc(), "day")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "day",
+            F.col("y").cast("long").alias("value"),
+        )
+        .orderBy("bucket")
+    )
