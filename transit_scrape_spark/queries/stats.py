@@ -4481,3 +4481,249 @@ def stats_uniformity_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c") / F.min("c"), 6).alias("peak_to_trough"),
     )
+
+
+@query(
+    "stats-kendall-tau",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY CAST(ts AS DATE)
+            HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+               AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                        ELSE 0 END AS concordant,
+                   CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1
+                        ELSE 0 END AS discordant
+            FROM daily a JOIN daily b ON a.day < b.day
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(concordant) AS BIGINT) AS concordant,
+               CAST(sum(discordant) AS BIGINT) AS discordant,
+               round(CAST(sum(concordant) - sum(discordant) AS DOUBLE)
+                     / count(*), 6) AS kendall_tau
+        FROM pairs
+    """,
+    doc="Kendall's tau rank correlation between daily click and view "
+    "mean values: concordant-minus-discordant pair fraction over "
+    "all C(n,2) day pairs. The O(n^2) pair join runs on the "
+    "~30-ROW DAILY SUMMARY (the Theil-Sen discipline — quadratic "
+    "in the summary, linear in the facts; for raw-row tau at "
+    "scale you'd use the O(n log n) merge-sort inversion count "
+    "instead). Continuous daily means make ties measure-zero so "
+    "tau-a == tau-b here. Completes the correlation triple with "
+    "stats-spearman-corr (rank-linear) and agg-corr-matrix "
+    "(Pearson): tau's pairwise-agreement semantics is the most "
+    "robust of the three to outliers and the natural one for "
+    "agreement-between-rankings questions.",
+    tags=("stats",),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(click).alias("x"),
+            F.avg(view).alias("y"),
+            F.count(click).alias("nx"),
+            F.count(view).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select("day", "x", "y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("concordant"),
+        F.when(prod < 0, 1).otherwise(0).alias("discordant"),
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("concordant").cast("long").alias("concordant"),
+        F.sum("discordant").cast("long").alias("discordant"),
+        F.round(
+            (F.sum("concordant") - F.sum("discordant")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+@query(
+    "stats-quantile-ci",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS m
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, day) AS r,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        bounds AS (
+            SELECT n,
+                   greatest(1, CAST(floor(0.9 * n
+                       - 1.959964 * sqrt(n * 0.9 * 0.1)) AS BIGINT))
+                       AS r_lo,
+                   least(n, CAST(ceil(0.9 * n
+                       + 1.959964 * sqrt(n * 0.9 * 0.1)) + 1 AS BIGINT))
+                       AS r_hi
+            FROM ranked LIMIT 1
+        )
+        SELECT CAST(max(r.n) AS BIGINT) AS n_days,
+               round(max(CASE WHEN r.r = CAST(ceil(0.9 * r.n) AS BIGINT)
+                              THEN r.m END), 6) AS p90_point,
+               round(max(CASE WHEN r.r = b.r_lo THEN r.m END), 6)
+                   AS ci_lo,
+               round(max(CASE WHEN r.r = b.r_hi THEN r.m END), 6)
+                   AS ci_hi
+        FROM ranked r, bounds b
+    """,
+    doc="Distribution-free confidence interval for the p90 of daily "
+    "mean values via order statistics: the binomial bounds "
+    "r = n*q +/- z*sqrt(n*q*(1-q)) name the RANKS whose values "
+    "bracket the true quantile at ~95% coverage — no normality, "
+    "no bootstrap resampling, just the ranked summary (the "
+    "classic Conover construction). Ranking happens on the "
+    "~30-row daily aggregate only; at raw-fact scale the same "
+    "bounds apply to sketch quantiles by querying the t-digest "
+    "at the bound ranks. The honest error bar that "
+    "agg-percentile's point estimate lacks.",
+    tags=("stats",),
+)
+def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "day")).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    q, z = 0.9, 1.959964
+    n = F.col("n")
+    r_lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(q * n - z * F.sqrt(n * q * (1 - q))).cast("long"),
+    )
+    r_hi = F.least(
+        n.cast("long"),
+        (F.ceil(q * n + z * F.sqrt(n * q * (1 - q))) + 1).cast("long"),
+    )
+    point_r = F.ceil(q * n).cast("long")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(
+            F.max(F.when(F.col("r") == point_r, F.col("m"))), 6
+        ).alias("p90_point"),
+        F.round(F.max(F.when(F.col("r") == r_lo, F.col("m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("r") == r_hi, F.col("m"))), 6).alias(
+            "ci_hi"
+        ),
+    )
+
+
+@query(
+    "stats-runs-median",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        med AS (SELECT quantile_cont(x, 0.5) AS md FROM daily),
+        side AS (
+            SELECT day, CASE WHEN x > md THEN 1
+                             WHEN x < md THEN 0 END AS above
+            FROM daily, med
+        ),
+        runs AS (
+            SELECT above,
+                   CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                             OR above <> lag(above) OVER (ORDER BY day)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM side WHERE above IS NOT NULL
+        ),
+        s AS (
+            SELECT CAST(sum(above) AS DOUBLE) AS n1,
+                   CAST(sum(1 - above) AS DOUBLE) AS n2,
+                   CAST(sum(new_run) AS DOUBLE) AS r
+            FROM runs
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_above,
+               CAST(n2 AS BIGINT) AS n_below,
+               CAST(r AS BIGINT) AS n_runs,
+               round((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                     / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                            / (power(n1 + n2, 2) * (n1 + n2 - 1))), 6)
+                   AS z
+        FROM s
+    """,
+    doc="Runs-above-median test: dichotomize the daily series at its "
+    "median and count runs of consecutive same-side days — the "
+    "LEVEL-persistence complement to stats-runs-test (which "
+    "dichotomizes day-over-day CHANGES): a slow sinusoid passes "
+    "the up/down runs test but fails this one, because its "
+    "level stays above median for long stretches. Same "
+    "E[R] = 2*n1*n2/(n1+n2)+1 null machinery; median from an "
+    "exact interpolated percentile over the daily summary; "
+    "exactly-median days drop as neither side. One fact hash "
+    "agg, everything else windows over ~30 rows.",
+    tags=("stats", "timeseries"),
+)
+def stats_runs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    med = daily.agg(F.expr("percentile(x, 0.5)").alias("md"))
+    side = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("x") > F.col("md"), 1)
+        .when(F.col("x") < F.col("md"), 0)
+        .alias("above"),
+    ).filter(F.col("above").isNotNull())
+    w = Window.orderBy("day")
+    runs = side.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.col("above") != F.lag("above").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("above").cast("double").alias("n1"),
+        F.sum(1 - F.col("above")).cast("double").alias("n2"),
+        F.sum("new_run").cast("double").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round((r - er) / F.sqrt(vr), 6).alias("z"),
+    )
