@@ -3007,3 +3007,130 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_migrate"
         ),
     ).orderBy("seg_from", "seg_to")
+
+
+@query(
+    "analytics-pareto-point",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS r
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT r,
+                   row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+                   count(*) OVER () AS n,
+                   sum(r) OVER () AS tot
+            FROM rev
+        ),
+        cum AS (
+            SELECT rk, n,
+                   sum(r) OVER (ORDER BY rk) / tot AS cum_share
+            FROM ranked
+        )
+        SELECT CAST(min(n) AS BIGINT) AS n_customers,
+               CAST(min(CASE WHEN cum_share >= 0.8 THEN rk END)
+                    AS BIGINT) AS customers_for_80pct,
+               round(CAST(min(CASE WHEN cum_share >= 0.8 THEN rk END)
+                          AS DOUBLE) / min(n), 6) AS pareto_fraction
+        FROM cum
+    """,
+    doc="The Pareto point: the smallest top-k customer set whose "
+    "cumulative revenue crosses 80%, as a count and as a "
+    "fraction of the customer base — the single number behind "
+    "'X% of customers drive 80% of revenue', sharper than "
+    "abc-revenue-deciles' ntile buckets because it reports the "
+    "exact crossing rank. Ranking and the cumulative share run "
+    "over the per-customer SUMMARY (one fact hash agg first); "
+    "the crossing rank is min-over-threshold, no second scan. "
+    "Reads together with agg-gini-coefficient and "
+    "stats-lorenz-asymmetry as the concentration triptych.",
+)
+def analytics_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), "o_custkey"))
+        .alias("rk"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("r").over(w_all).alias("tot"),
+    )
+    cum = ranked.select(
+        "rk",
+        "n",
+        (
+            F.sum("r")
+            .over(
+                Window.orderBy("rk").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            / F.col("tot")
+        ).alias("cum_share"),
+    )
+    crossing = F.min(F.when(F.col("cum_share") >= 0.8, F.col("rk")))
+    return cum.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        crossing.cast("long").alias("customers_for_80pct"),
+        F.round(crossing.cast("double") / F.min("n"), 6).alias(
+            "pareto_fraction"
+        ),
+    )
+
+
+@query(
+    "analytics-fulfillment-latency",
+    oracle="""
+        WITH lat AS (
+            SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mth
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT mth,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 4)
+                   AS p50_days,
+               round(quantile_cont(CAST(lag_days AS DOUBLE), 0.95), 4)
+                   AS p95_days,
+               round(avg(lag_days), 4) AS mean_days
+        FROM lat GROUP BY mth ORDER BY mth
+    """,
+    doc="Order-to-ship fulfillment latency by order month: the "
+    "operational SLA readout (p50/p95/mean days from order "
+    "placement to line shipment) that a logistics dashboard "
+    "tracks for degradation. One fact-fact key join "
+    "(co-partitioned on orderkey — the join every TPC-H query "
+    "pays), one hash agg to per-month cells with exact "
+    "interpolated percentiles (approx_percentile's sketch at "
+    "100 TB, where per-month t-digests also merge incrementally "
+    "as new days land — the rollup-incremental-merge pattern "
+    "applied to latency SLOs).",
+)
+def analytics_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth"),
+    )
+    return (
+        lat.groupBy("mth")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.round(
+                F.expr("percentile(CAST(lag_days AS DOUBLE), 0.5)"), 4
+            ).alias("p50_days"),
+            F.round(
+                F.expr("percentile(CAST(lag_days AS DOUBLE), 0.95)"), 4
+            ).alias("p95_days"),
+            F.round(F.avg("lag_days"), 4).alias("mean_days"),
+        )
+        .orderBy("mth")
+    )

@@ -1615,3 +1615,66 @@ def embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+@query(
+    "embed-effective-rank",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        dims AS (
+            SELECT t.i AS i, var_pop(e[t.i]) AS lam
+            FROM v, range(1, 65) t(i)
+            GROUP BY t.i
+        )
+        SELECT CAST(count(*) AS BIGINT) AS ambient_dim,
+               round(power(sum(lam), 2) / sum(lam * lam), 6)
+                   AS participation_ratio,
+               round(exp(-sum((lam / (SELECT sum(lam) FROM dims))
+                              * ln(lam / (SELECT sum(lam) FROM dims)))),
+                     6) AS entropy_effective_rank
+        FROM dims
+    """,
+    doc="Effective rank of the embedding cloud from per-dimension "
+    "variances: the participation ratio (sum(lam))^2/sum(lam^2) "
+    "and the entropy effective rank exp(H(lam/sum)) — two "
+    "standard condensations of 'how many dimensions actually "
+    "carry variance'. DIAGONAL approximation by construction "
+    "(per-coordinate variances, not covariance eigenvalues — "
+    "exact when features are decorrelated, an upper bound "
+    "otherwise; embed-power-iteration + deflation is the exact "
+    "path), which is precisely what one grouped aggregation "
+    "over an exploded dim index can deliver at any corpus "
+    "size: 64 cells, map-side combinable. Low effective rank "
+    "relative to ambient warns that matryoshka-style truncation "
+    "(embed-matryoshka-recall) is nearly free.",
+    tags=("embed",),
+)
+def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("e")
+    )
+    dim = 64
+    idx = spark.range(0, dim).select(F.col("id").cast("int").alias("i"))
+    dims = (
+        emb.crossJoin(F.broadcast(idx))
+        .select(F.col("i"), F.element_at(F.col("e"), F.col("i") + 1).alias("x"))
+        .groupBy("i")
+        .agg(F.var_pop("x").alias("lam"))
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    withp = dims.withColumn(
+        "p", F.col("lam") / F.sum("lam").over(w_all)
+    )
+    return withp.agg(
+        F.count("*").cast("long").alias("ambient_dim"),
+        F.round(
+            F.pow(F.sum("lam"), 2) / F.sum(F.col("lam") * F.col("lam")), 6
+        ).alias("participation_ratio"),
+        F.round(
+            F.exp(-F.sum(F.col("p") * F.log("p"))), 6
+        ).alias("entropy_effective_rank"),
+    )
