@@ -3134,3 +3134,151 @@ def analytics_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("mth")
     )
+
+
+@query(
+    "analytics-ltv-projection",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS d0 FROM p GROUP BY user_id
+        ),
+        maxd AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+        activity AS (
+            SELECT DISTINCT p.user_id,
+                   CAST(date_diff('day', f.d0, p.day) AS BIGINT) AS age
+            FROM p JOIN firsts f ON f.user_id = p.user_id
+        ),
+        cohorts AS (
+            SELECT d0, CAST(count(*) AS DOUBLE) AS size,
+                   CAST(date_diff('day', d0, md) AS BIGINT) AS capacity
+            FROM firsts, maxd GROUP BY d0, md
+        ),
+        ages AS (SELECT DISTINCT age FROM activity WHERE age >= 1),
+        observable AS (
+            SELECT a.age, sum(c.size) AS denom
+            FROM ages a JOIN cohorts c ON c.capacity >= a.age
+            GROUP BY a.age
+        ),
+        active AS (
+            SELECT age, CAST(count(*) AS DOUBLE) AS numer
+            FROM activity WHERE age >= 1 GROUP BY age
+        ),
+        pts AS (
+            SELECT ln(CAST(o.age AS DOUBLE)) AS lx,
+                   ln(a.numer / o.denom) AS ly
+            FROM observable o JOIN active a ON a.age = o.age
+            WHERE a.numer > 0 AND a.numer < o.denom
+        ),
+        fit AS (
+            SELECT (sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                   / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)) AS beta,
+                   exp((sum(ly) - (sum(lx * ly) - sum(lx) * sum(ly)
+                                   / count(*))
+                                  / (sum(lx * lx) - sum(lx) * sum(lx)
+                                     / count(*)) * sum(lx))
+                       / count(*)) AS k
+            FROM pts
+        ),
+        spend AS (
+            SELECT avg(value) AS aov,
+                   CAST(count(*) AS DOUBLE)
+                       / count(DISTINCT user_id) AS buys_per_active_day
+            FROM p
+        ),
+        horizon AS (SELECT unnest(range(1, 91)) AS t)
+        SELECT round(min(k), 6) AS retention_k,
+               round(min(beta), 6) AS retention_beta,
+               round(min(aov), 4) AS avg_order_value,
+               round(min(aov) * sum(k * power(t, beta)), 4)
+                   AS projected_90d_ltv_per_user
+        FROM horizon, fit, spend
+    """,
+    doc="90-day LTV projection from the fitted retention power law: "
+    "expected spend per acquired user = AOV * sum over days 1-90 "
+    "of predicted retention K*t^beta — the forward-looking "
+    "number that justifies acquisition cost, assembled entirely "
+    "in-plan: the censoring-aware retention fit (shared "
+    "machinery with analytics-retention-decay-fit), an AOV "
+    "aggregate, and a 90-row day spine whose sum IS the "
+    "projection integral. Extrapolation caveat lives in the "
+    "fit quality, which the decay-fit op reports separately; "
+    "here the point is the COMPOSITION — curve fit, unit "
+    "economics, and horizon sum in one deterministic plan with "
+    "zero driver round-trips.",
+)
+def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0"))
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
+    activity = (
+        p.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("age"),
+        )
+        .distinct()
+    )
+    cohorts = (
+        firsts.crossJoin(F.broadcast(maxd))
+        .groupBy("d0", "md")
+        .agg(F.count("*").cast("double").alias("size"))
+        .select(
+            "size",
+            F.datediff(F.col("md"), F.col("d0")).cast("long").alias(
+                "capacity"
+            ),
+        )
+    )
+    ages = activity.filter(F.col("age") >= 1).select("age").distinct()
+    observable = (
+        ages.join(F.broadcast(cohorts), F.col("capacity") >= F.col("age"))
+        .groupBy("age")
+        .agg(F.sum("size").alias("denom"))
+    )
+    active = (
+        activity.filter(F.col("age") >= 1)
+        .groupBy("age")
+        .agg(F.count("*").cast("double").alias("numer"))
+    )
+    pts = (
+        observable.join(active, "age")
+        .filter((F.col("numer") > 0) & (F.col("numer") < F.col("denom")))
+        .select(
+            F.log(F.col("age").cast("double")).alias("lx"),
+            F.log(F.col("numer") / F.col("denom")).alias("ly"),
+        )
+    )
+    n = F.count("*")
+    sxy = F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly") / n
+    sxx = F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx") / n
+    beta = sxy / sxx
+    fit = pts.agg(
+        beta.alias("beta"),
+        F.exp((F.sum("ly") - beta * F.sum("lx")) / n).alias("k"),
+    )
+    spend = p.agg(F.avg("value").alias("aov"))
+    horizon = spark.range(1, 91).select(
+        F.col("id").cast("double").alias("t")
+    )
+    proj = (
+        horizon.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(spend))
+        .agg(
+            F.round(F.min("k"), 6).alias("retention_k"),
+            F.round(F.min("beta"), 6).alias("retention_beta"),
+            F.round(F.min("aov"), 4).alias("avg_order_value"),
+            F.round(
+                F.min("aov")
+                * F.sum(F.col("k") * F.pow(F.col("t"), F.col("beta"))),
+                4,
+            ).alias("projected_90d_ltv_per_user"),
+        )
+    )
+    return proj

@@ -4727,3 +4727,164 @@ def stats_runs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("n_runs"),
         F.round((r - er) / F.sqrt(vr), 6).alias("z"),
     )
+
+
+@query(
+    "stats-anderson-darling-binned",
+    oracle="""
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        ext AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        binned AS (
+            SELECT least(255, CAST(floor((v - lo) / (hi - lo) * 256.0)
+                                   AS INT)) AS bin,
+                   sum(is1) AS c1, sum(1 - is1) AS c2
+            FROM s, ext GROUP BY 1
+        ),
+        ecdf AS (
+            SELECT bin,
+                   sum(c1 + c2) OVER (ORDER BY bin) AS cumn,
+                   sum(c1) OVER (ORDER BY bin) AS cum1,
+                   sum(c2) OVER (ORDER BY bin) AS cum2,
+                   sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+                   sum(c1 + c2) OVER () AS n
+            FROM binned
+        ),
+        terms AS (
+            SELECT CAST(cum1 AS DOUBLE) / n1
+                       - CAST(cum2 AS DOUBLE) / n2 AS d,
+                   CAST(cumn AS DOUBLE) / n AS h,
+                   CAST(n1 AS DOUBLE) AS n1, CAST(n2 AS DOUBLE) AS n2,
+                   CAST(n AS DOUBLE) AS n
+            FROM ecdf WHERE cumn < n AND cumn > 0
+        )
+        SELECT CAST(max(n1) AS BIGINT) AS n1,
+               CAST(max(n2) AS BIGINT) AS n2,
+               round(max(n1) * max(n2) / max(n)
+                     * sum(d * d / (h * (1 - h)) / 256.0), 6)
+                   AS ad_statistic
+        FROM terms
+    """,
+    doc="Two-sample Anderson-Darling statistic on the shared 256-bin "
+    "grid: the ECDF-difference integral WEIGHTED by 1/(H(1-H)) — "
+    "tail deviations count most, exactly where KS (max, "
+    "center-dominated) and W1 (uniform weight) are least "
+    "sensitive; the completion of the drift-metric family "
+    "dq-drift-battery aggregates. Interior support only "
+    "(0 < H < 1 — the weight diverges at the edges by design; "
+    "binned Riemann discretization over bin width 1/256 keeps "
+    "it finite and engine-identical). Same scale shape as every "
+    "binned ECDF op here: broadcast extrema, one hash agg, "
+    "windows over 256 summary rows.",
+    tags=("stats",),
+)
+def stats_anderson_darling_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    ext = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256.0
+                ).cast("int"),
+            ).alias("bin")
+        )
+        .agg(F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2"))
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    ecdf = binned.select(
+        "bin",
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).alias("cumn"),
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_all).alias("n"),
+    )
+    terms = ecdf.filter(
+        (F.col("cumn") < F.col("n")) & (F.col("cumn") > 0)
+    ).select(
+        (
+            F.col("cum1").cast("double") / F.col("n1")
+            - F.col("cum2").cast("double") / F.col("n2")
+        ).alias("d"),
+        (F.col("cumn").cast("double") / F.col("n")).alias("h"),
+        F.col("n1").cast("double").alias("n1"),
+        F.col("n2").cast("double").alias("n2"),
+        F.col("n").cast("double").alias("n"),
+    )
+    return terms.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(
+            F.max("n1")
+            * F.max("n2")
+            / F.max("n")
+            * F.sum(
+                F.col("d")
+                * F.col("d")
+                / (F.col("h") * (1 - F.col("h")))
+                / 256.0
+            ),
+            6,
+        ).alias("ad_statistic"),
+    )
+
+
+@query(
+    "stats-process-capability",
+    oracle="""
+        WITH m AS (
+            SELECT avg(value) AS mu, stddev_samp(value) AS sd,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+        ),
+        spec AS (SELECT 0.0 AS lsl, 200.0 AS usl)
+        SELECT n AS n_rows,
+               round((usl - lsl) / (6 * sd), 6) AS cp,
+               round(least(usl - mu, mu - lsl) / (3 * sd), 6) AS cpk,
+               round((mu - (usl + lsl) / 2) / ((usl - lsl) / 2), 6)
+                   AS centering_k
+        FROM m, spec
+    """,
+    doc="Process capability indices against spec limits [0, 200]: "
+    "Cp = tolerance/(6 sigma) is what the process COULD hit if "
+    "centered, Cpk = min-side margin/(3 sigma) what it actually "
+    "does, and k the centering error — Cpk >= 1.33 is the "
+    "classic four-sigma capability bar. The acceptance "
+    "companion to stats-xbar-control-chart: the chart asks 'is "
+    "the process stable', capability asks 'is stable good "
+    "enough for the spec'. One moment aggregation joined to a "
+    "literal spec row; swap the spec for a config table in "
+    "production, same broadcast shape.",
+    tags=("stats",),
+)
+def stats_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count("*").cast("long").alias("n"),
+    )
+    lsl, usl = 0.0, 200.0
+    mu, sd = F.col("mu"), F.col("sd")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round((usl - lsl) / (6 * sd), 6).alias("cp"),
+        F.round(F.least(usl - mu, mu - lsl) / (3 * sd), 6).alias("cpk"),
+        F.round((mu - (usl + lsl) / 2) / ((usl - lsl) / 2), 6).alias(
+            "centering_k"
+        ),
+    )
