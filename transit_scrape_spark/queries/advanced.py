@@ -1527,3 +1527,93 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("majority_n").cast("double") / F.col("bucket_n")), 6
         ).alias("macro_purity"),
     )
+
+
+@query(
+    "simsearch-two-stage-rerank",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT e AS qv, bucket AS qb FROM v WHERE vec_id = 1),
+        cands AS (
+            SELECT v.vec_id,
+                   list_dot_product(v.e, q.qv)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+            FROM v, q WHERE v.bucket = q.qb AND v.vec_id <> 1
+        ),
+        approx AS (
+            SELECT vec_id FROM cands
+            ORDER BY sim DESC, vec_id LIMIT 10
+        ),
+        truth AS (
+            SELECT v.vec_id FROM v, q WHERE v.vec_id <> 1
+            ORDER BY list_dot_product(v.e, q.qv)
+                     / (sqrt(list_dot_product(v.e, v.e))
+                        * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     v.vec_id
+            LIMIT 10
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cands)
+                   AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM approx a JOIN truth t ON t.vec_id = a.vec_id)
+                   AS hits,
+               round((SELECT count(*) FROM approx a
+                      JOIN truth t ON t.vec_id = a.vec_id) / 10.0, 6)
+                   AS recall_at_10
+        """,
+    doc="The production two-stage retrieval stack in one op: stage 1 "
+    "prunes to the query's sign-LSH bucket (the partition a "
+    "bucket-partitioned 100 TB table would read — ~1/256th of "
+    "the corpus), stage 2 exact-cosine reranks the candidates, "
+    "and the output SCORES ITSELF against the brute-force "
+    "top-10 (recall@10) — retrieval quality and its cost "
+    "trade-off measured in the same deterministic plan. Low "
+    "recall here is the empirical argument for "
+    "simsearch-lsh-multiprobe's neighbor-bucket expansion; the "
+    "eval twin simsearch-recall-eval scores the IVF path the "
+    "same way. Candidate scoring is broadcast-query codegen; "
+    "both top-10s are TakeOrderedAndProject.",
+)
+def simsearch_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+    ).withColumn("bucket", lsh_bucket(F.col("e")))
+    q = v.filter(F.col("vec_id") == 1).select(
+        F.col("e").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        v.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "bucket",
+            "qb",
+            cosine(F.col("e"), F.col("qv")).alias("sim"),
+        )
+    )
+    cands = scored.filter(F.col("bucket") == F.col("qb"))
+    approx = cands.orderBy(F.col("sim").desc(), "vec_id").limit(10).select(
+        "vec_id"
+    )
+    truth = scored.orderBy(F.col("sim").desc(), "vec_id").limit(10).select(
+        F.col("vec_id").alias("tid")
+    )
+    n_cand = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    hits = approx.join(truth, approx.vec_id == truth.tid).agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    return (
+        n_cand.crossJoin(F.broadcast(hits))
+        .select(
+            "n_candidates",
+            "hits",
+            F.round(F.col("hits") / 10.0, 6).alias("recall_at_10"),
+        )
+    )

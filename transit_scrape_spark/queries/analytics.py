@@ -3282,3 +3282,54 @@ def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return proj
+
+
+@query(
+    "event-hour-dow-heatmap",
+    oracle="""
+        WITH cells AS (
+            SELECT (isodow(CAST(ts AS DATE)) - 1) % 7 AS dow,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(dow AS BIGINT) AS dow, hr,
+               CAST(c AS BIGINT) AS n_events,
+               round(c / sum(c) OVER (), 6) AS share,
+               round((c - avg(c) OVER ()) / stddev_samp(c) OVER (), 6)
+                   AS cell_z
+        FROM cells ORDER BY dow, hr
+    """,
+    doc="Hour x day-of-week activity heatmap: the 7x24 cell matrix "
+    "(count, global share, and z vs the mean cell) that every "
+    "ops dashboard renders to find the weekly rhythm — and the "
+    "2-D generalization of stats-uniformity-hours (which "
+    "marginalizes over days; a uniform hourly marginal can hide "
+    "a strong dow x hour interaction that only the joint table "
+    "shows). ONE hash agg to at most 168 cells — partial "
+    "aggregation collapses each scan partition to the cell grid "
+    "before the shuffle, the canonical low-cardinality rollup "
+    "shape at any data size; normalizations ride windows over "
+    "the 168-row summary. weekday()/(isodow-1)%7 keeps both "
+    "engines on 0=Monday.",
+)
+def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.weekday(F.to_date("ts")).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count("*").cast("double").alias("c"))
+    w_all = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hr",
+        F.col("c").cast("long").alias("n_events"),
+        F.round(F.col("c") / F.sum("c").over(w_all), 6).alias("share"),
+        F.round(
+            (F.col("c") - F.avg("c").over(w_all))
+            / F.stddev_samp("c").over(w_all),
+            6,
+        ).alias("cell_z"),
+    ).orderBy("dow", "hr")

@@ -993,3 +993,62 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "scan-binary-file",
+    oracle="""
+        WITH sel AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+        FROM sel ORDER BY doc_id
+    """,
+    doc="Spark's binaryFile datasource (the whole-file ingest path for "
+    "media/model-artifact lakes): a handful of fixture documents "
+    "are materialized as raw .bin files, then read back via "
+    "format('binaryFile'), which yields (path, modificationTime, "
+    "length, content) with the CONTENT as a single BinaryType "
+    "cell per file — the right source when files are opaque blobs "
+    "(images, audio, checkpoints) rather than rows; pathGlobFilter "
+    "and recursiveFileLookup prune at listing time. doc_id parses "
+    "back out of the file name; mtime is excluded (non-"
+    "deterministic), and length/content must round-trip exactly "
+    "against the oracle's view of the source text. At scale each "
+    "file is one task — binaryFile shines for many-small-files "
+    "ingest feeding a mapInPandas decode like "
+    "multimodal-decode's.",
+)
+def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    target = f"/tmp/tss_binfiles_{_tag(sf_dir)}_{os.getpid()}"
+    if not os.path.exists(target):
+        os.makedirs(target, exist_ok=True)
+        for row in d.select("doc_id", "text").collect():
+            with open(
+                os.path.join(target, f"doc_{row['doc_id']:08d}.bin"), "wb"
+            ) as fh:
+                fh.write(row["text"].encode("utf-8"))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(target)
+    )
+    return (
+        files.select(
+            F.regexp_extract(
+                F.col("path"), r"doc_(\d+)\.bin$", 1
+            ).cast("long").alias("doc_id"),
+            F.col("length").cast("long").alias("byte_len"),
+            F.lower(F.hex(F.substring(F.col("content"), 1, 8))).alias(
+                "head_hex"
+            ),
+        )
+        .orderBy("doc_id")
+    )
