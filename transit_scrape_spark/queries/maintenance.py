@@ -1567,3 +1567,62 @@ def privacy_ldp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "dq-rare-categories",
+    oracle="""
+        WITH counts AS (
+            SELECT source AS level, CAST(count(*) AS DOUBLE) AS c
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(c) AS n, count(*) AS k FROM counts),
+        flagged AS (
+            SELECT level, c, c / n AS share, c / n < 0.04 AS is_rare
+            FROM counts, tot
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_levels,
+               CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare_levels,
+               round(sum(CASE WHEN is_rare THEN share ELSE 0 END), 6)
+                   AS rare_mass,
+               CAST(count(*) - sum(CASE WHEN is_rare THEN 1 ELSE 0 END)
+                    + least(1, sum(CASE WHEN is_rare THEN 1 ELSE 0 END))
+                    AS BIGINT) AS levels_after_other_bucket
+        FROM flagged
+    """,
+    doc="Rare-category audit: levels of the source column holding "
+    "< 4% share, the total probability mass they carry, and the "
+    "cardinality after folding them into a single OTHER bucket — "
+    "the pre-encoding hygiene every categorical feature needs "
+    "(rare levels destabilize target encoding, explode one-hot "
+    "width, and leak identity; the k-anonymity ladder in "
+    "privacy-generalization-ladder is this same fold driven by "
+    "a privacy constraint instead of a frequency one). One hash "
+    "agg to the level summary, one windowless reduce — "
+    "vocabulary-bounded like every profile op here.",
+    tags=("dq",),
+)
+def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy(F.col("source").alias("level")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    flagged = counts.withColumn(
+        "share", F.col("c") / F.sum("c").over(w_all)
+    ).withColumn("is_rare", F.col("share") < 0.04)
+    n_rare = F.sum(F.when(F.col("is_rare"), 1).otherwise(0))
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_levels"),
+        n_rare.cast("long").alias("n_rare_levels"),
+        F.round(
+            F.sum(F.when(F.col("is_rare"), F.col("share")).otherwise(0.0)),
+            6,
+        ).alias("rare_mass"),
+        (F.count("*") - n_rare + F.least(F.lit(1), n_rare))
+        .cast("long")
+        .alias("levels_after_other_bucket"),
+    )

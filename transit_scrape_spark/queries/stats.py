@@ -4888,3 +4888,56 @@ def stats_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centering_k"
         ),
     )
+
+
+@query(
+    "stats-weibull-fit",
+    oracle="""
+        WITH pos AS (
+            SELECT ln(value) AS lx FROM events WHERE value > 0
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, avg(lx) AS mu,
+                   stddev_samp(lx) AS sd
+            FROM pos
+        )
+        SELECT n AS n_rows,
+               round(pi() / (sd * sqrt(6)), 6) AS weibull_shape_k,
+               round(exp(mu + 0.5772156649 * sd * sqrt(6) / pi()), 6)
+                   AS weibull_scale_lambda
+        FROM m
+    """,
+    doc="Weibull fit by the log-Gumbel identity: if X ~ Weibull(k, "
+    "lambda) then ln X follows a Gumbel-minimum law with beta = 1/k "
+    "and mode ln(lambda), so the method-of-moments Gumbel "
+    "machinery (stats-gumbel-maxima's, mirrored for minima) fits "
+    "the Weibull from just mean and stddev OF THE LOGS: k = "
+    "pi/(sd*sqrt(6)), lambda = exp(mu + gamma/k). One moment "
+    "aggregation over a log projection — the lifetime/survival "
+    "parametric fit (k < 1 infant-mortality, k > 1 wear-out) "
+    "without a single iteration of the usual Newton MLE, and "
+    "the MoM values are exactly the standard MLE warm start. "
+    "Cross-check against stats-gamma-fit on the same column: "
+    "disagreeing shape stories reveal which family fits.",
+    tags=("stats",),
+)
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.filter(F.col("value") > 0).select(
+        F.log("value").alias("lx")
+    )
+    m = pos.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("lx").alias("mu"),
+        F.stddev_samp("lx").alias("sd"),
+    )
+    beta = F.col("sd") * math.sqrt(6) / math.pi
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(1 / beta, 6).alias("weibull_shape_k"),
+        F.round(
+            F.exp(F.col("mu") + 0.5772156649 * beta), 6
+        ).alias("weibull_scale_lambda"),
+    )

@@ -1872,3 +1872,96 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "timeseries-seasonality-strength",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        tr AS (
+            SELECT day, x,
+                   CASE WHEN count(*) OVER w7 = 7
+                        THEN avg(x) OVER w7 END AS trend,
+                   (isodow(day) - 1) % 7 AS dow
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING)
+        ),
+        seas AS (
+            SELECT *, avg(x - trend) OVER (PARTITION BY dow)
+                          AS seasonal_raw
+            FROM tr
+        ),
+        norm AS (
+            SELECT *, seasonal_raw - avg(seasonal_raw) OVER () AS seasonal
+            FROM seas
+        ),
+        comp AS (
+            SELECT x - trend AS detrended,
+                   x - trend - seasonal AS resid
+            FROM norm WHERE trend IS NOT NULL
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(var_samp(detrended), 6) AS var_detrended,
+               round(var_samp(resid), 6) AS var_residual,
+               round(greatest(0, 1 - var_samp(resid)
+                                 / var_samp(detrended)), 6)
+                   AS seasonality_strength
+        FROM comp
+    """,
+    doc="Seasonality strength F_s = max(0, 1 - var(residual)/"
+    "var(detrended)) from the STL-naive decomposition — the "
+    "tsfeatures/forecastability scalar that says how much of the "
+    "non-trend variance the weekly cycle explains (F_s near 1: "
+    "seasonal models pay; near 0: the dow pattern is noise, see "
+    "timeseries-spectral-entropy for the frequency-domain "
+    "second opinion). Shares the exact decomposition pipeline "
+    "with timeseries-stl-naive/-stl-anomaly — one fact hash "
+    "agg, windows over the daily summary — and reduces it to "
+    "one variance-ratio row; the three ops form a "
+    "decompose/alert/score family over identical plan "
+    "machinery.",
+    tags=("timeseries",),
+)
+def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.when(F.count("*").over(w7) == 7, F.avg("x").over(w7)).alias(
+            "trend"
+        ),
+        F.weekday("day").alias("dow"),
+    )
+    seas = tr.withColumn(
+        "seasonal_raw",
+        F.avg(F.col("x") - F.col("trend")).over(Window.partitionBy("dow")),
+    )
+    w_all = Window.partitionBy()
+    norm = seas.withColumn(
+        "seasonal",
+        F.col("seasonal_raw") - F.avg("seasonal_raw").over(w_all),
+    )
+    comp = norm.filter(F.col("trend").isNotNull()).select(
+        (F.col("x") - F.col("trend")).alias("detrended"),
+        (F.col("x") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    )
+    return comp.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.var_samp("detrended"), 6).alias("var_detrended"),
+        F.round(F.var_samp("resid"), 6).alias("var_residual"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_samp("resid") / F.var_samp("detrended"),
+            ),
+            6,
+        ).alias("seasonality_strength"),
+    )
