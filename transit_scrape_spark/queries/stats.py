@@ -4941,3 +4941,44 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.col("mu") + 0.5772156649 * beta), 6
         ).alias("weibull_scale_lambda"),
     )
+
+
+@query(
+    "stats-power-mean",
+    oracle="""
+        WITH base AS (
+            SELECT avg(value) AS mu, var_samp(value) AS v FROM events
+        )
+        SELECT round(mu, 6) AS baseline_mean,
+               round(sqrt(v), 6) AS baseline_sd,
+               round(mu * 0.05, 6) AS mde_abs,
+               CAST(ceil(2 * power(1.959964 + 0.841621, 2) * v
+                         / power(mu * 0.05, 2)) AS BIGINT)
+                   AS n_per_variant
+        FROM base
+    """,
+    doc="A/B sample-size calculator for a difference in MEANS "
+    "(alpha=5% two-sided, power=80%, MDE = 5% of baseline): "
+    "n = 2*(z_a+z_b)^2 * sigma^2 / delta^2 with variance "
+    "estimated from the live metric in one moment aggregation — "
+    "the continuous-metric companion to stats-power-proportions, "
+    "and the formula whose sigma^2 input is exactly what "
+    "stats-cuped-adjustment shrinks (multiply n by 1-rho^2 for "
+    "the CUPED-adjusted runtime — the planning chain those "
+    "three ops form). Normal quantiles as literals, everything "
+    "else data-derived; one scan, one row.",
+    tags=("stats",),
+)
+def stats_power_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.avg("value").alias("mu"), F.var_samp("value").alias("v"))
+    delta = F.col("mu") * 0.05
+    z = 1.959964 + 0.841621
+    return base.select(
+        F.round("mu", 6).alias("baseline_mean"),
+        F.round(F.sqrt("v"), 6).alias("baseline_sd"),
+        F.round(delta, 6).alias("mde_abs"),
+        F.ceil(2 * z * z * F.col("v") / F.pow(delta, 2))
+        .cast("long")
+        .alias("n_per_variant"),
+    )
