@@ -63,6 +63,69 @@ SCALAR_BROADCAST_OPS = {
     "privacy-t-closeness",     # |groups| x |segments| broadcast cross join
     "simsearch-recall-eval",   # 5-row query-block broadcast
     "text-df-prune",           # 1-row corpus-count broadcast
+    # round-4 stats/eval/timeseries wave (55 ops): each broadcasts a
+    # 1-row moment/extrema/fit summary (crossJoin(broadcast(agg))) or a
+    # bounded side (fixed anchor set, day spine, k-row frequency or
+    # centroid table) into a conditionless or non-equi join — the
+    # deliberate scalar-summary shape each op's doc describes. BNLJ
+    # over a broadcast single row is a constant-cost operator at any
+    # corpus size; only these exact ops are excused, so an unintended
+    # BNLJ regression in any other op still flags.
+    "agg-kmv-sketch",
+    "analytics-growth-accounting",
+    "analytics-ltv-projection",
+    "analytics-retention-decay-fit",
+    "analytics-segment-migration",
+    "analytics-stickiness",
+    "corpus-chinchilla-budget",
+    "dq-distribution-drift-psi",
+    "dq-drift-battery",
+    "dq-winsorize-impact",
+    "embed-centroid-eval",
+    "embed-effective-rank",
+    "embed-hubness",
+    "embed-intrinsic-dim",
+    "embed-norm-drift-ks",
+    "featurestore-time-decay-score",
+    "graph-modularity",
+    "graph-rich-club",
+    "graph-spectral-radius",
+    "simsearch-two-stage-rerank",
+    "stats-anderson-darling-binned",
+    "stats-anova-oneway",
+    "stats-benjamini-hochberg",
+    "stats-breusch-pagan",
+    "stats-calibration-curve",
+    "stats-capture-recapture",
+    "stats-cmh-pooled-or",
+    "stats-cochran-q",
+    "stats-cuped-adjustment",
+    "stats-durbin-watson",
+    "stats-eb-shrinkage",
+    "stats-exponential-fit-ks",
+    "stats-gini-split",
+    "stats-hill-tail-index",
+    "stats-holm-bonferroni",
+    "stats-kendall-tau",
+    "stats-ks-binned",
+    "stats-levene-median",
+    "stats-lorenz-asymmetry",
+    "stats-mahalanobis-outliers",
+    "stats-mcnemar",
+    "stats-rank-biased-overlap",
+    "stats-roc-auc-binned",
+    "stats-runs-median",
+    "stats-var-backtest",
+    "stats-wasserstein-binned",
+    "stats-xbar-control-chart",
+    "stats-youden-threshold",
+    "text-bigram-perplexity",
+    "text-burstiness",
+    "text-pmi-cooccurrence",
+    "timeseries-approx-entropy",
+    "timeseries-hurst-rs",
+    "timeseries-periodogram",
+    "timeseries-spectral-entropy",
     "embed-mmr-rerank",        # 1-row picked-candidate broadcasts per greedy step
     "sample-poisson-bootstrap",# 16-row replica-id broadcast fan-out
     "privacy-generalization-ladder",  # 4-row band-width broadcast fan-out
