@@ -4982,3 +4982,160 @@ def stats_power_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_variant"),
     )
+
+
+@query(
+    "stats-kruskal-wallis",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT event_type,
+                   CAST(row_number() OVER (ORDER BY m, event_type, day)
+                        AS DOUBLE) AS r
+            FROM daily
+        ),
+        per_group AS (
+            SELECT event_type, count(*) AS ni, sum(r) AS ri
+            FROM ranked GROUP BY event_type
+        )
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum(ni) AS BIGINT) AS n_total,
+               CAST(count(*) - 1 AS BIGINT) AS dof,
+               round(12.0 / (sum(ni) * (sum(ni) + 1.0))
+                     * sum(ri * ri / ni) - 3 * (sum(ni) + 1.0), 6) AS h_stat,
+               round((12.0 / (sum(ni) * (sum(ni) + 1.0))
+                      * sum(ri * ri / ni) - 3 * (sum(ni) + 1.0)
+                      - count(*) + 1) / (sum(ni) - count(*)), 6)
+                   AS epsilon_sq
+        FROM per_group
+    """,
+    doc="Kruskal-Wallis H test across ALL event types (the k-group "
+    "generalization of stats-mann-whitney): daily mean values per "
+    "(type, day) come from ONE hash aggregation over the fact table; "
+    "ranking then runs over the summary (~5 types x ~60 days), never "
+    "the raw events. H = 12/(N(N+1)) * sum(R_i^2/n_i) - 3(N+1) and "
+    "epsilon-squared effect size (H - k + 1)/(N - k). Deterministic "
+    "(m, type, day) rank order keeps both engines bit-identical; "
+    "continuous daily means make ties measure-zero so the tie "
+    "correction is deliberately omitted (same contract as "
+    "stats-mann-whitney).",
+    tags=("stats",),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    ranked = daily.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy("m", "event_type", "day"))
+        .cast("double")
+        .alias("r"),
+    )
+    per_group = ranked.groupBy("event_type").agg(
+        F.count("*").alias("ni"), F.sum("r").alias("ri")
+    )
+    k = F.count("*")
+    n = F.sum("ni")
+    h = (
+        12.0 / (n * (n + 1.0)) * F.sum(F.col("ri") * F.col("ri") / F.col("ni"))
+        - 3 * (n + 1.0)
+    )
+    return per_group.agg(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n_total"),
+        (k - 1).cast("long").alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.round((h - k + 1) / (n - k), 6).alias("epsilon_sq"),
+    )
+
+
+@query(
+    "stats-cramers-v",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderstatus AS s, o_orderpriority AS p,
+                   CAST(count(*) AS DOUBLE) AS obs
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        marg AS (
+            SELECT s, p, obs,
+                   sum(obs) OVER (PARTITION BY s) AS row_tot,
+                   sum(obs) OVER (PARTITION BY p) AS col_tot,
+                   sum(obs) OVER () AS n
+            FROM cells
+        ),
+        stat AS (
+            SELECT max(n) AS n,
+                   count(DISTINCT s) AS r,
+                   count(DISTINCT p) AS c,
+                   sum(power(obs - row_tot * col_tot / n, 2)
+                       / (row_tot * col_tot / n)) AS chi2
+            FROM marg
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round(chi2, 6) AS chi2,
+               round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+               round(sqrt(
+                   greatest(0.0, chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1))
+                   / least(r - (r - 1.0) * (r - 1.0) / (n - 1),
+                           c - (c - 1.0) * (c - 1.0) / (n - 1) ) ), 6)
+                   AS cramers_v_corrected
+        FROM stat
+    """,
+    doc="Bias-corrected Cramer's V effect size for the orderstatus x "
+    "orderpriority association (the effect-size companion to "
+    "stats-chi-square, which only tests significance): chi2 from the "
+    "15-cell contingency table (one hash aggregation over orders; "
+    "margins via windows over the 15-row summary), V = "
+    "sqrt(chi2/(N*min(r-1,c-1))), and the Bergsma bias correction "
+    "phi2+ = max(0, phi2 - (r-1)(c-1)/(N-1)) with shrunk r', c'. "
+    "Effect sizes, unlike p-values, stay interpretable at 100 TB row "
+    "counts where every test is 'significant'.",
+    tags=("stats",),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").cast("double").alias("obs"))
+    marg = cells.select(
+        "s",
+        "p",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("s")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("p")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    stat = marg.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("s").cast("double").alias("r"),
+        F.count_distinct("p").cast("double").alias("c"),
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+    )
+    n, r, c = F.col("n"), F.col("r"), F.col("c")
+    phi2_plus = F.greatest(
+        F.lit(0.0), F.col("chi2") / n - (r - 1) * (c - 1) / (n - 1)
+    )
+    return stat.select(
+        n.cast("long").alias("n_rows"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (n * F.least(r - 1, c - 1))), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(
+                phi2_plus
+                / F.least(
+                    r - (r - 1) * (r - 1) / (n - 1),
+                    c - (c - 1) * (c - 1) / (n - 1),
+                )
+            ),
+            6,
+        ).alias("cramers_v_corrected"),
+    )

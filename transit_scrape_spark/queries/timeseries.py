@@ -1965,3 +1965,65 @@ def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("seasonality_strength"),
     )
+
+
+@query(
+    "timeseries-bollinger-bands",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        banded AS (
+            SELECT day, rev,
+                   row_number() OVER (ORDER BY day) AS rn,
+                   avg(rev) OVER w AS mid,
+                   stddev_samp(rev) OVER w AS sd
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT day, round(rev, 4) AS rev, round(mid, 4) AS mid,
+               round(mid + 2 * sd, 4) AS upper_band,
+               round(mid - 2 * sd, 4) AS lower_band,
+               CASE WHEN rev > mid + 2 * sd THEN 1
+                    WHEN rev < mid - 2 * sd THEN -1 ELSE 0 END AS breach
+        FROM banded WHERE rn >= 20
+    """,
+    doc="Bollinger bands over daily revenue: 20-day rolling mean +/- 2 "
+    "rolling sample-stddevs with a breach flag (+1 above, -1 below). "
+    "The fact pass is one hash aggregation to daily sums; both "
+    "windows share one sort of the ~2.4k-day summary (single "
+    "partition is fine at summary size; at 100 TB the day count is "
+    "still thousands of rows). Warm-up rows (rn < 20) are dropped so "
+    "every emitted band is a full 20-day frame; round(,4) absorbs "
+    "window-frame summation-order drift between engines.",
+    tags=("timeseries",),
+)
+def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    banded = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.avg("rev").over(w).alias("mid"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+    )
+    up = F.col("mid") + 2 * F.col("sd")
+    lo = F.col("mid") - 2 * F.col("sd")
+    return banded.filter(F.col("rn") >= 20).select(
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round("mid", 4).alias("mid"),
+        F.round(up, 4).alias("upper_band"),
+        F.round(lo, 4).alias("lower_band"),
+        F.when(F.col("rev") > up, 1)
+        .when(F.col("rev") < lo, -1)
+        .otherwise(0)
+        .alias("breach"),
+    )
