@@ -315,3 +315,79 @@ def multimodal_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("clip_score").desc(), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "multimodal-tile-grid",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+                   CAST(doc_id % 480 + 1 AS BIGINT) AS h
+            FROM documents
+        ),
+        tx AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(
+                       0, CAST(ceil(w / 128.0) AS BIGINT) - 1)) AS tile_x
+            FROM meta
+        ),
+        txy AS (
+            SELECT doc_id, w, h, tile_x,
+                   unnest(generate_series(
+                       0, CAST(ceil(h / 128.0) AS BIGINT) - 1)) AS tile_y
+            FROM tx
+        )
+        SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x,
+               CAST(tile_y AS BIGINT) AS tile_y,
+               CAST(tile_x * 128 AS BIGINT) AS x0,
+               CAST(tile_y * 128 AS BIGINT) AS y0,
+               CAST(least(128, w - tile_x * 128) AS BIGINT) AS tile_w,
+               CAST(least(128, h - tile_y * 128) AS BIGINT) AS tile_h
+        FROM txy
+    """,
+    doc="Vision-preprocessing tile plan: explode each image's "
+    "(width, height) metadata (multimodal-cols' typed struct) into a "
+    "128x128 tile grid with edge clipping — the shard plan a "
+    "distributed image decoder consumes so each task crops ONE tile "
+    "instead of materializing whole images (the patching pass ViT-"
+    "style training data needs). Pure sequence+explode codegen, "
+    "linear in image count, no shuffle; at 100 TB the plan rows "
+    "partition by doc_id alongside the binary payloads so the "
+    "crop stage is a co-partitioned zip, never a wide join.",
+    tags=("multimodal",),
+)
+def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        (F.col("doc_id") % 640 + 1).alias("w"),
+        (F.col("doc_id") % 480 + 1).alias("h"),
+    )
+    n_tx = F.ceil(F.col("w") / 128.0) - 1
+    n_ty = F.ceil(F.col("h") / 128.0) - 1
+    txy = meta.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_tx)).alias("tile_x"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tile_x",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_ty)).alias("tile_y"),
+    )
+    return txy.select(
+        "doc_id",
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        (F.col("tile_x") * 128).cast("long").alias("x0"),
+        (F.col("tile_y") * 128).cast("long").alias("y0"),
+        F.least(F.lit(128), F.col("w") - F.col("tile_x") * 128)
+        .cast("long")
+        .alias("tile_w"),
+        F.least(F.lit(128), F.col("h") - F.col("tile_y") * 128)
+        .cast("long")
+        .alias("tile_h"),
+    )

@@ -2216,3 +2216,120 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(10000 * (F.col("sm2") - n) / (n * n), 6).alias("yule_k"),
         F.round(F.col("v").cast("double") / n, 6).alias("ttr"),
     )
+
+
+@query(
+    "corpus-gopher-rule-audit",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' '))
+                             NOT BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+                       AS f_len,
+                   CASE WHEN (length(text) - len(string_split(text, ' ')) + 1.0)
+                             / len(string_split(text, ' '))
+                             NOT BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+                       AS f_wordlen,
+                   CASE WHEN CAST(length(regexp_replace(text,
+                                  '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                             / length(text) > 0.1 THEN 1 ELSE 0 END
+                       AS f_symbol,
+                   CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                  t -> regexp_matches(t, '[a-zA-Z]')))
+                             AS DOUBLE)
+                             / len(string_split(text, ' ')) < 0.8
+                        THEN 1 ELSE 0 END AS f_alpha,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('a', 'the'))) < 2
+                        THEN 1 ELSE 0 END AS f_stop
+            FROM documents
+        ),
+        tot AS (
+            SELECT *, f_len + f_wordlen + f_symbol + f_alpha + f_stop AS nf
+            FROM scored
+        ),
+        s AS (
+            SELECT CAST(sum(f_len) AS BIGINT) AS a1,
+                   CAST(sum(CASE WHEN f_len = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                   CAST(sum(f_wordlen) AS BIGINT) AS a2,
+                   CAST(sum(CASE WHEN f_wordlen = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                   CAST(sum(f_symbol) AS BIGINT) AS a3,
+                   CAST(sum(CASE WHEN f_symbol = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                   CAST(sum(f_alpha) AS BIGINT) AS a4,
+                   CAST(sum(CASE WHEN f_alpha = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+                   CAST(sum(f_stop) AS BIGINT) AS a5,
+                   CAST(sum(CASE WHEN f_stop = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+                   CAST(sum(CASE WHEN nf >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS aany,
+                   CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bany
+            FROM tot
+        )
+        SELECT 'len' AS rule, a1 AS n_fail, b1 AS n_sole_fail FROM s
+        UNION ALL SELECT 'wordlen', a2, b2 FROM s
+        UNION ALL SELECT 'symbol', a3, b3 FROM s
+        UNION ALL SELECT 'alpha', a4, b4 FROM s
+        UNION ALL SELECT 'stopword', a5, b5 FROM s
+        UNION ALL SELECT 'any', aany, bany FROM s
+    """,
+    doc="Gopher-style rule-battery AUDIT: per-rule failure attribution "
+    "(token-count bounds, mean word length 3..10, symbol-char ratio, "
+    "alpha-token fraction, min stopword hits) with sole-failure "
+    "counts — the report a curation team reads BEFORE committing to "
+    "the combined gate (corpus-filter-pipeline applies one; "
+    "text-quality-score emits raw features). n_sole_fail shows which "
+    "rule uniquely removes mass — the number that decides whether a "
+    "rule earns its false-positive risk at 100 TB. One scan, one "
+    "codegen'd projection of boolean flags, one 12-number aggregate; "
+    "the 6-row report is a stack() over the scalar summary.",
+    tags=("text", "corpus"),
+)
+def corpus_gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mwl = (F.length("text") - n + 1.0) / n
+    sym = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    alpha = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    scored = d.select(
+        flag(~n.between(20, 1000)).alias("f_len"),
+        flag(~mwl.between(3, 10)).alias("f_wordlen"),
+        flag(sym > 0.1).alias("f_symbol"),
+        flag(alpha < 0.8).alias("f_alpha"),
+        flag(stop_hits < 2).alias("f_stop"),
+    ).withColumn(
+        "nf",
+        F.col("f_len") + F.col("f_wordlen") + F.col("f_symbol")
+        + F.col("f_alpha") + F.col("f_stop"),
+    )
+    sole = lambda c: F.sum(  # noqa: E731
+        F.when((F.col(c) == 1) & (F.col("nf") == 1), 1).otherwise(0)
+    )
+    s = scored.agg(
+        F.sum("f_len").cast("long").alias("a1"),
+        sole("f_len").cast("long").alias("b1"),
+        F.sum("f_wordlen").cast("long").alias("a2"),
+        sole("f_wordlen").cast("long").alias("b2"),
+        F.sum("f_symbol").cast("long").alias("a3"),
+        sole("f_symbol").cast("long").alias("b3"),
+        F.sum("f_alpha").cast("long").alias("a4"),
+        sole("f_alpha").cast("long").alias("b4"),
+        F.sum("f_stop").cast("long").alias("a5"),
+        sole("f_stop").cast("long").alias("b5"),
+        F.sum(F.when(F.col("nf") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("aany"),
+        F.sum(F.when(F.col("nf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("bany"),
+    )
+    return s.selectExpr(
+        "stack(6, 'len', a1, b1, 'wordlen', a2, b2, 'symbol', a3, b3, "
+        "'alpha', a4, b4, 'stopword', a5, b5, 'any', aany, bany) "
+        "AS (rule, n_fail, n_sole_fail)"
+    )
