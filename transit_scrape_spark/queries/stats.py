@@ -5139,3 +5139,191 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v_corrected"),
     )
+
+
+@query(
+    "stats-grubbs-outlier",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        s AS (
+            SELECT count(*) AS n, avg(rev) AS mu, stddev_samp(rev) AS sd
+            FROM daily
+        ),
+        dev AS (
+            SELECT d.day, d.rev, s.n, abs(d.rev - s.mu) / s.sd AS g
+            FROM daily d, s
+        )
+        SELECT CAST(n AS BIGINT) AS n_days, day AS outlier_day,
+               round(rev, 4) AS outlier_rev, round(g, 6) AS g_stat
+        FROM dev
+        ORDER BY g DESC, day
+        LIMIT 1
+    """,
+    doc="Grubbs' maximum-studentized-deviate outlier test on daily "
+    "revenue: G = max|x - mean|/sd with the argmax day attached. The "
+    "fact pass is one hash aggregation to ~2.4k daily sums; the "
+    "1-row summary stats broadcast back over the daily relation "
+    "(scalar-summary pattern) and TakeOrderedAndProject keeps the "
+    "winner — no global sort materializes. Deterministic (g desc, "
+    "day) tie-break. The single-outlier complement to "
+    "anomaly-zscore's per-row flags and anomaly-iqr-fence's robust "
+    "fences.",
+    tags=("stats",),
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.avg("rev").alias("mu"),
+        F.stddev_samp("rev").alias("sd"),
+    )
+    dev = daily.join(F.broadcast(s)).select(
+        "day",
+        "rev",
+        "n",
+        (F.abs(F.col("rev") - F.col("mu")) / F.col("sd")).alias("g"),
+    )
+    return (
+        dev.orderBy(F.col("g").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("outlier_day"),
+            F.round("rev", 4).alias("outlier_rev"),
+            F.round("g", 6).alias("g_stat"),
+        )
+    )
+
+
+@query(
+    "stats-dagostino-k2",
+    oracle="""
+        WITH mu AS (SELECT avg(value) AS m FROM events),
+        mom AS (
+            SELECT count(*) AS n,
+                   avg(power(value - mu.m, 2)) AS m2,
+                   avg(power(value - mu.m, 3)) AS m3,
+                   avg(power(value - mu.m, 4)) AS m4
+            FROM events, mu GROUP BY ALL
+        ),
+        gs AS (
+            SELECT CAST(n AS DOUBLE) AS n,
+                   m3 / power(m2, 1.5) AS g1,
+                   m4 / power(m2, 2) AS b2
+            FROM mom
+        ),
+        zs AS (
+            SELECT n, g1, b2,
+                   g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,
+                   3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+                       / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2,
+                   3.0 * (n - 1) / (n + 1) AS e_b2,
+                   24.0 * n * (n - 2) * (n - 3)
+                       / (power(n + 1, 2) * (n + 3) * (n + 5)) AS v_b2,
+                   6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+                       * sqrt(6.0 * (n + 3) * (n + 5)
+                              / (n * (n - 2) * (n - 3))) AS sb1
+            FROM gs
+        ),
+        z1c AS (
+            SELECT *,
+                   sqrt(-1 + sqrt(2 * (beta2 - 1))) AS w,
+                   (b2 - e_b2) / sqrt(v_b2) AS x,
+                   6 + 8 / sb1 * (2 / sb1 + sqrt(1 + 4 / (sb1 * sb1))) AS a
+            FROM zs
+        ),
+        fin AS (
+            SELECT n, g1, b2,
+                   (1 / sqrt(ln(w)))
+                   * ln(y / sqrt(2 / (w * w - 1))
+                        + sqrt(power(y / sqrt(2 / (w * w - 1)), 2) + 1)) AS z1,
+                   ((1 - 2.0 / (9 * a))
+                    - cbrt((1 - 2.0 / a) / (1 + x * sqrt(2 / (a - 4)))))
+                   / sqrt(2.0 / (9 * a)) AS z2
+            FROM z1c
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round(g1, 6) AS skew_g1,
+               round(b2 - 3, 6) AS excess_kurtosis,
+               round(z1, 6) AS z_skew,
+               round(z2, 6) AS z_kurt,
+               round(z1 * z1 + z2 * z2, 6) AS k2_stat
+        FROM fin
+    """,
+    doc="D'Agostino-Pearson K-squared omnibus normality test on the "
+    "event value distribution: skewness z (D'Agostino 1970 "
+    "transformation) + kurtosis z (Anscombe-Glynn 1983) combined as "
+    "K2 = z1^2 + z2^2 ~ chi2(2). Central moments via the two-pass "
+    "mean-then-avg((x-mu)^k) form on BOTH engines (single-pass power "
+    "sums lose the 4th moment to cancellation); the transformations "
+    "are pure scalar math on the 1-row moment summary. cbrt handles "
+    "the negative cube-root branch identically in Spark and DuckDB. "
+    "Complements stats-jarque-bera: K2's finite-n corrections stay "
+    "calibrated at daily-summary sample sizes where JB's asymptotic "
+    "chi2 is anticonservative.",
+    tags=("stats",),
+)
+def stats_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(F.avg("value").alias("m"))
+    d = F.col("value") - F.col("m")
+    mom = ev.join(F.broadcast(mu)).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.pow(d, 2)).alias("m2"),
+        F.avg(F.pow(d, 3)).alias("m3"),
+        F.avg(F.pow(d, 4)).alias("m4"),
+    )
+    n = F.col("n")
+    gs = mom.select(
+        n,
+        (F.col("m3") / F.pow(F.col("m2"), 1.5)).alias("g1"),
+        (F.col("m4") / F.pow(F.col("m2"), 2)).alias("b2"),
+    )
+    y = F.col("g1") * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    e_b2 = 3.0 * (n - 1) / (n + 1)
+    v_b2 = 24.0 * n * (n - 2) * (n - 3) / (F.pow(n + 1, 2) * (n + 3) * (n + 5))
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * F.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    zs = gs.select(
+        n, "g1", "b2",
+        y.alias("y"), beta2.alias("beta2"), e_b2.alias("e_b2"),
+        v_b2.alias("v_b2"), sb1.alias("sb1"),
+    )
+    w = F.sqrt(-1 + F.sqrt(2 * (F.col("beta2") - 1)))
+    x = (F.col("b2") - F.col("e_b2")) / F.sqrt(F.col("v_b2"))
+    a = 6 + 8 / F.col("sb1") * (
+        2 / F.col("sb1") + F.sqrt(1 + 4 / (F.col("sb1") * F.col("sb1")))
+    )
+    z1c = zs.select(n, "g1", "b2", "y", w.alias("w"), x.alias("x"), a.alias("a"))
+    alpha = F.sqrt(2 / (F.col("w") * F.col("w") - 1))
+    z1 = (1 / F.sqrt(F.log(F.col("w")))) * F.log(
+        F.col("y") / alpha + F.sqrt(F.pow(F.col("y") / alpha, 2) + 1)
+    )
+    z2 = (
+        (1 - 2.0 / (9 * F.col("a")))
+        - F.cbrt(
+            (1 - 2.0 / F.col("a"))
+            / (1 + F.col("x") * F.sqrt(2 / (F.col("a") - 4)))
+        )
+    ) / F.sqrt(2.0 / (9 * F.col("a")))
+    return z1c.select(
+        n.cast("long").alias("n_rows"),
+        F.round("g1", 6).alias("skew_g1"),
+        F.round(F.col("b2") - 3, 6).alias("excess_kurtosis"),
+        F.round(z1, 6).alias("z_skew"),
+        F.round(z2, 6).alias("z_kurt"),
+        F.round(z1 * z1 + z2 * z2, 6).alias("k2_stat"),
+    )

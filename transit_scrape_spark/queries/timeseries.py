@@ -2027,3 +2027,104 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breach"),
     )
+
+
+@query(
+    "timeseries-acf-pacf",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT x,
+                   lag(x, 1) OVER (ORDER BY day) AS x1,
+                   lag(x, 2) OVER (ORDER BY day) AS x2,
+                   lag(x, 3) OVER (ORDER BY day) AS x3
+            FROM daily
+        ),
+        mu AS (SELECT avg(x) AS m, count(*) AS n FROM lagged),
+        acf AS (
+            SELECT max(mu.n) AS n,
+                   sum((x - mu.m) * (x1 - mu.m)) FILTER (x1 IS NOT NULL)
+                       / sum(power(x - mu.m, 2)) AS r1,
+                   sum((x - mu.m) * (x2 - mu.m)) FILTER (x2 IS NOT NULL)
+                       / sum(power(x - mu.m, 2)) AS r2,
+                   sum((x - mu.m) * (x3 - mu.m)) FILTER (x3 IS NOT NULL)
+                       / sum(power(x - mu.m, 2)) AS r3
+            FROM lagged, mu GROUP BY ALL
+        ),
+        lev AS (
+            SELECT n, r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+            FROM acf
+        ),
+        lev2 AS (
+            SELECT *, r1 * (1 - p22) AS p21 FROM lev
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r1, 6) AS acf1, round(r2, 6) AS acf2,
+               round(r3, 6) AS acf3,
+               round(r1, 6) AS pacf1,
+               round(p22, 6) AS pacf2,
+               round((r3 - p21 * r2 - p22 * r1)
+                     / (1 - p21 * r1 - p22 * r2), 6) AS pacf3
+        FROM lev2
+    """,
+    doc="ACF(1..3) and PACF(1..3) of the daily mean event value: "
+    "autocovariances from one window pass over the ~30-row daily "
+    "summary (global mean as the scalar normalizer, the standard "
+    "large-n ACF estimator), then PACF via the closed-form "
+    "Durbin-Levinson recursion (phi22 = (r2-r1^2)/(1-r1^2); phi33 "
+    "from the order-2 coefficients) — no matrix solve, pure scalar "
+    "math on the 1-row ACF summary. The AR-order diagnostic that "
+    "pairs with timeseries-autocorr (raw ACF) and "
+    "timeseries-ljung-box (joint whiteness test).",
+    tags=("timeseries",),
+)
+def timeseries_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    mu = lagged.agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    j = lagged.join(F.broadcast(mu))
+    m = F.col("m")
+    den = F.sum(F.pow(F.col("x") - m, 2))
+    rk = lambda c: (  # noqa: E731
+        F.sum(
+            F.when(
+                F.col(c).isNotNull(), (F.col("x") - m) * (F.col(c) - m)
+            ).otherwise(0.0)
+        )
+        / den
+    )
+    acf = j.agg(
+        F.max("n").alias("n"),
+        rk("x1").alias("r1"),
+        rk("x2").alias("r2"),
+        rk("x3").alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    lev = acf.select("n", "r1", "r2", "r3", p22.alias("p22"))
+    p21 = r1 * (1 - F.col("p22"))
+    lev2 = lev.select("*", p21.alias("p21"))
+    return lev2.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("acf1"),
+        F.round(r2, 6).alias("acf2"),
+        F.round(r3, 6).alias("acf3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(F.col("p22"), 6).alias("pacf2"),
+        F.round(
+            (r3 - F.col("p21") * r2 - F.col("p22") * r1)
+            / (1 - F.col("p21") * r1 - F.col("p22") * r2),
+            6,
+        ).alias("pacf3"),
+    )
