@@ -3333,3 +3333,74 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cell_z"),
     ).orderBy("dow", "hr")
+
+
+@query(
+    "analytics-price-elasticity",
+    oracle="""
+        WITH obs AS (
+            SELECT l_partkey,
+                   ln(l_extendedprice / l_quantity) AS lp,
+                   ln(l_quantity) AS lq
+            FROM lineitem WHERE l_quantity > 0
+        ),
+        demeaned AS (
+            SELECT lp - avg(lp) OVER (PARTITION BY l_partkey) AS dlp,
+                   lq - avg(lq) OVER (PARTITION BY l_partkey) AS dlq
+            FROM obs
+        ),
+        fit AS (
+            SELECT count(*) AS n,
+                   sum(dlp * dlq) AS sxy,
+                   sum(dlp * dlp) AS sxx,
+                   sum(dlq * dlq) AS syy
+            FROM demeaned
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs,
+               round(sxy / sxx, 6) AS elasticity,
+               round(sxy * sxy / (sxx * syy), 6) AS r2_within,
+               round(sqrt((syy - sxy * sxy / sxx) / (n - 2) / sxx), 6)
+                   AS se_naive
+        FROM fit
+    """,
+    doc="Price elasticity of demand via the panel WITHIN estimator: "
+    "log-log regression of quantity on unit price with part fixed "
+    "effects absorbed by per-part demeaning (the two-way transform "
+    "that kills cross-part price-level confounding a pooled OLS "
+    "would soak up). One window pass partitioned by l_partkey "
+    "(single shuffle on the natural key) then a scalar moment "
+    "aggregate: beta = sum(dp*dq)/sum(dp^2), within-R2, naive SE. "
+    "The econometric sibling of agg-regression-battery's pooled "
+    "fit; at 100 TB the demeaning window and the moment agg are "
+    "the same one shuffle.",
+    tags=("analytics",),
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+        F.log("l_quantity").alias("lq"),
+    )
+    w = Window.partitionBy("l_partkey")
+    dm = obs.select(
+        (F.col("lp") - F.avg("lp").over(w)).alias("dlp"),
+        (F.col("lq") - F.avg("lq").over(w)).alias("dlq"),
+    )
+    fit = dm.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dlp") * F.col("dlq")).alias("sxy"),
+        F.sum(F.col("dlp") * F.col("dlp")).alias("sxx"),
+        F.sum(F.col("dlq") * F.col("dlq")).alias("syy"),
+    )
+    n, sxy, sxx, syy = F.col("n"), F.col("sxy"), F.col("sxx"), F.col("syy")
+    return fit.select(
+        n.cast("long").alias("n_obs"),
+        F.round(sxy / sxx, 6).alias("elasticity"),
+        F.round(sxy * sxy / (sxx * syy), 6).alias("r2_within"),
+        F.round(F.sqrt((syy - sxy * sxy / sxx) / (n - 2) / sxx), 6).alias(
+            "se_naive"
+        ),
+    )

@@ -1264,3 +1264,133 @@ def corpus_chinchilla_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model_params")
     )
+
+
+_CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
+
+
+@query(
+    "dedup-semdedup-bucket",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v,
+                   CAST(CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS bucket
+            FROM v
+        ),
+        cent AS (
+            SELECT bucket, list_value({_CENT64}) AS c
+            FROM bucketed GROUP BY bucket
+        ),
+        scored AS (
+            SELECT b.vec_id, b.bucket, b.v,
+                   list_cosine_similarity(b.v, cent.c) AS cent_sim
+            FROM bucketed b JOIN cent USING (bucket)
+        ),
+        pairs AS (
+            SELECT a.bucket,
+                   a.vec_id AS ida, b.vec_id AS idb,
+                   a.cent_sim AS sa, b.cent_sim AS sb
+            FROM scored a JOIN scored b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) > 0.85
+        ),
+        removed AS (
+            SELECT bucket, vec_id FROM (
+                SELECT bucket,
+                       CASE WHEN sa >= sb THEN ida ELSE idb END AS vec_id
+                FROM pairs
+            ) GROUP BY bucket, vec_id
+        )
+        SELECT s.bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(coalesce(max(p.np), 0) AS BIGINT) AS n_dup_pairs,
+               CAST(coalesce(max(r.nr), 0) AS BIGINT) AS n_removed
+        FROM scored s
+        LEFT JOIN (SELECT bucket, count(*) AS np FROM pairs GROUP BY bucket) p
+               ON s.bucket = p.bucket
+        LEFT JOIN (SELECT bucket, count(*) AS nr FROM removed GROUP BY bucket) r
+               ON s.bucket = r.bucket
+        GROUP BY s.bucket
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): partition "
+    "the embedding space into buckets by the SIGN PATTERN of the "
+    "first 3 dimensions (the deterministic stand-in for k-means cell "
+    "assignment — same bucket = same cell), compute per-bucket "
+    "centroids, then search cosine>0.85 pairs ONLY within buckets "
+    "and remove the member of each pair CLOSER to its centroid "
+    "(SemDeDup keeps edge examples, discards redundant "
+    "near-centroid mass). Pair generation is an equi-join on the "
+    "bucket key, so the quadratic blowup is bounded per cell exactly "
+    "as in the paper's clustered formulation — the property that "
+    "makes semantic dedup tractable at 100 TB where all-pairs "
+    "cosine is impossible. Complements dedup-near-embedding-lsh "
+    "(random-hyperplane LSH) with the cluster-centroid flavor.",
+    tags=("dedup",),
+)
+def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    bucket = (
+        F.when(F.col("v")[0] >= 0, 4).otherwise(0)
+        + F.when(F.col("v")[1] >= 0, 2).otherwise(0)
+        + F.when(F.col("v")[2] >= 0, 1).otherwise(0)
+    ).cast("long")
+    bucketed = v.select("vec_id", "v", bucket.alias("bucket"))
+    cent = bucketed.groupBy("bucket").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(64)]).alias("c")
+    )
+    scored = bucketed.join(F.broadcast(cent), "bucket").select(
+        "vec_id", "bucket", "v", cosine(F.col("v"), F.col("c")).alias("cent_sim")
+    )
+    a = scored.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("cent_sim").alias("sa"),
+    )
+    b = scored.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("cent_sim").alias("sb"),
+    )
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ida") < F.col("idb")))
+        .filter(cosine(F.col("va"), F.col("vb")) > 0.85)
+        .select(
+            "bucket",
+            "ida",
+            "idb",
+            F.when(F.col("sa") >= F.col("sb"), F.col("ida"))
+            .otherwise(F.col("idb"))
+            .alias("removed_id"),
+        )
+    )
+    np = pairs.groupBy("bucket").agg(F.count("*").alias("np"))
+    nr = (
+        pairs.select("bucket", "removed_id")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count("*").alias("nr"))
+    )
+    base = scored.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        base.join(np, "bucket", "left")
+        .join(nr, "bucket", "left")
+        .select(
+            "bucket",
+            "n_vecs",
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

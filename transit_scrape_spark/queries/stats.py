@@ -5327,3 +5327,66 @@ def stats_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z2, 6).alias("z_kurt"),
         F.round(z1 * z1 + z2 * z2, 6).alias("k2_stat"),
     )
+
+
+@query(
+    "stats-bartlett-test",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   count(*) AS ni,
+                   var_samp(value) AS vi
+            FROM events GROUP BY event_type
+        ),
+        s AS (
+            SELECT count(*) AS k,
+                   sum(ni) AS n,
+                   sum((ni - 1) * vi) / sum(ni - 1) AS sp2,
+                   sum((ni - 1) * ln(vi)) AS sum_lnv,
+                   sum(1.0 / (ni - 1)) AS sum_inv
+            FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(n AS BIGINT) AS n_total,
+               CAST(k - 1 AS BIGINT) AS dof,
+               round(sp2, 6) AS pooled_var,
+               round(((n - k) * ln(sp2) - sum_lnv)
+                     / (1 + (sum_inv - 1.0 / (n - k)) / (3 * (k - 1))), 6)
+                   AS bartlett_stat
+        FROM s
+    """,
+    doc="Bartlett's test for homogeneity of variances across event "
+    "types: T = ((N-k) ln s_p^2 - sum (n_i-1) ln s_i^2) / C with the "
+    "Bartlett correction C — the parametric, normality-assuming "
+    "counterpart to stats-levene-median (which is robust to "
+    "non-normality; running both brackets the assumption). One hash "
+    "aggregation to k per-group (count, variance) rows, then scalar "
+    "math on the k-row summary — variance homogeneity is the "
+    "precondition gate for pooled-variance tests like "
+    "stats-anova-oneway at any scale.",
+    tags=("stats",),
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("ni"), F.var_samp("value").alias("vi")
+    )
+    ni, vi = F.col("ni"), F.col("vi")
+    s = g.agg(
+        F.count("*").alias("k"),
+        F.sum(ni).alias("n"),
+        (F.sum((ni - 1) * vi) / F.sum(ni - 1)).alias("sp2"),
+        F.sum((ni - 1) * F.log(vi)).alias("sum_lnv"),
+        F.sum(1.0 / (ni - 1)).alias("sum_inv"),
+    )
+    k, n = F.col("k"), F.col("n")
+    t = ((n - k) * F.log(F.col("sp2")) - F.col("sum_lnv")) / (
+        1 + (F.col("sum_inv") - 1.0 / (n - k)) / (3 * (k - 1))
+    )
+    return s.select(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n_total"),
+        (k - 1).cast("long").alias("dof"),
+        F.round("sp2", 6).alias("pooled_var"),
+        F.round(t, 6).alias("bartlett_stat"),
+    )
