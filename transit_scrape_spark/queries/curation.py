@@ -1394,3 +1394,58 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+@query(
+    "corpus-language-balance-sampler",
+    oracle="""
+        WITH langs AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT lang, n_docs,
+                   sum(n_docs) OVER () AS n,
+                   sum(power(n_docs, 0.3)) OVER () AS z
+            FROM langs
+        )
+        SELECT lang, n_docs,
+               round(CAST(n_docs AS DOUBLE) / n, 6) AS raw_share,
+               round(power(n_docs, 0.3) / z, 6) AS temp_share,
+               round(power(n_docs, 0.3) / z / (CAST(n_docs AS DOUBLE) / n), 6)
+                   AS sample_weight
+        FROM tot
+    """,
+    doc="Temperature-based multilingual sampling weights (mT5/XLM-R "
+    "alpha=0.3): p_l proportional to n_l^alpha flattens the language "
+    "distribution so low-resource languages are upsampled "
+    "(weight > 1) and high-resource downsampled without the "
+    "winner-take-all of raw proportions. One hash aggregation to "
+    "per-language counts; shares via windows over the k-row "
+    "summary. sample_weight feeds corpus-resample-mix's "
+    "deterministic hash-split machinery to materialize the "
+    "rebalanced corpus — together they are the mixture step every "
+    "multilingual pretraining pipeline runs after dedup.",
+    tags=("corpus",),
+)
+def corpus_language_balance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy()
+    tot = langs.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n"),
+        F.sum(F.pow("n_docs", 0.3)).over(w).alias("z"),
+    )
+    raw = F.col("n_docs").cast("double") / F.col("n")
+    temp = F.pow("n_docs", 0.3) / F.col("z")
+    return tot.select(
+        "lang",
+        "n_docs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("sample_weight"),
+    )

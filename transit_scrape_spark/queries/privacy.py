@@ -317,3 +317,68 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
             "suppression_rate"
         ),
     )
+
+
+_G_SIGMA = 9.689610525210778  # sqrt(2*ln(1.25/delta)) * sens / eps
+_TWO_PI = 6.283185307179586
+
+
+@query(
+    "privacy-dp-gaussian",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS true_n
+            FROM customer GROUP BY c_mktsegment
+        ),
+        us AS (
+            SELECT c_mktsegment, true_n,
+                   (CAST(({sql_string_hash("c_mktsegment || ':gauss-u1'")}) AS DOUBLE)
+                    / 2147483647.0) + 1e-15 AS u1,
+                   (CAST(({sql_string_hash("c_mktsegment || ':gauss-u2'")}) AS DOUBLE)
+                    / 2147483647.0) AS u2
+            FROM cells
+        )
+        SELECT c_mktsegment, true_n,
+               round(true_n + {_G_SIGMA} * sqrt(-2 * ln(u1))
+                     * cos({_TWO_PI} * u2), 4) AS released_n,
+               round(abs({_G_SIGMA} * sqrt(-2 * ln(u1))
+                     * cos({_TWO_PI} * u2)), 4) AS abs_noise
+        FROM us
+    """,
+    doc="Gaussian mechanism for (epsilon, delta)-DP count release "
+    "(eps=0.5, delta=1e-5, sensitivity 1 -> sigma = "
+    "sqrt(2 ln(1.25/delta))/eps ~= 9.69): per-segment counts plus "
+    "N(0, sigma^2) noise via Box-Muller over two salted-hash "
+    "uniforms, so both engines reproduce the draw exactly "
+    "(production swaps the hashes for fresh randomness, expression "
+    "unchanged). The approximate-DP sibling of privacy-dp-laplace: "
+    "Gaussian noise composes tighter over many releases (advanced "
+    "composition / RDP), the regime a 100 TB pipeline that "
+    "publishes thousands of aggregates actually lives in. Same "
+    "aggregate-first, noise-the-summary release shape.",
+)
+def privacy_dp_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    u1 = (
+        string_hash(F.concat(F.col("c_mktsegment"), F.lit(":gauss-u1"))).cast(
+            "double"
+        )
+        / 2147483647.0
+        + 1e-15
+    )
+    u2 = (
+        string_hash(F.concat(F.col("c_mktsegment"), F.lit(":gauss-u2"))).cast(
+            "double"
+        )
+        / 2147483647.0
+    )
+    noise = _G_SIGMA * F.sqrt(-2 * F.log(u1)) * F.cos(_TWO_PI * u2)
+    return cells.select(
+        "c_mktsegment",
+        "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("released_n"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+    )

@@ -5390,3 +5390,64 @@ def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sp2", 6).alias("pooled_var"),
         F.round(t, 6).alias("bartlett_stat"),
     )
+
+
+@query(
+    "stats-cohens-d-battery",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM events GROUP BY event_type
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round((a.m - b.m)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2)), 6) AS cohens_d,
+               round((a.m - b.m)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2))
+                     * (1 - 3.0 / (4 * (a.n + b.n) - 9)), 6) AS hedges_g
+        FROM g a JOIN g b ON a.event_type < b.event_type
+    """,
+    doc="Pairwise standardized effect sizes between all event-type "
+    "pairs: Cohen's d with pooled sd and the Hedges small-sample "
+    "bias correction g = d*(1 - 3/(4n-9)). One hash aggregation to "
+    "k per-group (n, mean, var) rows, then a k x k self-join on the "
+    "TINY summary (10 pairs from 5 types) — the multiple-comparison "
+    "companion to stats-welch-ttest (significance) and the input "
+    "stats-holm-bonferroni's step-down expects. Effect sizes stay "
+    "meaningful at 100 TB where p-values saturate.",
+    tags=("stats",),
+)
+def stats_cohens_d_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m"), F.var_samp("value").alias("v")
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    na, nb = F.col("na"), F.col("nb")
+    d = (F.col("ma") - F.col("mb")) / F.sqrt(
+        ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (na + nb) - 9)), 6).alias("hedges_g"),
+    )
