@@ -1179,3 +1179,79 @@ def graph_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "a", "b")
         .limit(25)
     )
+
+
+@query(
+    "graph-closeness-centrality",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        walk(src, node, d) AS (
+            SELECT CAST(s AS BIGINT) AS src, CAST(s AS BIGINT) AS node, 0 AS d
+            FROM unnest([0, 1, 2, 3, 4]) AS t(s)
+            UNION
+            SELECT walk.src, e.b, walk.d + 1
+            FROM walk JOIN edges e ON walk.node = e.a
+            WHERE walk.d < 6
+        ),
+        dist AS (
+            SELECT src, node, min(d) AS d
+            FROM walk GROUP BY src, node
+        )
+        SELECT src,
+               CAST(count(*) - 1 AS BIGINT) AS n_reached,
+               CAST(sum(d) AS BIGINT) AS sum_dist,
+               round((count(*) - 1.0) / sum(d), 6) AS closeness,
+               round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 6)
+                   AS harmonic
+        FROM dist
+        GROUP BY src
+    """,
+    doc="Closeness and harmonic centrality for 5 seed nations via ONE "
+    "multi-source BFS: the frontier carries (src, node) pairs so all "
+    "sources expand in the same driver loop — k sources cost one "
+    "traversal with a k-wide state key, not k traversals (the "
+    "landmark/pivot pattern used to approximate centrality at scale, "
+    "where exact all-sources BFS is quadratic). Closeness = "
+    "(reached-1)/sum(dist); harmonic = sum(1/d) handles disconnected "
+    "components gracefully. Same per-generation persist/unpersist "
+    "lineage hygiene as graph-bfs-distance; oracle is the same "
+    "fixpoint as a multi-seed recursive CTE.",
+    tags=("graph",),
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    seeds = [0, 1, 2, 3, 4]
+    visited = (
+        edges.sparkSession.createDataFrame(
+            [(s, s, 0) for s in seeds], "src long, node long, dist long"
+        )
+    ).persist()
+    frontier = visited.select("src", "node")
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select("src", F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        old = visited
+        visited = visited.unionByName(nxt).persist()
+        visited.count()
+        old.unpersist()
+        frontier = nxt.select("src", "node")
+    res = visited.groupBy("src").agg(
+        (F.count("*") - 1).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.round((F.count("*") - 1.0) / F.sum("dist"), 6).alias("closeness"),
+        F.round(
+            F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(0.0)),
+            6,
+        ).alias("harmonic"),
+    )
+    edges.unpersist()
+    return res

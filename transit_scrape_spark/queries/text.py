@@ -2333,3 +2333,63 @@ def corpus_gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'alpha', a4, b4, 'stopword', a5, b5, 'any', aany, bany) "
         "AS (rule, n_fail, n_sole_fail)"
     )
+
+
+@query(
+    "corpus-tokenizer-fertility",
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(regexp_extract_all(text,
+                       '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+               round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+                   AS fertility_tokens_per_word,
+               round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+                   AS chars_per_token,
+               round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars) * 1000, 6)
+                   AS tokens_per_kchar
+        FROM per_doc
+        GROUP BY lang
+    """,
+    doc="Tokenizer fertility report by language: BPE-ish regex tokens "
+    "per whitespace word (fertility), chars per token (compression), "
+    "tokens per 1000 chars — the per-language cost model that "
+    "decides token budgets and exposes tokenizer bias against "
+    "low-resource languages (high fertility = more tokens per word "
+    "= more compute per sentence). Pools corpus-level ratios "
+    "(sum/sum, not mean-of-ratios, so long docs weigh in "
+    "proportionally). One codegen'd projection + one hash "
+    "aggregation; pairs with corpus-token-budget (budget planning) "
+    "and corpus-language-balance-sampler (mixture weights).",
+    tags=("corpus", "text"),
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility_tokens_per_word"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_chars") * 1000, 6
+        ).alias("tokens_per_kchar"),
+    )

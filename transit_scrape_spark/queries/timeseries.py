@@ -2128,3 +2128,72 @@ def timeseries_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     )
+
+
+@query(
+    "timeseries-sax-symbolic",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        stats AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
+        segd AS (
+            SELECT (row_number() OVER (ORDER BY day) - 1) // 5 AS seg,
+                   (x - stats.mu) / stats.sd AS z
+            FROM daily, stats
+        ),
+        z AS (
+            SELECT seg, z, count(*) OVER (PARTITION BY seg) AS seg_n
+            FROM segd
+        ),
+        paa AS (
+            SELECT CAST(seg AS BIGINT) AS seg, avg(z) AS paa
+            FROM z WHERE seg_n = 5 GROUP BY seg
+        )
+        SELECT seg, round(paa, 6) AS paa,
+               CASE WHEN paa < -0.6745 THEN 'a'
+                    WHEN paa < 0 THEN 'b'
+                    WHEN paa < 0.6745 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM paa
+    """,
+    doc="SAX symbolic discretization (Lin et al. 2003) of the daily "
+    "mean event value: z-normalize against the global mean/sd, "
+    "Piecewise Aggregate Approximation over non-overlapping 5-day "
+    "segments (incomplete tail segments dropped), then map each PAA "
+    "value to a 4-letter alphabet at the N(0,1) equiprobable "
+    "breakpoints (-0.6745, 0, 0.6745). The discretized words feed "
+    "hash-based motif discovery and similarity search over time "
+    "series the way shingles feed MinHash — a 5x compression whose "
+    "distance lower-bounds Euclidean, which is what makes indexed "
+    "time-series search feasible at 100 TB. One fact aggregation; "
+    "everything after runs on the day-count-sized summary.",
+    tags=("timeseries",),
+)
+def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    stats = daily.agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    seg = F.floor((F.row_number().over(Window.orderBy("day")) - 1) / 5)
+    z = daily.join(F.broadcast(stats)).select(
+        seg.alias("seg"),
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    z = z.withColumn("seg_n", F.count("*").over(Window.partitionBy("seg")))
+    paa = (
+        z.filter(F.col("seg_n") == 5)
+        .groupBy(F.col("seg").cast("long").alias("seg"))
+        .agg(F.avg("z").alias("paa"))
+    )
+    return paa.select(
+        "seg",
+        F.round("paa", 6).alias("paa"),
+        F.when(F.col("paa") < -0.6745, "a")
+        .when(F.col("paa") < 0, "b")
+        .when(F.col("paa") < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
