@@ -1626,3 +1626,73 @@ def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("levels_after_other_bucket"),
     )
+
+
+@query(
+    "maintenance-analyze-stats",
+    oracle="""
+        SELECT 'n_nationkey' AS column_name,
+               CAST(count(DISTINCT n_nationkey) AS BIGINT) AS distinct_count,
+               CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_count,
+               CAST(min(n_nationkey) AS VARCHAR) AS min_value,
+               CAST(max(n_nationkey) AS VARCHAR) AS max_value
+        FROM nation
+        UNION ALL
+        SELECT 'n_regionkey',
+               CAST(count(DISTINCT n_regionkey) AS BIGINT),
+               CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(min(n_regionkey) AS VARCHAR),
+               CAST(max(n_regionkey) AS VARCHAR)
+        FROM nation
+    """,
+    doc="Cost-based-optimizer statistics collection: saveAsTable + "
+    "ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS, then read the "
+    "catalog column stats back via DESCRIBE EXTENDED — the ndv/"
+    "null/min/max numbers Catalyst's CBO joins-reordering and "
+    "broadcast decisions consume (spark.sql.cbo.enabled). The "
+    "oracle recomputes the same stats exactly from data; ANALYZE's "
+    "HLL++ ndv is exact at dimension-table cardinalities (25/5 "
+    "distinct), which is why the demo pins the nation table — at "
+    "fact-table scale ndv is approximate BY DESIGN and the op's "
+    "value is that stats collection is one scan, not a per-column "
+    "loop. Table is dropped after the stats are read; the result "
+    "is catalog metadata, inherently driver-sized.",
+    tags=("maintenance",),
+)
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    tbl = "tss_analyze_nation"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    path = tempfile.mkdtemp(prefix="tss_analyze_")
+    n.write.mode("overwrite").option("path", path).saveAsTable(tbl)
+    try:
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        rows = []
+        for col in ["n_nationkey", "n_regionkey"]:
+            desc = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+            }
+            rows.append(
+                (
+                    col,
+                    int(desc["distinct_count"]),
+                    int(desc["num_nulls"]),
+                    desc["min"],
+                    desc["max"],
+                )
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return spark.createDataFrame(
+        rows,
+        "column_name string, distinct_count long, null_count long, "
+        "min_value string, max_value string",
+    )

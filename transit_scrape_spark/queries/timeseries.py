@@ -2197,3 +2197,101 @@ def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+@query(
+    "timeseries-cross-correlation",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   avg(CASE WHEN event_type = 'purchase' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT avg(x) AS mx, stddev_pop(x) AS sx,
+                   avg(y) AS my, stddev_pop(y) AS sy,
+                   count(*) AS n
+            FROM daily
+        ),
+        lagged AS (
+            SELECT d.x, d.y,
+                   lag(d.y, 1) OVER w AS ym1, lead(d.y, 1) OVER w AS yp1,
+                   lag(d.y, 2) OVER w AS ym2, lead(d.y, 2) OVER w AS yp2,
+                   lag(d.y, 3) OVER w AS ym3, lead(d.y, 3) OVER w AS yp3
+            FROM daily d WINDOW w AS (ORDER BY day)
+        ),
+        ccf AS (
+            SELECT CAST(max(s.n) AS BIGINT) AS n_days, lags.lag AS lag,
+                   round(avg((l.x - s.mx) * (CASE lags.lag
+                        WHEN -3 THEN l.ym3 WHEN -2 THEN l.ym2
+                        WHEN -1 THEN l.ym1 WHEN 0 THEN l.y
+                        WHEN 1 THEN l.yp1 WHEN 2 THEN l.yp2
+                        ELSE l.yp3 END - s.my)) / (s.sx * s.sy), 6) AS r
+            FROM lagged l, stats s,
+                 (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lags
+            WHERE (CASE lags.lag
+                        WHEN -3 THEN l.ym3 WHEN -2 THEN l.ym2
+                        WHEN -1 THEN l.ym1 WHEN 0 THEN l.y
+                        WHEN 1 THEN l.yp1 WHEN 2 THEN l.yp2
+                        ELSE l.yp3 END) IS NOT NULL
+            GROUP BY lags.lag, s.sx, s.sy
+        )
+        SELECT n_days, CAST(lag AS BIGINT) AS lag, r
+        FROM ccf
+    """,
+    doc="Cross-correlation function between click and purchase daily "
+    "mean values at lags -3..+3 (negative lag = purchase leads): "
+    "one conditional-aggregation pass builds both aligned series, "
+    "one window sort materializes every shifted copy, and the CCF "
+    "is a 7-cell aggregate normalized by the global sds — the "
+    "lead/lag detector that answers 'does click activity PREDICT "
+    "purchases days later' where timeseries-rolling-corr only "
+    "measures contemporaneous co-movement. Peak |r| at nonzero lag "
+    "feeds timeseries-granger-1lag's causality followup.",
+    tags=("timeseries",),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+        )
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mx"), F.stddev_pop("x").alias("sx"),
+        F.avg("y").alias("my"), F.stddev_pop("y").alias("sy"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("day")
+    shifted = {
+        -3: F.lag("y", 3).over(w), -2: F.lag("y", 2).over(w),
+        -1: F.lag("y", 1).over(w), 0: F.col("y"),
+        1: F.lead("y", 1).over(w), 2: F.lead("y", 2).over(w),
+        3: F.lead("y", 3).over(w),
+    }
+    lagged = daily.select(
+        "x", *[c.alias(f"y_{k + 3}") for k, c in shifted.items()]
+    ).join(F.broadcast(stats))
+    parts = []
+    for k in range(-3, 4):
+        yc = F.col(f"y_{k + 3}")
+        parts.append(
+            lagged.filter(yc.isNotNull()).agg(
+                F.max("n").cast("long").alias("n_days"),
+                F.lit(k).cast("long").alias("lag"),
+                F.round(
+                    F.avg((F.col("x") - F.col("mx")) * (yc - F.col("my")))
+                    / (F.max("sx") * F.max("sy")),
+                    6,
+                ).alias("r"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1786,3 +1786,64 @@ def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rms_distortion"
         ),
     )
+
+
+@query(
+    "simsearch-batch-topk",
+    oracle="""
+        WITH queries AS (
+            SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+            FROM embeddings WHERE vec_id <= 10
+        ),
+        corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.qid, c.vec_id,
+                   round(list_cosine_similarity(c.v, q.q), 6) AS sim
+            FROM corpus c JOIN queries q ON c.vec_id <> q.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+    doc="BATCHED top-k similarity search: 10 query vectors resolved in "
+    "ONE corpus pass instead of 10 (the serving-path shape — rerank "
+    "batches, dedup candidate generation, eval sweeps). The query "
+    "block broadcasts (bounded batch x dim), every corpus partition "
+    "scores all queries locally, and the per-query top-5 falls out "
+    "of one rank window partitioned by qid — a k*batch-row shuffle, "
+    "never the scored corpus. Deterministic (sim desc, vec_id) "
+    "tie-break after round-6 quantization keeps rank order "
+    "engine-identical. Complements simsearch-topk (single query) "
+    "and simsearch-knn-join (all-pairs).",
+    tags=("simsearch",),
+)
+def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    queries = corpus.filter(F.col("vec_id") <= 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q")
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("q")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
