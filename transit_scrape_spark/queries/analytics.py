@@ -3404,3 +3404,134 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "se_naive"
         ),
     )
+
+
+@query(
+    "analytics-bass-diffusion",
+    oracle="""
+        WITH first_buy AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        adopters AS (
+            SELECT d0 AS day, CAST(count(*) AS DOUBLE) AS n_t
+            FROM first_buy GROUP BY d0
+        ),
+        cum AS (
+            SELECT day, n_t,
+                   coalesce(sum(n_t) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS big_n
+            FROM adopters
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   avg(n_t) AS my, avg(big_n) AS m1, avg(big_n * big_n) AS m2
+            FROM cum
+        ),
+        s AS (
+            SELECT max(m.n) AS n,
+                   sum((c.big_n - m.m1) * (c.big_n - m.m1)) AS s11,
+                   sum((c.big_n - m.m1) * (c.big_n * c.big_n - m.m2)) AS s12,
+                   sum((c.big_n * c.big_n - m.m2)
+                       * (c.big_n * c.big_n - m.m2)) AS s22,
+                   sum((c.big_n - m.m1) * (c.n_t - m.my)) AS sy1,
+                   sum((c.big_n * c.big_n - m.m2) * (c.n_t - m.my)) AS sy2,
+                   max(m.my) AS my, max(m.m1) AS m1, max(m.m2) AS m2
+            FROM cum c, m GROUP BY ALL
+        ),
+        fit AS (
+            SELECT n,
+                   (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b,
+                   (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS c,
+                   my, m1, m2
+            FROM s
+        ),
+        abc AS (
+            SELECT n, my - b * m1 - c * m2 AS a, b, c FROM fit
+        ),
+        mkt AS (
+            SELECT n, a, b, c,
+                   (-b - sqrt(b * b - 4 * c * a)) / (2 * c) AS m_cap
+            FROM abc
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(a, 6) AS coef_a, round(b, 6) AS coef_b,
+               round(c, 8) AS coef_c,
+               round(m_cap, 4) AS market_size,
+               round(a / m_cap, 6) AS p_innovation,
+               round(-c * m_cap, 6) AS q_imitation
+        FROM mkt
+    """,
+    doc="Bass diffusion model fit on first-purchase adoption: the "
+    "discrete Bass regression n_t = a + b*N_(t-1) + c*N_(t-1)^2 "
+    "solved in closed form (centered 2x2 normal equations — no "
+    "iterative optimizer), then the structural parameters recovered "
+    "from the quadratic root: M = (-b - sqrt(b^2-4ca))/2c, "
+    "p = a/M (innovation), q = -cM (imitation). Pipeline: first-"
+    "purchase dates (one groupBy user), daily adopter counts (one "
+    "groupBy day), lagged cumulative via window, moment sums on the "
+    "day-count summary. The product-growth forecasting op whose "
+    "p/q split says whether adoption is ad-driven or word-of-"
+    "mouth-driven; companions: analytics-ltv-projection, "
+    "analytics-retention-decay-fit.",
+    tags=("analytics",),
+)
+def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    adopters = first_buy.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("double").alias("n_t")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    cum = adopters.select(
+        "day", "n_t", F.coalesce(F.sum("n_t").over(w), F.lit(0.0)).alias("big_n")
+    )
+    m = cum.agg(
+        F.count("*").alias("n"),
+        F.avg("n_t").alias("my"),
+        F.avg("big_n").alias("m1"),
+        F.avg(F.col("big_n") * F.col("big_n")).alias("m2"),
+    )
+    j = cum.join(F.broadcast(m))
+    dx1 = F.col("big_n") - F.col("m1")
+    dx2 = F.col("big_n") * F.col("big_n") - F.col("m2")
+    dy = F.col("n_t") - F.col("my")
+    s = j.agg(
+        F.max("n").alias("n"),
+        F.sum(dx1 * dx1).alias("s11"),
+        F.sum(dx1 * dx2).alias("s12"),
+        F.sum(dx2 * dx2).alias("s22"),
+        F.sum(dx1 * dy).alias("sy1"),
+        F.sum(dx2 * dy).alias("sy2"),
+        F.max("my").alias("my"),
+        F.max("m1").alias("m1"),
+        F.max("m2").alias("m2"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det
+    c = (F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) / det
+    fit = s.select("n", b.alias("b"), c.alias("c"), "my", "m1", "m2")
+    a = F.col("my") - F.col("b") * F.col("m1") - F.col("c") * F.col("m2")
+    abc = fit.select("n", a.alias("a"), "b", "c")
+    m_cap = (
+        -F.col("b")
+        - F.sqrt(F.col("b") * F.col("b") - 4 * F.col("c") * F.col("a"))
+    ) / (2 * F.col("c"))
+    mkt = abc.select("n", "a", "b", "c", m_cap.alias("m_cap"))
+    return mkt.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("a", 6).alias("coef_a"),
+        F.round("b", 6).alias("coef_b"),
+        F.round("c", 8).alias("coef_c"),
+        F.round("m_cap", 4).alias("market_size"),
+        F.round(F.col("a") / F.col("m_cap"), 6).alias("p_innovation"),
+        F.round(-F.col("c") * F.col("m_cap"), 6).alias("q_imitation"),
+    )

@@ -5451,3 +5451,57 @@ def stats_cohens_d_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         F.round(d * (1 - 3.0 / (4 * (na + nb) - 9)), 6).alias("hedges_g"),
     )
+
+
+@query(
+    "stats-poisson-two-rate",
+    oracle="""
+        WITH counts AS (
+            SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k1,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k2,
+                   count(DISTINCT CAST(ts AS DATE)) AS t_days
+            FROM events WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2,
+               CAST(t_days AS BIGINT) AS t_days,
+               round(CAST(k1 AS DOUBLE) / t_days, 6) AS rate1,
+               round(CAST(k2 AS DOUBLE) / t_days, 6) AS rate2,
+               round((k1 - k2) / sqrt(CAST(k1 + k2 AS DOUBLE)), 6)
+                   AS z_unconditional,
+               round((CAST(k1 AS DOUBLE) / (k1 + k2) - 0.5)
+                     / sqrt(0.25 / (k1 + k2)), 6) AS z_conditional
+        FROM counts
+    """,
+    doc="Two-sample Poisson rate comparison over a shared exposure "
+    "window: unconditional z = (k1-k2)/sqrt(k1+k2) and the "
+    "conditional (binomial) form — given k1+k2 total events, k1 ~ "
+    "Bin(k1+k2, 1/2) under H0 of equal rates — which is the exact-"
+    "test-backed version. One conditional-count aggregation over "
+    "the fact table; the test statistic is scalar math on a 1-row "
+    "summary. The counting-process companion to stats-welch-ttest "
+    "(means) and stats-srm-check (fixed expected ratio).",
+    tags=("stats",),
+)
+def stats_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k2"),
+        F.count_distinct(F.to_date("ts")).alias("t_days"),
+    )
+    k1, k2, t = F.col("k1"), F.col("k2"), F.col("t_days")
+    return c.select(
+        k1.cast("long").alias("k1"),
+        k2.cast("long").alias("k2"),
+        t.cast("long").alias("t_days"),
+        F.round(k1.cast("double") / t, 6).alias("rate1"),
+        F.round(k2.cast("double") / t, 6).alias("rate2"),
+        F.round((k1 - k2) / F.sqrt((k1 + k2).cast("double")), 6).alias(
+            "z_unconditional"
+        ),
+        F.round(
+            (k1.cast("double") / (k1 + k2) - 0.5) / F.sqrt(0.25 / (k1 + k2)), 6
+        ).alias("z_conditional"),
+    )
