@@ -129,6 +129,16 @@ SCALAR_BROADCAST_OPS = {
     "embed-mmr-rerank",        # 1-row picked-candidate broadcasts per greedy step
     "sample-poisson-bootstrap",# 16-row replica-id broadcast fan-out
     "privacy-generalization-ladder",  # 4-row band-width broadcast fan-out
+    "stats-grubbs-outlier",    # 1-row (n, mean, sd) summary broadcast
+    "stats-dagostino-k2",      # 1-row mean broadcast (two-pass central moments)
+    "timeseries-acf-pacf",     # 1-row mean broadcast over the daily summary
+    "timeseries-sax-symbolic", # 1-row (mu, sd) broadcast over the daily summary
+    "timeseries-cross-correlation",  # 1-row normalizer broadcast per lag branch
+    "analytics-bass-diffusion",      # 1-row moment-summary broadcast
+    "stats-cohens-d-battery",  # 5-row per-group summary inequality self-join
+    "embed-jl-projection",     # 20-row anchor block inequality self-join
+    "simsearch-batch-topk",    # 10-row query block broadcast
+    "text-burrows-delta",      # 10-token z-score block inequality join
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
