@@ -3535,3 +3535,92 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") / F.col("m_cap"), 6).alias("p_innovation"),
         F.round(-F.col("c") * F.col("m_cap"), 6).alias("q_imitation"),
     )
+
+
+@query(
+    "analytics-adstock-regression",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ad AS (
+            SELECT day, y,
+                   x + 0.6 * lag(x, 1) OVER w + 0.36 * lag(x, 2) OVER w
+                     + 0.216 * lag(x, 3) OVER w + 0.1296 * lag(x, 4) OVER w
+                     + 0.07776 * lag(x, 5) OVER w
+                     + 0.046656 * lag(x, 6) OVER w
+                     + 0.0279936 * lag(x, 7) OVER w AS adstock,
+                   row_number() OVER w AS rn
+            FROM daily WINDOW w AS (ORDER BY day)
+        ),
+        kept AS (SELECT adstock, y FROM ad WHERE rn >= 8),
+        fit AS (
+            SELECT count(*) AS n, avg(adstock) AS mx, avg(y) AS my,
+                   sum(adstock * y) - count(*) * avg(adstock) * avg(y) AS sxy,
+                   sum(adstock * adstock)
+                       - count(*) * avg(adstock) * avg(adstock) AS sxx,
+                   sum(y * y) - count(*) * avg(y) * avg(y) AS syy
+            FROM kept
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(sxy / sxx, 6) AS beta,
+               round(my - sxy / sxx * mx, 6) AS alpha,
+               round(sxy * sxy / (sxx * syy), 6) AS r2,
+               round(sxy / sxx * mx / my, 6) AS elasticity_at_mean
+        FROM fit
+    """,
+    doc="Marketing-mix regression with geometric ADSTOCK carryover: "
+    "daily purchase revenue on adstocked click volume, adstock_t = "
+    "sum_{k=0..7} 0.6^k x_{t-k} unrolled as 8 lag terms over one "
+    "window sort (the finite-window form of the recursive decay — "
+    "0.6^8 = 1.7% truncation error), warm-up days dropped, then "
+    "closed-form OLS on the day-count summary: beta, alpha, R^2, "
+    "and the elasticity at the mean that media-budget decisions "
+    "read. The carryover-aware upgrade of analytics-event-study's "
+    "instantaneous-effect model.",
+    tags=("analytics",),
+)
+def analytics_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day")
+    adstock = F.col("x") + sum(
+        (0.6 ** k) * F.lag("x", k).over(w) for k in range(1, 8)
+    )
+    ad = daily.select(
+        "day",
+        "y",
+        adstock.alias("adstock"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = ad.filter(F.col("rn") >= 8).select("adstock", "y")
+    n = F.count("*")
+    fit = kept.agg(
+        n.alias("n"),
+        F.avg("adstock").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("adstock") * F.col("y")) - n * F.avg("adstock") * F.avg("y")).alias("sxy"),
+        (F.sum(F.col("adstock") * F.col("adstock")) - n * F.avg("adstock") * F.avg("adstock")).alias("sxx"),
+        (F.sum(F.col("y") * F.col("y")) - n * F.avg("y") * F.avg("y")).alias("syy"),
+    )
+    beta = F.col("sxy") / F.col("sxx")
+    return fit.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("my") - beta * F.col("mx"), 6).alias("alpha"),
+        F.round(
+            F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6
+        ).alias("r2"),
+        F.round(beta * F.col("mx") / F.col("my"), 6).alias("elasticity_at_mean"),
+    )

@@ -1052,3 +1052,82 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _jsonl_bad_fixture_dir(sf_dir: str) -> str:
+    """JSONL corpus with DETERMINISTIC damage: every doc_id % 7 == 3
+    line is truncated mid-record (unclosed JSON) — the corpus a real
+    crawl hand-off actually looks like."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> None:
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        rows = tbl.to_pylist()
+        rows.sort(key=lambda r: r["doc_id"])
+        files = [open(os.path.join(d, f"part-{i}.jsonl"), "w") for i in range(4)]
+        try:
+            for r in rows:
+                line = json.dumps(r, sort_keys=True, ensure_ascii=False)
+                if r["doc_id"] % 7 == 3:
+                    line = line[: max(10, len(line) // 2)]
+                files[r["doc_id"] % 4].write(line + "\n")
+        finally:
+            for f in files:
+                f.close()
+
+    return fixture_dir("tss_jsonl_bad", sf_dir, build)
+
+
+@query(
+    "scan-jsonl-quarantine",
+    oracle="""
+        SELECT lang,
+               CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(sum(n_chars) FILTER (doc_id % 7 <> 3) AS BIGINT)
+                   AS total_chars
+        FROM documents
+        GROUP BY lang
+        UNION ALL
+        SELECT '_corrupt',
+               CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM documents
+    """,
+    doc="Malformed-line-tolerant JSONL scan: PERMISSIVE mode with an "
+    "explicit schema + columnNameOfCorruptRecord quarantines "
+    "truncated/unparseable lines into a corrupt column while clean "
+    "lines parse normally — the job never aborts and damage is "
+    "accounted, not silently dropped (the JSONL sibling of "
+    "scan-csv-robust's CSV contract, and what a 100 TB crawl "
+    "ingest needs when 0.1%% of a billion lines are cut mid-"
+    "record). Output: per-language clean counts plus a '_corrupt' "
+    "ledger row; the oracle reconstructs both from the originating "
+    "table and the deterministic damage rule (doc_id %% 7 == 3).",
+)
+def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _jsonl_bad_fixture_dir(sf_dir)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _bad string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_bad"
+    ).json(f"{d}/*.jsonl")
+    # one labeled pass: Spark forbids corrupt-column-ONLY queries
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the ledger row comes from
+    # the same aggregation as the per-language counts
+    labeled = docs.select(
+        F.when(F.col("_bad").isNull(), F.col("lang"))
+        .otherwise(F.lit("_corrupt"))
+        .alias("lang"),
+        F.when(F.col("_bad").isNull(), F.col("n_chars"))
+        .otherwise(F.lit(0))
+        .alias("nc"),
+    )
+    return labeled.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_good"),
+        F.sum("nc").cast("long").alias("total_chars"),
+    )

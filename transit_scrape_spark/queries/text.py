@@ -2497,3 +2497,89 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta")
     )
+
+
+@query(
+    "corpus-ccnet-ppl-buckets",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+        ),
+        total AS (SELECT sum(n) AS total_n FROM vocab),
+        scored AS (
+            SELECT t.doc_id,
+                   exp(-avg(ln(CAST(v.n AS DOUBLE) / total_n))) AS ppl
+            FROM tok t JOIN vocab v ON t.token = v.token, total
+            GROUP BY t.doc_id
+        ),
+        with_lang AS (
+            SELECT d.lang, s.doc_id, s.ppl,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.ppl, s.doc_id) AS tertile
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT lang,
+               CASE tertile WHEN 1 THEN 'head'
+                            WHEN 2 THEN 'middle'
+                            ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(ppl), 4) AS mean_ppl,
+               round(max(ppl), 4) AS max_ppl
+        FROM with_lang
+        GROUP BY lang, tertile
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "each document with the unigram-LM perplexity proxy "
+    "(exp(-mean token logprob), same vocab machinery as "
+    "text-unigram-logprob), then split each language into "
+    "head/middle/tail TERTILES by perplexity — head = fluent text "
+    "kept for pretraining, tail = noise dropped or down-weighted, "
+    "the per-language split being the part that matters (absolute "
+    "ppl is not comparable across languages). ntile(3) with a "
+    "deterministic (ppl, doc_id) order is engine-identical. Vocab "
+    "build + prob join are the two corpus-bounded shuffles; the "
+    "tertile window runs per language partition.",
+    tags=("corpus", "text"),
+)
+def corpus_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total_n"))
+    scored = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.exp(
+                -F.avg(F.log(F.col("n").cast("double") / F.col("total_n")))
+            ).alias("ppl")
+        )
+    )
+    wl = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "ppl",
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy("ppl", "doc_id"))
+        .alias("tertile"),
+    )
+    return wl.groupBy("lang", "tertile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+        F.round(F.max("ppl"), 4).alias("max_ppl"),
+    ).select(
+        "lang",
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_docs",
+        "mean_ppl",
+        "max_ppl",
+    )
