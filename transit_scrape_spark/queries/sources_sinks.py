@@ -1131,3 +1131,45 @@ def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_good"),
         F.sum("nc").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "sink-xml-roundtrip",
+    oracle="""
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="Native XML SINK + read-back roundtrip (Spark 4 built-in xml "
+    "writer, rowTag record framing): customers written as an XML "
+    "feed, re-read with an explicit schema, and the aggregate "
+    "oracled against the originating table — proving the writer "
+    "emits what the reader parses (escaping, nulls, numeric "
+    "round-trip). The export half of scan-xml's ingest: legacy "
+    "B2B/ERP integrations still consume XML feeds, and the writer "
+    "distributes one file per partition. Same caveat at scale: XML "
+    "is an edge format — produce it at the boundary, never as an "
+    "intermediate.",
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(d: str) -> None:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        cust.write.mode("overwrite").format("xml").option(
+            "rowTag", "customer"
+        ).option("rootTag", "customers").save(os.path.join(d, "xml"))
+
+    root = fixture_dir("tss_xml_sink", sf_dir, build)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_nationkey long, c_acctbal double")
+        .load(os.path.join(root, "xml"))
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

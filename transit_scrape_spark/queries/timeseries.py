@@ -2295,3 +2295,64 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "timeseries-kpss-level",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        mu AS (SELECT avg(x) AS m, count(*) AS n FROM daily),
+        parts AS (
+            SELECT sum(d.x - mu.m) OVER (ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s_t,
+                   d.x - mu.m AS e, mu.n AS n
+            FROM daily d, mu
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_days,
+               round(sum(s_t * s_t)
+                     / (max(n) * max(n) * (sum(e * e) / max(n))), 6)
+                   AS kpss_stat,
+               CAST(CASE WHEN sum(s_t * s_t)
+                         / (max(n) * max(n) * (sum(e * e) / max(n)))
+                         > 0.463 THEN 1 ELSE 0 END AS BIGINT)
+                   AS reject_level_stationarity_5pct
+        FROM parts
+    """,
+    doc="KPSS level-stationarity statistic (lag-0 long-run variance): "
+    "partial sums of demeaned daily values via one running-sum "
+    "window, eta = sum(S_t^2) / (n^2 * s^2), compared to the 5% "
+    "critical value 0.463 (KPSS 1992 table). The null here is "
+    "STATIONARITY — the complement of unit-root tests — so "
+    "rejecting says 'difference this series before modeling'. "
+    "Pairs with timeseries-hurst-rs (long memory) and "
+    "timeseries-variance-ratio (random walk): three independent "
+    "lenses on the same decision. Summary-sized after one fact "
+    "aggregation.",
+    tags=("timeseries",),
+)
+def timeseries_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    mu = daily.agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    parts = daily.join(F.broadcast(mu)).select(
+        F.sum(F.col("x") - F.col("m")).over(w).alias("s_t"),
+        (F.col("x") - F.col("m")).alias("e"),
+        "n",
+    )
+    n = F.max("n")
+    eta = F.sum(F.col("s_t") * F.col("s_t")) / (
+        n * n * (F.sum(F.col("e") * F.col("e")) / n)
+    )
+    return parts.agg(
+        n.cast("long").alias("n_days"),
+        F.round(eta, 6).alias("kpss_stat"),
+        F.when(eta > 0.463, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_level_stationarity_5pct"),
+    )
