@@ -3624,3 +3624,84 @@ def analytics_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         F.round(beta * F.col("mx") / F.col("my"), 6).alias("elasticity_at_mean"),
     )
+
+
+@query(
+    "analytics-abc-xyz",
+    oracle="""
+        WITH part_rev AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev,
+                   avg(l_quantity) AS mq,
+                   stddev_samp(l_quantity) AS sq,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, rev,
+                   coalesce(sq / mq, 0) AS cv,
+                   sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / sum(rev) OVER () AS cum_share
+            FROM part_rev WHERE n_lines >= 2
+        ),
+        classed AS (
+            SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+                   CASE WHEN cv < 0.3 THEN 'X'
+                        WHEN cv < 0.6 THEN 'Y' ELSE 'Z' END AS xyz,
+                   rev
+            FROM ranked
+        )
+        SELECT abc, xyz,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(rev), 2) AS revenue
+        FROM classed GROUP BY abc, xyz
+    """,
+    doc="ABC-XYZ inventory classification: parts ranked by revenue "
+    "contribution (A = first 80% of cumulative revenue, B = next "
+    "15%, C = tail) crossed with demand-variability classes from "
+    "the quantity coefficient of variation (X < 0.3 steady, Y < "
+    "0.6, Z erratic). The 9-cell matrix drives stocking policy "
+    "(AX = automate, CZ = make-to-order). One hash aggregation per "
+    "part, one revenue-ordered window for cumulative share "
+    "(deterministic (rev desc, partkey) tie-break), classification "
+    "as pure codegen — the 2-D upgrade of abc-revenue-deciles. "
+    "Parts with a single line are excluded (CV undefined).",
+    tags=("analytics",),
+)
+def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.avg("l_quantity").alias("mq"),
+        F.stddev_samp("l_quantity").alias("sq"),
+        F.count("*").alias("n_lines"),
+    )
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = part_rev.filter(F.col("n_lines") >= 2).select(
+        "rev",
+        F.coalesce(F.col("sq") / F.col("mq"), F.lit(0.0)).alias("cv"),
+        (F.sum("rev").over(w) / F.sum("rev").over(Window.partitionBy())).alias(
+            "cum_share"
+        ),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv") < 0.3, "X")
+        .when(F.col("cv") < 0.6, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "rev",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )

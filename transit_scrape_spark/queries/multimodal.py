@@ -391,3 +391,59 @@ def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tile_h"),
     )
+
+
+@query(
+    "multimodal-audio-framing",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(doc_id % 32000 + 16000 AS BIGINT) AS n_samples
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, n_samples,
+                   unnest(generate_series(
+                       0, (n_samples - 4000) // 1600)) AS frame_idx
+            FROM meta
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 1600 AS BIGINT) AS start_sample,
+               CAST(frame_idx * 1600 + 4000 AS BIGINT) AS end_sample,
+               CAST((n_samples - 4000) // 1600 + 1 AS BIGINT) AS n_frames
+        FROM frames
+    """,
+    doc="Audio frame plan: explode each clip's sample-count metadata "
+    "(synthetic 16k-48k samples, the multimodal-cols metadata "
+    "pattern) into overlapping analysis frames (window 4000, hop "
+    "1600 — the 25ms/10ms STFT framing scaled up), emitting "
+    "(start, end) sample offsets per frame so a distributed "
+    "feature extractor (mapInPandas over the binary payload, as "
+    "multimodal-decode stubs) slices ONE frame per row without "
+    "materializing whole clips. The audio sibling of "
+    "multimodal-tile-grid's image tiling: sequence+explode "
+    "codegen, linear in clip count, shuffle-free, co-partitioned "
+    "with the payload at scale.",
+    tags=("multimodal",),
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        (F.col("doc_id") % 32000 + 16000).cast("long").alias("n_samples"),
+    )
+    last = F.floor((F.col("n_samples") - 4000) / 1600)
+    frames = meta.select(
+        "doc_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * 1600).cast("long").alias("start_sample"),
+        (F.col("frame_idx") * 1600 + 4000).cast("long").alias("end_sample"),
+        (F.floor((F.col("n_samples") - 4000) / 1600) + 1)
+        .cast("long")
+        .alias("n_frames"),
+    )

@@ -5558,3 +5558,79 @@ def stats_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu / v, 6).alias("nb_p"),
         F.round(1.0 / r, 6).alias("nb_alpha"),
     )
+
+
+@query(
+    "stats-welch-anova",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, count(*) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM events GROUP BY event_type
+        ),
+        wsum AS (
+            SELECT count(*) AS k,
+                   sum(n / v) AS sw,
+                   sum((n / v) * m) AS swm
+            FROM g
+        ),
+        num AS (
+            SELECT max(wsum.k) AS k, max(wsum.sw) AS sw,
+                   sum((g.n / g.v) * power(g.m - wsum.swm / wsum.sw, 2))
+                       / (max(wsum.k) - 1) AS numerator,
+                   sum(power(1 - (g.n / g.v) / wsum.sw, 2) / (g.n - 1))
+                       AS lambda_sum
+            FROM g, wsum GROUP BY ALL
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(k - 1 AS BIGINT) AS df1,
+               round((k * k - 1.0) / (3 * lambda_sum), 6) AS df2,
+               round(numerator
+                     / (1 + 2.0 * (k - 2) / (k * k - 1) * lambda_sum), 6)
+                   AS welch_f
+        FROM num
+    """,
+    doc="Welch's heteroscedastic one-way ANOVA across event types: "
+    "weights w_i = n_i/s_i^2, grand weighted mean, F* = "
+    "sum(w_i(m_i - mbar_w)^2)/(k-1) / (1 + 2(k-2)/(k^2-1) * Lambda) "
+    "with Satterthwaite df2 = (k^2-1)/(3*Lambda) — the version of "
+    "stats-anova-oneway that does NOT assume equal variances, which "
+    "is exactly what stats-bartlett-test / stats-levene-median "
+    "decide between (the three ops form the variance-aware testing "
+    "chain). Same shape: one hash aggregation to k rows, scalar "
+    "math after.",
+    tags=("stats",),
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m"), F.var_samp("value").alias("v")
+    )
+    wsum = g.agg(
+        F.count("*").alias("k"),
+        F.sum(F.col("n") / F.col("v")).alias("sw"),
+        F.sum((F.col("n") / F.col("v")) * F.col("m")).alias("swm"),
+    )
+    j = g.join(F.broadcast(wsum))
+    wi = F.col("n") / F.col("v")
+    mbar = F.col("swm") / F.col("sw")
+    num = j.agg(
+        F.max("k").alias("k"),
+        (F.sum(wi * F.pow(F.col("m") - mbar, 2)) / (F.max("k") - 1)).alias(
+            "numerator"
+        ),
+        F.sum(F.pow(1 - wi / F.col("sw"), 2) / (F.col("n") - 1)).alias(
+            "lambda_sum"
+        ),
+    )
+    k = F.col("k")
+    return num.select(
+        k.cast("long").alias("k_groups"),
+        (k - 1).cast("long").alias("df1"),
+        F.round((k * k - 1.0) / (3 * F.col("lambda_sum")), 6).alias("df2"),
+        F.round(
+            F.col("numerator")
+            / (1 + 2.0 * (k - 2) / (k * k - 1) * F.col("lambda_sum")),
+            6,
+        ).alias("welch_f"),
+    )
