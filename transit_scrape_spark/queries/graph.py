@@ -1255,3 +1255,89 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return res
+
+
+@query(
+    "graph-hits-scores",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        -- iteration 1: h0 = a0 = 1
+        a1 AS (
+            SELECT e.b AS node, CAST(count(*) AS DOUBLE) AS s
+            FROM edges e GROUP BY e.b
+        ),
+        h1 AS (
+            SELECT e.a AS node, CAST(count(*) AS DOUBLE) AS s
+            FROM edges e GROUP BY e.a
+        ),
+        -- iteration 2: a2(v) = sum h1(u) over in-edges, h2(u) = sum a1(v)
+        a2 AS (
+            SELECT e.b AS node, sum(h1.s) AS s
+            FROM edges e JOIN h1 ON e.a = h1.node GROUP BY e.b
+        ),
+        h2 AS (
+            SELECT e.a AS node, sum(a1.s) AS s
+            FROM edges e JOIN a1 ON e.b = a1.node GROUP BY e.a
+        ),
+        norm AS (
+            SELECT (SELECT max(s) FROM a2) AS ma, (SELECT max(s) FROM h2) AS mh
+        )
+        SELECT n.node,
+               round(coalesce(a2.s, 0) / norm.ma, 6) AS authority,
+               round(coalesce(h2.s, 0) / norm.mh, 6) AS hub
+        FROM nodes n
+        LEFT JOIN a2 ON n.node = a2.node
+        LEFT JOIN h2 ON n.node = h2.node, norm
+    """,
+    doc="HITS hub/authority scores on the nation trade graph, two "
+    "synchronous power iterations from uniform init, max-normalized "
+    "(the deterministic fixpoint-prefix both engines replay "
+    "exactly; more iterations = same two aggregate-join shapes "
+    "repeated). Each iteration is one equi-join of the edge list "
+    "against the score vector + one hash aggregation — the "
+    "pagerank plan shape with TWO mutually-recursive vectors "
+    "instead of one. On this symmetric graph hub = authority "
+    "per node; the op keeps both columns because the CONTRACT "
+    "(and the plan) is directed. Complements graph-pagerank "
+    "(single eigenvector) and graph-degree-histogram.",
+    tags=("graph",),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir).persist()
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    a1 = edges.groupBy(F.col("b").alias("node")).agg(
+        F.count("*").cast("double").alias("s")
+    )
+    h1 = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("double").alias("s")
+    )
+    a2 = (
+        edges.join(h1.withColumnRenamed("node", "a_node"), F.col("a") == F.col("a_node"))
+        .groupBy(F.col("b").alias("node"))
+        .agg(F.sum("s").alias("s"))
+    )
+    h2 = (
+        edges.join(a1.withColumnRenamed("node", "b_node"), F.col("b") == F.col("b_node"))
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.sum("s").alias("s"))
+    )
+    ma = a2.agg(F.max("s").alias("ma"))
+    mh = h2.agg(F.max("s").alias("mh"))
+    out = (
+        nodes.join(a2.withColumnRenamed("s", "sa"), "node", "left")
+        .join(h2.withColumnRenamed("s", "sh"), "node", "left")
+        .join(F.broadcast(ma))
+        .join(F.broadcast(mh))
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("sa"), F.lit(0.0)) / F.col("ma"), 6).alias(
+                "authority"
+            ),
+            F.round(F.coalesce(F.col("sh"), F.lit(0.0)) / F.col("mh"), 6).alias(
+                "hub"
+            ),
+        )
+    )
+    edges.unpersist()
+    return out

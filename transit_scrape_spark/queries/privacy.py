@@ -382,3 +382,73 @@ def privacy_dp_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 4).alias("released_n"),
         F.round(F.abs(noise), 4).alias("abs_noise"),
     )
+
+
+@query(
+    "privacy-dp-exponential",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS true_n
+            FROM customer GROUP BY c_mktsegment
+        ),
+        gumbel AS (
+            SELECT c_mktsegment, true_n,
+                   -ln(-ln((CAST(({sql_string_hash("c_mktsegment || ':expmech-u'")})
+                            AS DOUBLE) / 2147483647.0) + 1e-15)) AS g
+            FROM cells
+        ),
+        scored AS (
+            SELECT c_mktsegment, true_n,
+                   0.25 * true_n + g AS noisy_score,
+                   row_number() OVER (ORDER BY 0.25 * true_n + g DESC,
+                                      c_mktsegment) AS rnk
+            FROM gumbel
+        )
+        SELECT c_mktsegment, true_n,
+               round(noisy_score, 6) AS noisy_score,
+               CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS selected
+        FROM scored
+    """,
+    doc="Exponential mechanism for DP selection (which segment is "
+    "largest?) via the Gumbel-max trick: score = eps/(2*sens) * "
+    "utility + Gumbel noise, argmax of the noisy scores IS an "
+    "exponential-mechanism draw (eps=0.5, sensitivity 1) — the "
+    "release primitive for CATEGORICAL outputs where Laplace/"
+    "Gaussian only handle numerics (privacy-dp-laplace/-gaussian "
+    "complete the trio). Gumbel noise derives from a salted hash "
+    "uniform (-ln(-ln u)) so both engines reproduce the draw; "
+    "production swaps in fresh randomness. Aggregate-first shape: "
+    "noise touches the k-row summary, the argmax is one window "
+    "rank over it.",
+)
+def privacy_dp_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    u = (
+        string_hash(F.concat(F.col("c_mktsegment"), F.lit(":expmech-u"))).cast(
+            "double"
+        )
+        / 2147483647.0
+        + 1e-15
+    )
+    g = -F.log(-F.log(u))
+    scored = cells.select(
+        "c_mktsegment",
+        "true_n",
+        (0.25 * F.col("true_n") + g).alias("noisy_score"),
+    )
+    w = Window.orderBy(F.col("noisy_score").desc(), "c_mktsegment")
+    return scored.select(
+        "c_mktsegment",
+        "true_n",
+        F.round("noisy_score", 6).alias("noisy_score"),
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("selected"),
+    )

@@ -5634,3 +5634,102 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_f"),
     )
+
+
+@query(
+    "stats-stratified-ate",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS treated,
+                   sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) AS outcome
+            FROM events GROUP BY user_id
+        ),
+        strat AS (
+            SELECT treated, outcome,
+                   ntile(5) OVER (ORDER BY n_events, user_id) AS stratum
+            FROM per_user
+        ),
+        cell AS (
+            SELECT stratum,
+                   count(*) AS ns,
+                   avg(CASE WHEN treated = 1 THEN outcome END) AS mt,
+                   avg(CASE WHEN treated = 0 THEN outcome END) AS mc,
+                   sum(treated) AS nt
+            FROM strat GROUP BY stratum
+        ),
+        naive AS (
+            SELECT avg(CASE WHEN treated = 1 THEN outcome END)
+                   - avg(CASE WHEN treated = 0 THEN outcome END) AS ate_naive,
+                   sum(treated) AS n_treated,
+                   sum(1 - treated) AS n_control
+            FROM per_user
+        )
+        SELECT CAST(max(naive.n_treated) AS BIGINT) AS n_treated,
+               CAST(max(naive.n_control) AS BIGINT) AS n_control,
+               round(max(naive.ate_naive), 6) AS ate_naive,
+               round(sum((cell.mt - cell.mc) * cell.ns)
+                     / sum(cell.ns), 6) AS ate_stratified
+        FROM cell, naive
+        WHERE cell.mt IS NOT NULL AND cell.mc IS NOT NULL
+        GROUP BY ALL
+    """,
+    doc="Stratified average-treatment-effect adjustment: treatment = "
+    "user ever signed up, outcome = total purchase value, "
+    "confounder = activity level (total events) cut into quintiles "
+    "by a deterministic ntile. ATE_strat = sum_s w_s (mean_t,s - "
+    "mean_c,s) weights each stratum's within-stratum contrast by "
+    "its size — the design-based deconfounder that needs no fitted "
+    "propensity model (strata WITH both arms only; dropped cells "
+    "reported implicitly via naive-vs-stratified divergence). The "
+    "causal-inference step up from stats-cuped-adjustment "
+    "(variance) toward effect identification. Two hash "
+    "aggregations + one 5-row summary pass.",
+    tags=("stats",),
+)
+def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("outcome"),
+    )
+    strat = per_user.select(
+        "treated",
+        "outcome",
+        F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("stratum"),
+    )
+    cell = strat.groupBy("stratum").agg(
+        F.count("*").alias("ns"),
+        F.avg(F.when(F.col("treated") == 1, F.col("outcome"))).alias("mt"),
+        F.avg(F.when(F.col("treated") == 0, F.col("outcome"))).alias("mc"),
+        F.sum("treated").alias("nt"),
+    )
+    naive = per_user.agg(
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("outcome")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("outcome")))
+        ).alias("ate_naive"),
+        F.sum("treated").alias("n_treated"),
+        F.sum(1 - F.col("treated")).alias("n_control"),
+    )
+    j = cell.filter(F.col("mt").isNotNull() & F.col("mc").isNotNull()).join(
+        F.broadcast(naive)
+    )
+    return j.agg(
+        F.max("n_treated").cast("long").alias("n_treated"),
+        F.max("n_control").cast("long").alias("n_control"),
+        F.round(F.max("ate_naive"), 6).alias("ate_naive"),
+        F.round(
+            F.sum((F.col("mt") - F.col("mc")) * F.col("ns")) / F.sum("ns"), 6
+        ).alias("ate_stratified"),
+    )
