@@ -3705,3 +3705,105 @@ def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+@query(
+    "attribution-shapley",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        coal AS (
+            SELECT c * 4 + v * 2 + s AS mask, avg(CAST(converted AS DOUBLE)) AS rate
+            FROM per_user GROUP BY c * 4 + v * 2 + s
+        ),
+        piv AS (
+            SELECT coalesce(max(CASE WHEN mask = 0 THEN rate END), 0) AS v000,
+                   coalesce(max(CASE WHEN mask = 1 THEN rate END), 0) AS v001,
+                   coalesce(max(CASE WHEN mask = 2 THEN rate END), 0) AS v010,
+                   coalesce(max(CASE WHEN mask = 3 THEN rate END), 0) AS v011,
+                   coalesce(max(CASE WHEN mask = 4 THEN rate END), 0) AS v100,
+                   coalesce(max(CASE WHEN mask = 5 THEN rate END), 0) AS v101,
+                   coalesce(max(CASE WHEN mask = 6 THEN rate END), 0) AS v110,
+                   coalesce(max(CASE WHEN mask = 7 THEN rate END), 0) AS v111
+            FROM coal
+        )
+        SELECT 'click' AS channel,
+               round((2 * (v100 - v000) + (v110 - v010) + (v101 - v001)
+                      + 2 * (v111 - v011)) / 6, 6) AS shapley
+        FROM piv
+        UNION ALL
+        SELECT 'view',
+               round((2 * (v010 - v000) + (v110 - v100) + (v011 - v001)
+                      + 2 * (v111 - v101)) / 6, 6)
+        FROM piv
+        UNION ALL
+        SELECT 'signup',
+               round((2 * (v001 - v000) + (v101 - v100) + (v011 - v010)
+                      + 2 * (v111 - v110)) / 6, 6)
+        FROM piv
+    """,
+    doc="Exact Shapley-value marketing attribution over the 3-channel "
+    "coalition game (click/view/signup touches, purchase as "
+    "conversion): v(S) = conversion rate of users whose touched "
+    "set is exactly S (unobserved coalitions contribute 0, "
+    "documented), Shapley_i = sum over orderings of marginal "
+    "contributions with the |S|!(n-|S|-1)!/n! weights — closed "
+    "form at n=3, no sampling. The game-theoretic completion of "
+    "attribution-last-touch and attribution-position-based: "
+    "Shapley is the only credit split satisfying "
+    "efficiency/symmetry/dummy axioms. One per-user aggregation, "
+    "one 8-cell pivot, pure literal math after.",
+    tags=("analytics",),
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tflag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        tflag("click").alias("c"),
+        tflag("view").alias("v"),
+        tflag("signup").alias("s"),
+        tflag("purchase").alias("converted"),
+    )
+    coal = per_user.groupBy(
+        (F.col("c") * 4 + F.col("v") * 2 + F.col("s")).alias("mask")
+    ).agg(F.avg(F.col("converted").cast("double")).alias("rate"))
+    piv = coal.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("mask") == m, F.col("rate"))), F.lit(0.0)
+            ).alias(f"v{m:03b}")
+            for m in range(8)
+        ]
+    )
+    c = lambda name: F.col(name)  # noqa: E731
+    click = (
+        2 * (c("v100") - c("v000")) + (c("v110") - c("v010"))
+        + (c("v101") - c("v001")) + 2 * (c("v111") - c("v011"))
+    ) / 6
+    view = (
+        2 * (c("v010") - c("v000")) + (c("v110") - c("v100"))
+        + (c("v011") - c("v001")) + 2 * (c("v111") - c("v101"))
+    ) / 6
+    signup = (
+        2 * (c("v001") - c("v000")) + (c("v101") - c("v100"))
+        + (c("v011") - c("v010")) + 2 * (c("v111") - c("v110"))
+    ) / 6
+    out = piv.select(
+        F.lit("click").alias("channel"), F.round(click, 6).alias("shapley")
+    ).unionByName(
+        piv.select(F.lit("view").alias("channel"), F.round(view, 6).alias("shapley"))
+    ).unionByName(
+        piv.select(
+            F.lit("signup").alias("channel"), F.round(signup, 6).alias("shapley")
+        )
+    )
+    return out

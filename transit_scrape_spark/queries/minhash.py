@@ -729,3 +729,68 @@ def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.avg(err), 6).alias("mean_abs_err"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "dedup-span-coverage",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id,
+                   {sql_shingle_hashes_from_tokens(sql_token_hashes('text'), 8)}
+                       AS sh
+            FROM documents
+        ),
+        exploded AS (
+            SELECT doc_id, unnest(sh) AS h FROM hashed
+        ),
+        df AS (
+            SELECT h, count(*) AS n_docs FROM exploded GROUP BY h
+        )
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               round(CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dup_coverage
+        FROM exploded e JOIN df ON e.h = df.h
+        GROUP BY e.doc_id
+        HAVING count(*) > 0
+    """,
+    doc="Cross-document duplicated-SPAN coverage (the n-gram "
+    "approximation of ExactSubstr dedup, Lee et al. 2022): every "
+    "distinct 8-token shingle per doc, a corpus-wide document-"
+    "frequency pass, and per doc the fraction of its spans that "
+    "also appear in ANOTHER document — the per-doc signal that "
+    "separates 'contains a quoted paragraph' (low coverage) from "
+    "'is a stitched copy' (high coverage), which document-level "
+    "Jaccard flattens into one number. Shuffles carry 8-byte "
+    "shingle hashes only (ids-only discipline of "
+    "dedup-near-minhash); span df is bounded by distinct-shingle "
+    "count, not corpus size. Docs under 8 tokens emit no spans and "
+    "drop out, stated in the HAVING contract.",
+    tags=("dedup",),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), 8)).alias("h")
+    )
+    df_tab = exploded.groupBy("h").agg(F.count("*").alias("n_docs"))
+    j = exploded.join(df_tab, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_coverage"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )

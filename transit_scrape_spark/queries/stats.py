@@ -5733,3 +5733,57 @@ def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("mt") - F.col("mc")) * F.col("ns")) / F.sum("ns"), 6
         ).alias("ate_stratified"),
     )
+
+
+@query(
+    "stats-mann-kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        pairs AS (
+            SELECT sign(b.x - a.x) AS s
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        agg AS (
+            SELECT (SELECT count(*) FROM daily) AS n, sum(s) AS s_stat
+            FROM pairs
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(s_stat, 1) AS s_stat,
+               round(n * (n - 1) * (2 * n + 5) / 18.0, 4) AS var_s,
+               round((s_stat - sign(s_stat))
+                     / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 6) AS z
+        FROM agg
+    """,
+    doc="Mann-Kendall trend test on daily mean values: S = sum of "
+    "sign(x_j - x_i) over all i<j day pairs, Var(S) = "
+    "n(n-1)(2n+5)/18 (no tie correction — continuous daily means), "
+    "continuity-corrected z. The SIGNIFICANCE test that pairs with "
+    "timeseries-theil-sen's slope ESTIMATE (the standard "
+    "nonparametric trend duo: MK decides, Theil-Sen sizes). The "
+    "pairwise join runs on the day-count summary (~30 rows -> ~450 "
+    "pairs), never the fact table — day count grows with calendar "
+    "time, not data volume, so the quadratic is bounded at any "
+    "corpus scale.",
+    tags=("stats",),
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.signum(F.col("xb") - F.col("xa")).alias("s")
+    )
+    nd = daily.agg(F.count("*").alias("n"))
+    agg = pairs.agg(F.sum("s").alias("s_stat")).join(F.broadcast(nd))
+    n, s = F.col("n"), F.col("s_stat")
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.round(s, 1).alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round((s - F.signum(s)) / F.sqrt(var_s), 6).alias("z"),
+    )
