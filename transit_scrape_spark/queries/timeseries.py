@@ -2356,3 +2356,142 @@ def timeseries_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_level_stationarity_5pct"),
     )
+
+
+@query(
+    "anomaly-poisson-deviance",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS k
+            FROM events GROUP BY date_trunc('hour', ts)
+        ),
+        lam AS (SELECT avg(k) AS lambda FROM hourly),
+        dev AS (
+            SELECT h.h, h.k, lam.lambda,
+                   2 * (h.k * ln(h.k / lam.lambda) - (h.k - lam.lambda))
+                       AS deviance
+            FROM hourly h, lam WHERE h.k > 0
+        )
+        SELECT h AS hour, CAST(k AS BIGINT) AS k,
+               round(lambda, 4) AS baseline_rate,
+               round(deviance, 6) AS deviance,
+               CAST(CASE WHEN deviance > 6.635 AND k > lambda
+                         THEN 1 ELSE 0 END AS BIGINT) AS burst_flag
+        FROM dev
+    """,
+    doc="Poisson-deviance burst detection on hourly event counts: "
+    "D = 2(k ln(k/lambda) - (k - lambda)) against the global mean "
+    "rate, flagged when D exceeds the chi2(1) 1% critical value "
+    "6.635 AND the count is above baseline — the COUNT-data "
+    "anomaly detector that anomaly-zscore's Gaussian assumption "
+    "gets wrong at low rates (a 3-sigma rule on counts of 5 fires "
+    "constantly; the deviance test is the GLM-correct likelihood "
+    "ratio). One hash aggregation + a 1-row rate broadcast; the "
+    "per-hour flags are codegen. Kleinberg's burst model is this "
+    "statistic chained over states.",
+    tags=("timeseries",),
+)
+def anomaly_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("k")
+    )
+    lam = hourly.agg(F.avg("k").alias("lambda"))
+    dev = hourly.join(F.broadcast(lam)).filter(F.col("k") > 0)
+    k, l = F.col("k"), F.col("lambda")
+    deviance = 2 * (k * F.log(k / l) - (k - l))
+    return dev.select(
+        F.col("h").alias("hour"),
+        k.cast("long").alias("k"),
+        F.round(l, 4).alias("baseline_rate"),
+        F.round(deviance, 6).alias("deviance"),
+        F.when((deviance > 6.635) & (k > l), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("burst_flag"),
+    )
+
+
+@query(
+    "timeseries-drawdown-episodes",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        cum AS (
+            SELECT day, rev,
+                   max(rev) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak
+            FROM daily
+        ),
+        flagged AS (
+            SELECT day, rev, peak,
+                   CASE WHEN rev < 0.5 * peak THEN 1 ELSE 0 END AS in_dd
+            FROM cum
+        ),
+        runs AS (
+            SELECT day, in_dd, rev, peak,
+                   row_number() OVER (ORDER BY day)
+                   - row_number() OVER (PARTITION BY in_dd ORDER BY day)
+                       AS grp
+            FROM flagged
+        ),
+        episodes AS (
+            SELECT min(day) AS start_day, max(day) AS end_day,
+                   count(*) AS n_days,
+                   round(min(rev / peak), 6) AS worst_ratio
+            FROM runs WHERE in_dd = 1
+            GROUP BY grp
+        )
+        SELECT start_day, end_day, CAST(n_days AS BIGINT) AS n_days,
+               worst_ratio
+        FROM episodes
+    """,
+    doc="Drawdown EPISODE segmentation on daily revenue: running peak "
+    "via one cumulative-max window, days below 50% of peak flagged, "
+    "consecutive flagged days grouped into episodes by the "
+    "gaps-and-islands difference-of-row-numbers idiom, each episode "
+    "reporting span, duration and depth. timeseries-max-drawdown "
+    "gives the single worst number; this op inventories EVERY "
+    "stress period with start/end/severity — what incident "
+    "review and capacity planning actually consume. Two window "
+    "sorts over the day-count summary, one aggregation.",
+    tags=("timeseries",),
+)
+def timeseries_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("day", "rev", F.max("rev").over(wc).alias("peak"))
+    flagged = cum.select(
+        "day",
+        "rev",
+        "peak",
+        F.when(F.col("rev") < 0.5 * F.col("peak"), 1).otherwise(0).alias("in_dd"),
+    )
+    runs = flagged.select(
+        "day",
+        "in_dd",
+        "rev",
+        "peak",
+        (
+            F.row_number().over(Window.orderBy("day"))
+            - F.row_number().over(Window.partitionBy("in_dd").orderBy("day"))
+        ).alias("grp"),
+    )
+    return (
+        runs.filter(F.col("in_dd") == 1)
+        .groupBy("grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.min(F.col("rev") / F.col("peak")), 6).alias("worst_ratio"),
+        )
+        .drop("grp")
+    )

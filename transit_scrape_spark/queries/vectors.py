@@ -1847,3 +1847,78 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "embed-pq-distortion",
+    oracle=f"""
+        WITH {_PQ_SQL_CTES},
+        best AS (
+            SELECT m, dist2
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                               ORDER BY dist2, centroid_id) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ),
+        norms AS (
+            SELECT m, avg(list_sum(list_transform(sv, x -> x * x))) AS msn
+            FROM sub GROUP BY m
+        )
+        SELECT b.m AS subspace,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(b.dist2), 6) AS mse,
+               round(sqrt(avg(b.dist2)), 6) AS rmse,
+               round(avg(b.dist2) / max(n.msn), 6) AS relative_distortion
+        FROM best b JOIN norms n ON b.m = n.m
+        GROUP BY b.m
+    """,
+    doc="Product-quantization DISTORTION report: per sub-space mean "
+    "squared reconstruction error of the assigned codebook entry, "
+    "absolute (mse/rmse) and relative to the mean sub-vector energy "
+    "— the number that tells you whether K=8 centroids per "
+    "sub-space is enough BEFORE you build the full IVF-PQ index "
+    "(relative distortion near 1 = codes carry no signal; "
+    "simsearch-pq-adc's recall ceiling is set here). Same "
+    "broadcast-codebook + per-vector argmin window as "
+    "embed-pq-codes, plus one energy aggregate; linear in corpus "
+    "size.",
+    tags=("embed",),
+)
+def embed_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = _pq_subvectors(emb)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
+    )
+    scored = subs.join(F.broadcast(cb), "m").withColumn(
+        "dist2", _sq_l2(F.col("sv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist2", "centroid_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m", "dist2")
+    )
+    norms = subs.groupBy("m").agg(
+        F.avg(
+            F.aggregate(
+                F.transform(F.col("sv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("msn")
+    )
+    return (
+        best.join(norms, "m")
+        .groupBy(F.col("m").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("dist2"), 6).alias("mse"),
+            F.round(F.sqrt(F.avg("dist2")), 6).alias("rmse"),
+            F.round(F.avg("dist2") / F.max("msn"), 6).alias(
+                "relative_distortion"
+            ),
+        )
+    )
