@@ -1449,3 +1449,85 @@ def corpus_language_balance_sampler(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(temp, 6).alias("temp_share"),
         F.round(temp / raw, 6).alias("sample_weight"),
     )
+
+
+@query(
+    "corpus-quality-dedup-matrix",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                         AND CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ('a', 'the'))) AS DOUBLE)
+                             / len(string_split(text, ' ')) < 0.3
+                        THEN 1 ELSE 0 END AS clean
+            FROM documents
+        ),
+        dup AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = min_id THEN 0 ELSE 1 END AS is_dup
+            FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text))
+                           AS min_id
+                FROM documents
+            )
+        )
+        SELECT CASE WHEN s.clean = 1 THEN 'clean' ELSE 'lowq' END AS quality,
+               CASE WHEN d.is_dup = 1 THEN 'dup' ELSE 'unique' END
+                   AS dedup_status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
+        FROM scored s JOIN dup d ON s.doc_id = d.doc_id
+        GROUP BY ALL
+    """,
+    doc="The curation DECISION MATRIX: quality gate (token bounds + "
+    "stopword ratio, the corpus-filter-pipeline rules) crossed with "
+    "exact-dup status (sha256 keeper = min doc_id, the dedup-exact "
+    "contract) into a 2x2 of doc and token mass — clean+unique is "
+    "the training set, clean+dup is recoverable by keeping one "
+    "copy, lowq+unique is the filter's cost, lowq+dup is free to "
+    "drop. The one-page summary a data lead reads before signing "
+    "off a 100 TB pretraining cut (corpus-dedup-impact and "
+    "corpus-curation-report drill into each axis separately). Two "
+    "scan-shaped passes joined on doc_id; the sha256 window "
+    "shuffles 8-byte hashes.",
+    tags=("corpus",),
+)
+def corpus_quality_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        n.alias("n_tokens"),
+        F.when(n.between(20, 1000) & (stop_ratio < 0.3), 1)
+        .otherwise(0)
+        .alias("clean"),
+    )
+    dup = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256))),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_dup"),
+    )
+    j = scored.join(dup, "doc_id")
+    return j.groupBy(
+        F.when(F.col("clean") == 1, "clean").otherwise("lowq").alias("quality"),
+        F.when(F.col("is_dup") == 1, "dup").otherwise("unique").alias(
+            "dedup_status"
+        ),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
