@@ -139,6 +139,14 @@ SCALAR_BROADCAST_OPS = {
     "embed-jl-projection",     # 20-row anchor block inequality self-join
     "simsearch-batch-topk",    # 10-row query block broadcast
     "text-burrows-delta",      # 10-token z-score block inequality join
+    "anomaly-poisson-deviance",  # 1-row baseline-rate broadcast
+    "corpus-ccnet-ppl-buckets",  # 1-row vocab-total broadcast
+    "graph-hits-scores",       # 1-row max-normalizer broadcasts
+    "stats-ks-exact-daily",    # 1-row (n1, n2) totals broadcast
+    "stats-mann-kendall",      # bounded day-summary pairwise join
+    "stats-stratified-ate",    # 1-row naive-ATE summary broadcast
+    "stats-welch-anova",       # 1-row weight-sum summary broadcast
+    "timeseries-kpss-level",   # 1-row (mu, n) summary broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
