@@ -5868,3 +5868,79 @@ def stats_ks_exact_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat_scaled"),
     )
+
+
+@query(
+    "stats-cochran-armitage",
+    oracle="""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(user_id % 4 AS DOUBLE) AS dose,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS resp
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        g AS (
+            SELECT dose, count(*) AS n, sum(resp) AS r
+            FROM seg GROUP BY dose
+        ),
+        tot AS (
+            SELECT sum(n) AS nn, sum(r) AS rr,
+                   sum(n * dose) AS snt, sum(n * dose * dose) AS snt2
+            FROM g
+        )
+        SELECT CAST(max(tot.nn) AS BIGINT) AS n_user_days,
+               round(max(CAST(tot.rr AS DOUBLE) / tot.nn), 6) AS pooled_rate,
+               round(sum(g.dose * (g.r - g.n * CAST(tot.rr AS DOUBLE) / tot.nn))
+                     / sqrt((CAST(max(tot.rr) AS DOUBLE) / max(tot.nn))
+                            * (1 - CAST(max(tot.rr) AS DOUBLE) / max(tot.nn))
+                            * (max(tot.snt2)
+                               - max(tot.snt) * max(tot.snt) / max(tot.nn))),
+                     6) AS ca_trend_z
+        FROM g, tot GROUP BY ALL
+    """,
+    doc="Cochran-Armitage trend test for a DOSE-RESPONSE in "
+    "proportions: daily purchase response on USER-DAY units (the "
+    "per-user response saturates at 1 here, which would zero both "
+    "pbar*qbar and the numerator) across the 4 ordered "
+    "user segments (scores t = 0..3), z = sum t_i (r_i - n_i pbar) "
+    "/ sqrt(pbar qbar (sum n_i t_i^2 - (sum n_i t_i)^2 / N)). One "
+    "df against the ORDERED alternative, which stats-chi-square's "
+    "(k-1) df omnibus wastes power on — the standard choice for "
+    "monotone-exposure questions (tier -> conversion, dose -> "
+    "response). Two hash aggregations to a 4-row table, scalar "
+    "math after.",
+    tags=("stats",),
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("resp")
+    ).select(
+        (F.col("user_id") % 4).cast("double").alias("dose"), "resp"
+    )
+    g = seg.groupBy("dose").agg(F.count("*").alias("n"), F.sum("resp").alias("r"))
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("n") * F.col("dose")).alias("snt"),
+        F.sum(F.col("n") * F.col("dose") * F.col("dose")).alias("snt2"),
+    )
+    j = g.join(F.broadcast(tot))
+    pbar = F.max("rr").cast("double") / F.max("nn")
+    num = F.sum(
+        F.col("dose")
+        * (F.col("r") - F.col("n") * F.col("rr").cast("double") / F.col("nn"))
+    )
+    den = F.sqrt(
+        pbar
+        * (1 - pbar)
+        * (F.max("snt2") - F.max("snt") * F.max("snt") / F.max("nn"))
+    )
+    return j.agg(
+        F.max("nn").cast("long").alias("n_user_days"),
+        F.round(pbar, 6).alias("pooled_rate"),
+        F.round(num / den, 6).alias("ca_trend_z"),
+    )

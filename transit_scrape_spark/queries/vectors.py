@@ -1922,3 +1922,92 @@ def embed_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DIM_AVGS_64 = ", ".join(f"avg(e[{i + 1}])" for i in range(64))
+
+
+@query(
+    "embed-centroid-margin",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label AS clabel, list_value({_DIM_AVGS_64}) AS c
+            FROM v GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, cent.clabel,
+                   list_sum(list_transform(list_zip(v.e, cent.c),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+            FROM v, cent
+        ),
+        ranked AS (
+            SELECT vec_id, label, clabel, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rn
+            FROM scored
+        ),
+        top2 AS (
+            SELECT vec_id, label,
+                   max(CASE WHEN rn = 1 THEN clabel END) AS pred,
+                   max(CASE WHEN rn = 1 THEN sqrt(d2) END) AS d1,
+                   max(CASE WHEN rn = 2 THEN sqrt(d2) END) AS d2nd
+            FROM ranked WHERE rn <= 2
+            GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(avg(d2nd - d1), 6) AS mean_margin,
+               round(avg(CASE WHEN pred = label THEN d2nd - d1 END), 6)
+                   AS mean_margin_correct
+        FROM top2
+        GROUP BY label
+    """,
+    doc="Nearest-centroid MARGIN diagnostics: per vector, Euclidean "
+    "distance to all 10 label centroids (broadcast k x dim "
+    "codebook, shuffle-free scoring), margin = d(2nd) - d(1st) — "
+    "the confidence gap that tells you WHERE the classifier is "
+    "brittle, which embed-centroid-eval's accuracy number hides "
+    "(accuracy 0.9 with near-zero margins means relabeling noise "
+    "flips everything). Reported per true label with the "
+    "correct-prediction margin split out; low mean_margin labels "
+    "are the ones needing more training data or a finer-grained "
+    "index at 100 TB. Deterministic (d2, label) argmin tie-break.",
+    tags=("embed",),
+)
+def embed_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    cent = v.groupBy(F.col("label").alias("clabel")).agg(
+        F.array(*[F.avg(F.col("e")[i]) for i in range(64)]).alias("c")
+    )
+    scored = v.join(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", _sq_l2(F.col("e"), F.col("c")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    top2 = ranked.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("clabel"))).alias("pred"),
+        F.max(F.when(F.col("rn") == 1, F.sqrt("d2"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.sqrt("d2"))).alias("d2nd"),
+    )
+    margin = F.col("d2nd") - F.col("d1")
+    return top2.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(F.avg(margin), 6).alias("mean_margin"),
+        F.round(
+            F.avg(F.when(F.col("pred") == F.col("label"), margin)), 6
+        ).alias("mean_margin_correct"),
+    )
