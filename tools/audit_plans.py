@@ -147,6 +147,8 @@ SCALAR_BROADCAST_OPS = {
     "stats-stratified-ate",    # 1-row naive-ATE summary broadcast
     "stats-welch-anova",       # 1-row weight-sum summary broadcast
     "timeseries-kpss-level",   # 1-row (mu, n) summary broadcast
+    "embed-centroid-margin",   # 10-row label-centroid codebook broadcast
+    "stats-cochran-armitage",  # 1-row totals summary broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
