@@ -71,6 +71,14 @@ R4_HEAVY = [
     "text-rake-keywords",
     "stats-levene-median",
     "agg-kmv-sketch",
+    # late round-4 wave: span explode, within-bucket pairwise, batched
+    # query scoring — the shapes whose 10x behavior is worth pinning
+    "dedup-span-coverage",
+    "corpus-ccnet-ppl-buckets",
+    "dedup-semdedup-bucket",
+    "text-burrows-delta",
+    "simsearch-batch-topk",
+    "embed-centroid-margin",
 ]
 
 

@@ -1689,7 +1689,8 @@ def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj AS (
             SELECT a.vec_id, u.j,
                    sum(CAST(a.embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
-                       * (1 - 2 * ((t.i * 53 + u.j * 97) % 2))) / 4.0 AS pv
+                       * (1 - 2 * (((t.i * 1103515245 + u.j * 12345)
+                                    % 65537) % 2))) / 4.0 AS pv
             FROM anchors a, range(64) t(i), range(16) u(j)
             GROUP BY a.vec_id, u.j
         ),
@@ -1722,8 +1723,11 @@ def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ratios
     """,
     doc="Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
-    "DETERMINISTIC Rademacher sign matrix s(i,j) = 1-2*((53i+97j) mod "
-    "2), scaled by 1/sqrt(16), validated by the pairwise-distance "
+    "DETERMINISTIC Rademacher sign matrix s(i,j) = 1-2*(((i*1103515245 "
+    "+ j*12345) mod 65537) mod 2) — an LCG-style mix mod a PRIME, "
+    "because any affine form mod 2 with odd multipliers collapses to "
+    "parity of i+j (a rank-2 structured matrix that destroys the "
+    "lemma; caught by the distortion test) — scaled by 1/sqrt(16), validated by the pairwise-distance "
     "distortion it was built to bound: ratio = ||Pa-Pb|| / ||a-b|| "
     "over the fixed 20-anchor pair set (190 pairs — anchor count is "
     "scale-INDEPENDENT, the eb-shrinkage/intrinsic-dim fixed-anchor "
@@ -1746,7 +1750,7 @@ def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v"),
                     F.array(
                         *[
-                            F.lit(float(1 - 2 * ((i * 53 + j * 97) % 2)))
+                            F.lit(float(1 - 2 * (((i * 1103515245 + j * 12345) % 65537) % 2)))
                             for i in range(64)
                         ]
                     ),
