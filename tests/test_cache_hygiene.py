@@ -26,6 +26,7 @@ _PERSIST_OPS = [
     "graph-triangle-count",
     "graph-components-iterative",
     "dedup-near-minhash",
+    "dedup-semdedup-bucket",
 ]
 
 

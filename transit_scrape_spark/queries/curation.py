@@ -1279,9 +1279,12 @@ _CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
         ),
         bucketed AS (
             SELECT vec_id, v,
-                   CAST(CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
-                        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-                        + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END
+                   CAST(CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END
+                        + CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END
+                        + CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END
+                        + CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END
+                        + CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END
+                        + CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS bucket
             FROM v
         ),
@@ -1321,17 +1324,21 @@ _CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
         GROUP BY s.bucket
     """,
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): partition "
-    "the embedding space into buckets by the SIGN PATTERN of the "
-    "first 3 dimensions (the deterministic stand-in for k-means cell "
+    "the embedding space into 64 cells by the SIGN PATTERN of the "
+    "first 6 dimensions (the deterministic stand-in for k-means cell "
     "assignment — same bucket = same cell), compute per-bucket "
     "centroids, then search cosine>0.85 pairs ONLY within buckets "
     "and remove the member of each pair CLOSER to its centroid "
     "(SemDeDup keeps edge examples, discards redundant "
     "near-centroid mass). Pair generation is an equi-join on the "
     "bucket key, so the quadratic blowup is bounded per cell exactly "
-    "as in the paper's clustered formulation — the property that "
-    "makes semantic dedup tractable at 100 TB where all-pairs "
-    "cosine is impossible. Complements dedup-near-embedding-lsh "
+    "as in the paper's clustered formulation — and CELL COUNT must "
+    "grow with the corpus to keep cells bounded (3 sign bits at 5k "
+    "vectors put ~600 per cell and made this the slowest op in the "
+    "sweep; 6 bits restored the contract). Pairwise cosines are "
+    "64-term CODEGEN dot products over pre-normalized vectors, not "
+    "interpreted zip_with folds — the other 10x on the hot pair "
+    "path. Complements dedup-near-embedding-lsh "
     "(random-hyperplane LSH) with the cluster-centroid flavor.",
     tags=("dedup",),
 )
@@ -1340,10 +1347,12 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    bucket = (
-        F.when(F.col("v")[0] >= 0, 4).otherwise(0)
-        + F.when(F.col("v")[1] >= 0, 2).otherwise(0)
-        + F.when(F.col("v")[2] >= 0, 1).otherwise(0)
+    bucket = sum(
+        (
+            F.when(F.col("v")[i] >= 0, 1 << (5 - i)).otherwise(0)
+            for i in range(6)
+        ),
+        start=F.lit(0),
     ).cast("long")
     bucketed = v.select("vec_id", "v", bucket.alias("bucket"))
     cent = bucketed.groupBy("bucket").agg(
@@ -1352,21 +1361,38 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bucketed.join(F.broadcast(cent), "bucket").select(
         "vec_id", "bucket", "v", cosine(F.col("v"), F.col("c")).alias("cent_sim")
     )
-    a = scored.select(
+    # pre-normalize once so the hot pair path is a pure codegen dot
+    # product (interpreted zip_with folds over every candidate pair
+    # made this op the slowest in the sweep)
+    norm = F.sqrt(sum((F.col("v")[i] * F.col("v")[i] for i in range(64)), start=F.lit(0.0)))
+    nscored = scored.select(
+        "vec_id", "bucket", "cent_sim", "v", norm.alias("nrm")
+    ).select(
+        "vec_id",
+        "bucket",
+        "cent_sim",
+        F.array(*[F.col("v")[i] / F.col("nrm") for i in range(64)]).alias("u"),
+    ).persist()  # consumed by both pair sides + the per-bucket base
+    # counts; registry-level release_caches() reclaims after the op's
+    # output materializes (test_cache_hygiene contract)
+    a = nscored.select(
         F.col("bucket"),
         F.col("vec_id").alias("ida"),
-        F.col("v").alias("va"),
+        F.col("u").alias("ua"),
         F.col("cent_sim").alias("sa"),
     )
-    b = scored.select(
+    b = nscored.select(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("idb"),
-        F.col("v").alias("vb"),
+        F.col("u").alias("ub"),
         F.col("cent_sim").alias("sb"),
+    )
+    pair_cos = sum(
+        (F.col("ua")[i] * F.col("ub")[i] for i in range(64)), start=F.lit(0.0)
     )
     pairs = (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ida") < F.col("idb")))
-        .filter(cosine(F.col("va"), F.col("vb")) > 0.85)
+        .filter(pair_cos > 0.85)
         .select(
             "bucket",
             "ida",
@@ -1375,6 +1401,7 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("idb"))
             .alias("removed_id"),
         )
+        .persist()  # consumed by pair counts AND removal distinct
     )
     np = pairs.groupBy("bucket").agg(F.count("*").alias("np"))
     nr = (
@@ -1383,7 +1410,7 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("nr"))
     )
-    base = scored.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+    base = nscored.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
     return (
         base.join(np, "bucket", "left")
         .join(nr, "bucket", "left")
