@@ -1277,16 +1277,19 @@ _CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
         ),
+        nbits AS (
+            SELECT least(12, greatest(3,
+                       CAST(ceil(log2(count(*) / 80.0)) AS INTEGER))) AS bits
+            FROM v
+        ),
         bucketed AS (
             SELECT vec_id, v,
-                   CAST(CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END
-                        + CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END
-                        + CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END
-                        + CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END
-                        + CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END
-                        + CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END
-                        AS BIGINT) AS bucket
-            FROM v
+                   CAST({" + ".join(
+                       f"CASE WHEN {i} < nbits.bits AND v[{i + 1}] >= 0 "
+                       f"THEN {1 << (11 - i)} ELSE 0 END"
+                       for i in range(12)
+                   )} AS BIGINT) AS bucket
+            FROM v, nbits
         ),
         cent AS (
             SELECT bucket, list_value({_CENT64}) AS c
@@ -1324,9 +1327,12 @@ _CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
         GROUP BY s.bucket
     """,
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023): partition "
-    "the embedding space into 64 cells by the SIGN PATTERN of the "
-    "first 6 dimensions (the deterministic stand-in for k-means cell "
-    "assignment — same bucket = same cell), compute per-bucket "
+    "the embedding space into cells by the SIGN PATTERN of the first "
+    "ceil(log2(n/80)) dimensions — cell count ADAPTS to corpus size "
+    "so mean occupancy stays ~80 and the within-cell pair count "
+    "scales linearly with n, the property SemDeDup gets by scaling "
+    "k-means k with n (a fixed cell count went quadratic in the 10x "
+    "soak). Same-bucket = same-cell; compute per-bucket "
     "centroids, then search cosine>0.85 pairs ONLY within buckets "
     "and remove the member of each pair CLOSER to its centroid "
     "(SemDeDup keeps edge examples, discards redundant "
@@ -1347,14 +1353,32 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # adaptive cell count: bits = clamp(ceil(log2(n/80)), 3, 12) keeps
+    # mean cell OCCUPANCY ~constant as the corpus grows, so the
+    # within-cell pair count scales LINEARLY with n (fixed cells made
+    # the 10x soak superlinear: occupancy, hence pairs/cell, grew
+    # quadratically). SemDeDup scales k with n for exactly this reason.
+    nbits = v.agg(
+        F.least(
+            F.lit(12),
+            F.greatest(
+                F.lit(3), F.ceil(F.log2(F.count("*") / 80.0)).cast("int")
+            ),
+        ).alias("bits")
+    )
     bucket = sum(
         (
-            F.when(F.col("v")[i] >= 0, 1 << (5 - i)).otherwise(0)
-            for i in range(6)
+            F.when(
+                (F.lit(i) < F.col("bits")) & (F.col("v")[i] >= 0),
+                1 << (11 - i),
+            ).otherwise(0)
+            for i in range(12)
         ),
         start=F.lit(0),
     ).cast("long")
-    bucketed = v.select("vec_id", "v", bucket.alias("bucket"))
+    bucketed = v.join(F.broadcast(nbits)).select(
+        "vec_id", "v", bucket.alias("bucket")
+    )
     cent = bucketed.groupBy("bucket").agg(
         F.array(*[F.avg(F.col("v")[i]) for i in range(64)]).alias("c")
     )
