@@ -149,6 +149,7 @@ SCALAR_BROADCAST_OPS = {
     "timeseries-kpss-level",   # 1-row (mu, n) summary broadcast
     "embed-centroid-margin",   # 10-row label-centroid codebook broadcast
     "stats-cochran-armitage",  # 1-row totals summary broadcast
+    "dedup-semdedup-bucket",   # 1-row adaptive-cell-bits broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transit_scrape_spark.operators.dedup import sql_string_hash
 from transit_scrape_spark.queries.registry import query
 from transit_scrape_spark.sources.fixtures import fixture_dir
 from transit_scrape_spark.sources.tables import load_table
@@ -1695,4 +1696,47 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "column_name string, distinct_count long, null_count long, "
         "min_value string, max_value string",
+    )
+
+
+@query(
+    "dq-partition-digest",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({sql_string_hash(
+                   "o_orderkey || '|' || o_custkey || '|' || o_orderstatus"
+               )}) AS BIGINT) AS digest
+        FROM orders
+        GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="Order-insensitive partition content digests: per month, "
+    "sum-mod-P of a canonical per-row hash (key columns joined with "
+    "'|', md5-prefix hashed — the engine-portable hash the dedup "
+    "stack already uses). Two systems holding the same partition "
+    "produce the same digest REGARDLESS of row order or physical "
+    "layout, so cross-system reconciliation (after a migration, a "
+    "CDC replay, a backfill) compares one row per partition instead "
+    "of re-shipping data — the digest-exchange protocol behind "
+    "storage-level anti-entropy. Canonical strings stick to "
+    "int/string columns (float formatting is not engine-portable). "
+    "One scan, one hash aggregation; at 100 TB each partition "
+    "digests independently, embarrassingly parallel.",
+    tags=("dq", "maintenance"),
+)
+def dq_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import string_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(string_hash(canon)).cast("long").alias("digest"),
     )
