@@ -3807,3 +3807,81 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "funnel-window-sensitivity",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_buy
+            FROM events GROUP BY user_id
+        ),
+        deltas AS (
+            SELECT user_id,
+                   date_diff('day', t_click, t_buy) AS dd
+            FROM firsts
+            WHERE t_click IS NOT NULL AND t_buy IS NOT NULL
+              AND t_buy >= t_click
+        ),
+        base AS (
+            SELECT (SELECT count(*) FROM firsts
+                    WHERE t_click IS NOT NULL) AS n_clickers
+        )
+        SELECT w.window_days,
+               CAST(max(base.n_clickers) AS BIGINT) AS n_clickers,
+               CAST(sum(CASE WHEN d.dd <= w.window_days THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               round(sum(CASE WHEN d.dd <= w.window_days THEN 1 ELSE 0 END)
+                     / CAST(max(base.n_clickers) AS DOUBLE), 6) AS cvr
+        FROM deltas d, base,
+             (SELECT CAST(unnest([1, 3, 7, 14]) AS BIGINT) AS window_days) w
+        GROUP BY w.window_days
+    """,
+    doc="Attribution-WINDOW sensitivity of the click -> purchase "
+    "funnel: the same first-touch funnel evaluated at 1/3/7/14-day "
+    "conversion windows in ONE pass (per-user first click and first "
+    "purchase from a single conditional aggregation; the window "
+    "sweep is a 4-row literal fan-out over the per-user deltas). "
+    "The chart that ends 'our CVR dropped' arguments by showing how "
+    "much of the metric is window-definition artifact — "
+    "funnel-conversion and funnel-windowed-strict each pin ONE "
+    "definition; this op shows the whole curve. Day-granularity "
+    "deltas keep both engines' date arithmetic identical.",
+    tags=("analytics",),
+)
+def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    deltas = firsts.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_click"))
+    ).select(F.datediff(F.to_date("t_buy"), F.to_date("t_click")).alias("dd"))
+    base = firsts.filter(F.col("t_click").isNotNull()).agg(
+        F.count("*").alias("n_clickers")
+    )
+    windows = deltas.sparkSession.createDataFrame(
+        [(1,), (3,), (7,), (14,)], "window_days long"
+    )
+    j = deltas.crossJoin(F.broadcast(windows)).join(F.broadcast(base))
+    return j.groupBy("window_days").agg(
+        F.max("n_clickers").cast("long").alias("n_clickers"),
+        F.sum(F.when(F.col("dd") <= F.col("window_days"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.round(
+            F.sum(F.when(F.col("dd") <= F.col("window_days"), 1).otherwise(0))
+            / F.max("n_clickers").cast("double"),
+            6,
+        ).alias("cvr"),
+    )

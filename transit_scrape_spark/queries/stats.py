@@ -5944,3 +5944,53 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pbar, 6).alias("pooled_rate"),
         F.round(num / den, 6).alias("ca_trend_z"),
     )
+
+
+@query(
+    "agg-frequency-moments",
+    oracle="""
+        WITH freq AS (
+            SELECT l_partkey, CAST(count(*) AS DOUBLE) AS c
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS f0_distinct,
+               CAST(sum(c) AS BIGINT) AS f1_count,
+               CAST(sum(c * c) AS BIGINT) AS f2_selfjoin,
+               CAST(max(c) AS BIGINT) AS finf_max,
+               round(sum(c * c) * count(*) / (sum(c) * sum(c)), 6)
+                   AS surprise_index,
+               round(-sum((c / (SELECT sum(c) FROM freq))
+                          * ln(c / (SELECT sum(c) FROM freq))), 6)
+                   AS shannon_entropy_nats
+        FROM freq
+    """,
+    doc="Frequency moments of the part-key distribution (Alon-Matias-"
+    "Szegedy's F0/F1/F2/F_inf): F2 is the SELF-JOIN SIZE — the "
+    "number every join optimizer wants before picking a strategy on "
+    "a skewed key — and the surprise index F2*F0/F1^2 is its "
+    "normalized skew score (1 = uniform). Shannon entropy of the "
+    "same frequency vector completes the skew profile. One hash "
+    "aggregation to the per-key frequency vector, one moment pass "
+    "over it; the exact ground truth that agg-kmv-sketch (F0) and "
+    "agg-count-min-sketch (point freq) approximate, and the "
+    "skew diagnosis that decides when join-skew-salted is needed.",
+    tags=("stats", "agg"),
+)
+def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count("*").cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    j = freq.join(F.broadcast(tot))
+    p = F.col("c") / F.col("t")
+    return j.agg(
+        F.count("*").cast("long").alias("f0_distinct"),
+        F.sum("c").cast("long").alias("f1_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_selfjoin"),
+        F.max("c").cast("long").alias("finf_max"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")) * F.count("*")
+            / (F.sum("c") * F.sum("c")),
+            6,
+        ).alias("surprise_index"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy_nats"),
+    )

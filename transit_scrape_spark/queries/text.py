@@ -2583,3 +2583,53 @@ def corpus_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_ppl",
         "max_ppl",
     )
+
+
+@query(
+    "text-sentence-length-profile",
+    oracle="""
+        WITH sents AS (
+            SELECT lang, trim(s) AS s
+            FROM documents, unnest(string_split(text, '. ')) AS t(s)
+            WHERE length(trim(s)) > 0
+        ),
+        lens AS (
+            SELECT lang, CAST(len(string_split(s, ' ')) AS DOUBLE) AS n_tok
+            FROM sents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               round(avg(n_tok), 6) AS mean_tokens,
+               round(stddev_samp(n_tok), 6) AS sd_tokens,
+               round(stddev_samp(n_tok) / avg(n_tok), 6) AS cv_tokens,
+               CAST(max(n_tok) AS BIGINT) AS max_tokens
+        FROM lens
+        GROUP BY lang
+    """,
+    doc="Sentence-length profile by language: naive '. '-split "
+    "sentences (the text-split-sentences contract), per-language "
+    "mean/sd/CV/max of tokens per sentence. CV of sentence length "
+    "is a readability-adjacent style feature (legal/academic text "
+    "runs long-uniform, chat runs short-bursty) and a cheap "
+    "MT-garbage detector (machine-translated spam collapses to "
+    "near-zero variance) — a per-LANGUAGE lens the per-doc "
+    "text-readability score aggregates away. One explode + one "
+    "hash aggregation; empty fragments dropped identically in both "
+    "engines via trim + length guard.",
+    tags=("text",),
+)
+def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "lang", F.explode(F.split("text", "\\. ")).alias("s")
+    ).select("lang", F.trim("s").alias("s")).filter(F.length("s") > 0)
+    lens = sents.select(
+        "lang", F.size(F.split("s", " ")).cast("double").alias("n_tok")
+    )
+    return lens.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+        F.round(F.stddev_samp("n_tok"), 6).alias("sd_tokens"),
+        F.round(F.stddev_samp("n_tok") / F.avg("n_tok"), 6).alias("cv_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
