@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transit_scrape_spark.operators.dedup import sql_string_hash
 from transit_scrape_spark.queries.registry import query
 from transit_scrape_spark.sources.tables import load_table
 
@@ -5993,4 +5994,123 @@ def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("surprise_index"),
         F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy_nats"),
+    )
+
+
+@query(
+    "sample-fixed-k-per-group",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT event_type, event_id,
+                   {sql_string_hash("CAST(event_id AS VARCHAR) || ':fixk'")}
+                       AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, event_id, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, event_id) AS rn
+            FROM hashed
+        )
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 50
+    """,
+    doc="Fixed-size k=50 sample PER GROUP via hash-order ranking: the "
+    "k rows with the smallest salted key hash per event type are a "
+    "uniform random sample of the group, yet fully DETERMINISTIC "
+    "across reruns, engines, and partitionings — the distributed "
+    "equivalent of per-group reservoir sampling without reservoir "
+    "state (the k-minimum-values idea applied to sampling; "
+    "agg-kmv-sketch uses the same order statistic for F0). "
+    "Complements sample-stratified (fraction-based, group sizes "
+    "vary) when downstream needs EQUAL-size per-stratum samples "
+    "(eval panels, human review batches). One hash projection + "
+    "one rank window per group; at scale the window's sort is "
+    "bounded per group by pushing a partial top-k before the "
+    "shuffle (TakeOrderedAndProject per partition).",
+    tags=("sample",),
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from transit_scrape_spark.operators.dedup import string_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        "event_id",
+        string_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit(":fixk"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+        .select("event_type", F.col("event_id").cast("long").alias("event_id"), "rn")
+    )
+
+
+@query(
+    "stats-gpd-pot",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        thr AS (
+            SELECT quantile_cont(rev, 0.90) AS u FROM daily
+        ),
+        exc AS (
+            SELECT d.rev - thr.u AS y
+            FROM daily d, thr WHERE d.rev > thr.u
+        ),
+        m AS (
+            SELECT count(*) AS n, avg(y) AS mu, var_samp(y) AS v,
+                   max(y) AS ymax
+            FROM exc
+        )
+        SELECT CAST(n AS BIGINT) AS n_exceedances,
+               round(mu, 4) AS mean_excess,
+               round(0.5 * (1 - mu * mu / v), 6) AS gpd_xi,
+               round(0.5 * mu * (mu * mu / v + 1), 4) AS gpd_beta,
+               round(ymax, 4) AS max_excess
+        FROM m
+    """,
+    doc="Peaks-over-threshold extreme-value fit: daily-revenue "
+    "exceedances over the p90 threshold, Generalized Pareto "
+    "parameters by method of moments (xi = (1 - mu^2/v)/2, beta = "
+    "mu(mu^2/v + 1)/2) — the tail model that answers 'how bad is a "
+    "1-in-N day' from ALL tail points, where stats-gumbel-maxima's "
+    "block-maxima approach throws away every non-maximum "
+    "exceedance (POT is the data-efficient of the two classical "
+    "EVT routes; xi > 0 flags a heavy tail consistent with "
+    "stats-hill-tail-index). Threshold via exact quantile on the "
+    "day-count summary; everything downstream is scalar math.",
+    tags=("stats",),
+)
+def stats_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    thr = daily.agg(F.percentile("rev", F.lit(0.90)).alias("u"))
+    exc = daily.join(F.broadcast(thr)).filter(F.col("rev") > F.col("u")).select(
+        (F.col("rev") - F.col("u")).alias("y")
+    )
+    m = exc.agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("mu"),
+        F.var_samp("y").alias("v"),
+        F.max("y").alias("ymax"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    return m.select(
+        F.col("n").cast("long").alias("n_exceedances"),
+        F.round(mu, 4).alias("mean_excess"),
+        F.round(0.5 * (1 - mu * mu / v), 6).alias("gpd_xi"),
+        F.round(0.5 * mu * (mu * mu / v + 1), 4).alias("gpd_beta"),
+        F.round("ymax", 4).alias("max_excess"),
     )
