@@ -150,6 +150,9 @@ SCALAR_BROADCAST_OPS = {
     "embed-centroid-margin",   # 10-row label-centroid codebook broadcast
     "stats-cochran-armitage",  # 1-row totals summary broadcast
     "dedup-semdedup-bucket",   # 1-row adaptive-cell-bits broadcast
+    "agg-frequency-moments",   # 1-row frequency-total broadcast
+    "funnel-window-sensitivity",  # 4-row window-literal fan-out + 1-row base
+    "stats-gpd-pot",           # 1-row threshold-quantile broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
