@@ -2495,3 +2495,92 @@ def timeseries_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "timeseries-harmonic-fit",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT x, row_number() OVER (ORDER BY day) - 1 AS t,
+                   count(*) OVER () AS n, avg(x) OVER () AS mu
+            FROM daily
+        ),
+        per_k AS (
+            SELECT k.k, max(idx.n) AS n,
+                   2.0 / max(idx.n)
+                       * sum((idx.x - idx.mu)
+                             * cos(2 * pi() * k.k * idx.t / idx.n)) AS a,
+                   2.0 / max(idx.n)
+                       * sum((idx.x - idx.mu)
+                             * sin(2 * pi() * k.k * idx.t / idx.n)) AS b,
+                   sum(power(idx.x - idx.mu, 2)) AS sst
+            FROM idx, (SELECT unnest(generate_series(1, 10)) AS k) k
+            GROUP BY k.k
+        ),
+        best AS (
+            SELECT *, row_number() OVER (ORDER BY a * a + b * b DESC, k) AS rn
+            FROM per_k
+        )
+        SELECT CAST(k AS BIGINT) AS dominant_k,
+               CAST(n AS BIGINT) AS n_days,
+               round(n / CAST(k AS DOUBLE), 4) AS period_days,
+               round(sqrt(a * a + b * b), 6) AS amplitude,
+               round(atan2(b, a), 6) AS phase,
+               round((a * a + b * b) * n / 4 / (sst / 1), 6) * 2
+                   AS r2_explained
+        FROM best WHERE rn = 1
+    """,
+    doc="Single-harmonic Fourier fit: Fourier coefficients a_k, b_k "
+    "of the demeaned daily series at k = 1..10 cycles (one literal "
+    "fan-out over the day summary — the DFT as a groupBy, no FFT "
+    "needed at summary scale), pick the dominant k by power with a "
+    "deterministic tie-break, report period, amplitude, phase, and "
+    "the variance share the single harmonic explains (harmonic "
+    "R^2 = n(a^2+b^2)/2 / SST). The parametric companion to "
+    "timeseries-periodogram (which reports the whole spectrum): "
+    "this one returns the FITTED seasonal component a downstream "
+    "forecaster subtracts. At 100 TB the day summary is still "
+    "thousands of rows; k stays a literal constant.",
+    tags=("timeseries",),
+)
+def timeseries_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.avg("x").over(wall).alias("mu"),
+    )
+    ks = idx.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    j = idx.crossJoin(F.broadcast(ks))
+    ang = 2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    dx = F.col("x") - F.col("mu")
+    per_k = j.groupBy("k").agg(
+        F.max("n").alias("n"),
+        (2.0 / F.max("n") * F.sum(dx * F.cos(ang))).alias("a"),
+        (2.0 / F.max("n") * F.sum(dx * F.sin(ang))).alias("b"),
+        F.sum(F.pow(dx, 2)).alias("sst"),
+    )
+    power = F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    best = per_k.withColumn(
+        "rn", F.row_number().over(Window.orderBy(power.desc(), "k"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("k").cast("long").alias("dominant_k"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("n") / F.col("k").cast("double"), 4).alias("period_days"),
+        F.round(F.sqrt(power), 6).alias("amplitude"),
+        F.round(F.atan2("b", "a"), 6).alias("phase"),
+        (F.round(power * F.col("n") / 4 / (F.col("sst") / 1), 6) * 2).alias(
+            "r2_explained"
+        ),
+    )
