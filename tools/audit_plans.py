@@ -153,6 +153,7 @@ SCALAR_BROADCAST_OPS = {
     "agg-frequency-moments",   # 1-row frequency-total broadcast
     "funnel-window-sensitivity",  # 4-row window-literal fan-out + 1-row base
     "stats-gpd-pot",           # 1-row threshold-quantile broadcast
+    "timeseries-harmonic-fit", # 10-row frequency-literal fan-out
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
