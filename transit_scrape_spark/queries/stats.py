@@ -6114,3 +6114,100 @@ def stats_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * mu * (mu * mu / v + 1), 4).alias("gpd_beta"),
         F.round("ymax", 4).alias("max_excess"),
     )
+
+
+@query(
+    "stats-jackknife-cv",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS x
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        tot AS (
+            SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+            FROM daily
+        ),
+        loo AS (
+            SELECT tot.n,
+                   (tot.s - d.x) / (tot.n - 1) AS mu_i,
+                   ((tot.ss - d.x * d.x)
+                    - (tot.n - 1) * power((tot.s - d.x) / (tot.n - 1), 2))
+                       / (tot.n - 2) AS var_i
+            FROM daily d, tot
+        ),
+        cvs AS (
+            SELECT n, sqrt(var_i) / mu_i AS cv_i FROM loo
+        ),
+        full_cv AS (
+            SELECT sqrt((ss - n * power(s / n, 2)) / (n - 1)) / (s / n) AS cv
+            FROM tot
+        )
+        SELECT CAST(max(cvs.n) AS BIGINT) AS n_days,
+               round(max(full_cv.cv), 6) AS cv_full,
+               round(avg(cv_i), 6) AS cv_jack_mean,
+               round(sqrt((max(cvs.n) - 1.0) / max(cvs.n)
+                          * sum(power(cv_i - (SELECT avg(cv_i) FROM cvs), 2))),
+                     6) AS se_jackknife,
+               round(max(cvs.n) * max(full_cv.cv)
+                     - (max(cvs.n) - 1) * avg(cv_i), 6) AS cv_bias_corrected
+        FROM cvs, full_cv
+        GROUP BY ALL
+    """,
+    doc="Delete-1 jackknife inference for the coefficient of "
+    "variation of daily revenue — a NONLINEAR statistic with no "
+    "closed-form SE: every leave-one-out CV comes from the global "
+    "(n, sum, sum-of-squares) totals minus the held-out day "
+    "(loo_var via the sums identity), so the n resamples cost ONE "
+    "broadcast join over the day summary, not n passes — the "
+    "algebraic trick that makes jackknifes free at any scale when "
+    "the statistic is a smooth function of moments. Reports the "
+    "jackknife SE and the bias-corrected estimate n*cv - "
+    "(n-1)*mean(loo cv). The deterministic cousin of "
+    "sample-poisson-bootstrap (which needs pseudo-randomness).",
+    tags=("stats",),
+)
+def stats_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    loo = daily.join(F.broadcast(tot)).select(
+        "n",
+        ((s - F.col("x")) / (n - 1)).alias("mu_i"),
+        (
+            (
+                (ss - F.col("x") * F.col("x"))
+                - (n - 1) * F.pow((s - F.col("x")) / (n - 1), 2)
+            )
+            / (n - 2)
+        ).alias("var_i"),
+    )
+    cvs = loo.select("n", (F.sqrt("var_i") / F.col("mu_i")).alias("cv_i"))
+    full_cv = tot.select(
+        (F.sqrt((ss - n * F.pow(s / n, 2)) / (n - 1)) / (s / n)).alias("cv")
+    )
+    cbar = cvs.agg(F.avg("cv_i").alias("cbar"))
+    j = cvs.join(F.broadcast(full_cv)).join(F.broadcast(cbar))
+    return j.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("cv"), 6).alias("cv_full"),
+        F.round(F.avg("cv_i"), 6).alias("cv_jack_mean"),
+        F.round(
+            F.sqrt(
+                (F.max("n") - 1.0)
+                / F.max("n")
+                * F.sum(F.pow(F.col("cv_i") - F.col("cbar"), 2))
+            ),
+            6,
+        ).alias("se_jackknife"),
+        F.round(
+            F.max("n") * F.max("cv") - (F.max("n") - 1) * F.avg("cv_i"), 6
+        ).alias("cv_bias_corrected"),
+    )

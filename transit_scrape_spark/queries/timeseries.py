@@ -2584,3 +2584,70 @@ def timeseries_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_explained"
         ),
     )
+
+
+@query(
+    "timeseries-wma-crossover",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        sig AS (
+            SELECT day, rev,
+                   (7 * rev + 6 * lag(rev, 1) OVER w + 5 * lag(rev, 2) OVER w
+                    + 4 * lag(rev, 3) OVER w + 3 * lag(rev, 4) OVER w
+                    + 2 * lag(rev, 5) OVER w + 1 * lag(rev, 6) OVER w)
+                       / 28.0 AS wma7,
+                   avg(rev) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sma7,
+                   row_number() OVER w AS rn
+            FROM daily WINDOW w AS (ORDER BY day)
+        )
+        SELECT day, round(rev, 4) AS rev,
+               round(wma7, 4) AS wma7, round(sma7, 4) AS sma7,
+               CAST(CASE WHEN wma7 > sma7 THEN 1 ELSE 0 END AS BIGINT)
+                   AS momentum_up
+        FROM sig WHERE rn >= 7
+    """,
+    doc="7-day linearly-weighted moving average vs simple moving "
+    "average with a momentum crossover flag: WMA weights recent "
+    "days 7..1/28 so it leads the SMA when the series accelerates "
+    "— wma > sma is the classic cheap momentum-direction signal, "
+    "and the SPREAD between the two is a slope estimate that costs "
+    "one window sort (the lag terms and the frame average share "
+    "it). Warm-up rows dropped so every emitted row has a full "
+    "7-day kernel. Complements timeseries-ewma (geometric "
+    "weights, infinite kernel) and timeseries-bollinger-bands "
+    "(level bands, not direction).",
+    tags=("timeseries",),
+)
+def timeseries_wma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    wma = (
+        7 * F.col("rev")
+        + sum((7 - k) * F.lag("rev", k).over(w) for k in range(1, 7))
+    ) / 28.0
+    sma = F.avg("rev").over(w.rowsBetween(-6, 0))
+    sig = daily.select(
+        "day",
+        "rev",
+        wma.alias("wma7"),
+        sma.alias("sma7"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return sig.filter(F.col("rn") >= 7).select(
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round("wma7", 4).alias("wma7"),
+        F.round("sma7", 4).alias("sma7"),
+        F.when(F.col("wma7") > F.col("sma7"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("momentum_up"),
+    )
