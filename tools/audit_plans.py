@@ -154,6 +154,7 @@ SCALAR_BROADCAST_OPS = {
     "funnel-window-sensitivity",  # 4-row window-literal fan-out + 1-row base
     "stats-gpd-pot",           # 1-row threshold-quantile broadcast
     "timeseries-harmonic-fit", # 10-row frequency-literal fan-out
+    "stats-jackknife-cv",      # 1-row moment-totals broadcast per resample
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
