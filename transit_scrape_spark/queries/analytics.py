@@ -3970,3 +3970,98 @@ def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
         F.round("memory_coef", 6).alias("memory_coef"),
     )
+
+
+@query(
+    "event-cooccurrence-lift",
+    oracle="""
+        WITH ud AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type
+            FROM events GROUP BY user_id, CAST(ts AS DATE), event_type
+        ),
+        tot AS (
+            SELECT count(*) AS n FROM (
+                SELECT DISTINCT user_id, day FROM ud
+            )
+        ),
+        marg AS (
+            SELECT event_type, count(*) AS n_days FROM ud GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_both
+            FROM ud a JOIN ud b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.n_both AS BIGINT) AS n_both,
+               round(CAST(p.n_both AS DOUBLE) * tot.n
+                     / (ma.n_days * CAST(mb.n_days AS DOUBLE)), 6) AS lift,
+               round(CAST(p.n_both AS DOUBLE)
+                     / (ma.n_days + mb.n_days - p.n_both), 6) AS jaccard
+        FROM pairs p
+        JOIN marg ma ON p.type_a = ma.event_type
+        JOIN marg mb ON p.type_b = mb.event_type, tot
+    """,
+    doc="Event-type co-occurrence lift on USER-DAY units: lift = "
+    "P(a,b)/(P(a)P(b)) and Jaccard overlap for every type pair, "
+    "where a unit is a (user, day) — the behavioral association "
+    "matrix ('do people who error also purchase, the same day?') "
+    "that basket-affinity computes for order line-items. The "
+    "pair join is keyed on (user, day) so candidate width is the "
+    "per-unit distinct-type count (<= 5), never a cross join; "
+    "margins and the unit total are summary-sized broadcasts. "
+    "Deterministic type_a < type_b orientation.",
+    tags=("analytics",),
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    tot = ud.select("user_id", "day").distinct().agg(F.count("*").alias("n"))
+    marg = ud.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select(
+        F.col("user_id").alias("user_b"),
+        F.col("day").alias("day_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("day") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n_days").alias("na")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n_days").alias("nb")
+    )
+    j = (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .join(F.broadcast(tot))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(
+            F.col("n_both").cast("double") * F.col("n")
+            / (F.col("na") * F.col("nb").cast("double")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -6211,3 +6211,68 @@ def stats_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * F.max("cv") - (F.max("n") - 1) * F.avg("cv_i"), 6
         ).alias("cv_bias_corrected"),
     )
+
+
+@query(
+    "stats-mood-median",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        med AS (SELECT median(m) AS gm FROM daily),
+        cells AS (
+            SELECT d.event_type,
+                   count(*) AS ni,
+                   sum(CASE WHEN d.m > med.gm THEN 1 ELSE 0 END) AS ai
+            FROM daily d, med GROUP BY d.event_type
+        ),
+        tot AS (
+            SELECT sum(ni) AS n, sum(ai) AS a, count(*) AS k FROM cells
+        )
+        SELECT CAST(max(tot.k) AS BIGINT) AS k_groups,
+               CAST(max(tot.n) AS BIGINT) AS n_total,
+               CAST(max(tot.k) - 1 AS BIGINT) AS dof,
+               round(sum(power(cells.ai - cells.ni * CAST(tot.a AS DOUBLE)
+                                             / tot.n, 2)
+                         / (cells.ni * CAST(tot.a AS DOUBLE) / tot.n
+                            * (1 - CAST(tot.a AS DOUBLE) / tot.n))), 6)
+                   AS mood_chi2
+        FROM cells, tot GROUP BY ALL
+    """,
+    doc="Mood's median test across event types: count daily means "
+    "above the GRAND median per group, chi-square against the "
+    "expected n_i * (a/N) split — the coarsest but most "
+    "outlier-immune of the k-group location tests (only signs "
+    "relative to one order statistic matter; "
+    "stats-kruskal-wallis uses full ranks and more power, "
+    "stats-anova-oneway uses means and assumes normality — the "
+    "three escalate in assumptions). Exact median on the day "
+    "summary, then a k-cell contingency chi-square; both engines "
+    "share the same interpolated-median definition.",
+    tags=("stats",),
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("m")
+    )
+    med = daily.agg(F.median("m").alias("gm"))
+    cells = daily.join(F.broadcast(med)).groupBy("event_type").agg(
+        F.count("*").alias("ni"),
+        F.sum(F.when(F.col("m") > F.col("gm"), 1).otherwise(0)).alias("ai"),
+    )
+    tot = cells.agg(
+        F.sum("ni").alias("n"), F.sum("ai").alias("a"), F.count("*").alias("k")
+    )
+    j = cells.join(F.broadcast(tot))
+    p = F.col("a").cast("double") / F.col("n")
+    exp = F.col("ni") * p
+    return j.agg(
+        F.max("k").cast("long").alias("k_groups"),
+        F.max("n").cast("long").alias("n_total"),
+        (F.max("k") - 1).cast("long").alias("dof"),
+        F.round(
+            F.sum(F.pow(F.col("ai") - exp, 2) / (exp * (1 - p))), 6
+        ).alias("mood_chi2"),
+    )
