@@ -155,6 +155,8 @@ SCALAR_BROADCAST_OPS = {
     "stats-gpd-pot",           # 1-row threshold-quantile broadcast
     "timeseries-harmonic-fit", # 10-row frequency-literal fan-out
     "stats-jackknife-cv",      # 1-row moment-totals broadcast per resample
+    "event-cooccurrence-lift", # 1-row unit-total + k-row margin broadcasts
+    "stats-mood-median",       # 1-row grand-median broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
