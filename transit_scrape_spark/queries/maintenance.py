@@ -1740,3 +1740,68 @@ def dq_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum(string_hash(canon)).cast("long").alias("digest"),
     )
+
+
+@query(
+    "dq-cardinality-drift",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(DISTINCT o_custkey) AS n_cust,
+                   count(*) AS n_orders
+            FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        ),
+        lagged AS (
+            SELECT month, n_cust, n_orders,
+                   lag(n_cust) OVER (ORDER BY month) AS prev_cust
+            FROM monthly
+        )
+        SELECT month,
+               CAST(n_cust AS BIGINT) AS n_distinct_cust,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               round(CAST(n_orders AS DOUBLE) / n_cust, 6)
+                   AS orders_per_cust,
+               round(CAST(n_cust AS DOUBLE) / prev_cust - 1, 6)
+                   AS cust_mom_drift
+        FROM lagged WHERE prev_cust IS NOT NULL
+    """,
+    doc="Month-over-month CARDINALITY drift: distinct customers per "
+    "month, the orders-per-customer density, and the relative "
+    "drift vs the prior month — the key-population monitor that "
+    "catches what dq-volume-drift (row counts) cannot: an "
+    "upstream join gone wrong duplicates rows but also COLLAPSES "
+    "or EXPLODES distinct keys, and the density ratio moves "
+    "first. Exact distincts per month (one hash agg; at 100 TB "
+    "swap count(DISTINCT) for approx_count_distinct per the "
+    "agg-approx-sketch pattern, same plan shape), then one lag "
+    "window on the month summary.",
+    tags=("dq",),
+)
+def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "n_cust",
+        "n_orders",
+        F.lag("n_cust").over(w).alias("prev_cust"),
+    )
+    return lagged.filter(F.col("prev_cust").isNotNull()).select(
+        "month",
+        F.col("n_cust").cast("long").alias("n_distinct_cust"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("n_orders").cast("double") / F.col("n_cust"), 6).alias(
+            "orders_per_cust"
+        ),
+        F.round(
+            F.col("n_cust").cast("double") / F.col("prev_cust") - 1, 6
+        ).alias("cust_mom_drift"),
+    )

@@ -2651,3 +2651,75 @@ def timeseries_wma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("momentum_up"),
     )
+
+
+@query(
+    "timeseries-despike-med3",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        tri AS (
+            SELECT day, rev,
+                   lag(rev) OVER w AS a, lead(rev) OVER w AS c,
+                   row_number() OVER w AS rn, count(*) OVER () AS n
+            FROM daily WINDOW w AS (ORDER BY day)
+        ),
+        med AS (
+            SELECT day, rev,
+                   greatest(least(a, rev),
+                            least(greatest(a, rev), c)) AS med3
+            FROM tri WHERE rn > 1 AND rn < n
+        ),
+        scale AS (
+            SELECT median(abs(rev - med3)) AS mad FROM med
+        )
+        SELECT m.day, round(m.rev, 4) AS rev, round(m.med3, 4) AS med3,
+               CAST(CASE WHEN abs(m.rev - m.med3) > 5 * s.mad
+                         THEN 1 ELSE 0 END AS BIGINT) AS spike_flag
+        FROM med m, scale s
+    """,
+    doc="3-point rolling-median despiking: med3 via the branch-free "
+    "max/min identity greatest(least(a,b), least(greatest(a,b), c)) "
+    "— a median filter with NO sort and no percentile state, pure "
+    "codegen over one window's lag/lead — and a spike flag at 5x "
+    "the MAD of the residuals (median filters kill single-sample "
+    "spikes exactly; moving averages smear them, which is why "
+    "sensor pipelines despike with medians BEFORE any smoothing). "
+    "Boundary rows without both neighbors are excluded from the "
+    "contract. One window sort + a 1-row robust-scale broadcast.",
+    tags=("timeseries",),
+)
+def timeseries_despike_med3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    tri = daily.select(
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("a"),
+        F.lead("rev").over(w).alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med3 = F.greatest(
+        F.least(F.col("a"), F.col("rev")),
+        F.least(F.greatest(F.col("a"), F.col("rev")), F.col("c")),
+    )
+    med = tri.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+        "day", "rev", med3.alias("med3")
+    )
+    scale = med.agg(F.median(F.abs(F.col("rev") - F.col("med3"))).alias("mad"))
+    return med.join(F.broadcast(scale)).select(
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round("med3", 4).alias("med3"),
+        F.when(F.abs(F.col("rev") - F.col("med3")) > 5 * F.col("mad"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("spike_flag"),
+    )
