@@ -157,6 +157,7 @@ SCALAR_BROADCAST_OPS = {
     "stats-jackknife-cv",      # 1-row moment-totals broadcast per resample
     "event-cooccurrence-lift", # 1-row unit-total + k-row margin broadcasts
     "stats-mood-median",       # 1-row grand-median broadcast
+    "timeseries-despike-med3", # 1-row MAD-scale broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
