@@ -1173,3 +1173,52 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+def _multichar_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """nation exported with a '||' delimiter — the legacy-feed format
+    single-char-delimiter parsers mangle (names contain commas)."""
+
+    def build(d: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+        )
+        with open(os.path.join(d, "nation.csv"), "w") as f:
+            f.write("n_nationkey||n_name||n_regionkey\n")
+            for r in rows:
+                f.write(f"{r['n_nationkey']}||{r['n_name']}||{r['n_regionkey']}\n")
+
+    return fixture_dir("tss_multichar_csv", sf_dir, build)
+
+
+@query(
+    "scan-csv-multichar-delim",
+    oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               min(n_name) AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="Multi-character-delimiter CSV ingestion (sep='||'): legacy "
+    "ERP/mainframe feeds use multi-char delimiters precisely "
+    "because the payload contains every single character; Spark's "
+    "CSV reader takes the multi-char sep natively (since 3.0) with "
+    "an explicit schema, no preprocessing pass. Read-back "
+    "aggregate oracled against the originating table. The "
+    "delimiter sibling of scan-csv-robust (damage tolerance) and "
+    "scan-compressed-csv (codec) — together the three knobs "
+    "real CSV feeds actually vary.",
+)
+def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _multichar_csv_dir(spark, sf_dir)
+    df = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", "true")
+        .option("sep", "||")
+        .csv(f"{d}/nation.csv")
+    )
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

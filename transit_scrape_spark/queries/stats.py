@@ -6276,3 +6276,110 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("ai") - exp, 2) / (exp * (1 - p))), 6
         ).alias("mood_chi2"),
     )
+
+
+@query(
+    "stats-prop-diff-ci",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS grp,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT grp, count(*) AS n, sum(conv) AS x
+            FROM per_user GROUP BY grp
+        ),
+        wilson AS (
+            SELECT grp, n, x,
+                   CAST(x AS DOUBLE) / n AS p,
+                   (x + 1.920793) / (n + 3.841586)
+                       - 1.959964 * sqrt(n) / (n + 3.841586)
+                       * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
+                              + 0.960397 / n) AS lo,
+                   (x + 1.920793) / (n + 3.841586)
+                       + 1.959964 * sqrt(n) / (n + 3.841586)
+                       * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
+                              + 0.960397 / n) AS hi
+            FROM arms
+        ),
+        piv AS (
+            SELECT max(CASE WHEN grp = 1 THEN p END) AS p1,
+                   max(CASE WHEN grp = 1 THEN lo END) AS l1,
+                   max(CASE WHEN grp = 1 THEN hi END) AS u1,
+                   max(CASE WHEN grp = 0 THEN p END) AS p2,
+                   max(CASE WHEN grp = 0 THEN lo END) AS l2,
+                   max(CASE WHEN grp = 0 THEN hi END) AS u2,
+                   CAST(max(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1,
+                   CAST(max(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n2
+            FROM wilson
+        )
+        SELECT n1, n2,
+               round(p1, 6) AS p_clickers,
+               round(p2, 6) AS p_nonclickers,
+               round(p1 - p2, 6) AS diff,
+               round(p1 - p2 - sqrt(power(p1 - l1, 2)
+                                    + power(u2 - p2, 2)), 6) AS ci_lo,
+               round(p1 - p2 + sqrt(power(u1 - p1, 2)
+                                    + power(p2 - l2, 2)), 6) AS ci_hi
+        FROM piv
+    """,
+    doc="Newcombe hybrid-Wilson 95% CI for a DIFFERENCE of "
+    "proportions (purchase rate of clickers vs non-clickers): "
+    "Wilson score bounds per arm, then Newcombe's square-and-add "
+    "of the one-sided margins — the interval that stays honest at "
+    "extreme rates and small arms where the Wald difference CI "
+    "collapses or exits [-1, 1] (analytics-conversion-ci covers "
+    "the single-arm Wilson; this is the two-arm comparison every "
+    "A/B readout actually reports). One per-user aggregation, a "
+    "2-row arm summary, literal z-constants shared by both "
+    "engines.",
+    tags=("stats",),
+)
+def stats_prop_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("grp"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    arms = per_user.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("x")
+    )
+    n, x = F.col("n"), F.col("x")
+    p = x.cast("double") / n
+    z, z2 = 1.959964, 3.841586
+    half = z * F.sqrt(n) / (n + z2) * F.sqrt(p * (1 - p) + z2 / 4 / n)
+    center = (x + z2 / 2) / (n + z2)
+    wilson = arms.select(
+        "grp", "n", p.alias("p"), (center - half).alias("lo"), (center + half).alias("hi")
+    )
+    pick = lambda g, c: F.max(F.when(F.col("grp") == g, F.col(c)))  # noqa: E731
+    piv = wilson.agg(
+        pick(1, "p").alias("p1"), pick(1, "lo").alias("l1"), pick(1, "hi").alias("u1"),
+        pick(0, "p").alias("p2"), pick(0, "lo").alias("l2"), pick(0, "hi").alias("u2"),
+        pick(1, "n").cast("long").alias("n1"),
+        pick(0, "n").cast("long").alias("n2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    return piv.select(
+        "n1",
+        "n2",
+        F.round(p1, 6).alias("p_clickers"),
+        F.round(p2, 6).alias("p_nonclickers"),
+        F.round(p1 - p2, 6).alias("diff"),
+        F.round(
+            p1 - p2
+            - F.sqrt(F.pow(p1 - F.col("l1"), 2) + F.pow(F.col("u2") - p2, 2)),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            p1 - p2
+            + F.sqrt(F.pow(F.col("u1") - p1, 2) + F.pow(p2 - F.col("l2"), 2)),
+            6,
+        ).alias("ci_hi"),
+    )
