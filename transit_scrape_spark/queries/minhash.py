@@ -794,3 +794,97 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_spans") > 0)
     )
+
+
+@query(
+    "dedup-shingle-size-sweep",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        tokens AS (
+            SELECT doc_id, {sql_token_hashes('text')} AS th FROM corpus
+        ),
+        j2 AS (
+            SELECT o.doc_id,
+                   CAST(len(list_intersect(
+                       {sql_shingle_hashes_from_tokens('o.th', 2)},
+                       {sql_shingle_hashes_from_tokens('m.th', 2)})) AS DOUBLE)
+                   / len(list_distinct(list_concat(
+                       {sql_shingle_hashes_from_tokens('o.th', 2)},
+                       {sql_shingle_hashes_from_tokens('m.th', 2)}))) AS j
+            FROM tokens o JOIN tokens m ON m.doc_id = o.doc_id + 1000000
+        ),
+        j3 AS (
+            SELECT o.doc_id,
+                   CAST(len(list_intersect(
+                       {sql_shingle_hashes_from_tokens('o.th', 3)},
+                       {sql_shingle_hashes_from_tokens('m.th', 3)})) AS DOUBLE)
+                   / len(list_distinct(list_concat(
+                       {sql_shingle_hashes_from_tokens('o.th', 3)},
+                       {sql_shingle_hashes_from_tokens('m.th', 3)}))) AS j
+            FROM tokens o JOIN tokens m ON m.doc_id = o.doc_id + 1000000
+        ),
+        j5 AS (
+            SELECT o.doc_id,
+                   CAST(len(list_intersect(
+                       {sql_shingle_hashes_from_tokens('o.th', 5)},
+                       {sql_shingle_hashes_from_tokens('m.th', 5)})) AS DOUBLE)
+                   / len(list_distinct(list_concat(
+                       {sql_shingle_hashes_from_tokens('o.th', 5)},
+                       {sql_shingle_hashes_from_tokens('m.th', 5)}))) AS j
+            FROM tokens o JOIN tokens m ON m.doc_id = o.doc_id + 1000000
+        )
+        SELECT CAST(2 AS BIGINT) AS shingle_k,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(j), 6) AS mean_jaccard, round(min(j), 6) AS min_jaccard
+        FROM j2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), round(avg(j), 6), round(min(j), 6)
+        FROM j3
+        UNION ALL
+        SELECT 5, CAST(count(*) AS BIGINT), round(avg(j), 6), round(min(j), 6)
+        FROM j5
+    """,
+    doc="Shingle-size sensitivity sweep for near-dup tuning: Jaccard "
+    "of every planted (doc, truncated-mutation) pair at k = 2, 3, "
+    "5 token shingles from ONE tokenization pass (token hashes "
+    "computed once, shingle composition per k is pure array "
+    "codegen on top). Larger k makes Jaccard steeper around small "
+    "edits — mean and MINIMUM per k show exactly how much "
+    "threshold headroom each size leaves, which is the decision "
+    "dedup-lsh-tuning's band math takes as INPUT (that op fixes "
+    "k and sweeps bands; this sweeps k). Equi-join on the planted "
+    "pair id only — no candidate blowup.",
+    tags=("dedup",),
+)
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import (
+        shingle_hashes_from_tokens,
+        token_hashes,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    tokens = corpus.select("doc_id", token_hashes(F.col("text")).alias("th"))
+    o = tokens.select(F.col("doc_id").alias("oid"), F.col("th").alias("oth"))
+    m = tokens.select(
+        (F.col("doc_id") - 1000000).alias("mid"), F.col("th").alias("mth")
+    ).filter(F.col("mid") >= 0)
+    pairs = o.join(m, F.col("oid") == F.col("mid"))
+    outs = []
+    for k in (2, 3, 5):
+        a = F.array_distinct(shingle_hashes_from_tokens(F.col("oth"), k))
+        b = F.array_distinct(shingle_hashes_from_tokens(F.col("mth"), k))
+        jac = F.size(F.array_intersect(a, b)).cast("double") / F.size(
+            F.array_union(a, b)
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(k).cast("long").alias("shingle_k"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.round(F.avg(jac), 6).alias("mean_jaccard"),
+                F.round(F.min(jac), 6).alias("min_jaccard"),
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2723,3 +2723,95 @@ def timeseries_despike_med3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spike_flag"),
     )
+
+
+@query(
+    "timeseries-pettitt",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        ranked AS (
+            SELECT day,
+                   row_number() OVER (ORDER BY day) AS t,
+                   CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+                       + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        u AS (
+            SELECT day, t, n,
+                   2 * sum(r) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t * (n + 1.0) AS u_t
+            FROM ranked
+        ),
+        best AS (
+            SELECT day, n, abs(u_t) AS k,
+                   row_number() OVER (ORDER BY abs(u_t) DESC, day) AS rn
+            FROM u WHERE t < n
+        )
+        SELECT day AS change_point_day,
+               CAST(n AS BIGINT) AS n_days,
+               round(k, 4) AS k_stat,
+               round(2 * exp(-6 * k * k
+                             / (CAST(n AS DOUBLE) * n * n + n * n)), 6)
+                   AS p_approx
+        FROM best WHERE rn = 1
+    """,
+    doc="Pettitt change-point test on daily mean values: U_t = "
+    "2*sum(ranks through t) - t(n+1) via mid-ranks and ONE "
+    "running-sum window (the O(n^2) double-sum definition "
+    "collapses to a rank cumsum), K = max|U_t| locates the most "
+    "likely break and p ~ 2exp(-6K^2/(n^3+n^2)) calibrates it. "
+    "Rank-based, so immune to the outliers that pull "
+    "timeseries-changepoint's mean-split and timeseries-cusum's "
+    "drift statistic — run all three and a break that survives is "
+    "real. Day-summary-sized after the one fact aggregation; "
+    "deterministic (|U| desc, day) argmax.",
+    tags=("timeseries",),
+)
+def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    wd = Window.orderBy("day")
+    ranked = daily.select(
+        "day",
+        F.row_number().over(wd).alias("t"),
+        (
+            F.rank().over(Window.orderBy("x")).cast("double")
+            + (F.count("*").over(Window.partitionBy("x")) - 1) / 2.0
+        ).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    u = ranked.select(
+        "day",
+        "t",
+        "n",
+        (
+            2 * F.sum("r").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("t") * (F.col("n") + 1.0)
+        ).alias("u_t"),
+    )
+    best = (
+        u.filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "n",
+            F.abs("u_t").alias("k"),
+            F.row_number()
+            .over(Window.orderBy(F.abs("u_t").desc(), "day"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    n, k = F.col("n").cast("double"), F.col("k")
+    return best.select(
+        F.col("day").alias("change_point_day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(k, 4).alias("k_stat"),
+        F.round(2 * F.exp(-6 * k * k / (n * n * n + n * n)), 6).alias(
+            "p_approx"
+        ),
+    )
