@@ -4065,3 +4065,74 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+@query(
+    "event-session-depth-histogram",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                       event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW) AS session_id
+            FROM gaps
+        ),
+        depth AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT CASE WHEN n_events = 1 THEN '1'
+                    WHEN n_events <= 3 THEN '2-3'
+                    WHEN n_events <= 7 THEN '4-7'
+                    ELSE '8+' END AS depth_bucket,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(avg(n_events), 6) AS mean_depth
+        FROM depth
+        GROUP BY 1
+    """,
+    doc="Session DEPTH distribution: 30-minute-gap sessionization "
+    "(the sessionize op's exact window recipe), events per "
+    "session, bucketed into the 1 / 2-3 / 4-7 / 8+ histogram "
+    "product teams read (the '1' bucket IS the bounce rate; mass "
+    "migrating from 8+ to 1 is the engagement regression "
+    "dashboards exist to catch). One shuffle on user_id feeds "
+    "both sessionization windows; the histogram is a second "
+    "small aggregation keyed on (user, session).",
+    tags=("analytics",),
+)
+def event_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    depth = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return depth.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("n_events"), 6).alias("mean_depth"),
+    )

@@ -867,3 +867,74 @@ def join_eager_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("order_rev"), 2).alias("total_rev"),
         )
     )
+
+
+@query(
+    "join-not-in-null-semantics",
+    oracle="""
+        WITH probe AS (
+            SELECT count(*) AS n_total FROM customer
+        ),
+        no_nulls AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+            )
+        ),
+        with_null AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                            ELSE o_custkey END
+                FROM orders
+            )
+        )
+        SELECT CAST(probe.n_total AS BIGINT) AS n_customers,
+               CAST(no_nulls.n AS BIGINT) AS not_in_clean,
+               CAST(with_null.n AS BIGINT) AS not_in_with_null
+        FROM probe, no_nulls, with_null
+    """,
+    doc="NOT IN three-valued-logic semantics as an operator contract: "
+    "against a NULL-free subquery NOT IN is a plain anti join "
+    "(customers with no orders), but ONE NULL in the list makes "
+    "every NOT IN comparison UNKNOWN and the result EMPTY — the "
+    "most-reported 'wrong results' bug in SQL migrations. Spark "
+    "plans the nullable case as a null-aware anti join "
+    "(NAAJ) rather than silently rewriting to NOT EXISTS; this op "
+    "pins counts for BOTH forms so an engine upgrade that breaks "
+    "either semantics diffs immediately (join-anti covers the "
+    "NULL-free fast path). Both sides are single-key anti joins — "
+    "broadcast at dim size, shuffle at scale.",
+    tags=("join",),
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("tss_naaj_cust")
+    o.createOrReplaceTempView("tss_naaj_orders")
+    return c.sparkSession.sql(
+            """
+            WITH probe AS (
+                SELECT count(*) AS n_total FROM tss_naaj_cust
+            ),
+            no_nulls AS (
+                SELECT count(*) AS n FROM tss_naaj_cust
+                WHERE c_custkey NOT IN (
+                    SELECT o_custkey FROM tss_naaj_orders
+                    WHERE o_custkey IS NOT NULL
+                )
+            ),
+            with_null AS (
+                SELECT count(*) AS n FROM tss_naaj_cust
+                WHERE c_custkey NOT IN (
+                    SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                                ELSE o_custkey END
+                    FROM tss_naaj_orders
+                )
+            )
+            SELECT CAST(probe.n_total AS BIGINT) AS n_customers,
+                   CAST(no_nulls.n AS BIGINT) AS not_in_clean,
+                   CAST(with_null.n AS BIGINT) AS not_in_with_null
+            FROM probe, no_nulls, with_null
+            """
+    )
