@@ -158,6 +158,7 @@ SCALAR_BROADCAST_OPS = {
     "event-cooccurrence-lift", # 1-row unit-total + k-row margin broadcasts
     "stats-mood-median",       # 1-row grand-median broadcast
     "timeseries-despike-med3", # 1-row MAD-scale broadcast
+    "join-not-in-null-semantics",  # three 1-row count aggregates cross-joined
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
