@@ -1222,3 +1222,40 @@ def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@query(
+    "sink-parquet-bloom",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_custkey = 371
+    """,
+    doc="Parquet sink with COLUMN BLOOM FILTERS "
+    "(parquet.bloom.filter.enabled#o_custkey) + point-lookup "
+    "read-back: row-group min/max stats prune RANGE predicates but "
+    "do nothing for a point lookup on an unsorted high-cardinality "
+    "key — the per-row-group bloom filter is the layout feature "
+    "that lets the reader skip row groups for `key = x` probes "
+    "with no sort and ~1% storage overhead (the complement of "
+    "layout-zorder-key, which EARNS min/max pruning by "
+    "clustering). Write once with the option, read back with the "
+    "point predicate, oracle against the originating table.",
+)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(d: str) -> None:
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+            .parquet(os.path.join(d, "orders"))
+        )
+
+    root = fixture_dir("tss_bloom_parquet", sf_dir, build)
+    back = spark.read.parquet(os.path.join(root, "orders"))
+    return back.filter(F.col("o_custkey") == 371).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -6383,3 +6383,90 @@ def stats_prop_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ci_hi"),
     )
+
+
+@query(
+    "stats-diff-in-diff",
+    oracle="""
+        WITH treated AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS tr
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT t.tr,
+                   CASE WHEN CAST(e.ts AS DATE) >= DATE '2024-01-16'
+                        THEN 1 ELSE 0 END AS post,
+                   avg(e.value) AS m,
+                   count(*) AS n
+            FROM events e JOIN treated t ON e.user_id = t.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY ALL
+        ),
+        piv AS (
+            SELECT max(CASE WHEN tr = 1 AND post = 1 THEN m END) AS t_post,
+                   max(CASE WHEN tr = 1 AND post = 0 THEN m END) AS t_pre,
+                   max(CASE WHEN tr = 0 AND post = 1 THEN m END) AS c_post,
+                   max(CASE WHEN tr = 0 AND post = 0 THEN m END) AS c_pre,
+                   CAST(sum(n) AS BIGINT) AS n_obs
+            FROM cells
+        )
+        SELECT n_obs,
+               round(t_pre, 6) AS treated_pre,
+               round(t_post, 6) AS treated_post,
+               round(c_pre, 6) AS control_pre,
+               round(c_post, 6) AS control_post,
+               round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+        FROM piv
+    """,
+    doc="Difference-in-differences: treated = users who ever signed "
+    "up, period split at mid-window, outcome = purchase value; DiD "
+    "= (treated post - pre) - (control post - pre) cancels both "
+    "the level difference between groups AND the common time "
+    "trend — the workhorse quasi-experimental estimator when "
+    "randomization (stats-srm-check's world) is unavailable. "
+    "Parallel-trends is the identifying assumption; the four cell "
+    "means are printed so a reader can eyeball it. Two hash "
+    "aggregations (treatment flags per user, 2x2 cell means) and "
+    "a 4-cell pivot.",
+    tags=("stats",),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    treated = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("tr")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    cells = (
+        purchases.join(F.broadcast(treated), "user_id")
+        .groupBy(
+            "tr",
+            F.when(F.to_date("ts") >= F.lit("2024-01-16"), 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(F.avg("value").alias("m"), F.count("*").alias("n"))
+    )
+    pick = lambda tr, post: F.max(  # noqa: E731
+        F.when((F.col("tr") == tr) & (F.col("post") == post), F.col("m"))
+    )
+    piv = cells.agg(
+        pick(1, 1).alias("t_post"),
+        pick(1, 0).alias("t_pre"),
+        pick(0, 1).alias("c_post"),
+        pick(0, 0).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_obs"),
+    )
+    return piv.select(
+        "n_obs",
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
