@@ -2633,3 +2633,71 @@ def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("n_tok") / F.avg("n_tok"), 6).alias("cv_tokens"),
         F.max("n_tok").cast("long").alias("max_tokens"),
     )
+
+
+@query(
+    "corpus-oov-rate",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY count(*) DESC, token) AS r
+                FROM tok GROUP BY token
+            ) WHERE r <= 1000
+        )
+        SELECT t.lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.lang
+    """,
+    doc="Out-of-vocabulary rate per language under a top-1000 corpus "
+    "vocabulary: build the frequency-ranked vocab once "
+    "(deterministic (count desc, token) cut), left-join every "
+    "token occurrence against it, report per-language token mass "
+    "that falls outside — the number that shows WHICH languages a "
+    "shared vocabulary starves (the word-level severe version of "
+    "what corpus-tokenizer-fertility measures gradually for "
+    "subword tokenizers; high OOV here predicts high fertility "
+    "there). Vocab is bounded (top-k) so the join broadcasts at "
+    "any corpus size; one explode + two hash aggregations.",
+    tags=("corpus", "text"),
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "token"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -2815,3 +2815,118 @@ def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_approx"
         ),
     )
+
+
+@query(
+    "timeseries-dfa",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        prof AS (
+            SELECT row_number() OVER (ORDER BY day) AS t,
+                   sum(x - (SELECT avg(x) FROM daily))
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS y,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        boxed AS (
+            SELECT s.s, (p.t - 1) // s.s AS box,
+                   (p.t - 1) % s.s AS i, p.y,
+                   p.n
+            FROM prof p, (SELECT unnest([5, 10]) AS s) s
+            WHERE (p.t - 1) // s.s < p.n // s.s
+        ),
+        fits AS (
+            SELECT s, box, count(*) AS m,
+                   sum(i) AS sx, sum(y) AS sy,
+                   sum(i * i) AS sxx, sum(i * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM boxed GROUP BY s, box
+        ),
+        resid AS (
+            SELECT s,
+                   avg((syy - sy * sy / m
+                        - power(sxy - sx * sy / m, 2)
+                          / (sxx - sx * sx / m)) / m) AS f2
+            FROM fits GROUP BY s
+        ),
+        piv AS (
+            SELECT max(CASE WHEN s = 5 THEN sqrt(f2) END) AS f5,
+                   max(CASE WHEN s = 10 THEN sqrt(f2) END) AS f10
+            FROM resid
+        )
+        SELECT round(f5, 6) AS f_s5,
+               round(f10, 6) AS f_s10,
+               round((ln(f10) - ln(f5)) / (ln(10.0) - ln(5.0)), 6)
+                   AS dfa_alpha
+        FROM piv
+    """,
+    doc="Detrended fluctuation analysis (two-scale): integrate the "
+    "demeaned daily series, split into boxes of 5 and 10 days, "
+    "remove a per-box LINEAR fit (closed-form residual SS from "
+    "the regression sums — no solver), F(s) = rms residual, alpha "
+    "= the log-log slope between the two scales. Alpha ~ 0.5 = "
+    "uncorrelated, > 0.5 = persistent long-range correlation — "
+    "the detrending makes DFA robust to the slow trends that "
+    "inflate timeseries-hurst-rs's R/S estimate (the two ops "
+    "disagreeing IS the trend diagnostic). Day-summary-sized "
+    "after one fact aggregation; box fits are one groupBy.",
+    tags=("timeseries",),
+)
+def timeseries_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    mu = daily.agg(F.avg("x").alias("mu"))
+    w = Window.orderBy("day")
+    prof = daily.join(F.broadcast(mu)).select(
+        F.row_number().over(w).alias("t"),
+        F.sum(F.col("x") - F.col("mu"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("y"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sizes = prof.sparkSession.createDataFrame([(5,), (10,)], "s long")
+    boxed = (
+        prof.crossJoin(F.broadcast(sizes))
+        .filter(
+            F.floor((F.col("t") - 1) / F.col("s"))
+            < F.floor(F.col("n") / F.col("s"))
+        )
+        .select(
+            "s",
+            F.floor((F.col("t") - 1) / F.col("s")).alias("box"),
+            ((F.col("t") - 1) % F.col("s")).alias("i"),
+            "y",
+        )
+    )
+    fits = boxed.groupBy("s", "box").agg(
+        F.count("*").alias("m"),
+        F.sum("i").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+        F.sum(F.col("i") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    ss_res = (
+        F.col("syy")
+        - sy * sy / m
+        - F.pow(F.col("sxy") - sx * sy / m, 2) / (F.col("sxx") - sx * sx / m)
+    )
+    resid = fits.groupBy("s").agg(F.avg(ss_res / m).alias("f2"))
+    piv = resid.agg(
+        F.max(F.when(F.col("s") == 5, F.sqrt("f2"))).alias("f5"),
+        F.max(F.when(F.col("s") == 10, F.sqrt("f2"))).alias("f10"),
+    )
+    import math
+
+    return piv.select(
+        F.round("f5", 6).alias("f_s5"),
+        F.round("f10", 6).alias("f_s10"),
+        F.round(
+            (F.log("f10") - F.log("f5")) / (math.log(10.0) - math.log(5.0)), 6
+        ).alias("dfa_alpha"),
+    )
