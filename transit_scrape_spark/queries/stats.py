@@ -6470,3 +6470,141 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "sample-neyman-allocation",
+    oracle="""
+        WITH strat AS (
+            SELECT doc_id, n_chars,
+                   ntile(5) OVER (ORDER BY n_chars, doc_id) AS stratum
+            FROM documents
+        ),
+        per AS (
+            SELECT stratum, count(*) AS nh, stddev_samp(n_chars) AS sh,
+                   avg(n_chars) AS mh
+            FROM strat GROUP BY stratum
+        ),
+        tot AS (SELECT sum(nh * sh) AS z FROM per)
+        SELECT CAST(per.stratum AS BIGINT) AS stratum,
+               CAST(per.nh AS BIGINT) AS stratum_size,
+               round(per.mh, 4) AS stratum_mean,
+               round(per.sh, 4) AS stratum_sd,
+               CAST(round(100.0 * per.nh * per.sh / tot.z, 0) AS BIGINT)
+                   AS neyman_n,
+               CAST(round(100.0 * per.nh
+                          / (SELECT sum(nh) FROM per), 0) AS BIGINT)
+                   AS proportional_n
+        FROM per, tot
+    """,
+    doc="Neyman-optimal stratified sampling allocation: strata = "
+    "document-length quintiles (deterministic ntile), budget 100 "
+    "split as n_h proportional to N_h * S_h — high-variance strata "
+    "get oversampled, which minimizes the variance of the "
+    "estimated mean at fixed budget; the proportional allocation "
+    "is printed beside it so the efficiency gap is visible. This "
+    "is the PLANNING step before sample-stratified executes a "
+    "draw (and the reason eval-panel budgets should not be split "
+    "proportionally). One ntile window + one per-stratum moment "
+    "aggregation; allocation math on the 5-row summary.",
+    tags=("sample", "stats"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    strat = d.select(
+        "n_chars",
+        F.ntile(5).over(Window.orderBy("n_chars", "doc_id")).alias("stratum"),
+    )
+    per = strat.groupBy("stratum").agg(
+        F.count("*").alias("nh"),
+        F.stddev_samp("n_chars").alias("sh"),
+        F.avg("n_chars").alias("mh"),
+    )
+    tot = per.agg(
+        F.sum(F.col("nh") * F.col("sh")).alias("z"), F.sum("nh").alias("n")
+    )
+    j = per.join(F.broadcast(tot))
+    return j.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("nh").cast("long").alias("stratum_size"),
+        F.round("mh", 4).alias("stratum_mean"),
+        F.round("sh", 4).alias("stratum_sd"),
+        F.round(100.0 * F.col("nh") * F.col("sh") / F.col("z"), 0)
+        .cast("long")
+        .alias("neyman_n"),
+        F.round(100.0 * F.col("nh") / F.col("n"), 0)
+        .cast("long")
+        .alias("proportional_n"),
+    )
+
+
+@query(
+    "stats-lin-concordance",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   avg(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY CAST(ts AS DATE)
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   avg(x) AS mx, avg(y) AS my,
+                   var_pop(x) AS vx, var_pop(y) AS vy,
+                   covar_pop(x, y) AS cxy,
+                   corr(x, y) AS r
+            FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(r, 6) AS pearson_r,
+               round(2 * cxy / (vx + vy + power(mx - my, 2)), 6) AS lin_ccc,
+               round(2 * cxy / (vx + vy + power(mx - my, 2)) / r, 6)
+                   AS bias_correction_factor
+        FROM m
+    """,
+    doc="Lin's concordance correlation between click and view daily "
+    "mean values: CCC = 2*cov / (vx + vy + (mx - my)^2) penalizes "
+    "LOCATION and SCALE disagreement that Pearson r ignores (two "
+    "instruments can correlate at 0.99 while one reads 2x high — "
+    "r says interchangeable, CCC says broken), so CCC is the "
+    "method-agreement statistic for validating a cheap metric "
+    "against an expensive one. The ratio CCC/r is the "
+    "bias-correction factor isolating pure calibration error. "
+    "Population moments in one aggregation over the paired daily "
+    "summary.",
+    tags=("stats",),
+)
+def stats_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.corr("x", "y").alias("r"),
+    )
+    ccc = (
+        2
+        * F.col("cxy")
+        / (F.col("vx") + F.col("vy") + F.pow(F.col("mx") - F.col("my"), 2))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("r", 6).alias("pearson_r"),
+        F.round(ccc, 6).alias("lin_ccc"),
+        F.round(ccc / F.col("r"), 6).alias("bias_correction_factor"),
+    )
