@@ -1259,3 +1259,55 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+def _nested_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents re-laid-out with a nested struct column — the shape
+    every crawl/annotation parquet actually has (payload + metadata
+    struct), for exercising NESTED schema pruning."""
+
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        nested = docs.select(
+            "doc_id",
+            "text",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+        )
+        nested.write.mode("overwrite").parquet(os.path.join(d, "docs"))
+
+    return fixture_dir("tss_nested_parquet", sf_dir, build)
+
+
+@query(
+    "scan-nested-schema-prune",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="NESTED schema pruning: documents stored with a "
+    "struct<lang,source,n_chars> metadata column, query touches "
+    "only meta.lang and meta.n_chars — Catalyst's nested-column "
+    "pruning (spark.sql.optimizer.nestedSchemaPruning.enabled, on "
+    "by default) pushes a ReadSchema of just those two LEAF fields "
+    "into the parquet scan, so the text payload and meta.source "
+    "bytes are never decoded. On a 100 TB corpus whose payload "
+    "dominates row size this is the difference between a metadata "
+    "query costing 2% or 100% of a full scan; flat-column pruning "
+    "(every other scan op) is the degenerate case. Write-once "
+    "fixture, read-back aggregate oracled against the flat "
+    "original.",
+)
+def scan_nested_schema_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _nested_parquet_dir(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(d, "docs"))
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("meta.n_chars").cast("long").alias("total_chars"),
+    )

@@ -6608,3 +6608,96 @@ def stats_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ccc, 6).alias("lin_ccc"),
         F.round(ccc / F.col("r"), 6).alias("bias_correction_factor"),
     )
+
+
+_EWMA_L = 0.2  # smoothing weight; 15-lag unroll truncates at 0.8^15 ~ 3.5%
+
+
+@query(
+    "stats-ewma-control-chart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        base AS (
+            SELECT avg(rev) AS mu, stddev_samp(rev) AS sd FROM daily
+        ),
+        ew AS (
+            SELECT d.day, d.rev, b.mu, b.sd,
+                   row_number() OVER (ORDER BY d.day) AS rn,
+                   0.2 * (rev
+                     + 0.8 * lag(rev, 1) OVER w
+                     + 0.64 * lag(rev, 2) OVER w
+                     + 0.512 * lag(rev, 3) OVER w
+                     + 0.4096 * lag(rev, 4) OVER w
+                     + 0.32768 * lag(rev, 5) OVER w
+                     + 0.262144 * lag(rev, 6) OVER w
+                     + 0.2097152 * lag(rev, 7) OVER w
+                     + 0.16777216 * lag(rev, 8) OVER w
+                     + 0.134217728 * lag(rev, 9) OVER w
+                     + 0.1073741824 * lag(rev, 10) OVER w
+                     + 0.08589934592 * lag(rev, 11) OVER w
+                     + 0.068719476736 * lag(rev, 12) OVER w
+                     + 0.0549755813888 * lag(rev, 13) OVER w
+                     + 0.04398046511104 * lag(rev, 14) OVER w)
+                   + power(0.8, 15) * b.mu AS z
+            FROM daily d, base b
+            WINDOW w AS (ORDER BY d.day)
+        )
+        SELECT day, round(rev, 4) AS rev, round(z, 4) AS ewma,
+               round(mu + 3 * sd * sqrt(0.2 / 1.8), 4) AS ucl,
+               round(mu - 3 * sd * sqrt(0.2 / 1.8), 4) AS lcl,
+               CAST(CASE WHEN z > mu + 3 * sd * sqrt(0.2 / 1.8)
+                          OR z < mu - 3 * sd * sqrt(0.2 / 1.8)
+                         THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+        FROM ew WHERE rn >= 15
+    """,
+    doc="EWMA control chart on daily revenue (lambda = 0.2): the "
+    "geometric recursion unrolled to 15 lag terms with the "
+    "truncated tail replaced by its expectation (0.8^15 * mu, "
+    "3.5% weight — documented, deterministic), asymptotic 3-sigma "
+    "limits mu +/- 3 sd sqrt(lambda/(2-lambda)). EWMA charts "
+    "catch SMALL sustained shifts (0.5-1.5 sd) far sooner than "
+    "the Shewhart chart's per-point rule — with "
+    "stats-xbar-control-chart (big shifts) and timeseries-cusum "
+    "(cumulative drift) this completes the SPC trio. Warm-up rows "
+    "dropped; one window sort over the day summary.",
+    tags=("stats", "timeseries"),
+)
+def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    base = daily.agg(F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sd"))
+    w = Window.orderBy("day")
+    lam = _EWMA_L
+    z = lam * (
+        F.col("rev")
+        + sum(((1 - lam) ** k) * F.lag("rev", k).over(w) for k in range(1, 15))
+    ) + ((1 - lam) ** 15) * F.col("mu")
+    ew = daily.join(F.broadcast(base)).select(
+        "day",
+        "rev",
+        "mu",
+        "sd",
+        F.row_number().over(w).alias("rn"),
+        z.alias("z"),
+    )
+    half = 3 * F.col("sd") * F.sqrt(F.lit(lam / (2 - lam)))
+    ucl, lcl = F.col("mu") + half, F.col("mu") - half
+    return ew.filter(F.col("rn") >= 15).select(
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round("z", 4).alias("ewma"),
+        F.round(ucl, 4).alias("ucl"),
+        F.round(lcl, 4).alias("lcl"),
+        F.when((F.col("z") > ucl) | (F.col("z") < lcl), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
