@@ -161,6 +161,7 @@ SCALAR_BROADCAST_OPS = {
     "join-not-in-null-semantics",  # three 1-row count aggregates cross-joined
     "timeseries-dfa",          # 1-row mean broadcast + 2-row box-size fan-out
     "sample-neyman-allocation",  # 1-row allocation-total broadcast
+    "stats-ewma-control-chart",  # 1-row (mu, sd) baseline broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
