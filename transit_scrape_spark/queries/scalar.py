@@ -439,3 +439,41 @@ def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_vowels(F.col("text")).cast("double") / F.length("text"), 6
         ).alias("vowel_ratio"),
     )
+
+
+@query(
+    "fn-aes-roundtrip",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(1 AS BIGINT) AS roundtrip_ok
+        FROM customer
+        WHERE c_custkey <= 100
+    """,
+    doc="AES-GCM encrypt/decrypt ROUNDTRIP (Spark built-in "
+    "aes_encrypt/aes_decrypt, 16-byte key): ciphertext is "
+    "randomized per call (GCM IV), so the CONTRACT testable "
+    "across engines is decrypt(encrypt(x)) == x — emitted as the "
+    "recovered plaintext plus an equality flag the oracle pins to "
+    "1. Column-level encryption inside the engine is how "
+    "restricted fields cross trust boundaries without a UDF or a "
+    "round-trip through the driver (the cryptographic sibling of "
+    "privacy-mask-battery's one-way redaction). JVM-native "
+    "expressions, codegen, no Python in the path.",
+    tags=("fn",),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    key = F.lit("0123456789abcdef")
+    enc = F.expr("aes_encrypt(c_name, '0123456789abcdef')")
+    dec = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'), "
+        "'0123456789abcdef') AS STRING)"
+    )
+    _ = key, enc
+    return c.select(
+        "c_custkey",
+        dec.alias("c_name"),
+        F.when(dec == F.col("c_name"), 1).otherwise(0).cast("long").alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -6701,3 +6701,81 @@ def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("out_of_control"),
     )
+
+
+@query(
+    "stats-binary-confusion-battery",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS pred,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS actual
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        cm AS (
+            SELECT CAST(sum(pred * actual) AS DOUBLE) AS tp,
+                   CAST(sum(pred * (1 - actual)) AS DOUBLE) AS fp,
+                   CAST(sum((1 - pred) * actual) AS DOUBLE) AS fn,
+                   CAST(sum((1 - pred) * (1 - actual)) AS DOUBLE) AS tn
+            FROM per_user
+        )
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               round((tp * tn - fp * fn)
+                     / sqrt((tp + fp) * (tp + fn)
+                            * (tn + fp) * (tn + fn)), 6) AS mcc,
+               round(0.5 * (tp / (tp + fn) + tn / (tn + fp)), 6)
+                   AS balanced_accuracy,
+               round(tp / (tp + fn) + tn / (tn + fp) - 1, 6)
+                   AS youden_informedness,
+               round(2 * tp / (2 * tp + fp + fn), 6) AS f1
+        FROM cm
+    """,
+    doc="Binary confusion battery for 'clicking predicts purchasing, "
+    "same day' on user-day units (per-USER both flags saturate to "
+    "1 -- every cell but TP empties and MCC divides by zero): "
+    "MCC (the only single number that stays honest under class "
+    "imbalance — it is the phi correlation of the 2x2 table), "
+    "balanced accuracy, Youden informedness, F1, plus the raw "
+    "cells so any other metric is recomputable. Accuracy and F1 "
+    "both look fine on a 99:1 class split where MCC ~ 0 exposes a "
+    "useless predictor — the reason imbalanced-data evals lead "
+    "with it (stats-roc-auc-binned ranks scores; this scores one "
+    "hard threshold). One per-user aggregation, one 4-cell "
+    "summary.",
+    tags=("stats",),
+)
+def stats_binary_confusion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("pred"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "actual"
+        ),
+    )
+    cm = per_user.agg(
+        F.sum(F.col("pred") * F.col("actual")).cast("double").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("actual"))).cast("double").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("actual")).cast("double").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("actual")))
+        .cast("double")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    sens, spec = tp / (tp + fn), tn / (tn + fp)
+    return cm.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+            6,
+        ).alias("mcc"),
+        F.round(0.5 * (sens + spec), 6).alias("balanced_accuracy"),
+        F.round(sens + spec - 1, 6).alias("youden_informedness"),
+        F.round(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
+    )
