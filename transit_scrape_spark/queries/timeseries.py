@@ -2930,3 +2930,91 @@ def timeseries_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.log("f10") - F.log("f5")) / (math.log(10.0) - math.log(5.0)), 6
         ).alias("dfa_alpha"),
     )
+
+
+HOLT_ALPHA = 0.4
+HOLT_BETA = 0.2
+
+
+@query(
+    "timeseries-holt-linear",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        folded AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   list_reduce(
+                       list_transform(list(y ORDER BY day), x -> [x, 0.0]),
+                       (acc, x) -> [
+                           {HOLT_ALPHA} * x[1]
+                               + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+                           {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                               + {1 - HOLT_ALPHA} * (acc[1] + acc[2]))
+                               - acc[1])
+                               + {1 - HOLT_BETA} * acc[2]
+                       ]) AS st
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               CAST(floor(st[1] * 1000000 + 0.5) AS BIGINT) AS level_e6,
+               CAST(floor(st[2] * 1000000 + 0.5) AS BIGINT) AS trend_e6,
+               CAST(floor((st[1] + 7 * st[2]) * 1000000 + 0.5) AS BIGINT)
+                   AS forecast_7d_e6
+        FROM folded
+    """,
+    doc="Holt double exponential smoothing (level + additive trend) over "
+    "the daily event-count series per event_type, with the 7-step-ahead "
+    "linear forecast l + 7b. Seed l1 = y1, b1 = 0; recurrences "
+    "l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t - l) + (1-g)b run as a "
+    "single ordered left fold whose state is the 2-vector [l, b] — "
+    "F.aggregate with an array accumulator on the Spark side, "
+    "list_reduce over [y, 0] pairs in DuckDB, identical operation "
+    "order, so the doubles match bit-for-bit before e6 quantization. "
+    "y is a COUNT (exact integer) precisely so the fold input is "
+    "engine-independent; a float daily aggregate would inject "
+    "summation-order noise that the recurrence then amplifies. Same "
+    "two-shuffle shape as timeseries-ewma: daily rollup (map-side "
+    "combine collapses each scan partition to <= |days| rows), then a "
+    "per-series fold over a bounded array — state is 2 doubles no "
+    "matter the series length, and day-segmented folds recombine by "
+    "affine composition at 100 TB because the recurrence is linear in "
+    "the state.",
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, g = HOLT_ALPHA, HOLT_BETA
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    grouped = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["y"])
+
+    def step(acc, x):
+        lvl, trd = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_lvl = F.lit(a) * x + F.lit(1 - a) * (lvl + trd)
+        return F.array(
+            new_lvl, F.lit(g) * (new_lvl - lvl) + F.lit(1 - g) * trd
+        )
+
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.element_at(vals, 1), F.lit(0.0)),
+        step,
+    )
+    lvl, trd = F.element_at(st, 1), F.element_at(st, 2)
+    return grouped.select(
+        "event_type",
+        "n_days",
+        F.floor(lvl * 1000000 + 0.5).cast("long").alias("level_e6"),
+        F.floor(trd * 1000000 + 0.5).cast("long").alias("trend_e6"),
+        F.floor((lvl + 7 * trd) * 1000000 + 0.5)
+        .cast("long")
+        .alias("forecast_7d_e6"),
+    )
