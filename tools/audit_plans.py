@@ -162,6 +162,19 @@ SCALAR_BROADCAST_OPS = {
     "timeseries-dfa",          # 1-row mean broadcast + 2-row box-size fan-out
     "sample-neyman-allocation",  # 1-row allocation-total broadcast
     "stats-ewma-control-chart",  # 1-row (mu, sd) baseline broadcast
+    "text-js-divergence",  # 1-row side-totals broadcast (was a global window)
+    # operators/ranking.py two-phase global rank: each call broadcasts a
+    # 1-row percentile-boundary array and a <=n_buckets-row offset
+    # table into the data — the conditionless BNLJ is over those
+    # constant-size sides only (the r5 rework that removed these ops'
+    # unbounded global windows).
+    "agg-gini-coefficient",
+    "analytics-abc-xyz",
+    "analytics-lift-chart",
+    "analytics-pareto-point",
+    "text-heaps-law",
+    "text-ngram-novelty",
+    "window-session-concurrency",
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -171,6 +184,139 @@ INTENTIONAL_ALLPAIRS = {
     "geo-haversine-nearest",  # 25-nation dim, doc'd grid path at scale
     "embed-separation-histogram",  # pair stats over a bounded hash sample
     "join-interval-overlap",  # theta overlap vs broadcast 8-row campaign dim
+}
+
+# Ops allowed to keep empty-partition (single-task) Window nodes because
+# the frame is BOUNDED — its cardinality is fixed by calendar, bin
+# count, vocabulary of a low-cardinality column, or an explicit prune —
+# so the serial window never sees data-volume-scaled input. Every entry
+# pins the max allowed count of such nodes (as counted by
+# plans.inspect.global_window_count over the executed plan, which may
+# include AQE's Initial Plan section): if an op grows an EXTRA global
+# window, it flags even though the op is listed. Ops with global
+# windows over frames that grow with the data (per-customer, per-doc,
+# per-user, raw events) are NOT excusable — they must use the two-phase
+# bucketed rank in operators/ranking.py (see agg-gini-coefficient,
+# analytics-rfm, window-session-concurrency for the pattern).
+# global_window_count already auto-clears rank<=k top-k windows (their
+# input is TakeOrderedAndProject/WindowGroupLimit-pruned by Catalyst).
+_BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
+    (
+        "daily/weekly/monthly summary — frame bounded by calendar time, "
+        "not data volume",
+        {
+            "analytics-adstock-regression": 1,
+            "analytics-bass-diffusion": 2,
+            "analytics-event-study": 1,
+            "analytics-revenue-decomposition": 1,
+            "dq-cardinality-drift": 1,
+            "dq-volume-drift": 1,
+            "stats-bic-trend-select": 2,
+            "stats-breusch-pagan": 2,
+            "stats-durbin-watson": 3,
+            "stats-ewma-control-chart": 1,
+            "stats-ks-exact-daily": 1,
+            "stats-kruskal-wallis": 1,
+            "stats-mann-whitney": 1,
+            "stats-quantile-ci": 2,
+            "stats-runs-median": 1,
+            "stats-runs-test": 2,
+            "stats-spearman-corr": 2,
+            "stats-sprt-monitor": 1,
+            "stats-var-backtest": 2,
+            "stats-wilcoxon-signed-rank": 1,
+            "timeseries-acf-pacf": 1,
+            "timeseries-approx-entropy": 5,
+            "timeseries-bollinger-bands": 1,
+            "timeseries-cross-correlation": 6,
+            "timeseries-despike-med3": 4,
+            "timeseries-dfa": 2,
+            "timeseries-drawdown-episodes": 1,
+            "timeseries-granger-1lag": 2,
+            "timeseries-harmonic-fit": 2,
+            "timeseries-hurst-rs": 2,
+            "timeseries-interpolate-linear": 1,
+            "timeseries-kpss-level": 1,
+            "timeseries-ljung-box": 2,
+            "timeseries-lttb-downsample": 8,
+            "timeseries-max-drawdown": 2,
+            "timeseries-periodogram": 2,
+            "timeseries-pettitt": 4,
+            "timeseries-rolling-corr": 1,
+            "timeseries-sax-symbolic": 1,
+            "timeseries-seasonality-strength": 2,
+            "timeseries-slope-change": 2,
+            "timeseries-spectral-entropy": 3,
+            "timeseries-stl-anomaly": 3,
+            "timeseries-stl-naive": 2,
+            "timeseries-turning-points": 2,
+            "timeseries-variance-ratio": 1,
+            "timeseries-vwap": 1,
+            "timeseries-wma-crossover": 1,
+        },
+    ),
+    (
+        "fixed-bin histogram / contingency / hour-of-week frame — "
+        "cardinality set by the binning, not the data",
+        {
+            "dq-distribution-drift-psi": 1,
+            "dq-drift-battery": 2,
+            "embed-norm-drift-ks": 2,
+            "event-hour-dow-heatmap": 1,
+            "privacy-ldp-histogram": 1,
+            "stats-anderson-darling-binned": 2,
+            "stats-calibration-curve": 2,
+            "stats-chi-square": 1,
+            "stats-cramers-v": 1,
+            "stats-exponential-fit-ks": 2,
+            "stats-gini-split": 2,
+            "stats-ks-binned": 2,
+            "stats-mutual-information": 1,
+            "stats-roc-auc-binned": 3,
+            "stats-uniformity-hours": 1,
+            "stats-wasserstein-binned": 2,
+            "stats-youden-threshold": 2,
+        },
+    ),
+    (
+        "low-cardinality vocabulary frame (event types / languages / "
+        "sources / market segments / category codes)",
+        {
+            "corpus-language-balance-sampler": 1,
+            "corpus-token-budget": 1,
+            "dq-rare-categories": 1,
+            "event-entropy-rate": 1,
+            "event-markov-stationary": 2,
+            "event-next-action-baseline": 1,
+            "privacy-dp-exponential": 1,
+            "stats-benjamini-hochberg": 3,
+            "stats-holm-bonferroni": 3,
+        },
+    ),
+    (
+        "fixed-k dimension/bucket/dim-table frame (embedding dims, "
+        "range buckets, 25-nation dim)",
+        {
+            "analytics-hhi": 1,
+            "derive-surrogate-key": 1,
+            "embed-dim-variance-screen": 1,
+            "embed-effective-rank": 1,
+            "window-pct-of-total": 2,
+            "window-sequence-gaps": 1,
+        },
+    ),
+    (
+        "explicitly pruned frame: price-bucket champion table + "
+        "grid-pruned skyline survivors (frontier-sized)",
+        {
+            "skyline-pareto": 2,
+        },
+    ),
+]
+BOUNDED_WINDOW_OPS: dict[str, tuple[int, str]] = {
+    op: (n, reason)
+    for reason, group in _BOUNDED_WINDOW_GROUPS
+    for op, n in group.items()
 }
 
 PYTHON_SURFACE_OPS = {
@@ -194,7 +340,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    from transit_scrape_spark.plans.inspect import executed_plan
+    from transit_scrape_spark.plans.inspect import (
+        executed_plan,
+        global_window_count,
+    )
     from transit_scrape_spark.queries.registry import registry
     from transit_scrape_spark.session import get_spark
 
@@ -216,6 +365,7 @@ def main() -> None:
         cart = "CartesianProduct" in p
         bnlj = "BroadcastNestedLoopJoin" in p
         pyeval = "BatchEvalPython" in p or "ArrowEvalPython" in p
+        gwin = global_window_count(p)
         flag = ""
         if cart and op_id not in INTENTIONAL_ALLPAIRS:
             flag += "CARTESIAN "
@@ -223,6 +373,8 @@ def main() -> None:
             flag += "BNLJ "
         if pyeval and op_id not in PYTHON_SURFACE_OPS:
             flag += "PYTHON-EVAL "
+        if gwin > BOUNDED_WINDOW_OPS.get(op_id, (0, ""))[0]:
+            flag += f"GLOBAL-WINDOW({gwin}) "
         rows.append(
             (
                 op_id,
@@ -248,8 +400,12 @@ def main() -> None:
             "pushdown reached a scan, any broadcast join present. "
             "Flags: CARTESIAN (all-pairs join), PYTHON-EVAL "
             "(row/batch Python outside the declared Python-surface "
-            "ops). Streaming ops are audited by their dedicated tests "
-            "instead (plans only exist inside a running query).\n\n"
+            "ops), GLOBAL-WINDOW (empty-partition Window over a frame "
+            "not pinned as bounded in BOUNDED_WINDOW_OPS — the "
+            "single-task scale hazard; unbounded frames must use the "
+            "two-phase rank in operators/ranking.py). Streaming ops "
+            "are audited by their dedicated tests instead (plans only "
+            "exist inside a running query).\n\n"
             f"**{len(rows)} ops: "
             f"{len([r for r in rows if r[1] == 'ok'])} clean, "
             f"{len([r for r in rows if r[1] == 'streaming'])} streaming-skip, "

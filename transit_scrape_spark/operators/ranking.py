@@ -1,0 +1,231 @@
+"""Scale-safe global ordering: exact row_number / running sums / ntile
+over an UNBOUNDED frame without ever moving the data to one partition.
+
+Why this exists: ``Window.orderBy(...)`` with no partition spec is
+correct but serial — Spark warns ``No Partition Defined for Window
+operation! Moving all data to a single partition`` and funnels every row
+through one task. Fine over a 10-row decile summary; a scale-killer over
+a per-customer/per-document rollup whose cardinality grows with the
+data (at 100 TB, "all customers" is billions of rows).
+
+The fix is the classic two-phase (tera-sort style) rank:
+
+1. **Bucket** rows into ordered ranges. Range boundaries come from
+   ``percentile_approx`` over the sort key — a distributed sketch
+   aggregate producing ≤ ``n_buckets`` numbers. The boundaries only
+   need to be *monotone*, not exact: the final rank is exact for ANY
+   boundary choice, because ties of the sort key always land in the
+   same bucket (strict ``>`` comparison) and bucket id is
+   non-decreasing in the key.
+2. **Rank locally** inside each bucket with a *partitioned* window
+   (shuffle on bucket id, per-partition sort — fully parallel).
+3. **Offset** each bucket's local ranks/sums by the totals of all
+   earlier buckets. The per-bucket summary is ≤ ``n_buckets`` rows; it
+   is collapsed to ONE row (``collect_list`` + ``sort_array``) and the
+   prefix sums are computed with array expressions — deliberately NOT
+   with another empty-partition window, so plans built on this helper
+   contain zero global-window nodes and ``tools/audit_plans.py`` can
+   keep a hard "no unbounded global windows" rule.
+
+The result is bit-identical to the single-partition
+``row_number()/sum() OVER (ORDER BY key, *tiebreakers)`` as long as
+``(key, *tiebreakers)`` is a total order (the same determinism
+discipline every oracle in this repo already follows).
+
+Equivalent semantics, different plan:
+
+- before: 1 exchange to a single partition + serial sort of N rows.
+- after: 1 sketch agg + 1 hash-partitioned window over N/n_buckets-row
+  partitions + 1 broadcast join against a ≤n_buckets-row offset table.
+
+``exact_ntile`` converts the exact global rank into ANSI ``ntile(k)``
+bucket ids (first ``N mod k`` buckets get ``ceil(N/k)`` rows) so
+deciling ops reproduce their oracles' ntile exactly — no
+approx-percentile drift at bucket edges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_order", "exact_ntile"]
+
+
+def with_global_order(
+    df: DataFrame,
+    key: str,
+    *,
+    ascending: bool = True,
+    tiebreakers: Sequence[str] = (),
+    rn: str | None = None,
+    cum_sums: Mapping[str, str] | None = None,
+    total_count: str | None = None,
+    total_sums: Mapping[str, str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add exact global-order columns to ``df`` with no single-partition
+    window.
+
+    Args:
+        key: numeric, non-null column defining the primary sort.
+        ascending: sort direction for ``key`` (tiebreakers are always
+            ascending, matching the ``ORDER BY key [DESC], tb1, tb2``
+            oracles this repo writes).
+        tiebreakers: columns completing a total order.
+        rn: output name for the exact global ``row_number`` (None to skip).
+        cum_sums: ``{out: src}`` inclusive running sums in global order,
+            i.e. ``sum(src) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+        total_count: output name for the grand row count (None to skip).
+        total_sums: ``{out: src}`` grand totals attached to every row.
+        n_buckets: range-bucket fan-out. Equality of results does not
+            depend on it; parallelism does (N/n_buckets rows per sort
+            task). At 100 TB raise it toward ~2-3x the cluster's cores.
+    """
+    cum_sums = dict(cum_sums or {})
+    total_sums = dict(total_sums or {})
+    # every src needing a per-bucket sum (for prefix offsets or totals)
+    srcs = sorted(set(cum_sums.values()) | set(total_sums.values()))
+
+    skey = F.col(key) if ascending else -F.col(key)
+    d = df.withColumn("__go_skey", skey.cast("double"))
+
+    # 1. boundary sketch (one distributed agg; result is ≤ n_buckets-1
+    #    doubles broadcast to every task)
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bnds = d.agg(
+        F.array_distinct(
+            F.sort_array(
+                F.percentile_approx(F.col("__go_skey"), probs, F.lit(1000))
+            )
+        ).alias("__go_bnds")
+    )
+    d = d.crossJoin(F.broadcast(bnds))
+    # bucket id = number of boundaries strictly below the key: monotone
+    # in the key, and key-ties share a bucket — both required for phase-3
+    # offsets to reconstruct the exact global order.
+    d = d.withColumn(
+        "__go_pid",
+        F.coalesce(
+            F.aggregate(
+                "__go_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("__go_skey") > b, 1).otherwise(0),
+            ),
+            F.lit(0),
+        ),
+    ).drop("__go_bnds")
+
+    # 2. partitioned (parallel) local ranking
+    order = [F.col("__go_skey").asc()] + [F.col(t).asc() for t in tiebreakers]
+    w_local = (
+        Window.partitionBy("__go_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cols = [F.row_number().over(w_local).alias("__go_lrn")]
+    for out, src in cum_sums.items():
+        local_cols.append(
+            F.sum(F.col(src).cast("double")).over(w_local).alias(f"__go_lc_{out}")
+        )
+    d = d.select("*", *local_cols)
+
+    # 3. per-bucket summary -> ONE packed row -> array prefix sums.
+    #    n_buckets is a constant, so the O(n_buckets^2) slice/aggregate
+    #    below is O(1) w.r.t. the data.
+    aggs = [F.count(F.lit(1)).cast("long").alias("__go_cnt")] + [
+        F.sum(s).alias(f"__go_s{i}") for i, s in enumerate(srcs)
+    ]
+    grp = d.groupBy("__go_pid").agg(*aggs)
+    packed = grp.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "__go_pid",
+                    "__go_cnt",
+                    *[f"__go_s{i}" for i in range(len(srcs))],
+                )
+            )
+        ).alias("__go_rows")
+    )
+
+    def prefix(rows: Column, i: Column, field: str, typ: str) -> Column:
+        # sum of `field` over buckets ordered before position i
+        return F.aggregate(
+            F.slice(rows, 1, i),
+            F.lit(0).cast(typ),
+            lambda acc, x: acc + x[field].cast(typ),
+        )
+
+    def grand(rows: Column, field: str, typ: str) -> Column:
+        return F.aggregate(
+            rows,
+            F.lit(0).cast(typ),
+            lambda acc, x: acc + x[field].cast(typ),
+        )
+
+    rows_c = F.col("__go_rows")
+    off_struct = F.transform(
+        rows_c,
+        lambda x, i: F.struct(
+            x["__go_pid"].alias("__go_pid"),
+            prefix(rows_c, i, "__go_cnt", "long").alias("__go_off_rn"),
+            *[
+                prefix(rows_c, i, f"__go_s{j}", "double").alias(f"__go_off_{j}")
+                for j in range(len(srcs))
+            ],
+        ),
+    )
+    offsets = packed.select(
+        F.explode(off_struct).alias("o"),
+        grand(rows_c, "__go_cnt", "long").alias("__go_n_total"),
+        *[
+            grand(rows_c, f"__go_s{j}", "double").alias(f"__go_tot_{j}")
+            for j in range(len(srcs))
+        ],
+    ).select("o.*", "__go_n_total", *[f"__go_tot_{j}" for j in range(len(srcs))])
+
+    d = d.join(F.broadcast(offsets), "__go_pid")
+
+    # assemble requested outputs
+    out_cols = [F.col(c) for c in df.columns]
+    if rn is not None:
+        out_cols.append(
+            (F.col("__go_off_rn") + F.col("__go_lrn")).cast("long").alias(rn)
+        )
+    src_idx = {s: i for i, s in enumerate(srcs)}
+    for out, src in cum_sums.items():
+        out_cols.append(
+            (F.col(f"__go_off_{src_idx[src]}") + F.col(f"__go_lc_{out}")).alias(out)
+        )
+    if total_count is not None:
+        out_cols.append(F.col("__go_n_total").alias(total_count))
+    for out, src in total_sums.items():
+        out_cols.append(F.col(f"__go_tot_{src_idx[src]}").alias(out))
+    return d.select(*out_cols)
+
+
+def exact_ntile(rn: Column, n_rows: Column, k: int) -> Column:
+    """ANSI ``ntile(k)`` bucket id from an exact global rank.
+
+    ntile semantics: with ``N`` rows, the first ``N mod k`` buckets get
+    ``ceil(N/k)`` rows, the rest ``floor(N/k)`` — reproduced in closed
+    form so the result is bit-identical to the oracle's ``ntile`` (an
+    approx-percentile binning would drift at bucket edges).
+    """
+    n = n_rows.cast("long")
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    big = q + F.lit(1)
+    cutoff = r * big
+    # guard the q=0 (N < k) divisor: that branch is only *selected* when
+    # rn > cutoff = N, which cannot happen, but keep ANSI div safe.
+    q_safe = F.greatest(q, F.lit(1))
+    return (
+        F.when(rn <= cutoff, F.ceil(rn / big))
+        .otherwise(r + F.ceil((rn - cutoff) / q_safe))
+        .cast("long")
+    )

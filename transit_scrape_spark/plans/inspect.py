@@ -47,6 +47,50 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def global_window_count(plan: str) -> int:
+    """Number of WindowExec nodes with NO partition spec — the
+    single-partition scale hazard (`WindowExec: No Partition Defined`).
+
+    Plan-text shape of a Window node is ``Window [exprs], [partition?],
+    [order?]`` with empty specs omitted, so the bracket-group count
+    alone is ambiguous: partitioned-without-order and global-ordered
+    both show two groups. Disambiguate by content — an order spec
+    carries ``ASC``/``DESC`` sort markers, a partition spec does not:
+
+    - 3 groups: partitioned + ordered -> fine.
+    - 2 groups, last has sort markers: global ordered -> FLAG.
+    - 2 groups, no sort markers: partitioned, no order -> fine.
+    - 1 group: empty partition, no order -> FLAG.
+
+    A global window whose DIRECT child is ``TakeOrderedAndProject``
+    (rank-filter rewritten to a top-k: input is exactly k rows) or
+    ``WindowGroupLimit`` (per-partition prune: input is <= k rows per
+    map partition) is NOT flagged — the plan itself bounds the serial
+    input, which is how top-k-by-rank ops stay scale-safe.
+    """
+    import re
+
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        if "windowspecdefinition" not in line:
+            continue
+        seps = line.count("], [")
+        if seps >= 2:
+            continue
+        if seps == 1:
+            last = line.rsplit("], [", 1)[1]
+            if " ASC" not in last and " DESC" not in last:
+                continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "TakeOrderedAndProject" in child or "WindowGroupLimit" in child:
+            continue
+        n += 1
+    return n
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the final plan (broadcast exchanges
     excluded) — the first number to check before a scale-up."""

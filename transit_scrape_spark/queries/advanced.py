@@ -1234,21 +1234,31 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Revenue-concentration deciles (the 80/20 audit): per-customer "
     "revenue, ntile(10) by descending revenue, per-decile share of "
-    "total. The global ntile window runs over the AGGREGATED customer "
-    "relation — summary-sized, same justification as skyline's "
-    "bucket table — never over raw orders; revenue sums go through "
-    "DECIMAL so partition order can't flip rounded cents. The "
-    "concentration curve that drives key-account analysis and, "
-    "mechanically, skew diagnosis: decile 1's share IS the join-skew "
-    "hotness of the customer key.",
+    "total. The decile cut uses the two-phase bucketed rank from "
+    "operators/ranking.py (the customer frame grows with the data, "
+    "so no global ntile window); exact_ntile reproduces ANSI ntile "
+    "bucket sizes; revenue sums go through DECIMAL so partition "
+    "order can't flip rounded cents. The concentration curve that "
+    "drives key-account analysis and, mechanically, skew diagnosis: "
+    "decile 1's share IS the join-skew hotness of the customer key.",
 )
 def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-    ranked = per_cust.withColumn("decile", F.ntile(10).over(w))
+    g = with_global_order(
+        per_cust, "revenue", ascending=False, tiebreakers=("o_custkey",),
+        rn="__rn", total_count="__n",
+    )
+    ranked = g.withColumn(
+        "decile", exact_ntile(F.col("__rn"), F.col("__n"), 10)
+    )
     total = per_cust.agg(F.sum("revenue").alias("total_rev"))
     return (
         ranked.groupBy(F.col("decile").cast("long").alias("decile"))
@@ -1427,10 +1437,12 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessions span window boundaries. The total order carries "
     "(ts, delta, session-key) so simultaneous endpoints resolve "
     "identically everywhere: an end meeting a start at the same "
-    "instant counts conservatively (-1 sorts first). The global "
-    "ordered sum runs over 2x|sessions| boundary rows, not events; "
-    "at extreme scale the same sweep shards by day with carried-in "
-    "opening counts — the prefix-sum decomposition.",
+    "instant counts conservatively (-1 sorts first). The boundary "
+    "relation is 2x|sessions| rows — it grows with the data, so the "
+    "running sum is the two-phase bucketed prefix sum from "
+    "operators/ranking.py (time-range buckets, local cumsum, "
+    "broadcast carried-in opening counts), never a single-partition "
+    "sweep.",
 )
 def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1457,12 +1469,14 @@ def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "skey"
         )
     )
-    wsweep = Window.orderBy("ts", "delta", "skey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    running = deltas.select(
-        "ts", F.sum("delta").over(wsweep).alias("concurrency")
-    )
+    from transit_scrape_spark.operators.ranking import with_global_order
+
+    running = with_global_order(
+        deltas.withColumn("ts_key", F.col("ts").cast("double")),
+        "ts_key",
+        tiebreakers=("delta", "skey"),
+        cum_sums={"concurrency": "delta"},
+    ).select("ts", "concurrency")
     return running.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.max("concurrency").cast("long").alias("peak_concurrency"))

@@ -483,14 +483,16 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gini coefficient of customer revenue (the inequality summary "
     "behind concentration dashboards): rank-weighted sum formula "
     "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted "
-    "values. The global rank runs over the per-customer AGGREGATE "
-    "(summary-sized — same justification as abc-revenue-deciles), "
-    "never raw orders; the two global window stats ride the same "
-    "single-partition pass. Degenerate-to-uniform check: all-equal "
-    "revenues give G=0, one-customer-takes-all gives G->1.",
+    "values. The global rank is the two-phase bucketed rank from "
+    "operators/ranking.py (boundary sketch -> partitioned local "
+    "rank -> broadcast prefix offsets), so the per-customer frame — "
+    "which grows with the data — never funnels through one "
+    "partition; count/total ride the same offset table. "
+    "Degenerate-to-uniform check: all-equal revenues give G=0, "
+    "one-customer-takes-all gives G->1.",
 )
 def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import with_global_order
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -498,13 +500,13 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w_rank = Window.orderBy("revenue", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
+    ranked = with_global_order(
+        per_cust,
         "revenue",
-        F.row_number().over(w_rank).alias("i"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("revenue").over(w_all).alias("total"),
+        tiebreakers=("o_custkey",),
+        rn="i",
+        total_count="n",
+        total_sums={"total": "revenue"},
     )
     return ranked.agg(
         F.max("n").cast("long").alias("n_customers"),
@@ -917,23 +919,35 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return cust.select(
+    # three exact global ranks via the two-phase bucketed rank
+    # (operators/ranking.py) — the customer frame grows with the data,
+    # so the old ntile-over-global-window form would serialize all
+    # customers through one task; exact_ntile reproduces ANSI ntile
+    # bucket sizes from the exact rank.
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
+
+    g = with_global_order(
+        cust, "recency_days", tiebreakers=("custkey",), rn="__r_rn",
+        total_count="__n",
+    )
+    g = with_global_order(
+        g, "frequency", ascending=False, tiebreakers=("custkey",), rn="__f_rn",
+    )
+    g = with_global_order(
+        g, "monetary", ascending=False, tiebreakers=("custkey",), rn="__m_rn",
+    )
+    n = F.col("__n")
+    return g.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
-        .cast("long")
-        .alias("m_score"),
+        exact_ntile(F.col("__r_rn"), n, 5).alias("r_score"),
+        exact_ntile(F.col("__f_rn"), n, 5).alias("f_score"),
+        exact_ntile(F.col("__m_rn"), n, 5).alias("m_score"),
     )
 
 
@@ -2594,7 +2608,10 @@ def analytics_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame
     "companion to stats-roc-auc-binned on the same score.",
 )
 def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2603,31 +2620,43 @@ def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    ranked = per_user.select(
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "user_id"))
-        .alias("decile"),
+    # two-phase bucketed rank (operators/ranking.py) replaces the old
+    # ntile global window over the per-user frame (grows with the
+    # data). The per-user running sum of conversions in score order is
+    # monotone, so each decile's cumulative gain is simply the MAX of
+    # the running sum inside the decile — no window over deciles either.
+    g = with_global_order(
+        per_user,
+        "score",
+        ascending=False,
+        tiebreakers=("user_id",),
+        rn="__rn",
+        cum_sums={"cum_conv": "converted"},
+        total_count="tn",
+        total_sums={"tc": "converted"},
+    )
+    ranked = g.select(
+        exact_ntile(F.col("__rn"), F.col("tn"), 10).alias("decile"),
         "converted",
+        "cum_conv",
+        "tn",
+        "tc",
     )
     byd = ranked.groupBy("decile").agg(
         F.count("*").cast("double").alias("n"),
         F.sum("converted").cast("double").alias("conv"),
+        F.max("cum_conv").alias("cum_c"),
+        F.max("tn").cast("double").alias("tn"),
+        F.max("tc").alias("tc"),
     )
-    w_all = Window.partitionBy()
-    w_cum = Window.orderBy("decile")
-    with_tot = byd.withColumn("tn", F.sum("n").over(w_all)).withColumn(
-        "tc", F.sum("conv").over(w_all)
-    )
-    return with_tot.select(
+    return byd.select(
         F.col("decile").cast("long").alias("decile"),
         F.col("n").cast("long").alias("n_users"),
         F.round(F.col("conv") / F.col("n"), 6).alias("conversion_rate"),
         F.round(
             (F.col("conv") / F.col("n")) / (F.col("tc") / F.col("tn")), 6
         ).alias("lift"),
-        F.round(F.sum("conv").over(w_cum) / F.col("tc"), 6).alias(
-            "cum_gain"
-        ),
+        F.round(F.col("cum_c") / F.col("tc"), 6).alias("cum_gain"),
     ).orderBy("decile")
 
 
@@ -3047,31 +3076,26 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats-lorenz-asymmetry as the concentration triptych.",
 )
 def analytics_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import with_global_order
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    # two-phase bucketed rank + running sum (operators/ranking.py): the
+    # per-customer frame grows with the data, so the old global-window
+    # form would serialize it through one task at scale.
+    cum = with_global_order(
+        rev,
         "r",
-        F.row_number()
-        .over(Window.orderBy(F.col("r").desc(), "o_custkey"))
-        .alias("rk"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("r").over(w_all).alias("tot"),
-    )
-    cum = ranked.select(
+        ascending=False,
+        tiebreakers=("o_custkey",),
+        rn="rk",
+        cum_sums={"cum_r": "r"},
+        total_count="n",
+        total_sums={"tot": "r"},
+    ).select(
         "rk",
         "n",
-        (
-            F.sum("r")
-            .over(
-                Window.orderBy("rk").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            / F.col("tot")
-        ).alias("cum_share"),
+        (F.col("cum_r") / F.col("tot")).alias("cum_share"),
     )
     crossing = F.min(F.when(F.col("cum_share") >= 0.8, F.col("rk")))
     return cum.agg(
@@ -3671,7 +3695,7 @@ def analytics_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics",),
 )
 def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import with_global_order
 
     li = load_table(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
@@ -3680,15 +3704,19 @@ def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("l_quantity").alias("sq"),
         F.count("*").alias("n_lines"),
     )
-    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = part_rev.filter(F.col("n_lines") >= 2).select(
+    # two-phase bucketed running share (operators/ranking.py): the
+    # per-part frame grows with the catalog, so no global window.
+    ranked = with_global_order(
+        part_rev.filter(F.col("n_lines") >= 2),
+        "rev",
+        ascending=False,
+        tiebreakers=("l_partkey",),
+        cum_sums={"cum_rev": "rev"},
+        total_sums={"tot_rev": "rev"},
+    ).select(
         "rev",
         F.coalesce(F.col("sq") / F.col("mq"), F.lit(0.0)).alias("cv"),
-        (F.sum("rev").over(w) / F.sum("rev").over(Window.partitionBy())).alias(
-            "cum_share"
-        ),
+        (F.col("cum_rev") / F.col("tot_rev")).alias("cum_share"),
     )
     classed = ranked.select(
         F.when(F.col("cum_share") <= 0.8, "A")

@@ -5692,7 +5692,10 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -5704,10 +5707,17 @@ def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
         ).alias("outcome"),
     )
-    strat = per_user.select(
+    # quintile strata via the two-phase bucketed rank
+    # (operators/ranking.py): the per-user frame grows with the data,
+    # so no ntile global window; exact_ntile reproduces ANSI ntile.
+    g = with_global_order(
+        per_user, "n_events", tiebreakers=("user_id",), rn="__rn",
+        total_count="__n",
+    )
+    strat = g.select(
         "treated",
         "outcome",
-        F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("stratum"),
+        exact_ntile(F.col("__rn"), F.col("__n"), 5).alias("stratum"),
     )
     cell = strat.groupBy("stratum").agg(
         F.count("*").alias("ns"),
@@ -6510,12 +6520,22 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sample", "stats"),
 )
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    strat = d.select(
+    # quintile strata via the two-phase bucketed rank
+    # (operators/ranking.py) — document frame grows with the corpus,
+    # so no ntile global window.
+    g = with_global_order(
+        d.select("doc_id", "n_chars"), "n_chars", tiebreakers=("doc_id",),
+        rn="__rn", total_count="__n",
+    )
+    strat = g.select(
         "n_chars",
-        F.ntile(5).over(Window.orderBy("n_chars", "doc_id")).alias("stratum"),
+        exact_ntile(F.col("__rn"), F.col("__n"), 5).alias("stratum"),
     )
     per = strat.groupBy("stratum").agg(
         F.count("*").alias("nh"),

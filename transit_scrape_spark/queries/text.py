@@ -1499,8 +1499,6 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp"),
@@ -1509,18 +1507,20 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("grp", "w").agg(F.count("*").alias("c"))
     en_c = F.sum(F.when(F.col("grp") == "en", F.col("c")))
     ot_c = F.sum(F.when(F.col("grp") == "other", F.col("c")))
-    w_all = Window.partitionBy()
-    p = (
-        cnt.groupBy("w")
-        .agg(
-            F.coalesce(en_c, F.lit(0)).alias("ce"),
-            F.coalesce(ot_c, F.lit(0)).alias("co"),
-        )
-        .select(
-            "w",
-            (F.col("ce") / F.sum("ce").over(w_all)).alias("pw"),
-            (F.col("co") / F.sum("co").over(w_all)).alias("qw"),
-        )
+    aligned = cnt.groupBy("w").agg(
+        F.coalesce(en_c, F.lit(0)).alias("ce"),
+        F.coalesce(ot_c, F.lit(0)).alias("co"),
+    )
+    # side totals as a broadcast 1-row aggregate (not an
+    # empty-partition window — that would drag the vocabulary-sized
+    # relation through one task)
+    tot = aligned.agg(
+        F.sum("ce").alias("te"), F.sum("co").alias("to_")
+    )
+    p = aligned.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (F.col("ce") / F.col("te")).alias("pw"),
+        (F.col("co") / F.col("to_")).alias("qw"),
     )
     m = (F.col("pw") + F.col("qw")) / 2
     js = 0.5 * F.sum(
@@ -1627,8 +1627,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("first_doc") == F.col("doc_id"), F.col("c")).otherwise(0)
         ).alias("n_novel"),
     )
-    deciles = per_doc.select(
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    # corpus deciles via the two-phase bucketed rank
+    # (operators/ranking.py): the per-doc frame grows with the corpus,
+    # so no ntile global window; exact_ntile reproduces ANSI ntile.
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
+
+    g = with_global_order(per_doc, "doc_id", rn="__rn", total_count="__n")
+    deciles = g.select(
+        exact_ntile(F.col("__rn"), F.col("__n"), 10).alias("decile"),
         "n_tri",
         "n_novel",
     )
@@ -1781,17 +1790,26 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "corpus"),
 )
 def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    doc_order = tok.groupBy("doc_id").agg(
+    # corpus deciles via the two-phase bucketed rank
+    # (operators/ranking.py): the per-doc frame grows with the corpus,
+    # so no ntile global window.
+    per_doc_tok = tok.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("n_tok")
+    )
+    doc_order = with_global_order(
+        per_doc_tok, "doc_id", rn="__rn", total_count="__n"
     ).select(
         "doc_id",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        exact_ntile(F.col("__rn"), F.col("__n"), 10).alias("decile"),
         "n_tok",
     )
     first_use = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
@@ -1812,12 +1830,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v_new"), F.lit(0.0)).alias("v_new"),
         )
     )
-    wc = Window.orderBy("decile")
-    curve = per_dec.select(
-        "decile",
-        F.sum("toks").over(wc).alias("n_cum"),
-        F.sum("v_new").over(wc).alias("v_cum"),
-    )
+    # cumulative curve via the same window-free two-phase shape (the
+    # frame is only 10 decile rows, but keeping the op free of ANY
+    # empty-partition window lets the plan audit hold a hard rule)
+    curve = with_global_order(
+        per_dec, "decile", cum_sums={"n_cum": "toks", "v_cum": "v_new"}
+    ).select("decile", "n_cum", "v_cum")
     pts = curve.select(
         F.log("n_cum").alias("lx"), F.log("v_cum").alias("ly")
     )
