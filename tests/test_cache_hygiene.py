@@ -25,6 +25,8 @@ _PERSIST_OPS = [
     "simsearch-ivf-probe",
     "graph-triangle-count",
     "graph-components-iterative",
+    "graph-bfs-distance",
+    "graph-closeness-centrality",
     "dedup-near-minhash",
     "dedup-semdedup-bucket",
 ]

@@ -49,6 +49,12 @@ for op in sorted(q):
         failed.append(op)
         print("FAIL " + op + ": " + str(ex)[:300], flush=True)
     release_caches(spark)
+    # zero-retained-RDDs contract, attributed per op: any persist
+    # release_caches cannot reclaim names the op that created it
+    leftover = persistent_rdd_count(spark)
+    if leftover:
+        print("FAIL cache-hygiene after %s: %d persisted RDDs" % (op, leftover), flush=True)
+        failed.append("cache-hygiene:" + op)
 leftover = persistent_rdd_count(spark)
 if leftover:
     print("FAIL cache-hygiene: %d persisted RDDs after teardown" % leftover, flush=True)

@@ -80,6 +80,22 @@ R4_HEAVY = [
     "simsearch-batch-topk",
     "embed-centroid-margin",
 ]
+# round-5 rework proof (VERDICT r4 items 1/8): the ops whose unbounded
+# global windows were replaced by the two-phase bucketed rank in
+# operators/ranking.py — their 10x ratio pins the fix at scale, not
+# just in the plan audit
+R5_REWORKED = [
+    "agg-gini-coefficient",
+    "analytics-rfm",
+    "analytics-lift-chart",
+    "analytics-pareto-point",
+    "analytics-abc-xyz",
+    "stats-stratified-ate",
+    "sample-neyman-allocation",
+    "abc-revenue-deciles",
+    "window-session-concurrency",
+    # text-ngram-novelty and text-heaps-law are already in R4_HEAVY
+]
 
 
 def main() -> None:
@@ -90,7 +106,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     worst = 0.0
-    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY:
+    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED:
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

@@ -389,13 +389,16 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tss_li_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n
-        FROM tss_li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM tss_li_gs
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_li_gs")
 
 
 @query(
@@ -1123,14 +1126,17 @@ def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("tss_li_pipe")
-    return spark.sql(
-        """
-        FROM tss_li_pipe
-        |> WHERE l_quantity > 10
-        |> AGGREGATE count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
-           GROUP BY l_returnflag, l_linestatus
-        """
-    ).select("l_returnflag", "l_linestatus", "n", "avg_qty")
+    try:
+        return spark.sql(
+            """
+            FROM tss_li_pipe
+            |> WHERE l_quantity > 10
+            |> AGGREGATE count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+               GROUP BY l_returnflag, l_linestatus
+            """
+        ).select("l_returnflag", "l_linestatus", "n", "avg_qty")
+    finally:
+        spark.catalog.dropTempView("tss_li_pipe")
 
 
 @query(
@@ -1152,14 +1158,17 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("tss_nation_la")
-    return spark.sql(
-        """
-        SELECT n_regionkey,
-               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
-        FROM tss_nation_la
-        GROUP BY n_regionkey
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            SELECT n_regionkey,
+                   listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+            FROM tss_nation_la
+            GROUP BY n_regionkey
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_nation_la")
 
 
 @query(

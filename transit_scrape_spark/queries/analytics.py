@@ -3563,7 +3563,7 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "analytics-adstock-regression",
-    oracle="""
+    oracle=f"""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,
                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
@@ -3573,11 +3573,13 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ad AS (
             SELECT day, y,
-                   x + 0.6 * lag(x, 1) OVER w + 0.36 * lag(x, 2) OVER w
-                     + 0.216 * lag(x, 3) OVER w + 0.1296 * lag(x, 4) OVER w
-                     + 0.07776 * lag(x, 5) OVER w
-                     + 0.046656 * lag(x, 6) OVER w
-                     + 0.0279936 * lag(x, 7) OVER w AS adstock,
+                   x + CAST({0.6 ** 1!r} AS DOUBLE) * lag(x, 1) OVER w
+                     + CAST({0.6 ** 2!r} AS DOUBLE) * lag(x, 2) OVER w
+                     + CAST({0.6 ** 3!r} AS DOUBLE) * lag(x, 3) OVER w
+                     + CAST({0.6 ** 4!r} AS DOUBLE) * lag(x, 4) OVER w
+                     + CAST({0.6 ** 5!r} AS DOUBLE) * lag(x, 5) OVER w
+                     + CAST({0.6 ** 6!r} AS DOUBLE) * lag(x, 6) OVER w
+                     + CAST({0.6 ** 7!r} AS DOUBLE) * lag(x, 7) OVER w AS adstock,
                    row_number() OVER w AS rn
             FROM daily WINDOW w AS (ORDER BY day)
         ),

@@ -288,6 +288,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     frontier = visited.select("node")
+    prev_nxt = None
     for depth in range(1, 7):
         nxt = (
             frontier.join(edges, frontier.node == edges.a)
@@ -304,8 +305,17 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).persist()
         visited.count()
         old.unpersist()
+        # the previous frontier has now been fully consumed (it fed this
+        # generation's expansion and the already-counted union) — drop
+        # it so the loop holds at most two frontier caches, not one per
+        # generation
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
         frontier = nxt.select("node")
+        prev_nxt = nxt
     result = visited
+    if prev_nxt is not None:
+        prev_nxt.unpersist()
     edges.unpersist()
     return result
 
@@ -1227,6 +1237,7 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()
     frontier = visited.select("src", "node")
+    prev_nxt = None
     for depth in range(1, 7):
         nxt = (
             frontier.join(edges, frontier.node == edges.a)
@@ -1243,7 +1254,12 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).persist()
         visited.count()
         old.unpersist()
+        # previous frontier fully consumed (see graph_bfs_distance) —
+        # at most two frontier caches live at once
+        if prev_nxt is not None:
+            prev_nxt.unpersist()
         frontier = nxt.select("src", "node")
+        prev_nxt = nxt
     res = visited.groupBy("src").agg(
         (F.count("*") - 1).cast("long").alias("n_reached"),
         F.sum("dist").cast("long").alias("sum_dist"),
@@ -1253,6 +1269,8 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("harmonic"),
     )
+    if prev_nxt is not None:
+        prev_nxt.unpersist()
     edges.unpersist()
     return res
 

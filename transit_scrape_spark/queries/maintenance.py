@@ -1663,10 +1663,13 @@ def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("maintenance",),
 )
 def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     n = load_table(spark, sf_dir, "nation")
-    tbl = "tss_analyze_nation"
+    # per-process table name: a fixed name can collide across
+    # concurrent sessions sharing a catalog/warehouse (ADVICE r4)
+    tbl = f"tss_analyze_nation_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     path = tempfile.mkdtemp(prefix="tss_analyze_")
     n.write.mode("overwrite").option("path", path).saveAsTable(tbl)
@@ -1692,6 +1695,11 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # DROP TABLE on an EXTERNAL (path-based) table leaves the
+        # parquet files behind — reclaim the scratch dir (ADVICE r4)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         rows,
         "column_name string, distinct_count long, null_count long, "

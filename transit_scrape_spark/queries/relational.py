@@ -912,7 +912,8 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c.createOrReplaceTempView("tss_naaj_cust")
     o.createOrReplaceTempView("tss_naaj_orders")
-    return c.sparkSession.sql(
+    try:
+        return c.sparkSession.sql(
             """
             WITH probe AS (
                 SELECT count(*) AS n_total FROM tss_naaj_cust
@@ -937,4 +938,7 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(with_null.n AS BIGINT) AS not_in_with_null
             FROM probe, no_nulls, with_null
             """
-    )
+        )
+    finally:
+        c.sparkSession.catalog.dropTempView("tss_naaj_cust")
+        c.sparkSession.catalog.dropTempView("tss_naaj_orders")

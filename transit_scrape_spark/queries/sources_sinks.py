@@ -130,15 +130,18 @@ def scan_geojson_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("tss_customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name, c_acctbal
-        FROM tss_customer
-        WHERE c_mktsegment IS NOT NULL AND c_mktsegment = 'MACHINERY'
-        ORDER BY c_custkey
-        LIMIT 500
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM tss_customer
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment = 'MACHINERY'
+            ORDER BY c_custkey
+            LIMIT 500
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_customer")
 
 
 @query(
@@ -222,6 +225,7 @@ def sink_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS SELECT c_custkey, c_mktsegment FROM tss_customer_src
         """
     )
+    spark.catalog.dropTempView("tss_customer_src")  # CTAS ran eagerly
     assert any(t.name == "tss_ddl_table" for t in spark.catalog.listTables())
     return spark.table("tss_ddl_table").groupBy("c_mktsegment").agg(
         F.count("*").alias("n")

@@ -5083,8 +5083,8 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v,
                round(sqrt(
                    greatest(0.0, chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1))
-                   / least(r - (r - 1.0) * (r - 1.0) / (n - 1),
-                           c - (c - 1.0) * (c - 1.0) / (n - 1) ) ), 6)
+                   / least(r - (r - 1.0) * (r - 1.0) / (n - 1) - 1,
+                           c - (c - 1.0) * (c - 1.0) / (n - 1) - 1) ), 6)
                    AS cramers_v_corrected
         FROM stat
     """,
@@ -5094,7 +5094,10 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "15-cell contingency table (one hash aggregation over orders; "
     "margins via windows over the 15-row summary), V = "
     "sqrt(chi2/(N*min(r-1,c-1))), and the Bergsma bias correction "
-    "phi2+ = max(0, phi2 - (r-1)(c-1)/(N-1)) with shrunk r', c'. "
+    "V+ = sqrt(phi2+ / min(r~-1, c~-1)) with phi2+ = max(0, phi2 - "
+    "(r-1)(c-1)/(N-1)) and r~ = r - (r-1)^2/(N-1) (note the -1 in "
+    "the denominator per Bergsma 2013 — fixed in r5; both sides "
+    "previously divided by min(r~, c~)). "
     "Effect sizes, unlike p-values, stay interpretable at 100 TB row "
     "counts where every test is 'significant'.",
     tags=("stats",),
@@ -5133,8 +5136,8 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(
                 phi2_plus
                 / F.least(
-                    r - (r - 1) * (r - 1) / (n - 1),
-                    c - (c - 1) * (c - 1) / (n - 1),
+                    r - (r - 1) * (r - 1) / (n - 1) - 1,
+                    c - (c - 1) * (c - 1) / (n - 1) - 1,
                 )
             ),
             6,
@@ -6288,9 +6291,18 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wilson z-constants shared by the Spark plan AND the oracle SQL below:
+# the SQL literals are emitted from these exact Python floats (f-string)
+# so both engines compute with bit-identical constants — a hand-rounded
+# oracle literal (0.960397 vs z2/4 = 0.9603965) caused ~1e-7 pre-round
+# drift that could flake a round(6) boundary (ADVICE r4).
+_PDC_Z = 1.959964
+_PDC_Z2 = 3.841586
+
+
 @query(
     "stats-prop-diff-ci",
-    oracle="""
+    oracle=f"""
         WITH per_user AS (
             SELECT user_id,
                    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -6306,14 +6318,14 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         wilson AS (
             SELECT grp, n, x,
                    CAST(x AS DOUBLE) / n AS p,
-                   (x + 1.920793) / (n + 3.841586)
-                       - 1.959964 * sqrt(n) / (n + 3.841586)
+                   (x + CAST({_PDC_Z2 / 2!r} AS DOUBLE)) / (n + CAST({_PDC_Z2!r} AS DOUBLE))
+                       - CAST({_PDC_Z!r} AS DOUBLE) * sqrt(n) / (n + CAST({_PDC_Z2!r} AS DOUBLE))
                        * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
-                              + 0.960397 / n) AS lo,
-                   (x + 1.920793) / (n + 3.841586)
-                       + 1.959964 * sqrt(n) / (n + 3.841586)
+                              + CAST({_PDC_Z2 / 4!r} AS DOUBLE) / n) AS lo,
+                   (x + CAST({_PDC_Z2 / 2!r} AS DOUBLE)) / (n + CAST({_PDC_Z2!r} AS DOUBLE))
+                       + CAST({_PDC_Z!r} AS DOUBLE) * sqrt(n) / (n + CAST({_PDC_Z2!r} AS DOUBLE))
                        * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
-                              + 0.960397 / n) AS hi
+                              + CAST({_PDC_Z2 / 4!r} AS DOUBLE) / n) AS hi
             FROM arms
         ),
         piv AS (
@@ -6362,7 +6374,7 @@ def stats_prop_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, x = F.col("n"), F.col("x")
     p = x.cast("double") / n
-    z, z2 = 1.959964, 3.841586
+    z, z2 = _PDC_Z, _PDC_Z2
     half = z * F.sqrt(n) / (n + z2) * F.sqrt(p * (1 - p) + z2 / 4 / n)
     center = (x + z2 / 2) / (n + z2)
     wilson = arms.select(
@@ -6635,7 +6647,10 @@ _EWMA_L = 0.2  # smoothing weight; 15-lag unroll truncates at 0.8^15 ~ 3.5%
 
 @query(
     "stats-ewma-control-chart",
-    oracle="""
+    # lag weights below are emitted from the SAME Python floats the
+    # Spark plan computes ((1-lam)**k differs from hand-rounded decimal
+    # literals by 1 ulp for several k — ADVICE r4)
+    oracle=f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
@@ -6647,30 +6662,31 @@ _EWMA_L = 0.2  # smoothing weight; 15-lag unroll truncates at 0.8^15 ~ 3.5%
         ew AS (
             SELECT d.day, d.rev, b.mu, b.sd,
                    row_number() OVER (ORDER BY d.day) AS rn,
-                   0.2 * (rev
-                     + 0.8 * lag(rev, 1) OVER w
-                     + 0.64 * lag(rev, 2) OVER w
-                     + 0.512 * lag(rev, 3) OVER w
-                     + 0.4096 * lag(rev, 4) OVER w
-                     + 0.32768 * lag(rev, 5) OVER w
-                     + 0.262144 * lag(rev, 6) OVER w
-                     + 0.2097152 * lag(rev, 7) OVER w
-                     + 0.16777216 * lag(rev, 8) OVER w
-                     + 0.134217728 * lag(rev, 9) OVER w
-                     + 0.1073741824 * lag(rev, 10) OVER w
-                     + 0.08589934592 * lag(rev, 11) OVER w
-                     + 0.068719476736 * lag(rev, 12) OVER w
-                     + 0.0549755813888 * lag(rev, 13) OVER w
-                     + 0.04398046511104 * lag(rev, 14) OVER w)
-                   + power(0.8, 15) * b.mu AS z
+                   CAST({_EWMA_L!r} AS DOUBLE) * (rev
+                     + CAST({(1 - _EWMA_L) ** 1!r} AS DOUBLE) * lag(rev, 1) OVER w
+                     + CAST({(1 - _EWMA_L) ** 2!r} AS DOUBLE) * lag(rev, 2) OVER w
+                     + CAST({(1 - _EWMA_L) ** 3!r} AS DOUBLE) * lag(rev, 3) OVER w
+                     + CAST({(1 - _EWMA_L) ** 4!r} AS DOUBLE) * lag(rev, 4) OVER w
+                     + CAST({(1 - _EWMA_L) ** 5!r} AS DOUBLE) * lag(rev, 5) OVER w
+                     + CAST({(1 - _EWMA_L) ** 6!r} AS DOUBLE) * lag(rev, 6) OVER w
+                     + CAST({(1 - _EWMA_L) ** 7!r} AS DOUBLE) * lag(rev, 7) OVER w
+                     + CAST({(1 - _EWMA_L) ** 8!r} AS DOUBLE) * lag(rev, 8) OVER w
+                     + CAST({(1 - _EWMA_L) ** 9!r} AS DOUBLE) * lag(rev, 9) OVER w
+                     + CAST({(1 - _EWMA_L) ** 10!r} AS DOUBLE) * lag(rev, 10) OVER w
+                     + CAST({(1 - _EWMA_L) ** 11!r} AS DOUBLE) * lag(rev, 11) OVER w
+                     + CAST({(1 - _EWMA_L) ** 12!r} AS DOUBLE) * lag(rev, 12) OVER w
+                     + CAST({(1 - _EWMA_L) ** 13!r} AS DOUBLE) * lag(rev, 13) OVER w
+                     + CAST({(1 - _EWMA_L) ** 14!r} AS DOUBLE) * lag(rev, 14) OVER w
+                     )
+                   + CAST({(1 - _EWMA_L) ** 15!r} AS DOUBLE) * b.mu AS z
             FROM daily d, base b
             WINDOW w AS (ORDER BY d.day)
         )
         SELECT day, round(rev, 4) AS rev, round(z, 4) AS ewma,
-               round(mu + 3 * sd * sqrt(0.2 / 1.8), 4) AS ucl,
-               round(mu - 3 * sd * sqrt(0.2 / 1.8), 4) AS lcl,
-               CAST(CASE WHEN z > mu + 3 * sd * sqrt(0.2 / 1.8)
-                          OR z < mu - 3 * sd * sqrt(0.2 / 1.8)
+               round(mu + 3 * sd * sqrt(CAST({_EWMA_L / (2 - _EWMA_L)!r} AS DOUBLE)), 4) AS ucl,
+               round(mu - 3 * sd * sqrt(CAST({_EWMA_L / (2 - _EWMA_L)!r} AS DOUBLE)), 4) AS lcl,
+               CAST(CASE WHEN z > mu + 3 * sd * sqrt(CAST({_EWMA_L / (2 - _EWMA_L)!r} AS DOUBLE))
+                          OR z < mu - 3 * sd * sqrt(CAST({_EWMA_L / (2 - _EWMA_L)!r} AS DOUBLE))
                          THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
         FROM ew WHERE rn >= 15
     """,

@@ -373,12 +373,15 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("tss_bigrams", Bigrams)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("tss_docs_udtf")
-    return spark.sql(
-        """
-        SELECT d.doc_id, b.idx, b.bigram
-        FROM tss_docs_udtf d, LATERAL tss_bigrams(d.text) b
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            SELECT d.doc_id, b.idx, b.bigram
+            FROM tss_docs_udtf d, LATERAL tss_bigrams(d.text) b
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("tss_docs_udtf")
 
 
 @query(
@@ -669,13 +672,16 @@ def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("tss_lang_summary", LangSummary)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("tss_docs_ta")
-    return spark.sql(
-        """
-        SELECT * FROM tss_lang_summary(
-            TABLE(SELECT lang, text FROM tss_docs_ta) PARTITION BY lang
+    try:
+        return spark.sql(
+            """
+            SELECT * FROM tss_lang_summary(
+                TABLE(SELECT lang, text FROM tss_docs_ta) PARTITION BY lang
+            )
+            """
         )
-        """
-    )
+    finally:
+        spark.catalog.dropTempView("tss_docs_ta")
 
 
 @query(

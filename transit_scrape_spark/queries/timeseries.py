@@ -49,7 +49,8 @@ from transit_scrape_spark.sources.tables import load_table
 )
 def rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("tss_ev_rollup")
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         WITH b AS (
             SELECT event_type,
@@ -67,7 +68,9 @@ def rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
         GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
         """
-    )
+        )
+    finally:
+        spark.catalog.dropTempView("tss_ev_rollup")
 
 
 # Fixed histogram bounds: l_extendedprice is bounded well inside
