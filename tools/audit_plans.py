@@ -175,6 +175,14 @@ SCALAR_BROADCAST_OPS = {
     "text-heaps-law",
     "text-ngram-novelty",
     "window-session-concurrency",
+    # round-5 ml/eval wave: each broadcasts a 1-row scalar summary
+    # (global prior, corpus stats, current beta vector, strength
+    # normalizer, observation high-water mark) into a conditionless join
+    "eval-bm25-topk",          # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "eval-bradley-terry",      # 1-row strength-normalizer broadcast
+    "ml-logistic-irls",        # 1-row beta broadcast per Newton step
+    "ml-target-encode-loo",    # 1-row global-prior broadcast
+    "stats-kaplan-meier",      # 1-row observation-end broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -232,6 +240,11 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "timeseries-despike-med3": 4,
             "timeseries-dfa": 2,
             "timeseries-drawdown-episodes": 1,
+            "timeseries-forecast-backtest": 1,
+            "timeseries-page-hinkley": 3,
+            # distinct first-view->first-purchase durations: bounded by
+            # the calendar span (days), not the user count
+            "stats-kaplan-meier": 2,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

@@ -1359,3 +1359,134 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "graph-label-propagation",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        l1 AS (
+            SELECT n.node,
+                   least(n.node, min(e.b)) AS lab
+            FROM nodes n JOIN edges e ON e.a = n.node
+            GROUP BY n.node
+        ),
+        l2 AS (
+            SELECT n.node,
+                   least(own.lab, min(nb.lab)) AS lab
+            FROM nodes n
+            JOIN l1 own ON own.node = n.node
+            JOIN edges e ON e.a = n.node
+            JOIN l1 nb ON nb.node = e.b
+            GROUP BY n.node, own.lab
+        )
+        SELECT CAST(lab AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM l2 GROUP BY lab
+    """,
+    doc="Synchronous min-label propagation (two rounds) on the nation "
+    "trade graph: every node adopts the minimum label in its closed "
+    "neighborhood each round — after k rounds a node's label is the "
+    "minimum node id within distance k, so rounds converge to "
+    "connected components (graph-components-iterative runs the same "
+    "update to fixpoint; two unrolled rounds keep this op loop-free "
+    "and fully SQL-oracled, and show the per-round plan: one "
+    "edge-join + one min-aggregate, shuffles keyed on the edge "
+    "endpoint — the exact shape GraphX/Pregel supersteps lower to). "
+    "At 100 TB: partition edges by src once; every round reuses that "
+    "partitioning.",
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    l1 = (
+        nodes.join(edges, nodes.node == edges.a)
+        .groupBy("node")
+        .agg(F.least(F.first("node"), F.min("b")).alias("lab"))
+    )
+    own = l1.select(F.col("node").alias("o_node"), F.col("lab").alias("own_lab"))
+    nb = l1.select(F.col("node").alias("nb_node"), F.col("lab").alias("nb_lab"))
+    l2 = (
+        nodes.join(edges, nodes.node == edges.a)
+        .join(own, F.col("node") == F.col("o_node"))
+        .join(nb, F.col("b") == F.col("nb_node"))
+        .groupBy("node", "own_lab")
+        .agg(F.least(F.first("own_lab"), F.min("nb_lab")).alias("lab"))
+    )
+    return l2.groupBy(F.col("lab").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+@query(
+    "graph-jaccard-link-prediction",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (SELECT a AS node, CAST(count(*) AS DOUBLE) AS deg
+                FROM edges GROUP BY a),
+        cn AS (
+            SELECT e1.a AS u, e2.b AS v, CAST(count(*) AS DOUBLE) AS common
+            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+            WHERE e1.a < e2.b
+              AND NOT EXISTS (SELECT 1 FROM edges x
+                              WHERE x.a = e1.a AND x.b = e2.b)
+            GROUP BY e1.a, e2.b
+        )
+        SELECT CAST(u AS BIGINT) AS node_a,
+               CAST(v AS BIGINT) AS node_b,
+               CAST(common AS BIGINT) AS common_neighbors,
+               round(common / (da.deg + db.deg - common), 6) AS jaccard
+        FROM cn JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+        ORDER BY jaccard DESC, node_a, node_b
+        LIMIT 10
+    """,
+    doc="Jaccard link prediction on the nation trade graph: for every "
+    "NON-adjacent pair, |common neighbors| / |neighbor union| (union "
+    "by inclusion-exclusion from degrees — the neighbor sets are "
+    "never materialized as sets), top-10 candidate links. The "
+    "wedge-join (edges ⋈ edges on the shared endpoint) is the same "
+    "bounded-fan-out shape as graph-triangle-count; the anti-join "
+    "removes existing edges; degrees broadcast. The classic "
+    "common-neighbors family baseline (Jaccard here, Adamic-Adar's "
+    "log-degree weighting in graph-adamic-adar) that any learned "
+    "link predictor must beat.",
+    tags=("graph",),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _nation_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = edges.select(F.col("a").alias("x2"), F.col("b").alias("v"))
+    wedges = e1.join(e2, F.col("x") == F.col("x2")).filter(
+        F.col("u") < F.col("v")
+    )
+    non_adj = wedges.join(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    cn = non_adj.groupBy("u", "v").agg(
+        F.count("*").cast("double").alias("common")
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_b"))
+    return (
+        cn.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.col("u").cast("long").alias("node_a"),
+            F.col("v").cast("long").alias("node_b"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
+        .limit(10)
+    )

@@ -1,0 +1,883 @@
+"""ML-prep / ranking-eval / recsys operators (round 5).
+
+The training-data-adjacent surface a large-scale pipeline needs beyond
+dedup/curation: leakage-safe fold assignment, leave-one-out target
+encoding, an in-engine logistic trainer, BM25 retrieval scoring,
+ranking-quality metrics (NDCG/MRR/P@k), pairwise-preference strength
+fitting, item-item similarity, link prediction, and one-pass weighted
+reservoir sampling.
+
+Every op follows the repo contract: a Spark DataFrame plan (codegen
+expressions, partitioned windows, broadcast-bounded joins — no
+empty-partition windows over data-scaled frames) plus a DuckDB oracle
+computing the identical result. Deterministic hashes come from
+operators/dedup.string_hash (md5-based, engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
+from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# fold assignment / encoding / training
+# ---------------------------------------------------------------------------
+
+_KFOLD_SALT = ":kfold-salt-r5"
+
+
+@query(
+    "ml-kfold-assign",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purch
+            FROM events GROUP BY user_id
+        ),
+        folded AS (
+            SELECT ({sql_string_hash(
+                "CAST(user_id AS VARCHAR) || '" + _KFOLD_SALT + "'"
+            )}) % 5 AS fold, n_events, n_purch
+            FROM per_user
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(CAST(sum(n_purch) AS DOUBLE) / sum(n_events), 6)
+                   AS purchase_rate
+        FROM folded GROUP BY fold
+    """,
+    doc="Leakage-safe GROUP k-fold assignment: every event of a user "
+    "lands in the same fold because the fold is a deterministic "
+    "md5-hash of the user id (not of the row) — the split discipline "
+    "that keeps per-entity signal out of the validation folds "
+    "(row-hash splits leak user history across folds and inflate "
+    "CV scores). Engine-portable hash (same md5 mix as "
+    "sample-hash-split) so any system reproduces the exact folds; "
+    "per-fold size and label-rate columns make stratification drift "
+    "visible. One per-user rollup + one 5-group aggregate; at 100 TB "
+    "fold assignment is a stateless projection, no shuffle beyond "
+    "the rollup.",
+    tags=("ml",),
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    )
+    fold = (
+        string_hash(
+            F.concat(F.col("user_id").cast("string"), F.lit(_KFOLD_SALT))
+        )
+        % 5
+    )
+    return (
+        per_user.groupBy(fold.cast("long").alias("fold"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(
+                F.sum("n_purch").cast("double") / F.sum("n_events"), 6
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
+    "ml-target-encode-loo",
+    oracle="""
+        WITH tot AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s
+            FROM events GROUP BY event_type
+        ),
+        prior AS (SELECT avg(value) AS mu FROM events),
+        enc AS (
+            SELECT e.event_type,
+                   (t.s - e.value) / (t.n - 1) AS loo,
+                   (t.s - e.value + 20 * p.mu) / (t.n - 1 + 20) AS smoothed
+            FROM events e
+            JOIN tot t ON t.event_type = e.event_type
+            CROSS JOIN prior p
+            WHERE t.n > 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(loo), 6) AS mean_loo,
+               round(avg(smoothed), 6) AS mean_smoothed,
+               round(stddev_samp(loo), 6) AS sd_loo
+        FROM enc GROUP BY event_type
+    """,
+    doc="Leave-one-out target encoding of event_type against value with "
+    "additive smoothing toward the global prior (m=20 pseudo-counts): "
+    "enc_i = (sum_g - y_i) / (n_g - 1) excludes the row's own target, "
+    "the standard guard against the self-leakage that makes naive "
+    "mean-encoding overfit memorably on rare categories; the smoothed "
+    "form interpolates to the prior exactly where LOO is noisiest. "
+    "Plan: one per-category total (broadcast), one 1-row prior "
+    "(broadcast), encoding as pure codegen arithmetic over the fact "
+    "scan — no per-row state, no window; the per-category output here "
+    "summarizes the encoding (mean/sd) so the result stays "
+    "driver-sized.",
+    tags=("ml",),
+)
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    prior = ev.agg(F.avg("value").alias("mu"))
+    e = (
+        ev.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .filter(F.col("n") > 1)
+    )
+    loo = (F.col("s") - F.col("value")) / (F.col("n") - 1)
+    smoothed = (F.col("s") - F.col("value") + 20 * F.col("mu")) / (
+        F.col("n") - 1 + 20
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(loo), 6).alias("mean_loo"),
+        F.round(F.avg(smoothed), 6).alias("mean_smoothed"),
+        F.round(F.stddev_samp(loo), 6).alias("sd_loo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / ranking evaluation
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "eval-bm25-topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dl AS (
+            SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+            FROM dl
+        ),
+        qterms AS (
+            SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY count(*) DESC, token) AS r
+                FROM tok GROUP BY token
+            ) WHERE r <= 3
+        ),
+        df AS (
+            SELECT t.token, CAST(count(DISTINCT t.doc_id) AS DOUBLE) AS df
+            FROM tf t JOIN qterms q ON q.token = t.token
+            GROUP BY t.token
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf * ({_BM25_K1!r} + 1)
+                       / (t.tf + {_BM25_K1!r}
+                          * (1 - {_BM25_B!r}
+                             + {_BM25_B!r} * l.dl / s.avgdl))
+                   ) AS score
+            FROM tf t
+            JOIN df d ON d.token = t.token
+            JOIN dl l ON l.doc_id = t.doc_id
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75, Lucene-style "
+    "idf = ln(1 + (N-df+0.5)/(df+0.5))): query = the corpus's 3 most "
+    "frequent tokens (deterministic (count desc, token) cut — "
+    "Catalyst bounds the rank's serial input via "
+    "TakeOrderedAndProject), scored docs ranked top-10. The lexical "
+    "retrieval baseline every hybrid-search stack pairs with "
+    "simsearch-topk's dense scores (and the scoring function behind "
+    "text-tfidf-topterms' ranking at retrieval time). Plan: one "
+    "explode + (doc, token) and doc-length hash aggs, a 3-row query "
+    "broadcast, a 1-row corpus-stats broadcast, top-10 via "
+    "TakeOrderedAndProject — no global sort, shuffles bounded by "
+    "vocabulary.",
+    tags=("eval", "text"),
+)
+def eval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "token"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 3)
+        .select("token")
+    )
+    df = (
+        tf.join(F.broadcast(qterms), "token")
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+@query(
+    "eval-ranking-metrics",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY CASE WHEN event_type = 'purchase'
+                                                    THEN 1 ELSE 0 END DESC,
+                                               value DESC, event_id) AS irn
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN rn <= 10 THEN rel / log2(rn + 1.0)
+                            ELSE 0 END) AS dcg10,
+                   sum(CASE WHEN irn <= 10 THEN rel / log2(irn + 1.0)
+                            ELSE 0 END) AS idcg10,
+                   min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+                   sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END) / 5.0 AS p5
+            FROM ranked GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(CASE WHEN idcg10 > 0 THEN dcg10 / idcg10 END), 6)
+                   AS mean_ndcg_at_10,
+               round(avg(coalesce(1.0 / first_rel, 0.0)), 6) AS mrr,
+               round(avg(p5), 6) AS p_at_5
+        FROM per_user
+    """,
+    doc="Ranking-quality battery over a synthetic retrieval task (the "
+    "scorer ranks each user's events by value; relevance = purchase): "
+    "NDCG@10 (graded-position discount against the ideal reordering "
+    "of the SAME item set), MRR (reciprocal first-hit rank, 0 for "
+    "users with no relevant item), and Precision@5 — the triad "
+    "offline search/recsys evals report before any model ships, and "
+    "the measurement loop for simsearch-two-stage-rerank's output "
+    "ordering. All ranks are user-partitioned windows (one shuffle, "
+    "per-partition sorts — scale-safe at any user count); the ideal "
+    "ranking is a second sort key on the same window, not a second "
+    "pass.",
+    tags=("eval",),
+)
+def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rel = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        rel.desc(), F.col("value").desc(), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        rel.alias("rel"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.row_number().over(w_ideal).alias("irn"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("rn") <= 10, F.col("rel") / F.log2(F.col("rn") + 1.0)
+            ).otherwise(0.0)
+        ).alias("dcg10"),
+        F.sum(
+            F.when(
+                F.col("irn") <= 10, F.col("rel") / F.log2(F.col("irn") + 1.0)
+            ).otherwise(0.0)
+        ).alias("idcg10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+        (
+            F.sum(F.when(F.col("rn") <= 5, F.col("rel")).otherwise(0)) / 5.0
+        ).alias("p5"),
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("idcg10") > 0, F.col("dcg10") / F.col("idcg10")
+                )
+            ),
+            6,
+        ).alias("mean_ndcg_at_10"),
+        F.round(
+            F.avg(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))), 6
+        ).alias("mrr"),
+        F.round(F.avg("p5"), 6).alias("p_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-engine model fitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml-logistic-irls",
+    oracle="""
+        WITH pu AS (
+            SELECT ln(1 + count(*)) AS x,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS y
+            FROM events GROUP BY user_id
+        ),
+        s1 AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                   sum(x * x) AS sxx,
+                   sum(y - 0.5) AS g0, sum(x * (y - 0.5)) AS g1
+            FROM pu
+        ),
+        b1 AS (
+            SELECT (0.25 * sxx * g0 - 0.25 * sx * g1)
+                       / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx)
+                       AS b0,
+                   (0.25 * n * g1 - 0.25 * sx * g0)
+                       / (0.25 * n * 0.25 * sxx - 0.25 * sx * 0.25 * sx)
+                       AS b1
+            FROM s1
+        ),
+        it2 AS (
+            SELECT pu.x, pu.y, b1.b0, b1.b1,
+                   1 / (1 + exp(-(b1.b0 + b1.b1 * pu.x))) AS p
+            FROM pu CROSS JOIN b1
+        ),
+        s2 AS (
+            SELECT max(b0) AS b0, max(b1) AS b1,
+                   sum(p * (1 - p)) AS sw,
+                   sum(p * (1 - p) * x) AS swx,
+                   sum(p * (1 - p) * x * x) AS swxx,
+                   sum(y - p) AS g0, sum(x * (y - p)) AS g1
+            FROM it2
+        ),
+        b2 AS (
+            SELECT b0 + (swxx * g0 - swx * g1) / (sw * swxx - swx * swx)
+                       AS b0,
+                   b1 + (sw * g1 - swx * g0) / (sw * swxx - swx * swx)
+                       AS b1
+            FROM s2
+        ),
+        fin AS (
+            SELECT pu.y,
+                   1 / (1 + exp(-(b2.b0 + b2.b1 * pu.x))) AS p,
+                   b2.b0 AS b0, b2.b1 AS b1
+            FROM pu CROSS JOIN b2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(max(b0), 6) AS beta0,
+               round(max(b1), 6) AS beta1,
+               round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS log_loss
+        FROM fin
+    """,
+    doc="In-engine logistic regression (two Newton/IRLS steps from "
+    "beta=0) of purchase propensity on log-activity x = ln(1+events): "
+    "each step is ONE aggregation pass collecting the 2x2 weighted "
+    "normal equations (X'WX, X'(y-p)) plus a closed-form 2x2 solve, "
+    "with the current beta broadcast back as a 1-row literal — the "
+    "pattern that trains quality-classifier-sized GLMs at 100 TB "
+    "without MLlib: d features cost one d^2-cell aggregate per step, "
+    "fully map-side-combined, zero driver loops over data. Two steps "
+    "from a cold start land within ~1e-3 of the converged fit at this "
+    "separation; log-loss at the final beta is reported as the "
+    "training-quality readout.",
+    tags=("ml", "stats"),
+)
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.log(1 + F.count("*")).alias("x"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("y"),
+    ).select("x", "y")
+    s1 = pu.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") - 0.5).alias("g0"),
+        F.sum(F.col("x") * (F.col("y") - 0.5)).alias("g1"),
+    )
+    det1 = 0.25 * F.col("n") * 0.25 * F.col("sxx") - 0.25 * F.col("sx") * 0.25 * F.col("sx")
+    b1 = s1.select(
+        ((0.25 * F.col("sxx") * F.col("g0") - 0.25 * F.col("sx") * F.col("g1")) / det1).alias("b0"),
+        ((0.25 * F.col("n") * F.col("g1") - 0.25 * F.col("sx") * F.col("g0")) / det1).alias("b1"),
+    )
+    it2 = pu.crossJoin(F.broadcast(b1)).withColumn(
+        "p", 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    )
+    w = F.col("p") * (1 - F.col("p"))
+    s2 = it2.agg(
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.sum(w).alias("sw"),
+        F.sum(w * F.col("x")).alias("swx"),
+        F.sum(w * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.col("y") - F.col("p")).alias("g0"),
+        F.sum(F.col("x") * (F.col("y") - F.col("p"))).alias("g1"),
+    )
+    det2 = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    b2 = s2.select(
+        (F.col("b0") + (F.col("swxx") * F.col("g0") - F.col("swx") * F.col("g1")) / det2).alias("b0"),
+        (F.col("b1") + (F.col("sw") * F.col("g1") - F.col("swx") * F.col("g0")) / det2).alias("b1"),
+    )
+    fin = pu.crossJoin(F.broadcast(b2)).withColumn(
+        "p", 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    )
+    return fin.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.max("b0"), 6).alias("beta0"),
+        F.round(F.max("b1"), 6).alias("beta1"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(F.col("p"))
+                + (1 - F.col("y")) * F.log(1 - F.col("p"))
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+@query(
+    "eval-bradley-terry",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS m
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ),
+        games AS (
+            SELECT a.event_type AS i, b.event_type AS j,
+                   CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS wi
+            FROM daily a JOIN daily b
+              ON a.day = b.day AND a.event_type < b.event_type
+            WHERE a.m <> b.m
+        ),
+        pair AS (
+            SELECT i, j, CAST(count(*) AS DOUBLE) AS nij,
+                   CAST(sum(wi) AS DOUBLE) AS wi
+            FROM games GROUP BY i, j
+        ),
+        directed AS (
+            SELECT i AS t, j AS o, nij, wi AS w FROM pair
+            UNION ALL
+            SELECT j, i, nij, nij - wi FROM pair
+        ),
+        wins AS (
+            SELECT t, sum(w) AS big_w, sum(nij) AS games
+            FROM directed GROUP BY t
+        ),
+        p1 AS (
+            SELECT w.t,
+                   w.big_w / sum(d.nij / (1.0 + 1.0)) AS p
+            FROM wins w JOIN directed d ON d.t = w.t
+            GROUP BY w.t, w.big_w
+        ),
+        p2 AS (
+            SELECT w.t, w.big_w, w.games,
+                   w.big_w / sum(d.nij / (pa.p + pb.p)) AS p
+            FROM wins w
+            JOIN directed d ON d.t = w.t
+            JOIN p1 pa ON pa.t = d.t
+            JOIN p1 pb ON pb.t = d.o
+            GROUP BY w.t, w.big_w, w.games
+        ),
+        tot AS (SELECT sum(p) AS z FROM p2)
+        SELECT p2.t AS event_type,
+               CAST(p2.games AS BIGINT) AS games,
+               CAST(p2.big_w AS BIGINT) AS wins,
+               round(p2.p / tot.z, 6) AS bt_strength
+        FROM p2, tot
+    """,
+    doc="Bradley-Terry preference-strength fit over pairwise contests "
+    "(daily mean-value duels between event types; ties dropped): two "
+    "minorization-maximization updates p_i <- W_i / sum_j n_ij/(p_i+"
+    "p_j) from the uniform start, normalized to sum 1 — the model "
+    "behind LLM arena leaderboards and RLHF reward aggregation, "
+    "where raw win RATES mislead whenever opponents differ in "
+    "strength (BT corrects for schedule). All iteration state lives "
+    "on the k-team/k^2-pair summary (bounded by the type vocabulary); "
+    "the only data-scaled pass is the daily rollup. The MM update is "
+    "monotone in likelihood, so two rounds give a stable ordering "
+    "even unconverged.",
+    tags=("eval", "stats"),
+)
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    a = daily.select(F.col("day").alias("da"), F.col("event_type").alias("i"), F.col("m").alias("ma"))
+    b = daily.select(F.col("day").alias("db"), F.col("event_type").alias("j"), F.col("m").alias("mb"))
+    games = a.join(
+        b, (F.col("da") == F.col("db")) & (F.col("i") < F.col("j"))
+    ).filter(F.col("ma") != F.col("mb")).select(
+        "i", "j", F.when(F.col("ma") > F.col("mb"), 1).otherwise(0).alias("wi")
+    )
+    pair = games.groupBy("i", "j").agg(
+        F.count("*").cast("double").alias("nij"),
+        F.sum("wi").cast("double").alias("wi"),
+    )
+    directed = pair.select(
+        F.col("i").alias("t"), F.col("j").alias("o"), "nij", F.col("wi").alias("w")
+    ).unionByName(
+        pair.select(
+            F.col("j").alias("t"), F.col("i").alias("o"), "nij",
+            (F.col("nij") - F.col("wi")).alias("w"),
+        )
+    )
+    wins = directed.groupBy("t").agg(
+        F.sum("w").alias("big_w"), F.sum("nij").alias("games")
+    )
+    p1 = (
+        wins.join(directed, "t")
+        .groupBy("t", "big_w")
+        .agg((F.max("big_w") / F.sum(F.col("nij") / (1.0 + 1.0))).alias("p"))
+        .select("t", "p")
+    )
+    pa = p1.select(F.col("t").alias("t_pa"), F.col("p").alias("p_t"))
+    pb = p1.select(F.col("t").alias("o_pb"), F.col("p").alias("p_o"))
+    p2 = (
+        wins.join(directed, "t")
+        .join(F.broadcast(pa), F.col("t") == F.col("t_pa"))
+        .join(F.broadcast(pb), F.col("o") == F.col("o_pb"))
+        .groupBy("t", "big_w", "games")
+        .agg(
+            (F.max("big_w") / F.sum(F.col("nij") / (F.col("p_t") + F.col("p_o")))).alias("p")
+        )
+    )
+    tot = p2.agg(F.sum("p").alias("z"))
+    return p2.crossJoin(F.broadcast(tot)).select(
+        F.col("t").alias("event_type"),
+        F.col("games").cast("long").alias("games"),
+        F.col("big_w").cast("long").alias("wins"),
+        F.round(F.col("p") / F.col("z"), 6).alias("bt_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# survival / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats-kaplan-meier",
+    oracle="""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+                       AS fv,
+                   min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                       AS fp
+            FROM events GROUP BY user_id
+        ),
+        dur AS (
+            SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                        THEN date_diff('day', fv, fp) ELSE
+                             date_diff('day', fv, e.obs_end) END AS t,
+                   CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END
+                       AS died
+            FROM pu CROSS JOIN ends e
+            WHERE fv IS NOT NULL
+        ),
+        per_t AS (
+            SELECT t, CAST(sum(died) AS DOUBLE) AS d,
+                   CAST(count(*) AS DOUBLE) AS total
+            FROM dur GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   sum(total) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_risk
+            FROM per_t
+        ),
+        km AS (
+            SELECT t, d, n_risk,
+                   exp(sum(CASE WHEN d > 0 THEN ln(1 - d / n_risk)
+                                ELSE 0 END)
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       AS s
+            FROM risk
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               round(s, 6) AS survival
+        FROM km WHERE d > 0 ORDER BY t_days
+    """,
+    doc="Kaplan-Meier product-limit survival curve for first-view -> "
+    "first-purchase conversion with right-censoring at the corpus "
+    "high-water mark (the estimator analytics-survival-censored's "
+    "duration table feeds): S(t) = prod_{u<=t}(1 - d_u/n_u), with "
+    "censored users leaving the risk set without contributing an "
+    "event — dropping them instead (the naive rate) biases "
+    "conversion-time estimates toward fast converters. n_risk is a "
+    "reverse-cumulative count and the product is exp-of-summed-logs, "
+    "both windows over the DISTINCT-DURATION summary (bounded by the "
+    "calendar span, not the user count). Output rows at event times "
+    "only, per KM convention.",
+    tags=("stats",),
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.to_date("ts"))
+        ).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("fp"),
+    )
+    died = (F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))).cast("int")
+    dur = (
+        pu.crossJoin(F.broadcast(ends))
+        .filter(F.col("fv").isNotNull())
+        .select(
+            F.when(
+                died == 1, F.datediff("fp", "fv")
+            ).otherwise(F.datediff("obs_end", "fv")).alias("t"),
+            died.alias("died"),
+        )
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum("died").cast("double").alias("d"),
+        F.count("*").cast("double").alias("total"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("total").over(w_desc).alias("n_risk")
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") > 0, F.log(1 - F.col("d") / F.col("n_risk"))
+                ).otherwise(0.0)
+            ).over(w_asc)
+        ).alias("s"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+_RES_SALT = ":reservoir-salt-r5"
+_RES_P = 2147483647
+
+
+@query(
+    "sample-reservoir-weighted",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_id, event_type, value,
+                   ln((({sql_string_hash(
+                       "CAST(event_id AS VARCHAR) || '" + _RES_SALT + "'"
+                   )}) + 0.5) / {_RES_P}.0) / (value + 1.0) AS k
+            FROM events
+        )
+        SELECT event_id, event_type,
+               round(value, 4) AS weight_minus_1,
+               round(k, 6) AS res_key
+        FROM keyed
+        ORDER BY k DESC, event_id
+        LIMIT 32
+    """,
+    doc="One-pass weighted reservoir sample (Efraimidis-Spirtsos A-Res, "
+    "log form): each row draws a deterministic uniform u from the "
+    "md5 hash of (event_id, salt) and keeps key = ln(u)/w with "
+    "w = value+1; the 32 LARGEST keys are a weighted-without-"
+    "replacement sample where P(selected) is proportional to w. "
+    "Top-k-by-key is associative — per-partition top-32s merge to "
+    "the global top-32 (TakeOrderedAndProject, no global sort) — so "
+    "the same plan is the distributed one-pass reservoir at 100 TB, "
+    "and the deterministic hash makes the 'random' draw reproducible "
+    "across engines, retries, and cluster sizes (cf. sample-hash-"
+    "split; rand()-based reservoirs are none of these).",
+    tags=("sample",),
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        string_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit(_RES_SALT))
+        )
+        + 0.5
+    ) / float(_RES_P)
+    k = F.log(u) / (F.col("value") + 1.0)
+    keyed = ev.select("event_id", "event_type", "value", k.alias("k"))
+    return (
+        keyed.orderBy(F.col("k").desc(), "event_id")
+        .limit(32)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("weight_minus_1"),
+            F.round("k", 6).alias("res_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# recsys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rec-item-item-cosine",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem WHERE l_partkey % 7 = 0
+        ),
+        freq AS (
+            SELECT item, CAST(count(*) AS DOUBLE) AS n FROM items GROUP BY item
+        ),
+        co AS (
+            SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS DOUBLE) AS c
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.item < b.item
+            GROUP BY a.item, b.item
+        )
+        SELECT CAST(ia AS BIGINT) AS item_a,
+               CAST(ib AS BIGINT) AS item_b,
+               CAST(c AS BIGINT) AS n_cobaskets,
+               round(c / (sqrt(fa.n) * sqrt(fb.n)), 6) AS cosine
+        FROM co JOIN freq fa ON fa.item = ia JOIN freq fb ON fb.item = ib
+        WHERE c >= 2
+        ORDER BY cosine DESC, item_a, item_b
+        LIMIT 20
+    """,
+    doc="Item-item collaborative-filtering similarity (the bipartite "
+    "order-item graph projected onto items): co-basket counts "
+    "normalized by sqrt(item frequency) — binary cosine, the "
+    "Amazon-style 'customers also bought' kernel — with a min-support "
+    "floor and a top-20 cut. Differs from basket-affinity (raw "
+    "co-counts) exactly where it matters: normalization stops "
+    "popular items from dominating every neighbor list. The "
+    "within-basket self-join is co-located on the order key and its "
+    "fan-out is bounded by basket size, the property that keeps "
+    "item-item CF tractable at 100 TB while user-user CF is not "
+    "(basket size is bounded; user history is not).",
+    tags=("rec",),
+)
+def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 7 == 0
+    )
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    freq = items.groupBy("item").agg(F.count("*").cast("double").alias("n"))
+    a = items.select("ok", F.col("item").alias("ia"))
+    b = items.select(F.col("ok").alias("ok2"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("double").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    fa = freq.select(F.col("item").alias("ia"), F.col("n").alias("na"))
+    fb = freq.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(fa), "ia")
+        .join(F.broadcast(fb), "ib")
+        .select(
+            F.col("ia").cast("long").alias("item_a"),
+            F.col("ib").cast("long").alias("item_b"),
+            F.col("c").cast("long").alias("n_cobaskets"),
+            F.round(
+                F.col("c") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "item_a", "item_b")
+        .limit(20)
+    )

@@ -89,6 +89,7 @@ def _load_all() -> None:
         graph,
         maintenance,
         minhash,
+        mlprep,
         multimodal,
         privacy,
         relational,

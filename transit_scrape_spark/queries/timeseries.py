@@ -3021,3 +3021,160 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_7d_e6"),
     )
+
+
+@query(
+    "timeseries-forecast-backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        lagged AS (
+            SELECT day, y,
+                   lag(y, 7) OVER w AS f_snaive,
+                   lag(y, 1) OVER w AS y_prev,
+                   row_number() OVER w AS rn
+            FROM daily WINDOW w AS (ORDER BY day)
+        ),
+        scored AS (
+            SELECT y, f_snaive,
+                   abs(y - f_snaive) AS ae,
+                   abs(y - y_prev) AS naive_ae
+            FROM lagged WHERE rn > 7
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(abs(y - f_snaive) / y), 6) AS mape,
+               round(avg(2 * abs(y - f_snaive)
+                         / (abs(y) + abs(f_snaive))), 6) AS smape,
+               round(avg(ae) / avg(naive_ae), 6) AS mase
+        FROM scored
+    """,
+    doc="Forecast backtest of the seasonal-naive baseline (y_hat_t = "
+    "y_{t-7}) on daily revenue, scored with the three standard "
+    "accuracy metrics: MAPE (interpretable but explodes near zero "
+    "actuals), sMAPE (bounded symmetric variant), and MASE (error "
+    "scaled by the in-sample one-step naive MAE — the only one of "
+    "the three that is scale-free AND zero-safe, which is why M-"
+    "competitions report it; MASE < 1 means the method beats naive). "
+    "Any real forecaster must clear this bar first. Lags/ranks are "
+    "windows over the daily summary (calendar-bounded); warm-up week "
+    "excluded from scoring.",
+    tags=("timeseries",),
+)
+def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        F.lag("y", 7).over(w).alias("f_snaive"),
+        F.lag("y", 1).over(w).alias("y_prev"),
+        F.row_number().over(w).alias("rn"),
+    )
+    scored = lagged.filter(F.col("rn") > 7).select(
+        "y",
+        "f_snaive",
+        F.abs(F.col("y") - F.col("f_snaive")).alias("ae"),
+        F.abs(F.col("y") - F.col("y_prev")).alias("naive_ae"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.avg(F.abs(F.col("y") - F.col("f_snaive")) / F.col("y")), 6
+        ).alias("mape"),
+        F.round(
+            F.avg(
+                2
+                * F.abs(F.col("y") - F.col("f_snaive"))
+                / (F.abs(F.col("y")) + F.abs(F.col("f_snaive")))
+            ),
+            6,
+        ).alias("smape"),
+        F.round(F.avg("ae") / F.avg("naive_ae"), 6).alias("mase"),
+    )
+
+
+@query(
+    "timeseries-page-hinkley",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        run AS (
+            SELECT day, x,
+                   avg(x) OVER w AS xbar,
+                   row_number() OVER w AS rn
+            FROM daily WINDOW w AS (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        m AS (
+            SELECT day,
+                   sum(x - xbar - 0.005) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS m_t
+            FROM run
+        ),
+        ph AS (
+            SELECT day, m_t,
+                   m_t - min(m_t) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ph_t
+            FROM m
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(max(ph_t), 6) AS max_ph,
+               CAST(min(CASE WHEN ph_t > 5.0 THEN day END) AS DATE)
+                   AS first_alarm_day,
+               CAST(count(CASE WHEN ph_t > 5.0 THEN 1 END) AS BIGINT)
+                   AS n_alarm_days
+        FROM ph
+    """,
+    doc="Page-Hinkley upward-drift detector on the daily mean value: "
+    "m_t accumulates deviations from the RUNNING mean (minus a "
+    "tolerance delta=0.005), and PH_t = m_t - min_{s<=t} m_s alarms "
+    "when it exceeds lambda=5 — the sequential change detector used "
+    "in streaming-ML drift monitors (cheaper than CUSUM's two-sided "
+    "bookkeeping, more robust than threshold-on-mean because the "
+    "running mean adapts). Complements timeseries-changepoint "
+    "(retrospective single split) and stats-sprt-monitor (two simple "
+    "hypotheses) as the online-detection member of the family. "
+    "Windows over the daily summary only (calendar-bounded).",
+    tags=("timeseries",),
+)
+def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.select(
+        "day", "x", F.avg("x").over(w).alias("xbar")
+    )
+    m = run.select(
+        "day",
+        F.sum(F.col("x") - F.col("xbar") - 0.005).over(w).alias("m_t"),
+    )
+    ph = m.select(
+        "day", "m_t", (F.col("m_t") - F.min("m_t").over(w)).alias("ph_t")
+    )
+    return ph.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.max("ph_t"), 6).alias("max_ph"),
+        F.min(F.when(F.col("ph_t") > 5.0, F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+        F.count(F.when(F.col("ph_t") > 5.0, 1)).cast("long").alias(
+            "n_alarm_days"
+        ),
+    )
