@@ -183,6 +183,10 @@ SCALAR_BROADCAST_OPS = {
     "ml-logistic-irls",        # 1-row beta broadcast per Newton step
     "ml-target-encode-loo",    # 1-row global-prior broadcast
     "stats-kaplan-meier",      # 1-row observation-end broadcast
+    "stats-permutation-test",  # 1-row observed-diff broadcast
+    "corpus-dsir-importance",  # 1-row corpus-totals broadcast
+    "dq-sequence-integrity",   # 1-row duplicate-count broadcast
+    "embed-hard-negative-mining",  # 5-row anchor block inequality join
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -286,6 +290,7 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "stats-ks-binned": 2,
             "stats-mutual-information": 1,
             "stats-roc-auc-binned": 3,
+            "ml-pr-auc-binned": 3,
             "stats-uniformity-hours": 1,
             "stats-wasserstein-binned": 2,
             "stats-youden-threshold": 2,

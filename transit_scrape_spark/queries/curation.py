@@ -1582,3 +1582,106 @@ def corpus_quality_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+_DSIR_BUCKETS = 64
+
+
+@query(
+    "corpus-dsir-importance",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   ({sql_string_hash("unnest(string_split(lower(text), ' '))")})
+                       % {_DSIR_BUCKETS} AS f
+            FROM documents
+        ),
+        tgt AS (
+            SELECT f, CAST(count(*) AS DOUBLE) AS c
+            FROM tok WHERE lang = 'en' GROUP BY f
+        ),
+        src AS (
+            SELECT f, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY f
+        ),
+        tot AS (
+            SELECT (SELECT sum(c) FROM tgt) AS nt,
+                   (SELECT sum(c) FROM src) AS ns
+        ),
+        ratio AS (
+            SELECT s.f,
+                   ln(((coalesce(t.c, 0) + 1) / (tt.nt + {_DSIR_BUCKETS}))
+                      / ((s.c + 1) / (tt.ns + {_DSIR_BUCKETS}))) AS lr
+            FROM src s LEFT JOIN tgt t ON t.f = s.f CROSS JOIN tot tt
+        ),
+        per_doc AS (
+            SELECT k.doc_id, k.lang,
+                   avg(r.lr) AS log_importance
+            FROM tok k JOIN ratio r ON r.f = k.f
+            GROUP BY k.doc_id, k.lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(log_importance), 6) AS mean_log_importance,
+               CAST(sum(CASE WHEN log_importance > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_selected
+        FROM per_doc GROUP BY lang
+    """,
+    doc="DSIR-style importance weighting (Xie et al.'s data selection "
+    "with importance resampling, condensed to its hashed-n-gram "
+    "core): features are md5-hashed unigram buckets (64 bins — "
+    "vocabulary-free, the property that makes DSIR run at corpus "
+    "scale), the target distribution is the English slice, and each "
+    "document scores the mean log importance ratio "
+    "ln(P_target(f)/P_source(f)) of its tokens under add-one "
+    "smoothing. Positive scores mark documents that look like the "
+    "target domain — the principled replacement for hand-written "
+    "quality filters when curating toward a reference corpus "
+    "(complements corpus-ccnet-ppl-buckets' perplexity view). Plan: "
+    "one token explode, two bucket histograms (64 rows, broadcast), "
+    "per-doc mean via one hash agg.",
+    tags=("corpus",),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        (string_hash(F.col("w")) % _DSIR_BUCKETS).alias("f"),
+    )
+    tgt = tok.filter(F.col("lang") == "en").groupBy("f").agg(
+        F.count("*").cast("double").alias("ct")
+    )
+    src = tok.groupBy("f").agg(F.count("*").cast("double").alias("cs"))
+    tot = src.agg(F.sum("cs").alias("ns")).crossJoin(
+        tgt.agg(F.sum("ct").alias("nt"))
+    )
+    ratio = (
+        src.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                / ((F.col("cs") + 1) / (F.col("ns") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("lr").alias("log_importance"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("log_importance"), 6).alias("mean_log_importance"),
+        F.sum(F.when(F.col("log_importance") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+    )

@@ -1813,3 +1813,85 @@ def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cust").cast("double") / F.col("prev_cust") - 1, 6
         ).alias("cust_mom_drift"),
     )
+
+
+@query(
+    "dq-sequence-integrity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   lag(event_id) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_id,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST((SELECT count(*) - count(DISTINCT event_id) FROM events)
+                    AS BIGINT) AS n_dup_event_ids,
+               CAST(sum(CASE WHEN ts = prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ts_ties,
+               CAST(sum(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_id_inversions,
+               round(avg(CASE WHEN prev_ts IS NOT NULL
+                              THEN epoch(ts) - epoch(prev_ts) END), 4)
+                   AS mean_gap_sec
+        FROM seq
+    """,
+    doc="Event-sequence integrity audit — the ingestion-quality gate "
+    "for any event-sourced table: duplicate event ids (exactly-once "
+    "violations), same-timestamp ties per user (ordering ambiguity "
+    "that makes window results nondeterministic without a tiebreak — "
+    "the hazard every ORDER BY in this repo guards with event_id), "
+    "id/time inversions (late or re-sequenced delivery; a proxy for "
+    "how much watermark delay a streaming consumer needs), and the "
+    "mean inter-event gap (sessionization-threshold calibration). "
+    "One user-partitioned window pass + one distinct count — both "
+    "shuffle-bounded by the key, no global ordering anywhere.",
+    tags=("dq",),
+)
+def dq_sequence_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    dups = ev.agg(
+        (F.count("*") - F.count_distinct("event_id"))
+        .cast("long")
+        .alias("n_dup_event_ids")
+    )
+    return seq.crossJoin(F.broadcast(dups)).agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        F.max("n_dup_event_ids").alias("n_dup_event_ids"),
+        F.sum(F.when(F.col("ts") == F.col("prev_ts"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ts_ties"),
+        F.sum(
+            F.when(
+                F.col("prev_id").isNotNull()
+                & (F.col("event_id") < F.col("prev_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_id_inversions"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("prev_ts").isNotNull(),
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double"),
+                )
+            ),
+            4,
+        ).alias("mean_gap_sec"),
+    )

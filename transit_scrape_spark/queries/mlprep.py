@@ -881,3 +881,110 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+@query(
+    "ml-pr-auc-binned",
+    oracle="""
+        WITH pu AS (
+            SELECT avg(value) AS score,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS y
+            FROM events GROUP BY user_id
+        ),
+        binned AS (
+            SELECT least(CAST(floor(score / 5) AS BIGINT), 19) AS bin,
+                   CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(sum(1 - y) AS DOUBLE) AS neg
+            FROM pu GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin,
+                   sum(pos) OVER w AS cpos,
+                   sum(neg) OVER w AS cneg,
+                   sum(pos) OVER () AS tpos
+            FROM binned
+            WINDOW w AS (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pts AS (
+            SELECT bin,
+                   cpos / (cpos + cneg) AS precision_,
+                   cpos / tpos AS recall_,
+                   cpos / tpos
+                   - coalesce(lag(cpos / tpos) OVER (ORDER BY bin DESC), 0.0)
+                       AS d_recall
+            FROM cum
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               round(sum(precision_ * d_recall), 6) AS pr_auc,
+               round(max(CASE WHEN recall_ >= 0.5 THEN precision_ END), 6)
+                   AS best_precision_at_recall50
+        FROM pts
+    """,
+    doc="Precision-recall AUC (binned step interpolation) for the "
+    "purchase-propensity score (per-user mean value): score bins "
+    "sweep the threshold from high to low; each bin contributes "
+    "precision x recall-increment. PR-AUC is the metric that stays "
+    "honest under the class imbalance every conversion/quality-"
+    "filter task has (ROC-AUC — stats-roc-auc-binned on the same "
+    "score — saturates when negatives dominate because FPR's "
+    "denominator is huge). Also reports precision at recall >= 0.5, "
+    "the operating point a reviewer actually picks. Windows run over "
+    "the 20-bin summary only; the fact pass is one per-user rollup "
+    "+ one binned aggregate.",
+    tags=("ml", "eval"),
+)
+def ml_pr_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.avg("value").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    binned = pu.groupBy(
+        F.least(F.floor(F.col("score") / 5).cast("long"), F.lit(19)).alias(
+            "bin"
+        )
+    ).agg(
+        F.sum("y").cast("double").alias("pos"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg"),
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = binned.select(
+        "bin",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+        F.sum("pos").over(w_all).alias("tpos"),
+    )
+    recall = F.col("cpos") / F.col("tpos")
+    pts = cum.select(
+        "bin",
+        (F.col("cpos") / (F.col("cpos") + F.col("cneg"))).alias("precision_"),
+        recall.alias("recall_"),
+        (
+            recall
+            - F.coalesce(
+                F.lag(recall).over(Window.orderBy(F.col("bin").desc())),
+                F.lit(0.0),
+            )
+        ).alias("d_recall"),
+    )
+    return pts.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(F.col("precision_") * F.col("d_recall")), 6).alias(
+            "pr_auc"
+        ),
+        F.round(
+            F.max(
+                F.when(F.col("recall_") >= 0.5, F.col("precision_"))
+            ),
+            6,
+        ).alias("best_precision_at_recall50"),
+    )

@@ -6815,3 +6815,112 @@ def stats_binary_confusion_battery(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(sens + spec - 1, 6).alias("youden_informedness"),
         F.round(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
     )
+
+
+_PERM_B = 20
+_PERM_SALT = ":perm-salt-r5"
+
+
+@query(
+    "stats-permutation-test",
+    oracle=f"""
+        WITH obs AS (
+            SELECT avg(CASE WHEN event_type = 'click' THEN value END)
+                   - avg(CASE WHEN event_type = 'view' THEN value END)
+                       AS diff
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        reps AS (
+            SELECT e.value, t.b,
+                   ({sql_string_hash(
+                       "CAST(e.event_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)"
+                       " || '" + _PERM_SALT + "'"
+                   )}) % 2 AS g
+            FROM events e
+            CROSS JOIN (SELECT unnest(range({_PERM_B})) AS b) t
+            WHERE e.event_type IN ('click', 'view')
+        ),
+        perm AS (
+            SELECT b,
+                   avg(CASE WHEN g = 1 THEN value END)
+                   - avg(CASE WHEN g = 0 THEN value END) AS diff
+            FROM reps GROUP BY b
+        )
+        SELECT CAST({_PERM_B} AS BIGINT) AS n_permutations,
+               round(max(o.diff), 6) AS observed_diff,
+               round(avg(abs(p.diff)), 6) AS mean_null_abs_diff,
+               round((1.0 + sum(CASE WHEN abs(p.diff) >= abs(o.diff)
+                                     THEN 1 ELSE 0 END))
+                     / ({_PERM_B} + 1.0), 6) AS p_value
+        FROM perm p CROSS JOIN obs o
+    """,
+    doc="Randomization (permutation) test for the click-vs-view mean "
+    "value difference: B=20 pseudo-permutations reassign each row's "
+    "group by a deterministic md5 hash of (event_id, b) — the "
+    "distribution-free significance test that needs no normality or "
+    "equal-variance assumption (the exact complement to stats-welch-"
+    "ttest on the same contrast), with the add-one p-value (Phipson-"
+    "Smyth) that never reports 0. The hash makes every replicate "
+    "reproducible across engines and retries — rand()-based "
+    "permutation tests are neither — and the B-fold fan-out is an "
+    "explicit constant multiplier (B x one hash-agg), embarrassingly "
+    "parallel at 100 TB; raise B for finer p resolution, cost is "
+    "linear.",
+    tags=("stats",),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import string_hash
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    obs = ev.agg(
+        (
+            F.avg(F.when(F.col("event_type") == "click", F.col("value")))
+            - F.avg(F.when(F.col("event_type") == "view", F.col("value")))
+        ).alias("diff")
+    )
+    reps = ev.select(
+        "value",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_PERM_B)])
+        ).alias("b"),
+        "event_id",
+    ).select(
+        "value",
+        "b",
+        (
+            string_hash(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                    F.lit(_PERM_SALT),
+                )
+            )
+            % 2
+        ).alias("g"),
+    )
+    perm = reps.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("g") == 1, F.col("value")))
+            - F.avg(F.when(F.col("g") == 0, F.col("value")))
+        ).alias("diff")
+    )
+    return perm.crossJoin(F.broadcast(obs.select(F.col("diff").alias("odiff")))).agg(
+        F.lit(_PERM_B).cast("long").alias("n_permutations"),
+        F.round(F.max("odiff"), 6).alias("observed_diff"),
+        F.round(F.avg(F.abs(F.col("diff"))), 6).alias("mean_null_abs_diff"),
+        F.round(
+            (
+                1.0
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("diff")) >= F.abs(F.col("odiff")), 1
+                    ).otherwise(0)
+                )
+            )
+            / (_PERM_B + 1.0),
+            6,
+        ).alias("p_value"),
+    )

@@ -2015,3 +2015,73 @@ def embed_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("pred") == F.col("label"), margin)), 6
         ).alias("mean_margin_correct"),
     )
+
+
+@query(
+    "embed-hard-negative-mining",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, label AS q_label,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id <= 5
+        ),
+        scored AS (
+            SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
+        )
+        SELECT q_id, neg_id, q_label, neg_label, sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY sim DESC, neg_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: for each of 5 "
+    "anchor vectors, the 5 most-similar vectors with a DIFFERENT "
+    "label — the near-miss negatives that make embedding/reranker "
+    "training converge (random negatives are trivially separable and "
+    "teach nothing; the standard curation step for dense-retrieval "
+    "and CLIP-style data). Plan: 5-row anchor block broadcast, "
+    "cosine as codegen zip_with/aggregate, label-mismatch filter "
+    "BEFORE ranking, per-anchor top-5 via a PARTITIONED window "
+    "(WindowGroupLimit prunes per partition). At 100 TB the anchor "
+    "block batches (simsearch-batch-topk's shape) and the scan "
+    "swaps for the IVF/LSH-bucketed candidate set.",
+    tags=("embed", "ml"),
+)
+def embed_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine(as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neg_id", "q_label", "neg_label", "sim")
+    )
