@@ -187,6 +187,10 @@ SCALAR_BROADCAST_OPS = {
     "corpus-dsir-importance",  # 1-row corpus-totals broadcast
     "dq-sequence-integrity",   # 1-row duplicate-count broadcast
     "embed-hard-negative-mining",  # 5-row anchor block inequality join
+    "eval-fleiss-kappa",       # 1-row marginal/chance-term broadcasts
+    "rec-coverage-novelty",    # 1-row catalog-totals broadcast + 20-row rec list
+    "timeseries-ses-grid",     # 1-row series-mean + 1-row best-SSE broadcasts
+    "timeseries-matrix-profile-discord",  # bounded day-window block join
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -246,6 +250,8 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "timeseries-drawdown-episodes": 1,
             "timeseries-forecast-backtest": 1,
             "timeseries-page-hinkley": 3,
+            "timeseries-ses-grid": 10,
+            "timeseries-matrix-profile-discord": 2,
             # distinct first-view->first-purchase durations: bounded by
             # the calendar span (days), not the user count
             "stats-kaplan-meier": 2,

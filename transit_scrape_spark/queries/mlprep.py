@@ -988,3 +988,108 @@ def ml_pr_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("best_precision_at_recall50"),
     )
+
+
+@query(
+    "rec-coverage-novelty",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem WHERE l_partkey % 7 = 0
+        ),
+        freq AS (
+            SELECT item, CAST(count(*) AS DOUBLE) AS n FROM items GROUP BY item
+        ),
+        tot AS (
+            SELECT sum(n) AS z, CAST(count(*) AS DOUBLE) AS n_items FROM freq
+        ),
+        co AS (
+            SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS DOUBLE) AS c
+            FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+            GROUP BY a.item, b.item
+        ),
+        recs AS (
+            SELECT ia, ib FROM (
+                SELECT co.ia, co.ib,
+                       co.c / (sqrt(fa.n) * sqrt(fb.n)) AS cosine
+                FROM co JOIN freq fa ON fa.item = co.ia
+                        JOIN freq fb ON fb.item = co.ib
+                WHERE co.c >= 2
+                ORDER BY cosine DESC, co.ia, co.ib
+                LIMIT 20
+            )
+        ),
+        rec_items AS (
+            SELECT ia AS item FROM recs UNION ALL SELECT ib FROM recs
+        )
+        SELECT CAST(count(DISTINCT r.item) AS BIGINT) AS n_rec_items,
+               round(count(DISTINCT r.item) / max(t.n_items), 6)
+                   AS catalog_coverage,
+               round(avg(-log2(f.n / t.z)), 6) AS mean_novelty_bits
+        FROM rec_items r
+        JOIN freq f ON f.item = r.item
+        CROSS JOIN tot t
+    """,
+    doc="Recommendation-quality diagnostics over rec-item-item-cosine's "
+    "top-20 neighbor list: catalog coverage (what fraction of the "
+    "item universe any recommendation touches — low coverage means "
+    "the recommender only resurfaces bestsellers) and mean novelty "
+    "in bits, -log2(popularity share) of recommended items (the "
+    "information-theoretic surprise; pure-popularity recommenders "
+    "score near log2(1/share of head items)). Accuracy metrics "
+    "alone (eval-ranking-metrics) reward popularity bias; this pair "
+    "is the standard counterweight. Rides the identical co-basket "
+    "plan as the recommender op, so the marginal cost is two "
+    "broadcast lookups over a 20-row list.",
+    tags=("rec", "eval"),
+)
+def rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 7 == 0
+    )
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    freq = items.groupBy("item").agg(F.count("*").cast("double").alias("n"))
+    tot = freq.agg(
+        F.sum("n").alias("z"), F.count("*").cast("double").alias("n_items")
+    )
+    a = items.select("ok", F.col("item").alias("ia"))
+    b = items.select(F.col("ok").alias("ok2"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("double").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    fa = freq.select(F.col("item").alias("ia"), F.col("n").alias("na"))
+    fb = freq.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
+    recs = (
+        co.join(F.broadcast(fa), "ia")
+        .join(F.broadcast(fb), "ib")
+        .select(
+            "ia",
+            "ib",
+            (F.col("c") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "ia", "ib")
+        .limit(20)
+    )
+    rec_items = recs.select(F.col("ia").alias("item")).unionByName(
+        recs.select(F.col("ib").alias("item"))
+    )
+    return (
+        rec_items.join(F.broadcast(freq), "item")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count_distinct("item").cast("long").alias("n_rec_items"),
+            F.round(
+                F.count_distinct("item") / F.max("n_items"), 6
+            ).alias("catalog_coverage"),
+            F.round(
+                F.avg(-F.log2(F.col("n") / F.col("z"))), 6
+            ).alias("mean_novelty_bits"),
+        )
+    )

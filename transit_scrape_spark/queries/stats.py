@@ -6924,3 +6924,126 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+_FK_SALT = ":fleiss-salt-r5"
+
+
+@query(
+    "eval-fleiss-kappa",
+    oracle=f"""
+        WITH ratings AS (
+            SELECT e.event_id,
+                   CASE WHEN ({sql_string_hash(
+                       "CAST(e.event_id AS VARCHAR) || ':' ||"
+                       " CAST(t.r AS VARCHAR) || '" + _FK_SALT + "'"
+                   )}) % 4 = 0
+                        THEN (least(CAST(floor(e.value / 34) AS BIGINT), 2)
+                              + 1
+                              + ({sql_string_hash(
+                       "CAST(e.event_id AS VARCHAR) || ':n:' ||"
+                       " CAST(t.r AS VARCHAR) || '" + _FK_SALT + "'"
+                   )}) % 2) % 3
+                        ELSE least(CAST(floor(e.value / 34) AS BIGINT), 2)
+                   END AS cat
+            FROM events e
+            CROSS JOIN (SELECT unnest(range(3)) AS r) t
+        ),
+        cell AS (
+            SELECT event_id, cat, CAST(count(*) AS DOUBLE) AS nij
+            FROM ratings GROUP BY event_id, cat
+        ),
+        per_subj AS (
+            SELECT event_id,
+                   (sum(nij * nij) - 3) / (3.0 * 2.0) AS p_i
+            FROM cell GROUP BY event_id
+        ),
+        pj AS (
+            SELECT cat, sum(nij) AS nj FROM cell GROUP BY cat
+        ),
+        pe AS (
+            SELECT sum((nj / (SELECT sum(nj) FROM pj))
+                       * (nj / (SELECT sum(nj) FROM pj))) AS pe
+            FROM pj
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+               round(avg(p_i), 6) AS p_bar,
+               round(max(pe.pe), 6) AS p_e,
+               round((avg(p_i) - max(pe.pe)) / (1 - max(pe.pe)), 6)
+                   AS fleiss_kappa
+        FROM per_subj CROSS JOIN pe
+    """,
+    doc="Fleiss' kappa inter-annotator agreement for 3 raters x 3 "
+    "categories (raters are deterministic hash-perturbed copies of a "
+    "value-band label — ~25% noise rate — so the statistic exercises "
+    "real disagreement): P_i per subject from category count squares, "
+    "chance agreement P_e from squared marginals, kappa = "
+    "(P_bar - P_e)/(1 - P_e). THE quality gate for human-labeled "
+    "training data — a labeling pipeline whose kappa is near chance "
+    "produces noise, not signal, and rater-subset kappas localize "
+    "the problem. Plan: rater fan-out is an explicit 3x constant, "
+    "then two hash aggregations (per-subject, per-category) and a "
+    "1-row chance term — no windows at all.",
+    tags=("eval", "stats"),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import string_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.least(F.floor(F.col("value") / 34).cast("long"), F.lit(2))
+    r = ev.select("event_id", "value").select(
+        "event_id",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+    )
+    noisy = (
+        string_hash(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("r").cast("string"),
+                F.lit(_FK_SALT),
+            )
+        )
+        % 4
+        == 0
+    )
+    shift = (
+        string_hash(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":n:"),
+                F.col("r").cast("string"),
+                F.lit(_FK_SALT),
+            )
+        )
+        % 2
+    )
+    ratings = r.select(
+        "event_id",
+        F.when(noisy, (base + 1 + shift) % 3).otherwise(base).alias("cat"),
+    )
+    cell = ratings.groupBy("event_id", "cat").agg(
+        F.count("*").cast("double").alias("nij")
+    )
+    per_subj = cell.groupBy("event_id").agg(
+        ((F.sum(F.col("nij") * F.col("nij")) - 3) / (3.0 * 2.0)).alias("p_i")
+    )
+    pj = cell.groupBy("cat").agg(F.sum("nij").alias("nj"))
+    tot = pj.agg(F.sum("nj").alias("tot"))
+    pe = (
+        pj.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nj") / F.col("tot")) * (F.col("nj") / F.col("tot"))
+            ).alias("pe")
+        )
+    )
+    return per_subj.crossJoin(F.broadcast(pe)).agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.round(F.avg("p_i"), 6).alias("p_bar"),
+        F.round(F.max("pe"), 6).alias("p_e"),
+        F.round(
+            (F.avg("p_i") - F.max("pe")) / (1 - F.max("pe")), 6
+        ).alias("fleiss_kappa"),
+    )

@@ -3178,3 +3178,207 @@ def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alarm_days"
         ),
     )
+
+
+@query(
+    "timeseries-ses-grid",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        base AS (SELECT avg(y) AS mu FROM daily),
+        lagged AS (
+            SELECT d.day, d.y, b.mu, row_number() OVER w AS rn
+            FROM daily d CROSS JOIN base b
+            WINDOW w AS (ORDER BY d.day)
+        ),
+        fc AS (
+            SELECT CAST(0.1 AS DOUBLE) AS alpha, day, y, rn,
+                   CAST(0.1 AS DOUBLE) * lag(y, 1) OVER w1 + CAST(0.09000000000000001 AS DOUBLE) * lag(y, 2) OVER w1 + CAST(0.08100000000000002 AS DOUBLE) * lag(y, 3) OVER w1 + CAST(0.0729 AS DOUBLE) * lag(y, 4) OVER w1 + CAST(0.06561 AS DOUBLE) * lag(y, 5) OVER w1 + CAST(0.05904900000000001 AS DOUBLE) * lag(y, 6) OVER w1 + CAST(0.05314410000000001 AS DOUBLE) * lag(y, 7) OVER w1 + CAST(0.04782969000000001 AS DOUBLE) * lag(y, 8) OVER w1 + CAST(0.04304672100000001 AS DOUBLE) * lag(y, 9) OVER w1 + CAST(0.03874204890000001 AS DOUBLE) * lag(y, 10) OVER w1 + CAST(0.03486784401000001 AS DOUBLE) * lag(y, 11) OVER w1 + CAST(0.031381059609000006 AS DOUBLE) * lag(y, 12) OVER w1 + CAST(0.028242953648100012 AS DOUBLE) * lag(y, 13) OVER w1 + CAST(0.02541865828329001 AS DOUBLE) * lag(y, 14) OVER w1
+                   + CAST(0.2287679245496101 AS DOUBLE) * mu AS f
+            FROM lagged WINDOW w1 AS (ORDER BY day)
+            UNION ALL
+            SELECT CAST(0.3 AS DOUBLE) AS alpha, day, y, rn,
+                   CAST(0.3 AS DOUBLE) * lag(y, 1) OVER w2 + CAST(0.21 AS DOUBLE) * lag(y, 2) OVER w2 + CAST(0.14699999999999996 AS DOUBLE) * lag(y, 3) OVER w2 + CAST(0.10289999999999998 AS DOUBLE) * lag(y, 4) OVER w2 + CAST(0.07202999999999998 AS DOUBLE) * lag(y, 5) OVER w2 + CAST(0.05042099999999998 AS DOUBLE) * lag(y, 6) OVER w2 + CAST(0.035294699999999984 AS DOUBLE) * lag(y, 7) OVER w2 + CAST(0.02470628999999999 AS DOUBLE) * lag(y, 8) OVER w2 + CAST(0.01729440299999999 AS DOUBLE) * lag(y, 9) OVER w2 + CAST(0.012106082099999993 AS DOUBLE) * lag(y, 10) OVER w2 + CAST(0.008474257469999994 AS DOUBLE) * lag(y, 11) OVER w2 + CAST(0.005931980228999996 AS DOUBLE) * lag(y, 12) OVER w2 + CAST(0.0041523861602999965 AS DOUBLE) * lag(y, 13) OVER w2 + CAST(0.0029066703122099975 AS DOUBLE) * lag(y, 14) OVER w2
+                   + CAST(0.006782230728489994 AS DOUBLE) * mu AS f
+            FROM lagged WINDOW w2 AS (ORDER BY day)
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE) AS alpha, day, y, rn,
+                   CAST(0.5 AS DOUBLE) * lag(y, 1) OVER w3 + CAST(0.25 AS DOUBLE) * lag(y, 2) OVER w3 + CAST(0.125 AS DOUBLE) * lag(y, 3) OVER w3 + CAST(0.0625 AS DOUBLE) * lag(y, 4) OVER w3 + CAST(0.03125 AS DOUBLE) * lag(y, 5) OVER w3 + CAST(0.015625 AS DOUBLE) * lag(y, 6) OVER w3 + CAST(0.0078125 AS DOUBLE) * lag(y, 7) OVER w3 + CAST(0.00390625 AS DOUBLE) * lag(y, 8) OVER w3 + CAST(0.001953125 AS DOUBLE) * lag(y, 9) OVER w3 + CAST(0.0009765625 AS DOUBLE) * lag(y, 10) OVER w3 + CAST(0.00048828125 AS DOUBLE) * lag(y, 11) OVER w3 + CAST(0.000244140625 AS DOUBLE) * lag(y, 12) OVER w3 + CAST(0.0001220703125 AS DOUBLE) * lag(y, 13) OVER w3 + CAST(6.103515625e-05 AS DOUBLE) * lag(y, 14) OVER w3
+                   + CAST(6.103515625e-05 AS DOUBLE) * mu AS f
+            FROM lagged WINDOW w3 AS (ORDER BY day)
+            UNION ALL
+            SELECT CAST(0.7 AS DOUBLE) AS alpha, day, y, rn,
+                   CAST(0.7 AS DOUBLE) * lag(y, 1) OVER w4 + CAST(0.21000000000000002 AS DOUBLE) * lag(y, 2) OVER w4 + CAST(0.06300000000000001 AS DOUBLE) * lag(y, 3) OVER w4 + CAST(0.018900000000000007 AS DOUBLE) * lag(y, 4) OVER w4 + CAST(0.005670000000000003 AS DOUBLE) * lag(y, 5) OVER w4 + CAST(0.0017010000000000011 AS DOUBLE) * lag(y, 6) OVER w4 + CAST(0.0005103000000000004 AS DOUBLE) * lag(y, 7) OVER w4 + CAST(0.00015309000000000015 AS DOUBLE) * lag(y, 8) OVER w4 + CAST(4.592700000000005e-05 AS DOUBLE) * lag(y, 9) OVER w4 + CAST(1.3778100000000016e-05 AS DOUBLE) * lag(y, 10) OVER w4 + CAST(4.133430000000006e-06 AS DOUBLE) * lag(y, 11) OVER w4 + CAST(1.2400290000000018e-06 AS DOUBLE) * lag(y, 12) OVER w4 + CAST(3.7200870000000064e-07 AS DOUBLE) * lag(y, 13) OVER w4 + CAST(1.1160261000000021e-07 AS DOUBLE) * lag(y, 14) OVER w4
+                   + CAST(4.78296900000001e-08 AS DOUBLE) * mu AS f
+            FROM lagged WINDOW w4 AS (ORDER BY day)
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE) AS alpha, day, y, rn,
+                   CAST(0.9 AS DOUBLE) * lag(y, 1) OVER w5 + CAST(0.08999999999999998 AS DOUBLE) * lag(y, 2) OVER w5 + CAST(0.008999999999999996 AS DOUBLE) * lag(y, 3) OVER w5 + CAST(0.0008999999999999994 AS DOUBLE) * lag(y, 4) OVER w5 + CAST(8.999999999999992e-05 AS DOUBLE) * lag(y, 5) OVER w5 + CAST(8.99999999999999e-06 AS DOUBLE) * lag(y, 6) OVER w5 + CAST(8.999999999999988e-07 AS DOUBLE) * lag(y, 7) OVER w5 + CAST(8.999999999999987e-08 AS DOUBLE) * lag(y, 8) OVER w5 + CAST(8.999999999999985e-09 AS DOUBLE) * lag(y, 9) OVER w5 + CAST(8.999999999999982e-10 AS DOUBLE) * lag(y, 10) OVER w5 + CAST(8.99999999999998e-11 AS DOUBLE) * lag(y, 11) OVER w5 + CAST(8.999999999999979e-12 AS DOUBLE) * lag(y, 12) OVER w5 + CAST(8.999999999999977e-13 AS DOUBLE) * lag(y, 13) OVER w5 + CAST(8.999999999999974e-14 AS DOUBLE) * lag(y, 14) OVER w5
+                   + CAST(9.999999999999968e-15 AS DOUBLE) * mu AS f
+            FROM lagged WINDOW w5 AS (ORDER BY day)
+        ),
+        scored AS (
+            SELECT alpha,
+                   sum(power(y - f, 2)) AS sse
+            FROM fc WHERE rn > 15
+            GROUP BY alpha
+        ),
+        best AS (SELECT min(sse) AS msse FROM scored)
+        SELECT alpha,
+               round(sse, 2) AS sse,
+               CAST(CASE WHEN sse = best.msse THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_best
+        FROM scored, best
+        ORDER BY alpha
+    """,
+    doc="Simple-exponential-smoothing hyperparameter sweep: the "
+    "one-step-ahead SES forecast (geometric recursion unrolled to "
+    "14 lags with the truncated tail replaced by its expectation, "
+    "the stats-ewma-control-chart device) evaluated at 5 alphas in "
+    "ONE pass — the 14 lag columns are computed once and each "
+    "alpha's forecast is a different codegen linear combination of "
+    "the same lags, so the grid is a constant fan-out over the "
+    "daily summary, not 5 scans. SSE over the post-warm-up window "
+    "picks the winner. The hyperparameter-sweep-as-fan-out shape "
+    "that generalizes to any unrollable recursive smoother at "
+    "100 TB (sweeps parallelize over the grid for free; the data "
+    "pass count stays 1).",
+    tags=("timeseries",),
+)
+def timeseries_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    base = daily.agg(F.avg("y").alias("mu"))
+    w = Window.orderBy("day")
+    lagged = daily.crossJoin(F.broadcast(base)).select(
+        "day",
+        "y",
+        "mu",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("y", k + 1).over(w).alias(f"l{k}") for k in range(14)],
+    )
+    alpha_rows = []
+    for a in [0.1, 0.3, 0.5, 0.7, 0.9]:
+        cs = [a * (1 - a) ** k for k in range(14)]
+        f_hat = sum(
+            (F.lit(c) * F.col(f"l{k}") for k, c in enumerate(cs)),
+            start=F.lit(0.0),
+        ) + F.lit((1 - a) ** 14) * F.col("mu")
+        alpha_rows.append(
+            lagged.select(
+                F.lit(a).alias("alpha"), "y", "rn", f_hat.alias("f")
+            )
+        )
+    fc = alpha_rows[0]
+    for df_a in alpha_rows[1:]:
+        fc = fc.unionByName(df_a)
+    scored = (
+        fc.filter(F.col("rn") > 15)
+        .groupBy("alpha")
+        .agg(F.sum(F.pow(F.col("y") - F.col("f"), 2)).alias("sse"))
+    )
+    best = scored.agg(F.min("sse").alias("msse"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "alpha",
+            F.round("sse", 2).alias("sse"),
+            F.when(F.col("sse") == F.col("msse"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("alpha")
+    )
+
+
+
+@query(
+    "timeseries-matrix-profile-discord",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        win AS (
+            SELECT day,
+                   row_number() OVER w AS i,
+                   x AS x0,
+                   lead(x, 1) OVER w AS x1,
+                   lead(x, 2) OVER w AS x2
+            FROM daily WINDOW w AS (ORDER BY day)
+        ),
+        sub AS (SELECT * FROM win WHERE x2 IS NOT NULL),
+        dist AS (
+            SELECT a.day, a.i,
+                   min(sqrt(power(a.x0 - b.x0, 2)
+                            + power(a.x1 - b.x1, 2)
+                            + power(a.x2 - b.x2, 2))) AS nn_dist
+            FROM sub a JOIN sub b ON abs(a.i - b.i) >= 3
+            GROUP BY a.day, a.i
+        )
+        SELECT day AS discord_day, round(nn_dist, 6) AS nn_dist
+        FROM dist
+        ORDER BY nn_dist DESC, discord_day
+        LIMIT 3
+    """,
+    doc="Matrix-profile discord discovery (length-3 subsequences over "
+    "the daily mean series): each window's distance to its NEAREST "
+    "non-overlapping neighbor; the windows whose nearest neighbor is "
+    "FARTHEST are discords — the 'most unusual shape' anomaly that "
+    "point detectors (z-score, IQR fence) miss because every single "
+    "value is in range while the 3-day PATTERN is unprecedented. "
+    "The all-pairs join runs on the daily SUMMARY (calendar-bounded "
+    "~900x900 at a 2.5-year corpus — constant at any data volume); "
+    "at longer horizons the standard STOMP ordering or an LSH over "
+    "z-normed windows bounds it, same discipline as the dedup "
+    "family. Top-3 via TakeOrderedAndProject.",
+    tags=("timeseries",),
+)
+def timeseries_matrix_profile_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    w = Window.orderBy("day")
+    win = daily.select(
+        "day",
+        F.row_number().over(w).alias("i"),
+        F.col("x").alias("x0"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    a = win.select(
+        F.col("day").alias("day"), F.col("i").alias("ia"),
+        F.col("x0").alias("a0"), F.col("x1").alias("a1"), F.col("x2").alias("a2"),
+    )
+    b = win.select(
+        F.col("i").alias("ib"),
+        F.col("x0").alias("b0"), F.col("x1").alias("b1"), F.col("x2").alias("b2"),
+    )
+    dist = (
+        a.join(F.broadcast(b), F.abs(F.col("ia") - F.col("ib")) >= 3)
+        .groupBy("day", "ia")
+        .agg(
+            F.min(
+                F.sqrt(
+                    F.pow(F.col("a0") - F.col("b0"), 2)
+                    + F.pow(F.col("a1") - F.col("b1"), 2)
+                    + F.pow(F.col("a2") - F.col("b2"), 2)
+                )
+            ).alias("nn_dist")
+        )
+    )
+    return (
+        dist.orderBy(F.col("nn_dist").desc(), "day")
+        .limit(3)
+        .select(F.col("day").alias("discord_day"), F.round("nn_dist", 6).alias("nn_dist"))
+    )
