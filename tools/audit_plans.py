@@ -191,6 +191,8 @@ SCALAR_BROADCAST_OPS = {
     "rec-coverage-novelty",    # 1-row catalog-totals broadcast + 20-row rec list
     "timeseries-ses-grid",     # 1-row series-mean + 1-row best-SSE broadcasts
     "timeseries-matrix-profile-discord",  # bounded day-window block join
+    "corpus-curriculum-order", # ranking-helper boundary-array broadcast
+    "ml-woe-iv",               # 1-row class-totals broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -297,6 +299,7 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "stats-mutual-information": 1,
             "stats-roc-auc-binned": 3,
             "ml-pr-auc-binned": 3,
+            "ml-woe-iv": 1,  # total-IV over the 10-bin summary
             "stats-uniformity-hours": 1,
             "stats-wasserstein-binned": 2,
             "stats-youden-threshold": 2,

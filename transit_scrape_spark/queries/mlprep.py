@@ -888,8 +888,9 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pu AS (
             SELECT avg(value) AS score,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS y
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS y
             FROM events GROUP BY user_id
         ),
         binned AS (
@@ -923,7 +924,7 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     """,
     doc="Precision-recall AUC (binned step interpolation) for the "
-    "purchase-propensity score (per-user mean value): score bins "
+    "heavy-purchaser propensity score (per-user mean value): score bins "
     "sweep the threshold from high to low; each bin contributes "
     "precision x recall-increment. PR-AUC is the metric that stays "
     "honest under the class imbalance every conversion/quality-"
@@ -941,9 +942,15 @@ def ml_pr_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pu = ev.groupBy("user_id").agg(
         F.avg("value").alias("score"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("y"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
     )
     binned = pu.groupBy(
         F.least(F.floor(F.col("score") / 5).cast("long"), F.lit(19)).alias(
@@ -1093,3 +1100,329 @@ def rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_novelty_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation ordering / causal segments / feature screening
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus-curriculum-order",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   round(CAST(n_chars AS DOUBLE)
+                         * (1 + len(string_split(text, ' '))), 4 ) AS difficulty
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, difficulty,
+                   ntile(3) OVER (ORDER BY difficulty, doc_id) AS phase
+            FROM scored
+        )
+        SELECT CAST(phase AS BIGINT) AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(difficulty), 4) AS min_difficulty,
+               round(max(difficulty), 4) AS max_difficulty,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM ranked GROUP BY phase
+    """,
+    doc="Curriculum-learning phase assignment: documents scored by a "
+    "difficulty proxy (chars x token count) and cut into exact "
+    "thirds in difficulty order — easy phase first, hard last, the "
+    "data-ordering curriculum shown to stabilize early LLM training. "
+    "The cut must be EXACT and deterministic (a fuzzy boundary "
+    "reshuffles phases between runs and breaks resumable training), "
+    "so the ntile runs as the two-phase bucketed rank from "
+    "operators/ranking.py — the document frame grows with the "
+    "corpus, and this op is the curriculum-shaped demonstration "
+    "that exact global ordering needs no single-partition sort. "
+    "Per-phase language counts expose curriculum-induced domain "
+    "skew (hard phases are usually long-doc-language heavy).",
+    tags=("corpus", "ml"),
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.ranking import (
+        exact_ntile,
+        with_global_order,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("n_chars").cast("double")
+            * (1 + F.size(F.split("text", " "))),
+            4,
+        ).alias("difficulty"),
+    )
+    g = with_global_order(
+        scored, "difficulty", tiebreakers=("doc_id",), rn="__rn",
+        total_count="__n",
+    )
+    ranked = g.select(
+        "lang",
+        "difficulty",
+        exact_ntile(F.col("__rn"), F.col("__n"), 3).alias("phase"),
+    )
+    return ranked.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("difficulty"), 4).alias("min_difficulty"),
+        F.round(F.max("difficulty"), 4).alias("max_difficulty"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+@query(
+    "ml-uplift-by-segment",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS treated,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        seg AS (
+            SELECT CASE WHEN n_events < 50 THEN 'low'
+                        WHEN n_events < 80 THEN 'mid' ELSE 'high' END
+                       AS segment,
+                   treated, converted
+            FROM pu
+        ),
+        cell AS (
+            SELECT segment,
+                   CAST(sum(treated) AS BIGINT) AS n_treated,
+                   CAST(sum(1 - treated) AS BIGINT) AS n_control,
+                   avg(CASE WHEN treated = 1
+                            THEN CAST(converted AS DOUBLE) END) AS p_t,
+                   avg(CASE WHEN treated = 0
+                            THEN CAST(converted AS DOUBLE) END) AS p_c
+            FROM seg GROUP BY segment
+        )
+        SELECT segment, n_treated, n_control,
+               round(p_t, 6) AS conv_treated,
+               round(p_c, 6) AS conv_control,
+               round(p_t - p_c, 6) AS uplift
+        FROM cell
+    """,
+    doc="Two-model uplift readout by activity segment: conversion rate "
+    "of treated (signed-up) minus control users, per engagement band "
+    "— the heterogeneous-treatment-effect table that tells a "
+    "targeting team WHERE the intervention works (aggregate ATE — "
+    "stats-stratified-ate on the same contrast — can be positive "
+    "while a segment is hurt; Simpson's territory). Fixed band edges "
+    "keep segments stable across runs, the precondition for "
+    "tracking uplift over time. One per-user rollup + one 3-cell "
+    "aggregate; the full two-model form replaces the band cut with "
+    "ml-logistic-irls scores per arm — identical plan shape.",
+    tags=("ml", "stats"),
+)
+def ml_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    seg = pu.select(
+        F.when(F.col("n_events") < 50, "low")
+        .when(F.col("n_events") < 80, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        "treated",
+        "converted",
+    )
+    p_t = F.avg(
+        F.when(F.col("treated") == 1, F.col("converted").cast("double"))
+    )
+    p_c = F.avg(
+        F.when(F.col("treated") == 0, F.col("converted").cast("double"))
+    )
+    return seg.groupBy("segment").agg(
+        F.sum("treated").cast("long").alias("n_treated"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_control"),
+        F.round(p_t, 6).alias("conv_treated"),
+        F.round(p_c, 6).alias("conv_control"),
+        F.round(p_t - p_c, 6).alias("uplift"),
+    )
+
+
+@query(
+    "ml-woe-iv",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id, avg(value) AS score,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS y
+            FROM events GROUP BY user_id
+        ),
+        binned AS (
+            SELECT least(CAST(floor(score / 10) AS BIGINT), 9) AS bin,
+                   CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(sum(1 - y) AS DOUBLE) AS neg
+            FROM pu GROUP BY 1
+        ),
+        tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM binned),
+        woe AS (
+            SELECT bin,
+                   CAST(pos AS BIGINT) AS n_pos,
+                   CAST(neg AS BIGINT) AS n_neg,
+                   ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)) AS woe,
+                   ((pos + 0.5) / tp - (neg + 0.5) / tn)
+                       * ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)) AS iv_part
+            FROM binned CROSS JOIN tot
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
+               round(woe, 6) AS woe,
+               round(sum(iv_part) OVER (), 6) AS total_iv
+        FROM woe
+    """,
+    doc="Weight-of-evidence / information-value feature screen for the "
+    "per-user mean-value score against the heavy-purchaser label (>= 14 purchase events — a balanced class split; every user has SOME purchase in this corpus): per bin, "
+    "WoE = ln(%events / %non-events) with add-half smoothing (the "
+    "empty-bin guard credit scorecards standardize on), and the "
+    "feature's IV = sum((%pos - %neg) * WoE) — the pre-modeling "
+    "triage that ranks candidate features before any training run "
+    "(IV < 0.02 useless, > 0.5 suspiciously leaky — THE smell test "
+    "for target leakage in generated features). Fixed bin edges, "
+    "one rollup + one 10-bin aggregate; the total-IV window runs "
+    "over 10 rows.",
+    tags=("ml",),
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.avg("value").alias("score"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    binned = pu.groupBy(
+        F.least(F.floor(F.col("score") / 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.sum("y").cast("double").alias("pos"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg"),
+    )
+    tot = binned.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    pp = (F.col("pos") + 0.5) / F.col("tp")
+    pn = (F.col("neg") + 0.5) / F.col("tn")
+    woe = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.log(pp / pn).alias("woe"),
+        ((pp - pn) * F.log(pp / pn)).alias("iv_part"),
+    )
+    w_all = Window.partitionBy()
+    return woe.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round(F.sum("iv_part").over(w_all), 6).alias("total_iv"),
+    )
+
+
+@query(
+    "ml-vif-collinearity",
+    oracle="""
+        WITH pu AS (
+            SELECT ln(1 + count(*)) AS x1,
+                   avg(value) AS x2,
+                   ln(1 + sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END)) AS x3
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT corr(x1, x2) AS r12, corr(x1, x3) AS r13,
+                   corr(x2, x3) AS r23, CAST(count(*) AS BIGINT) AS n
+            FROM pu
+        ),
+        r2 AS (
+            SELECT n,
+                   (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+                       / (1 - r23 * r23) AS r2_1,
+                   (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+                       / (1 - r13 * r13) AS r2_2,
+                   (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+                       / (1 - r12 * r12) AS r2_3
+            FROM c
+        )
+        SELECT 'x1_log_events' AS feature, n AS n_users,
+               round(1 / (1 - r2_1), 6) AS vif FROM r2
+        UNION ALL
+        SELECT 'x2_mean_value', n, round(1 / (1 - r2_2), 6) FROM r2
+        UNION ALL
+        SELECT 'x3_log_purchases', n, round(1 / (1 - r2_3), 6) FROM r2
+    """,
+    doc="Variance-inflation-factor collinearity screen for a 3-feature "
+    "design (log activity, mean value, log purchases): VIF_i = "
+    "1/(1 - R^2_i) where R^2_i regresses feature i on the other two "
+    "— in closed form from the pairwise correlations, so the whole "
+    "screen is ONE moment aggregation over the per-user rollup plus "
+    "scalar algebra (no model fitting, no matrix library). VIF > 5 "
+    "means the feature's coefficient is unstable and ml-logistic-"
+    "irls-style fits on it will not replicate — run this BEFORE "
+    "training, the same way ml-woe-iv screens predictive power. "
+    "At 100 TB: d features cost one d^2-cell correlation aggregate.",
+    tags=("ml", "stats"),
+)
+def ml_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.log(1 + F.count("*")).alias("x1"),
+        F.avg("value").alias("x2"),
+        F.log(
+            1
+            + F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        ).alias("x3"),
+    )
+    c = pu.agg(
+        F.corr("x1", "x2").alias("r12"),
+        F.corr("x1", "x3").alias("r13"),
+        F.corr("x2", "x3").alias("r23"),
+        F.count("*").cast("long").alias("n"),
+    )
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+    r2_1 = (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23) / (1 - r23 * r23)
+    r2_2 = (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13) / (1 - r13 * r13)
+    r2_3 = (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12) / (1 - r12 * r12)
+    rows = []
+    for name, r2x in [
+        ("x1_log_events", r2_1),
+        ("x2_mean_value", r2_2),
+        ("x3_log_purchases", r2_3),
+    ]:
+        rows.append(
+            c.select(
+                F.lit(name).alias("feature"),
+                F.col("n").alias("n_users"),
+                F.round(1 / (1 - r2x), 6).alias("vif"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
