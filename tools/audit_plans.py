@@ -193,6 +193,8 @@ SCALAR_BROADCAST_OPS = {
     "timeseries-matrix-profile-discord",  # bounded day-window block join
     "corpus-curriculum-order", # ranking-helper boundary-array broadcast
     "ml-woe-iv",               # 1-row class-totals broadcast
+    "stats-copula-tail-dependence",  # 1-row quantile-thresholds broadcast
+    "text-self-bleu-lite",     # 1-row sample-count broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

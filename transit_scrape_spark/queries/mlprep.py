@@ -1426,3 +1426,66 @@ def ml_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "eval-pass-at-k",
+    oracle="""
+        WITH task AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+               round(avg(CASE WHEN n - c < 1 THEN 1.0
+                            ELSE 1.0 - (CAST(n - c - 0 AS DOUBLE) / (n - 0)) END), 6)
+                   AS pass_at_1,
+               round(avg(CASE WHEN n - c < 5 THEN 1.0
+                            ELSE 1.0 - (CAST(n - c - 0 AS DOUBLE) / (n - 0)) * (CAST(n - c - 1 AS DOUBLE) / (n - 1)) * (CAST(n - c - 2 AS DOUBLE) / (n - 2)) * (CAST(n - c - 3 AS DOUBLE) / (n - 3)) * (CAST(n - c - 4 AS DOUBLE) / (n - 4)) END), 6)
+                   AS pass_at_5,
+               round(avg(CASE WHEN n - c < 10 THEN 1.0
+                            ELSE 1.0 - (CAST(n - c - 0 AS DOUBLE) / (n - 0)) * (CAST(n - c - 1 AS DOUBLE) / (n - 1)) * (CAST(n - c - 2 AS DOUBLE) / (n - 2)) * (CAST(n - c - 3 AS DOUBLE) / (n - 3)) * (CAST(n - c - 4 AS DOUBLE) / (n - 4)) * (CAST(n - c - 5 AS DOUBLE) / (n - 5)) * (CAST(n - c - 6 AS DOUBLE) / (n - 6)) * (CAST(n - c - 7 AS DOUBLE) / (n - 7)) * (CAST(n - c - 8 AS DOUBLE) / (n - 8)) * (CAST(n - c - 9 AS DOUBLE) / (n - 9)) END), 6)
+                   AS pass_at_10
+        FROM task WHERE n >= 10
+    """,
+    doc="Unbiased pass@k estimator (the HumanEval/Codex metric): per "
+    "task with n attempts and c successes, pass@k = "
+    "1 - C(n-c,k)/C(n,k), computed as the numerically stable "
+    "k-factor product (never materializing factorials) with the "
+    "fewer-than-k-failures branch pinned to 1 — the exact estimator "
+    "from the Codex paper, NOT the biased empirical fraction, which "
+    "systematically overestimates at small n. Tasks here are users, "
+    "attempts their events, success = purchase; in an eval pipeline "
+    "the same single hash-agg shape scores millions of "
+    "(problem, sample) outcome rows: one rollup to (n, c) per task, "
+    "then codegen arithmetic — no joins, no windows, "
+    "embarrassingly parallel.",
+    tags=("eval", "ml"),
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    task = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    n, c = F.col("n"), F.col("c")
+
+    def pass_at(k: int):
+        ratio = F.lit(1.0)
+        for i in range(k):
+            ratio = ratio * ((n - c - i).cast("double") / (n - i))
+        return F.round(
+            F.avg(F.when(n - c < k, F.lit(1.0)).otherwise(1.0 - ratio)), 6
+        ).alias(f"pass_at_{k}")
+
+    return task.filter(n >= 10).agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        *[pass_at(k) for k in [1, 5, 10]],
+    )
+

@@ -2725,3 +2725,80 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "text-self-bleu-lite",
+    oracle="""
+        WITH sample_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0
+        ),
+        vocab AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM sample_docs
+        ),
+        v AS (SELECT doc_id, w FROM vocab WHERE w <> ''),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS DOUBLE) AS sz
+            FROM v GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(count(*) AS DOUBLE) AS inter
+            FROM v a JOIN v b ON a.w = b.w AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        scored AS (
+            SELECT o.da, o.db, o.inter / sa.sz AS prec
+            FROM overlap o JOIN sizes sa ON sa.doc_id = o.da
+        )
+        SELECT CAST((SELECT count(*) FROM sample_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(prec), 6) AS mean_self_bleu1,
+               round(max(prec), 6) AS max_self_bleu1
+        FROM scored
+    """,
+    doc="Self-BLEU-1 (lite) corpus-diversity probe: over a "
+    "deterministic document sample, each ordered pair's unigram "
+    "precision |vocab_a INTERSECT vocab_b| / |vocab_a| — the "
+    "diversity metric generation pipelines track because a model "
+    "(or a scraped corpus) collapsing onto template text shows "
+    "self-BLEU rising toward 1 while every per-document quality "
+    "score stays green. Complements dedup (which finds near-COPIES) "
+    "by measuring average MUTUAL overlap. The pairwise join runs "
+    "on the sampled slice only (the sample rate is the knob; "
+    "pair count is quadratic in it, not in the corpus) with "
+    "vocab-keyed equi-join, never an all-doc cross join.",
+    tags=("text", "corpus"),
+)
+def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 53 == 0
+    )
+    v = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("doc_id").agg(F.count("*").cast("double").alias("sz"))
+    a = v.select(F.col("doc_id").alias("da"), "w")
+    b = v.select(F.col("doc_id").alias("db"), F.col("w").alias("wb"))
+    overlap = (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("da") != F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    scored = overlap.join(F.broadcast(sa), "da").select(
+        (F.col("inter") / F.col("sza")).alias("prec")
+    )
+    nd = d.agg(F.count("*").cast("long").alias("n_docs"))
+    return scored.crossJoin(F.broadcast(nd)).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("prec"), 6).alias("mean_self_bleu1"),
+        F.round(F.max("prec"), 6).alias("max_self_bleu1"),
+    )
