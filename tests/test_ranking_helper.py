@@ -1,0 +1,109 @@
+"""Property tests for operators/ranking.py (the round-5 two-phase
+global-order helper): the helper must be BIT-IDENTICAL to the
+single-partition global window it replaces, for any data distribution
+and any bucket count — exactness is the contract that lets oracle
+parity hold while the plan stays parallel.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from transit_scrape_spark.operators.ranking import exact_ntile, with_global_order
+from transit_scrape_spark.plans.inspect import executed_plan, global_window_count
+
+
+def _mk(spark, n=500, skew=False):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        # heavy ties + optional skew: worst case for range bucketing
+        (
+            (F.col("id") * 37 % 13).cast("double")
+            if not skew
+            else F.when(F.col("id") % 10 < 9, 1.0).otherwise(
+                (F.col("id") % 97).cast("double")
+            )
+        ).alias("v"),
+        ((F.col("id") * 7919) % 101).cast("double").alias("x"),
+    )
+    return df
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
+def test_rank_and_cumsum_match_global_window(spark, ascending, n_buckets):
+    df = _mk(spark)
+    got = with_global_order(
+        df,
+        "v",
+        ascending=ascending,
+        tiebreakers=("k",),
+        rn="rn",
+        cum_sums={"cx": "x"},
+        total_count="n",
+        total_sums={"tx": "x"},
+        n_buckets=n_buckets,
+    )
+    order = [F.col("v").asc() if ascending else F.col("v").desc(), F.col("k")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(w).alias("cx"),
+    )
+    j = got.select("k", "rn", "cx").alias("g").join(
+        want.alias("w"), "k"
+    )
+    bad = j.filter(
+        (F.col("g.rn") != F.col("w.rn"))
+        | (F.abs(F.col("g.cx") - F.col("w.cx")) > 1e-9)
+    )
+    assert bad.count() == 0
+    one = got.select("n", "tx").first()
+    assert one["n"] == 500
+    assert abs(one["tx"] - df.agg(F.sum("x")).first()[0]) < 1e-6
+
+
+def test_skewed_keys_stay_exact(spark):
+    # 90% of rows share one key value: buckets collapse, exactness must
+    # survive (parallelism degrades gracefully, correctness never)
+    df = _mk(spark, skew=True)
+    got = with_global_order(
+        df, "v", tiebreakers=("k",), rn="rn", n_buckets=32
+    )
+    w = Window.orderBy("v", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    j = got.select("k", "rn").alias("g").join(want.alias("w"), "k")
+    assert j.filter(F.col("g.rn") != F.col("w.rn")).count() == 0
+
+
+def test_exact_ntile_matches_builtin(spark):
+    df = _mk(spark, n=103)  # prime: uneven buckets in every ntile
+    for k in (2, 5, 10, 200):  # 200 > n exercises the q=0 branch
+        got = with_global_order(
+            df, "v", tiebreakers=("k",), rn="rn", total_count="n"
+        ).select(
+            "k", exact_ntile(F.col("rn"), F.col("n"), k).alias("t")
+        )
+        want = df.select(
+            "k",
+            F.ntile(k).over(Window.orderBy("v", "k")).cast("long").alias("t"),
+        )
+        j = got.alias("g").join(want.alias("w"), "k")
+        assert j.filter(F.col("g.t") != F.col("w.t")).count() == 0, k
+
+
+def test_helper_plan_has_no_global_window(spark):
+    df = _mk(spark)
+    got = with_global_order(
+        df, "v", tiebreakers=("k",), rn="rn", cum_sums={"cx": "x"}
+    )
+    assert global_window_count(executed_plan(got)) == 0
+
+
+def test_empty_input(spark):
+    df = _mk(spark).filter(F.lit(False))
+    got = with_global_order(df, "v", rn="rn", total_count="n")
+    assert got.count() == 0
