@@ -96,6 +96,19 @@ R5_REWORKED = [
     "window-session-concurrency",
     # text-ngram-novelty and text-heaps-law are already in R4_HEAVY
 ]
+# round-5 new-op wave: the heaviest shapes (token explodes, B-fold
+# fan-outs, basket self-joins, per-user metric windows)
+R5_NEW = [
+    "eval-bm25-topk",
+    "eval-ranking-metrics",
+    "stats-permutation-test",
+    "corpus-dsir-importance",
+    "corpus-curriculum-order",
+    "rec-item-item-cosine",
+    "text-self-bleu-lite",
+    "stats-kaplan-meier",
+    "ml-logistic-irls",
+]
 
 
 def main() -> None:
@@ -106,7 +119,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     worst = 0.0
-    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED:
+    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED + R5_NEW:
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue
