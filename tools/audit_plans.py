@@ -378,6 +378,8 @@ def main() -> None:
 
     spark = get_spark("tss-plan-audit")
     rows = []
+    observed_gw: dict[str, int] = {}
+    observed_bnlj: dict[str, bool] = {}
     for op_id, spec in sorted(registry().items()):
         if op_id.startswith("stream-"):
             rows.append((op_id, "streaming", "-", "-", "-"))
@@ -395,6 +397,8 @@ def main() -> None:
         bnlj = "BroadcastNestedLoopJoin" in p
         pyeval = "BatchEvalPython" in p or "ArrowEvalPython" in p
         gwin = global_window_count(p)
+        observed_gw[op_id] = gwin
+        observed_bnlj[op_id] = bnlj
         flag = ""
         if cart and op_id not in INTENTIONAL_ALLPAIRS:
             flag += "CARTESIAN "
@@ -417,6 +421,17 @@ def main() -> None:
 
     flagged = [r for r in rows if r[1] not in ("ok", "streaming") and r[1] != "ERROR"]
     errors = [r for r in rows if r[1] == "ERROR"]
+    # stale-pin hygiene: an allowance looser than the measured plan means
+    # the excuse list drifted — tighten or delete so the audit stays sharp
+    loose_windows = sorted(
+        (op, n, observed_gw.get(op, 0))
+        for op, (n, _r) in BOUNDED_WINDOW_OPS.items()
+        if op in observed_gw and observed_gw[op] < n
+    )
+    stale_bnlj = sorted(
+        op for op in SCALAR_BROADCAST_OPS
+        if op in observed_bnlj and not observed_bnlj[op]
+    )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"
@@ -444,6 +459,16 @@ def main() -> None:
             fh.write("## Flagged\n\n| op | flag | exchanges |\n|---|---|---|\n")
             for r in flagged:
                 fh.write(f"| `{r[0]}` | {r[1]} | {r[2]} |\n")
+            fh.write("\n")
+        if loose_windows or stale_bnlj:
+            fh.write(
+                "## Stale allowances (hygiene, not failures)\n\n"
+                "Pins looser than the measured plan — tighten or remove:\n\n"
+            )
+            for op, pinned, got in loose_windows:
+                fh.write(f"- `{op}`: pinned {pinned} global windows, measured {got}\n")
+            for op in stale_bnlj:
+                fh.write(f"- `{op}`: in SCALAR_BROADCAST_OPS but no BNLJ in plan\n")
             fh.write("\n")
         fh.write("## All ops\n\n| op | status | exchanges | pushdown | broadcast |\n|---|---|---|---|---|\n")
         for r in rows:

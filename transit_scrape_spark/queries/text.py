@@ -2731,7 +2731,8 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text-self-bleu-lite",
     oracle="""
         WITH sample_docs AS (
-            SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 53 = 0 AND doc_id < 5300
         ),
         vocab AS (
             SELECT DISTINCT doc_id,
@@ -2767,14 +2768,16 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-BLEU rising toward 1 while every per-document quality "
     "score stays green. Complements dedup (which finds near-COPIES) "
     "by measuring average MUTUAL overlap. The pairwise join runs "
-    "on the sampled slice only (the sample rate is the knob; "
-    "pair count is quadratic in it, not in the corpus) with "
-    "vocab-keyed equi-join, never an all-doc cross join.",
+    "on a FIXED-SIZE sample (modulus + id cap = at most 100 docs at "
+    "any corpus size, so the pair count is a constant, not "
+    "corpus-quadratic — the r5 soak caught the rate-only version "
+    "growing 11.8x at 10x data) with a vocab-keyed equi-join, never "
+    "an all-doc cross join.",
     tags=("text", "corpus"),
 )
 def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 53 == 0
+        (F.col("doc_id") % 53 == 0) & (F.col("doc_id") < 5300)
     )
     v = (
         d.select(
