@@ -742,7 +742,7 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH sample AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE vec_id % 17 = 0
+            FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 3400
         ),
         pairs AS (
             SELECT (a.label = b.label) AS same_label,
@@ -759,18 +759,22 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     """,
     doc="Embedding separation histogram: pairwise cosine distribution "
-    "split by same-label vs cross-label over a deterministic 1/17 "
-    "sample — the eval that says whether labels are separable in "
-    "embedding space BEFORE anyone trains a probe on it (healthy: "
-    "same-label mass sits in higher-cosine buckets). Pair count is "
-    "quadratic only in the SAMPLE (the hash sample is the scale "
-    "knob; the estimate converges like any pair-sampled statistic), "
-    "8 fixed buckets keep the output schema constant. Companion to "
+    "split by same-label vs cross-label over a deterministic FIXED-"
+    "SIZE sample (1/17 modulus + id cap = at most 200 vectors at any "
+    "corpus size — a rate-only sample would make the pair join "
+    "corpus-quadratic, the hazard the r5 soak caught in "
+    "text-self-bleu-lite) — the eval that says whether labels are "
+    "separable in embedding space BEFORE anyone trains a probe on it "
+    "(healthy: same-label mass sits in higher-cosine buckets); the "
+    "estimate converges like any pair-sampled statistic, 8 fixed "
+    "buckets keep the output schema constant. Companion to "
     "embed-outlier-distance: that flags single bad vectors, this "
     "grades the space.",
 )
 def embed_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 3400)
+    )
     sample = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
     a, b = sample.alias("a"), sample.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
