@@ -195,6 +195,9 @@ SCALAR_BROADCAST_OPS = {
     "ml-woe-iv",               # 1-row class-totals broadcast
     "stats-copula-tail-dependence",  # 1-row quantile-thresholds broadcast
     "text-self-bleu-lite",     # 1-row sample-count broadcast
+    "stats-nelson-aalen",      # 1-row observation-end broadcast (KM twin)
+    "ml-naive-bayes",          # 1-row train-count + 2-row class broadcasts
+    "timeseries-intervention-its",  # 1-row (d0, t0) bounds broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -259,6 +262,7 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             # distinct first-view->first-purchase durations: bounded by
             # the calendar span (days), not the user count
             "stats-kaplan-meier": 2,
+            "stats-nelson-aalen": 2,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

@@ -1489,3 +1489,614 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[pass_at(k) for k in [1, 5, 10]],
     )
 
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): survival hazard, OLS inference, ITS, naive Bayes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats-nelson-aalen",
+    oracle="""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+                       AS fv,
+                   min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+                       AS fp
+            FROM events GROUP BY user_id
+        ),
+        dur AS (
+            SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                        THEN date_diff('day', fv, fp) ELSE
+                             date_diff('day', fv, e.obs_end) END AS t,
+                   CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END
+                       AS died
+            FROM pu CROSS JOIN ends e
+            WHERE fv IS NOT NULL
+        ),
+        per_t AS (
+            SELECT t, CAST(sum(died) AS DOUBLE) AS d,
+                   CAST(count(*) AS DOUBLE) AS total
+            FROM dur GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   sum(total) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_risk
+            FROM per_t
+        ),
+        na AS (
+            SELECT t, d, n_risk,
+                   sum(d / n_risk) OVER w AS h,
+                   sum(d / (n_risk * n_risk)) OVER w AS v
+            FROM risk
+            WINDOW w AS (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               round(h, 6) AS cum_hazard,
+               round(exp(-h), 6) AS breslow_survival,
+               round(sqrt(v), 6) AS hazard_se
+        FROM na WHERE d > 0 ORDER BY t_days
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator on the SAME "
+    "first-view -> first-purchase duration table as "
+    "stats-kaplan-meier: H(t) = sum_{u<=t} d_u/n_u with variance "
+    "sum d_u/n_u^2 (Poisson-type), plus the Breslow/Fleming-"
+    "Harrington survival exp(-H) — preferred over KM's product form "
+    "for small risk sets because the hazard increments are additive "
+    "and the estimator never hits an absorbing zero. The windows run "
+    "over the distinct-duration SUMMARY (bounded by the calendar "
+    "span), never the user count, so the shape survives 100 TB: one "
+    "shuffle to per-user firsts, one to per-duration counts, then "
+    "tiny windows.",
+    tags=("stats",),
+)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.to_date("ts"))
+        ).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("fp"),
+    )
+    died = (F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))).cast("int")
+    dur = (
+        pu.crossJoin(F.broadcast(ends))
+        .filter(F.col("fv").isNotNull())
+        .select(
+            F.when(died == 1, F.datediff("fp", "fv"))
+            .otherwise(F.datediff("obs_end", "fv"))
+            .alias("t"),
+            died.alias("died"),
+        )
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum("died").cast("double").alias("d"),
+        F.count("*").cast("double").alias("total"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("total").over(w_desc).alias("n_risk")
+    )
+    na = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(F.col("d") / F.col("n_risk")).over(w_asc).alias("h"),
+        F.sum(F.col("d") / (F.col("n_risk") * F.col("n_risk")))
+        .over(w_asc)
+        .alias("v"),
+    )
+    return (
+        na.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.round("h", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("h")), 6).alias("breslow_survival"),
+            F.round(F.sqrt("v"), 6).alias("hazard_se"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
+    "ml-ols-inference",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id,
+                   ln(1 + CAST(sum(CASE WHEN event_type <> 'purchase'
+                                        THEN 1 ELSE 0 END) AS DOUBLE)) AS x1,
+                   avg(CASE WHEN event_type <> 'purchase' THEN value END)
+                       AS x2,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS y
+            FROM events GROUP BY user_id
+            HAVING sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) > 0
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   avg(x1) AS mx1, avg(x2) AS mx2, avg(y) AS my,
+                   var_samp(x1) AS s11, var_samp(x2) AS s22,
+                   covar_samp(x1, x2) AS s12,
+                   covar_samp(x1, y) AS sy1, covar_samp(x2, y) AS sy2,
+                   var_samp(y) AS syy
+            FROM pu
+        ),
+        fit AS (
+            SELECT n, mx1, mx2, my, s11, s22, s12, sy1, sy2, syy,
+                   s11 * s22 - s12 * s12 AS det,
+                   (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b1,
+                   (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS b2
+            FROM m
+        ),
+        fitted AS (
+            SELECT *,
+                   my - b1 * mx1 - b2 * mx2 AS b0,
+                   (n - 1) * (syy - b1 * sy1 - b2 * sy2) / (n - 3) AS sigma2,
+                   (b1 * sy1 + b2 * sy2) / syy AS r2
+            FROM fit
+        )
+        SELECT 'intercept' AS term, CAST(n AS BIGINT) AS n_obs,
+               round(b0, 6) AS estimate,
+               round(sqrt(sigma2 * (1 / n
+                   + (mx1 * mx1 * s22 - 2 * mx1 * mx2 * s12 + mx2 * mx2 * s11)
+                     / ((n - 1) * det))), 6) AS std_err,
+               round(b0 / sqrt(sigma2 * (1 / n
+                   + (mx1 * mx1 * s22 - 2 * mx1 * mx2 * s12 + mx2 * mx2 * s11)
+                     / ((n - 1) * det))), 4) AS t_stat,
+               round(r2, 6) AS r2
+        FROM fitted
+        UNION ALL
+        SELECT 'x1_log_nonpurchase', CAST(n AS BIGINT), round(b1, 6),
+               round(sqrt(sigma2 * s22 / ((n - 1) * det)), 6),
+               round(b1 / sqrt(sigma2 * s22 / ((n - 1) * det)), 4),
+               round(r2, 6)
+        FROM fitted
+        UNION ALL
+        SELECT 'x2_mean_value', CAST(n AS BIGINT), round(b2, 6),
+               round(sqrt(sigma2 * s11 / ((n - 1) * det)), 6),
+               round(b2 / sqrt(sigma2 * s11 / ((n - 1) * det)), 4),
+               round(r2, 6)
+        FROM fitted
+    """,
+    doc="Two-regressor OLS with FULL inference — coefficient standard "
+    "errors, t-statistics, and R^2 — in closed form from one moments "
+    "aggregate: the 2x2 centered normal equations invert by cofactors "
+    "(det = S11*S22 - S12^2), sigma^2 = SSE/(n-3) comes from the "
+    "same covariances (SSE = (n-1)(Syy - b1*Sy1 - b2*Sy2)), and "
+    "Var(b) = sigma^2 (X'X)^-1 needs nothing beyond them. Regresses "
+    "per-user purchase count on log non-purchase activity and mean "
+    "event value. Complements ml-vif-collinearity (same rollup, "
+    "stability screen) and agg-regression-battery (single-regressor "
+    "regr_* built-ins): this is the multi-feature fit WITH standard "
+    "errors that neither provides. At 100 TB: one hash-agg to users, "
+    "one 10-cell moment reduce, scalar algebra — no matrix library, "
+    "no iterations, no collect.",
+    tags=("ml", "stats"),
+)
+def ml_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    np_cnt = F.sum(
+        F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+    )
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            np_cnt.alias("npc"),
+            F.avg(
+                F.when(F.col("event_type") != "purchase", F.col("value"))
+            ).alias("x2"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("npc") > 0)
+        .select(
+            F.log(1 + F.col("npc").cast("double")).alias("x1"), "x2", "y"
+        )
+    )
+    m = pu.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("x1").alias("mx1"),
+        F.avg("x2").alias("mx2"),
+        F.avg("y").alias("my"),
+        F.var_samp("x1").alias("s11"),
+        F.var_samp("x2").alias("s22"),
+        F.covar_samp("x1", "x2").alias("s12"),
+        F.covar_samp("x1", "y").alias("sy1"),
+        F.covar_samp("x2", "y").alias("sy2"),
+        F.var_samp("y").alias("syy"),
+    )
+    n, mx1, mx2, my = F.col("n"), F.col("mx1"), F.col("mx2"), F.col("my")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy1, sy2, syy = F.col("sy1"), F.col("sy2"), F.col("syy")
+    det = s11 * s22 - s12 * s12
+    b1 = (sy1 * s22 - sy2 * s12) / det
+    b2 = (sy2 * s11 - sy1 * s12) / det
+    b0 = my - b1 * mx1 - b2 * mx2
+    sigma2 = (n - 1) * (syy - b1 * sy1 - b2 * sy2) / (n - 3)
+    r2 = (b1 * sy1 + b2 * sy2) / syy
+    se0 = F.sqrt(
+        sigma2
+        * (
+            1 / n
+            + (mx1 * mx1 * s22 - 2 * mx1 * mx2 * s12 + mx2 * mx2 * s11)
+            / ((n - 1) * det)
+        )
+    )
+    se1 = F.sqrt(sigma2 * s22 / ((n - 1) * det))
+    se2 = F.sqrt(sigma2 * s11 / ((n - 1) * det))
+    rows = []
+    for term, est, se in [
+        ("intercept", b0, se0),
+        ("x1_log_nonpurchase", b1, se1),
+        ("x2_mean_value", b2, se2),
+    ]:
+        rows.append(
+            m.select(
+                F.lit(term).alias("term"),
+                n.cast("long").alias("n_obs"),
+                F.round(est, 6).alias("estimate"),
+                F.round(se, 6).alias("std_err"),
+                F.round(est / se, 4).alias("t_stat"),
+                F.round(r2, 6).alias("r2"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "timeseries-intervention-its",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        bounds AS (
+            SELECT min(d) AS d0,
+                   CAST(date_diff('day', min(d), max(d)) / 2 AS BIGINT) AS t0
+            FROM daily
+        ),
+        pts AS (
+            SELECT CAST(date_diff('day', b.d0, d) AS DOUBLE) AS t, y,
+                   CASE WHEN date_diff('day', b.d0, d) >= b.t0
+                        THEN 1 ELSE 0 END AS post,
+                   b.t0
+            FROM daily CROSS JOIN bounds b
+        ),
+        seg AS (
+            SELECT post, max(t0) AS t0,
+                   CAST(count(*) AS BIGINT) AS n,
+                   regr_slope(y, t) AS slope,
+                   regr_intercept(y, t) AS icept
+            FROM pts GROUP BY post
+        )
+        SELECT max(t0) AS t0_day,
+               max(CASE WHEN post = 0 THEN n END) AS n_pre,
+               max(CASE WHEN post = 1 THEN n END) AS n_post,
+               round(max(CASE WHEN post = 0 THEN slope END), 6) AS slope_pre,
+               round(max(CASE WHEN post = 1 THEN slope END), 6) AS slope_post,
+               round(max(CASE WHEN post = 1 THEN slope END)
+                   - max(CASE WHEN post = 0 THEN slope END), 6) AS slope_change,
+               round((max(CASE WHEN post = 1 THEN icept END)
+                      + max(CASE WHEN post = 1 THEN slope END) * max(t0))
+                   - (max(CASE WHEN post = 0 THEN icept END)
+                      + max(CASE WHEN post = 0 THEN slope END) * max(t0)),
+                   6) AS level_jump
+        FROM seg
+    """,
+    doc="Interrupted-time-series (segmented regression) on the daily "
+    "event-volume series with the breakpoint at mid-span: fit "
+    "independent OLS lines pre and post via regr_slope/regr_intercept "
+    "and report the slope change and the level jump at the "
+    "breakpoint (counterfactual pre-trend extrapolated to t0 vs the "
+    "post line's value there) — the standard quasi-experimental "
+    "read-out when a launch/policy lands at a known date and no "
+    "control group exists (complements analytics-diff-in-diff, which "
+    "needs one, and analytics-event-study, which reads day-level "
+    "abnormal deltas rather than trend breaks). Daily rollup is "
+    "bounded by the calendar, the regressions are built-in "
+    "partial-aggregable regr_* — one shuffle total at any scale.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) / 2)
+        .cast("long")
+        .alias("t0"),
+    )
+    pts = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("d", "d0").cast("double").alias("t"),
+        "y",
+        (F.datediff("d", "d0") >= F.col("t0")).cast("int").alias("post"),
+        "t0",
+    )
+    seg = pts.groupBy("post").agg(
+        F.max("t0").alias("t0"),
+        F.count("*").cast("long").alias("n"),
+        F.regr_slope("y", "t").alias("slope"),
+        F.regr_intercept("y", "t").alias("icept"),
+    )
+
+    def seg_max(col: str, post: int):
+        return F.max(F.when(F.col("post") == post, F.col(col)))
+
+    return seg.agg(
+        F.max("t0").alias("t0_day"),
+        seg_max("n", 0).alias("n_pre"),
+        seg_max("n", 1).alias("n_post"),
+        F.round(seg_max("slope", 0), 6).alias("slope_pre"),
+        F.round(seg_max("slope", 1), 6).alias("slope_post"),
+        F.round(seg_max("slope", 1) - seg_max("slope", 0), 6).alias(
+            "slope_change"
+        ),
+        F.round(
+            (seg_max("icept", 1) + seg_max("slope", 1) * F.max("t0"))
+            - (seg_max("icept", 0) + seg_max("slope", 0) * F.max("t0")),
+            6,
+        ).alias("level_jump"),
+    )
+
+
+_NB_SALT = ":nb-salt-r5"
+
+
+@query(
+    "ml-naive-bayes",
+    oracle=f"""
+        WITH ev_np AS (
+            SELECT * FROM events WHERE event_type <> 'purchase'
+        ),
+        uval AS (
+            SELECT user_id, avg(value) AS mv FROM ev_np GROUP BY user_id
+        ),
+        ub AS (
+            SELECT user_id,
+                   CAST(floor(extract(hour FROM ts) / 6) AS INT) AS hb,
+                   count(*) AS cnt
+            FROM ev_np GROUP BY 1, 2
+        ),
+        uhour AS (
+            SELECT user_id,
+                   split_part(max(lpad(CAST(cnt AS VARCHAR), 10, '0')
+                                  || ':' || CAST(hb AS VARCHAR)), ':', 2)
+                       AS f_hour
+            FROM ub GROUP BY user_id
+        ),
+        lab AS (
+            SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 13
+                        THEN 1 ELSE 0 END AS label
+            FROM events GROUP BY user_id
+        ),
+        base AS (
+            SELECT v.user_id,
+                   CASE WHEN v.mv < 48 THEN 'lo'
+                        WHEN v.mv < 52 THEN 'mid' ELSE 'hi' END AS f_val,
+                   h.f_hour, l.label,
+                   ({sql_string_hash("CAST(v.user_id AS VARCHAR) || '" + _NB_SALT + "'")}) % 5
+                       AS slot
+            FROM uval v
+            JOIN uhour h USING (user_id)
+            JOIN lab l USING (user_id)
+        ),
+        tr AS (SELECT * FROM base WHERE slot < 4),
+        te AS (SELECT * FROM base WHERE slot >= 4),
+        ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n_train FROM tr),
+        pri AS (
+            SELECT label AS c, CAST(count(*) AS DOUBLE) AS n_c
+            FROM tr GROUP BY label
+        ),
+        cv AS (
+            SELECT label AS c, f_val, CAST(count(*) AS DOUBLE) AS cnt
+            FROM tr GROUP BY 1, 2
+        ),
+        ch AS (
+            SELECT label AS c, f_hour, CAST(count(*) AS DOUBLE) AS cnt
+            FROM tr GROUP BY 1, 2
+        ),
+        cls AS (SELECT 0 AS c UNION ALL SELECT 1),
+        scored AS (
+            SELECT t.user_id, t.label, cls.c,
+                   ln((COALESCE(p.n_c, 0) + 1) / (n.n_train + 2))
+                   + ln((COALESCE(v.cnt, 0) + 1) / (COALESCE(p.n_c, 0) + 3))
+                   + ln((COALESCE(h.cnt, 0) + 1) / (COALESCE(p.n_c, 0) + 4))
+                       AS ll
+            FROM te t CROSS JOIN cls CROSS JOIN ntr n
+            LEFT JOIN pri p ON p.c = cls.c
+            LEFT JOIN cv v ON v.c = cls.c AND v.f_val = t.f_val
+            LEFT JOIN ch h ON h.c = cls.c AND h.f_hour = t.f_hour
+        ),
+        piv AS (
+            SELECT user_id, label,
+                   max(CASE WHEN c = 1 THEN ll END) AS ll1,
+                   max(CASE WHEN c = 0 THEN ll END) AS ll0
+            FROM scored GROUP BY 1, 2
+        ),
+        met AS (
+            SELECT label,
+                   CASE WHEN ll1 > ll0 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN label = 1 THEN ll1 ELSE ll0 END AS llt,
+                   greatest(ll0, ll1) AS m, ll0, ll1
+            FROM piv
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6)
+                   AS accuracy,
+               round(-avg(llt - (m + ln(exp(ll0 - m) + exp(ll1 - m)))), 6)
+                   AS log_loss,
+               round(avg(CAST(label AS DOUBLE)), 6) AS base_rate
+        FROM met
+    """,
+    doc="In-engine categorical naive Bayes, trained AND scored in one "
+    "plan: label = heavy purchaser (>= 13 purchase events), features "
+    "from NON-purchase events only (mean-value bin, modal "
+    "hour-of-day quadrant via the deterministic lpad-string argmax — "
+    "no mode() tie ambiguity across engines), split 80/20 by the "
+    "engine-portable md5 hash of user_id. Laplace-smoothed "
+    "class-conditional tables are tiny groupBy outputs that join "
+    "back BROADCAST to the test set; log-sum-exp normalizes the "
+    "log-loss stably. Reports accuracy, log-loss, and the base rate "
+    "it must beat. The 100 TB shape is exactly this: model state is "
+    "O(classes x feature-values), never leaves the JVM, and scoring "
+    "is a map-side join — the classic why-naive-Bayes-scales story.",
+    tags=("ml",),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev_np = ev.filter(F.col("event_type") != "purchase")
+    uval = ev_np.groupBy("user_id").agg(F.avg("value").alias("mv"))
+    ub = ev_np.groupBy(
+        "user_id",
+        F.floor(F.hour("ts") / 6).cast("int").alias("hb"),
+    ).agg(F.count("*").alias("cnt"))
+    uhour = ub.groupBy("user_id").agg(
+        F.substring_index(
+            F.max(
+                F.concat(
+                    F.lpad(F.col("cnt").cast("string"), 10, "0"),
+                    F.lit(":"),
+                    F.col("hb").cast("string"),
+                )
+            ),
+            ":",
+            -1,
+        ).alias("f_hour")
+    )
+    lab = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 13
+        )
+        .cast("int")
+        .alias("label")
+    )
+    slot = string_hash(
+        F.concat(F.col("user_id").cast("string"), F.lit(_NB_SALT))
+    ) % 5
+    base = (
+        uval.join(uhour, "user_id")
+        .join(lab, "user_id")
+        .select(
+            "user_id",
+            F.when(F.col("mv") < 48, "lo")
+            .when(F.col("mv") < 52, "mid")
+            .otherwise("hi")
+            .alias("f_val"),
+            "f_hour",
+            "label",
+            slot.alias("slot"),
+        )
+    )
+    tr = base.filter(F.col("slot") < 4)
+    te = base.filter(F.col("slot") >= 4)
+    ntr = tr.agg(F.count("*").cast("double").alias("n_train"))
+    pri = tr.groupBy(F.col("label").alias("c")).agg(
+        F.count("*").cast("double").alias("n_c")
+    )
+    cv = tr.groupBy(F.col("label").alias("c"), "f_val").agg(
+        F.count("*").cast("double").alias("cnt_v")
+    )
+    ch = tr.groupBy(F.col("label").alias("c"), "f_hour").agg(
+        F.count("*").cast("double").alias("cnt_h")
+    )
+    cls = spark.range(2).select(F.col("id").cast("int").alias("c"))
+    n_c = F.coalesce(F.col("n_c"), F.lit(0.0))
+    cvr = cv.select(
+        F.col("c").alias("cv_c"), F.col("f_val").alias("cv_f"), "cnt_v"
+    )
+    chr_ = ch.select(
+        F.col("c").alias("ch_c"), F.col("f_hour").alias("ch_f"), "cnt_h"
+    )
+    scored = (
+        te.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(ntr))
+        .join(F.broadcast(pri), "c", "left")
+        .join(
+            F.broadcast(cvr),
+            (F.col("c") == F.col("cv_c")) & (F.col("f_val") == F.col("cv_f")),
+            "left",
+        )
+        .join(
+            F.broadcast(chr_),
+            (F.col("c") == F.col("ch_c"))
+            & (F.col("f_hour") == F.col("ch_f")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "label",
+            "c",
+            (
+                F.log((n_c + 1) / (F.col("n_train") + 2))
+                + F.log(
+                    (F.coalesce(F.col("cnt_v"), F.lit(0.0)) + 1) / (n_c + 3)
+                )
+                + F.log(
+                    (F.coalesce(F.col("cnt_h"), F.lit(0.0)) + 1) / (n_c + 4)
+                )
+            ).alias("ll"),
+        )
+    )
+    piv = scored.groupBy("user_id", "label").agg(
+        F.max(F.when(F.col("c") == 1, F.col("ll"))).alias("ll1"),
+        F.max(F.when(F.col("c") == 0, F.col("ll"))).alias("ll0"),
+    )
+    m = F.greatest("ll0", "ll1")
+    llt = F.when(F.col("label") == 1, F.col("ll1")).otherwise(F.col("ll0"))
+    pred = F.when(F.col("ll1") > F.col("ll0"), 1).otherwise(0)
+    return piv.crossJoin(
+        F.broadcast(tr.agg(F.count("*").cast("long").alias("n_train")))
+    ).agg(
+        F.max("n_train").alias("n_train"),
+        F.count("*").cast("long").alias("n_test"),
+        F.round(
+            F.avg(F.when(pred == F.col("label"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy"),
+        F.round(
+            -F.avg(
+                llt
+                - (
+                    m
+                    + F.log(
+                        F.exp(F.col("ll0") - m) + F.exp(F.col("ll1") - m)
+                    )
+                )
+            ),
+            6,
+        ).alias("log_loss"),
+        F.round(F.avg(F.col("label").cast("double")), 6).alias("base_rate"),
+    )
