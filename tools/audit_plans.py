@@ -198,6 +198,12 @@ SCALAR_BROADCAST_OPS = {
     "stats-nelson-aalen",      # 1-row observation-end broadcast (KM twin)
     "ml-naive-bayes",          # 1-row train-count + 2-row class broadcasts
     "timeseries-intervention-its",  # 1-row (d0, t0) bounds broadcast
+    "eval-brier-decomposition",  # 1-row global-moments broadcast
+    "sample-class-balance",    # 1-row minority-count broadcast
+    "stats-anova-two-way",     # 1-row grand-mean / SSE / df broadcasts
+    "stats-ancova",            # 1-row pooled-slope/SSE broadcast
+    "stats-g-test",            # 1-row G-stat + marginal-sum broadcasts
+    "eval-auc-delong-ci",      # 1-row AUC broadcast into variance pass
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -263,6 +269,10 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             # the calendar span (days), not the user count
             "stats-kaplan-meier": 2,
             "stats-nelson-aalen": 2,
+            # bounded distinct-score bins (values round to 2 decimals)
+            "eval-auc-delong-ci": 4,
+            # bounded lang x source contingency grid
+            "stats-g-test": 1,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

@@ -2100,3 +2100,809 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("log_loss"),
         F.round(F.avg(F.col("label").cast("double")), 6).alias("base_rate"),
     )
+
+
+_BD_SALT = ":brier-salt-r5"
+
+
+@query(
+    "eval-brier-decomposition",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CAST(extract(hour FROM ts) AS INT) AS h,
+                   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                       AS o,
+                   ({sql_string_hash("CAST(event_id AS VARCHAR) || '" + _BD_SALT + "'")}) % 5
+                       AS slot
+            FROM events
+        ),
+        rates AS (
+            SELECT h, avg(o) AS p FROM tagged WHERE slot < 4 GROUP BY h
+        ),
+        te AS (
+            SELECT t.o, r.p FROM tagged t JOIN rates r ON t.h = r.h
+            WHERE t.slot >= 4
+        ),
+        bins AS (
+            SELECT p, CAST(count(*) AS DOUBLE) AS n_k, avg(o) AS obar_k
+            FROM te GROUP BY p
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(o) AS obar,
+                   avg((p - o) * (p - o)) AS brier
+            FROM te
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_test,
+               round(t.brier, 6) AS brier,
+               round(sum(b.n_k * (b.p - b.obar_k) * (b.p - b.obar_k)) / t.n, 6)
+                   AS reliability,
+               round(sum(b.n_k * (b.obar_k - t.obar) * (b.obar_k - t.obar)) / t.n, 6)
+                   AS resolution,
+               round(t.obar * (1 - t.obar), 6) AS uncertainty,
+               round(t.brier
+                     - (sum(b.n_k * (b.p - b.obar_k) * (b.p - b.obar_k)) / t.n
+                        - sum(b.n_k * (b.obar_k - t.obar) * (b.obar_k - t.obar)) / t.n
+                        + t.obar * (1 - t.obar)), 6) AS identity_residual
+        FROM bins b CROSS JOIN tot t
+        GROUP BY t.n, t.brier, t.obar
+    """,
+    doc="Murphy decomposition of the Brier score — Brier = reliability "
+    "- resolution + uncertainty — for an hour-of-day purchase-rate "
+    "forecaster: rates fit on an 80%% hash split of events, scored on "
+    "the rest, with bins = the 24 distinct forecast values so the "
+    "identity holds EXACTLY (identity_residual is emitted and must "
+    "round to 0, a self-check the scalar Brier alone can't give). "
+    "Reliability isolates calibration error, resolution the "
+    "forecaster's discrimination — the pair stats-calibration-curve "
+    "(per-bin rows) doesn't summarize. Scale shape: one hash-agg for "
+    "rates (24 rows, broadcast back), one for bins, one global "
+    "moment — no windows, no collects.",
+    tags=("eval", "stats"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.hour("ts").cast("int").alias("h"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("o"),
+        (
+            string_hash(
+                F.concat(F.col("event_id").cast("string"), F.lit(_BD_SALT))
+            )
+            % 5
+        ).alias("slot"),
+    )
+    rates = (
+        tagged.filter(F.col("slot") < 4)
+        .groupBy("h")
+        .agg(F.avg("o").alias("p"))
+    )
+    te = (
+        tagged.filter(F.col("slot") >= 4)
+        .join(F.broadcast(rates), "h")
+        .select("o", "p")
+    )
+    bins = te.groupBy("p").agg(
+        F.count("*").cast("double").alias("n_k"),
+        F.avg("o").alias("obar_k"),
+    )
+    tot = te.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("o").alias("obar"),
+        F.avg((F.col("p") - F.col("o")) * (F.col("p") - F.col("o"))).alias(
+            "brier"
+        ),
+    )
+    nk, p, obk = F.col("n_k"), F.col("p"), F.col("obar_k")
+    n, obar, brier = F.col("n"), F.col("obar"), F.col("brier")
+    rel = F.sum(nk * (p - obk) * (p - obk)) / F.max(n)
+    res = F.sum(nk * (obk - obar) * (obk - obar)) / F.max(n)
+    unc = F.max(obar * (1 - obar))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "brier", "obar")
+        .agg(
+            F.round(rel, 6).alias("_rel"),
+            F.round(res, 6).alias("_res"),
+            F.round(unc, 6).alias("_unc"),
+            F.round(F.max(brier) - (rel - res + unc), 6).alias(
+                "identity_residual"
+            ),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_test"),
+            F.round("brier", 6).alias("brier"),
+            F.col("_rel").alias("reliability"),
+            F.col("_res").alias("resolution"),
+            F.col("_unc").alias("uncertainty"),
+            "identity_residual",
+        )
+    )
+
+
+@query(
+    "stats-anova-two-way",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type AS a,
+                   CAST(floor(extract(hour FROM ts) / 6) AS INT) AS b,
+                   value AS y
+            FROM events
+        ),
+        g AS (SELECT avg(y) AS gm, CAST(count(*) AS DOUBLE) AS n FROM obs),
+        ma AS (SELECT a, avg(y) AS am, CAST(count(*) AS DOUBLE) AS na
+               FROM obs GROUP BY a),
+        mb AS (SELECT b, avg(y) AS bm, CAST(count(*) AS DOUBLE) AS nb
+               FROM obs GROUP BY b),
+        mc AS (SELECT a, b, avg(y) AS cm, CAST(count(*) AS DOUBLE) AS nc
+               FROM obs GROUP BY a, b),
+        sse AS (
+            SELECT sum((o.y - c.cm) * (o.y - c.cm)) AS ss_err
+            FROM obs o JOIN mc c ON o.a = c.a AND o.b = c.b
+        ),
+        ssa AS (SELECT sum(na * (am - g.gm) * (am - g.gm)) AS ss_a,
+                       CAST(count(*) AS DOUBLE) - 1 AS df_a
+                FROM ma CROSS JOIN g GROUP BY g.gm),
+        ssb AS (SELECT sum(nb * (bm - g.gm) * (bm - g.gm)) AS ss_b,
+                       CAST(count(*) AS DOUBLE) - 1 AS df_b
+                FROM mb CROSS JOIN g GROUP BY g.gm),
+        ssab AS (
+            SELECT sum(nc * (cm - am - bm + g.gm) * (cm - am - bm + g.gm))
+                       AS ss_ab,
+                   CAST(count(*) AS DOUBLE) AS n_cells
+            FROM mc c
+            JOIN ma ON c.a = ma.a
+            JOIN mb ON c.b = mb.b
+            CROSS JOIN g
+            GROUP BY g.gm
+        )
+        SELECT src, round(ss, 4) AS sum_sq, CAST(df AS BIGINT) AS df,
+               round(ss / df, 6) AS mean_sq,
+               round((ss / df) / (e.ss_err / (g.n - ab.n_cells)), 4) AS f_stat
+        FROM (
+            SELECT 'event_type' AS src, ss_a AS ss, df_a AS df FROM ssa
+            UNION ALL
+            SELECT 'hour_quadrant', ss_b, df_b FROM ssb
+            UNION ALL
+            SELECT 'interaction', ss_ab,
+                   (SELECT df_a FROM ssa) * (SELECT df_b FROM ssb)
+            FROM ssab
+        ) t
+        CROSS JOIN sse e CROSS JOIN g CROSS JOIN ssab ab
+    """,
+    doc="Two-way ANOVA with interaction on event value by event_type x "
+    "hour-of-day quadrant: cell-mean decomposition SS_A (weighted "
+    "main effect), SS_B, SS_AB (interaction contrast "
+    "cm - am - bm + gm), SSE from the full-cell model, each with its "
+    "F against MSE — the factorial extension of stats-anova-oneway / "
+    "stats-welch-anova that tests whether the hour effect DIFFERS by "
+    "event type, not merely whether either margin moves. Unbalanced "
+    "cells use the weighted (Type-I-style) decomposition; documented "
+    "rather than hidden, the statistic is exactly mirrored in the "
+    "oracle. Shape: three bounded groupBys (5, 4, 20 rows) + one "
+    "fact-side join to cell means — one wide shuffle at any scale.",
+    tags=("stats",),
+)
+def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("a"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("b"),
+        F.col("value").alias("y"),
+    )
+    g = obs.agg(
+        F.avg("y").alias("gm"), F.count("*").cast("double").alias("n")
+    )
+    ma = obs.groupBy("a").agg(
+        F.avg("y").alias("am"), F.count("*").cast("double").alias("na")
+    )
+    mb = obs.groupBy("b").agg(
+        F.avg("y").alias("bm"), F.count("*").cast("double").alias("nb")
+    )
+    mc = obs.groupBy("a", "b").agg(
+        F.avg("y").alias("cm"), F.count("*").cast("double").alias("nc")
+    )
+    ss_err = (
+        obs.join(F.broadcast(mc.select("a", "b", "cm")), ["a", "b"])
+        .agg(
+            F.sum(
+                (F.col("y") - F.col("cm")) * (F.col("y") - F.col("cm"))
+            ).alias("ss_err")
+        )
+    )
+    ssa = (
+        ma.crossJoin(F.broadcast(g))
+        .groupBy("gm")
+        .agg(
+            F.sum(
+                F.col("na") * (F.col("am") - F.col("gm")) * (F.col("am") - F.col("gm"))
+            ).alias("ss_a"),
+            (F.count("*").cast("double") - 1).alias("df_a"),
+        )
+        .select("ss_a", "df_a")
+    )
+    ssb = (
+        mb.crossJoin(F.broadcast(g))
+        .groupBy("gm")
+        .agg(
+            F.sum(
+                F.col("nb") * (F.col("bm") - F.col("gm")) * (F.col("bm") - F.col("gm"))
+            ).alias("ss_b"),
+            (F.count("*").cast("double") - 1).alias("df_b"),
+        )
+        .select("ss_b", "df_b")
+    )
+    inter = (
+        mc.join(F.broadcast(ma.select("a", "am")), "a")
+        .join(F.broadcast(mb.select("b", "bm")), "b")
+        .crossJoin(F.broadcast(g))
+    )
+    dev = F.col("cm") - F.col("am") - F.col("bm") + F.col("gm")
+    ssab = inter.groupBy("gm").agg(
+        F.sum(F.col("nc") * dev * dev).alias("ss_ab"),
+        F.count("*").cast("double").alias("n_cells"),
+    ).select("ss_ab", "n_cells")
+    rows = (
+        ssa.select(
+            F.lit("event_type").alias("src"),
+            F.col("ss_a").alias("ss"),
+            F.col("df_a").alias("df"),
+        )
+        .unionByName(
+            ssb.select(
+                F.lit("hour_quadrant").alias("src"),
+                F.col("ss_b").alias("ss"),
+                F.col("df_b").alias("df"),
+            )
+        )
+        .unionByName(
+            ssab.crossJoin(F.broadcast(ssa.select("df_a")))
+            .crossJoin(F.broadcast(ssb.select("df_b")))
+            .select(
+                F.lit("interaction").alias("src"),
+                F.col("ss_ab").alias("ss"),
+                (F.col("df_a") * F.col("df_b")).alias("df"),
+            )
+        )
+    )
+    return (
+        rows.crossJoin(F.broadcast(ss_err))
+        .crossJoin(F.broadcast(g.select("n")))
+        .crossJoin(F.broadcast(ssab.select("n_cells")))
+        .select(
+            "src",
+            F.round("ss", 4).alias("sum_sq"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("ss") / F.col("df"), 6).alias("mean_sq"),
+            F.round(
+                (F.col("ss") / F.col("df"))
+                / (F.col("ss_err") / (F.col("n") - F.col("n_cells"))),
+                4,
+            ).alias("f_stat"),
+        )
+    )
+
+
+@query(
+    "timeseries-croston",
+    oracle="""
+        WITH demand AS (
+            SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+                   sum(l_quantity) AS z
+            FROM lineitem GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT l_partkey, d, z,
+                   row_number() OVER w AS rn,
+                   count(*) OVER (PARTITION BY l_partkey) AS n,
+                   CAST(date_diff('day',
+                        lag(d) OVER w, d) AS DOUBLE) AS iv
+            FROM demand
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY d)
+        ),
+        eligible AS (SELECT * FROM seq WHERE n >= 4),
+        zhat AS (
+            SELECT l_partkey, max(n) AS n_demands,
+                   sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * z
+                            ELSE 0.1 * power(0.9, n - rn) * z END) AS z_hat,
+                   sum(CASE WHEN rn = 2 THEN power(0.9, n - 2) * iv
+                            WHEN rn > 2 THEN 0.1 * power(0.9, n - rn) * iv
+                            ELSE 0 END) AS p_hat
+            FROM eligible GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(n_demands AS BIGINT) AS n_demands,
+               round(z_hat, 6) AS size_ses,
+               round(p_hat, 6) AS interval_ses,
+               round(z_hat / p_hat, 6) AS croston_forecast
+        FROM zhat
+        ORDER BY croston_forecast DESC, l_partkey
+        LIMIT 20
+    """,
+    doc="Croston's method for intermittent demand — the standard "
+    "forecaster when most periods have ZERO demand and plain "
+    "SES/Holt (timeseries-ses-grid, -holt-linear) smear the zeros "
+    "into a biased level: SES(alpha=0.1) separately on the non-zero "
+    "demand SIZES and on the inter-demand INTERVALS, forecast per "
+    "period = z_hat/p_hat. The recursive SES is unrolled into its "
+    "closed weighted form (alpha(1-alpha)^(n-k), first term "
+    "(1-alpha)^(n-1)) so both engines compute an identical "
+    "windowless-per-row sum; windows partition BY PART over that "
+    "part's demand dates — bounded per key, parallel across the part "
+    "dimension, exactly how 100 TB of sparse SKU series shards. "
+    "Top-20 via global sort on the tiny per-part summary.",
+    tags=("timeseries",),
+)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum("l_quantity").alias("z"))
+    w = Window.partitionBy("l_partkey").orderBy("d")
+    seq = demand.select(
+        "l_partkey",
+        "d",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("l_partkey"))
+        .alias("n"),
+        F.datediff("d", F.lag("d").over(w)).cast("double").alias("iv"),
+    ).filter(F.col("n") >= 4)
+    rn, n, z, iv = F.col("rn"), F.col("n"), F.col("z"), F.col("iv")
+    a = F.lit(0.1)
+    zhat = seq.groupBy("l_partkey").agg(
+        F.max("n").cast("long").alias("n_demands"),
+        F.sum(
+            F.when(rn == 1, F.pow(1 - a, n - 1) * z).otherwise(
+                a * F.pow(1 - a, n - rn) * z
+            )
+        ).alias("z_hat"),
+        F.sum(
+            F.when(rn == 2, F.pow(1 - a, n - 2) * iv)
+            .when(rn > 2, a * F.pow(1 - a, n - rn) * iv)
+            .otherwise(0.0)
+        ).alias("p_hat"),
+    )
+    return (
+        zhat.select(
+            "l_partkey",
+            "n_demands",
+            F.round("z_hat", 6).alias("size_ses"),
+            F.round("p_hat", 6).alias("interval_ses"),
+            F.round(F.col("z_hat") / F.col("p_hat"), 6).alias(
+                "croston_forecast"
+            ),
+        )
+        .orderBy(F.col("croston_forecast").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+_CB_SALT = ":classbal-salt-r5"
+
+
+@query(
+    "sample-class-balance",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n_c FROM documents
+            GROUP BY lang
+        ),
+        m AS (SELECT min(n_c) AS m FROM counts),
+        kept AS (
+            SELECT d.lang,
+                   CASE WHEN ({sql_string_hash("CAST(d.doc_id AS VARCHAR) || '" + _CB_SALT + "'")}) % 1000000
+                        < CAST(floor(1000000 * mm.m / c.n_c) AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d
+            JOIN counts c ON d.lang = c.lang
+            CROSS JOIN m mm
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_before,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM kept GROUP BY lang
+    """,
+    doc="Deterministic class rebalancing by Bernoulli hash thresholding "
+    "— downsample every language to (approximately) the minority "
+    "class size by keeping doc_id-hash %% 1e6 < 1e6*m/n_c: no "
+    "per-class ranking window (which would funnel each class through "
+    "one task at 100 TB — the exact trap sample-fixed-k-per-group "
+    "documents for its small-k case), no rand() irreproducibility; "
+    "re-runs, engines, and cluster sizes all keep the SAME rows. "
+    "Class counts are a tiny broadcast; the pass over the fact table "
+    "is map-only. Emits per-class before/after so the residual "
+    "imbalance of the Bernoulli approximation is visible.",
+    tags=("sample", "ml"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_c")
+    )
+    m = counts.agg(F.min("n_c").alias("m"))
+    keep = (
+        string_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_CB_SALT))
+        )
+        % 1000000
+        < F.floor(1000000 * F.col("m") / F.col("n_c")).cast("long")
+    ).cast("int")
+    kept = (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .select("lang", keep.alias("keep"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round(
+            F.sum("keep") / F.count("*").cast("double"), 6
+        ).alias("keep_rate"),
+    )
+
+
+@query(
+    "stats-g-test",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS DOUBLE) AS obs
+            FROM documents GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT lang, source, obs,
+                   sum(obs) OVER (PARTITION BY lang) AS row_tot,
+                   sum(obs) OVER (PARTITION BY source) AS col_tot,
+                   sum(obs) OVER () AS n
+            FROM cells
+        ),
+        g AS (
+            SELECT max(n) AS n,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS r,
+                   CAST(count(DISTINCT source) AS DOUBLE) AS c,
+                   2 * sum(CASE WHEN obs > 0
+                                THEN obs * ln(obs / (row_tot * col_tot / n))
+                                ELSE 0 END) AS g_stat
+            FROM tot
+        ),
+        marg AS (
+            SELECT sum(1.0 / row_tot) / max(g.c) AS inv_rows,
+                   sum(1.0 / col_tot) / max(g.r) AS inv_cols
+            FROM tot CROSS JOIN g
+        )
+        SELECT CAST(g.n AS BIGINT) AS n_docs,
+               CAST((g.r - 1) * (g.c - 1) AS BIGINT) AS dof,
+               round(g.g_stat, 6) AS g_stat,
+               round(1 + (g.n * m.inv_rows - 1) * (g.n * m.inv_cols - 1)
+                         / (6 * g.n * (g.r - 1) * (g.c - 1)), 6) AS williams_q,
+               round(g.g_stat / (1 + (g.n * m.inv_rows - 1)
+                                     * (g.n * m.inv_cols - 1)
+                                     / (6 * g.n * (g.r - 1) * (g.c - 1))), 6)
+                   AS g_adj
+        FROM g CROSS JOIN marg m
+    """,
+    doc="G-test (log-likelihood-ratio independence test) on the lang x "
+    "source contingency table with Williams' small-sample correction "
+    "q = 1 + (N*sum(1/row)-1)(N*sum(1/col)-1) / (6N(r-1)(c-1)): "
+    "G = 2*sum O ln(O/E) is additive across partitions of the table "
+    "(chi-square is not) and is the test the chi2 approximates — "
+    "stats-chi-square's companion for sparse cells, on a DIFFERENT "
+    "pair of factors so the two ops cross-check distinct fixture "
+    "margins. Cell counts, marginal windows over the bounded "
+    "(lang x source) grid, one scalar combine — the same "
+    "contingency shape at any data volume.",
+    tags=("stats",),
+)
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    tot = cells.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    g = tot.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").cast("double").alias("r"),
+        F.countDistinct("source").cast("double").alias("c"),
+        (
+            2
+            * F.sum(
+                F.when(
+                    F.col("obs") > 0,
+                    F.col("obs")
+                    * F.log(
+                        F.col("obs")
+                        / (F.col("row_tot") * F.col("col_tot") / F.col("n"))
+                    ),
+                ).otherwise(0.0)
+            )
+        ).alias("g_stat"),
+    )
+    marg = tot.crossJoin(F.broadcast(g.select("r", "c"))).agg(
+        (F.sum(1.0 / F.col("row_tot")) / F.max("c")).alias("inv_rows"),
+        (F.sum(1.0 / F.col("col_tot")) / F.max("r")).alias("inv_cols"),
+    )
+    q = 1 + (F.col("n") * F.col("inv_rows") - 1) * (
+        F.col("n") * F.col("inv_cols") - 1
+    ) / (6 * F.col("n") * (F.col("r") - 1) * (F.col("c") - 1))
+    return (
+        g.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round("g_stat", 6).alias("g_stat"),
+            F.round(q, 6).alias("williams_q"),
+            F.round(F.col("g_stat") / q, 6).alias("g_adj"),
+        )
+    )
+
+
+@query(
+    "eval-auc-delong-ci",
+    oracle="""
+        WITH scored AS (
+            SELECT round(value, 2) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        bins AS (
+            SELECT s, CAST(sum(y) AS DOUBLE) AS np_k,
+                   CAST(sum(1 - y) AS DOUBLE) AS nn_k
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT s, np_k, nn_k,
+                   coalesce(sum(nn_k) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS negs_below,
+                   sum(np_k) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pos_upto,
+                   sum(np_k) OVER () AS np,
+                   sum(nn_k) OVER () AS nn
+            FROM bins
+        ),
+        plc AS (
+            SELECT np_k, nn_k, np, nn,
+                   (negs_below + nn_k / 2) / nn AS v10,
+                   (np - pos_upto + np_k / 2) / np AS v01
+            FROM cum
+        ),
+        auc AS (
+            SELECT max(np) AS np, max(nn) AS nn,
+                   sum(np_k * v10) / max(np) AS a
+            FROM plc
+        ),
+        var_c AS (
+            SELECT max(a.np) AS np, max(a.nn) AS nn, max(a.a) AS a,
+                   sum(p.np_k * (p.v10 - a.a) * (p.v10 - a.a))
+                       / (max(a.np) - 1) AS s10,
+                   sum(p.nn_k * (p.v01 - a.a) * (p.v01 - a.a))
+                       / (max(a.nn) - 1) AS s01
+            FROM plc p CROSS JOIN auc a
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round(a, 6) AS auc,
+               round(sqrt(s10 / np + s01 / nn), 6) AS se,
+               round(a - 1.959964 * sqrt(s10 / np + s01 / nn), 6) AS ci_lo,
+               round(a + 1.959964 * sqrt(s10 / np + s01 / nn), 6) AS ci_hi
+        FROM var_c
+    """,
+    doc="Exact AUC with the DeLong variance and 95%% CI — the "
+    "placement-value formulation: per distinct (rounded) score, "
+    "v10 = (negatives below + half ties)/NN for positives and the "
+    "mirror v01 for negatives; AUC is the positive-weighted mean of "
+    "v10, Var = S10/NP + S01/NN from the weighted placement "
+    "variances. Complements stats-roc-auc-binned (point estimate "
+    "only): DeLong is the inference-grade answer reviewers ask for "
+    "when two models' AUCs differ by 0.003. Scores round to 2 "
+    "decimals so the windows run over a BOUNDED distinct-score "
+    "summary (<=10k rows regardless of event count) — the same "
+    "binning contract as the repo's other global-window stats ops.",
+    tags=("eval", "ml", "stats"),
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round("value", 2).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = scored.groupBy("s").agg(
+        F.sum("y").cast("double").alias("np_k"),
+        F.sum(1 - F.col("y")).cast("double").alias("nn_k"),
+    )
+    w_prev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_upto = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "np_k",
+        "nn_k",
+        F.coalesce(F.sum("nn_k").over(w_prev), F.lit(0.0)).alias(
+            "negs_below"
+        ),
+        F.sum("np_k").over(w_upto).alias("pos_upto"),
+        F.sum("np_k").over(w_all).alias("np"),
+        F.sum("nn_k").over(w_all).alias("nn"),
+    )
+    plc = cum.select(
+        "np_k",
+        "nn_k",
+        "np",
+        "nn",
+        ((F.col("negs_below") + F.col("nn_k") / 2) / F.col("nn")).alias(
+            "v10"
+        ),
+        (
+            (F.col("np") - F.col("pos_upto") + F.col("np_k") / 2)
+            / F.col("np")
+        ).alias("v01"),
+    )
+    auc = plc.agg(
+        F.max("np").alias("np"),
+        F.max("nn").alias("nn"),
+        (F.sum(F.col("np_k") * F.col("v10")) / F.max("np")).alias("a"),
+    )
+    a = F.col("a")
+    var_c = plc.crossJoin(F.broadcast(auc.select(a, F.col("np").alias("np_a"), F.col("nn").alias("nn_a")))).agg(
+        F.max("np_a").alias("np"),
+        F.max("nn_a").alias("nn"),
+        F.max("a").alias("a"),
+        (
+            F.sum(F.col("np_k") * (F.col("v10") - a) * (F.col("v10") - a))
+            / (F.max("np_a") - 1)
+        ).alias("s10"),
+        (
+            F.sum(F.col("nn_k") * (F.col("v01") - a) * (F.col("v01") - a))
+            / (F.max("nn_a") - 1)
+        ).alias("s01"),
+    )
+    se = F.sqrt(F.col("s10") / F.col("np") + F.col("s01") / F.col("nn"))
+    return var_c.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round("a", 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(a - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(a + 1.959964 * se, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "stats-ancova",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type AS g,
+                   CAST(extract(hour FROM ts) AS DOUBLE) AS x,
+                   value AS y
+            FROM events
+        ),
+        per_g AS (
+            SELECT g, CAST(count(*) AS DOUBLE) AS n_g,
+                   avg(x) AS xbar_g, avg(y) AS ybar_g,
+                   (count(*) - 1) * var_samp(x) AS sxx_g,
+                   (count(*) - 1) * covar_samp(x, y) AS sxy_g,
+                   (count(*) - 1) * var_samp(y) AS syy_g
+            FROM obs GROUP BY g
+        ),
+        pooled AS (
+            SELECT sum(n_g) AS n, CAST(count(*) AS DOUBLE) AS k,
+                   sum(sxx_g) AS sxx_w, sum(sxy_g) AS sxy_w,
+                   sum(syy_g) AS syy_w,
+                   sum(n_g * xbar_g) / sum(n_g) AS xbar
+            FROM per_g
+        ),
+        total AS (
+            SELECT (count(*) - 1) * var_samp(x) AS sxx_t,
+                   (count(*) - 1) * covar_samp(x, y) AS sxy_t,
+                   (count(*) - 1) * var_samp(y) AS syy_t
+            FROM obs
+        ),
+        fit AS (
+            SELECT p.n, p.k, p.xbar,
+                   p.sxy_w / p.sxx_w AS b_w,
+                   p.syy_w - p.sxy_w * p.sxy_w / p.sxx_w AS sse_full,
+                   t.syy_t - t.sxy_t * t.sxy_t / t.sxx_t AS sse_reduced
+            FROM pooled p CROSS JOIN total t
+        )
+        SELECT g.g AS grp, CAST(g.n_g AS BIGINT) AS n,
+               round(g.ybar_g, 6) AS raw_mean,
+               round(g.ybar_g - f.b_w * (g.xbar_g - f.xbar), 6)
+                   AS adjusted_mean,
+               round(f.b_w, 6) AS common_slope,
+               round(((f.sse_reduced - f.sse_full) / (f.k - 1))
+                     / (f.sse_full / (f.n - f.k - 1)), 4) AS f_group
+        FROM per_g g CROSS JOIN fit f
+    """,
+    doc="One-way ANCOVA — group effect on event value ADJUSTED for the "
+    "hour-of-day covariate: pooled within-group slope b_w = "
+    "Sxy_w/Sxx_w, covariate-adjusted group means "
+    "ybar_g - b_w(xbar_g - xbar), and the group F comparing the "
+    "common-slope model's SSE against the no-groups reduced model — "
+    "the analysis stats-anova-oneway gets WRONG whenever groups "
+    "differ in covariate mix (confounded margins). All from per-group "
+    "var/covar sums: one bounded groupBy plus one global moment "
+    "aggregate, scalar algebra after — no residual materialization, "
+    "no second pass over the fact table.",
+    tags=("stats",),
+)
+def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("g"),
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    per_g = obs.groupBy("g").agg(
+        F.count("*").cast("double").alias("n_g"),
+        F.avg("x").alias("xbar_g"),
+        F.avg("y").alias("ybar_g"),
+        ((F.count("*") - 1) * F.var_samp("x")).alias("sxx_g"),
+        ((F.count("*") - 1) * F.covar_samp("x", "y")).alias("sxy_g"),
+        ((F.count("*") - 1) * F.var_samp("y")).alias("syy_g"),
+    )
+    pooled = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("double").alias("k"),
+        F.sum("sxx_g").alias("sxx_w"),
+        F.sum("sxy_g").alias("sxy_w"),
+        F.sum("syy_g").alias("syy_w"),
+        (F.sum(F.col("n_g") * F.col("xbar_g")) / F.sum("n_g")).alias(
+            "xbar"
+        ),
+    )
+    total = obs.agg(
+        ((F.count("*") - 1) * F.var_samp("x")).alias("sxx_t"),
+        ((F.count("*") - 1) * F.covar_samp("x", "y")).alias("sxy_t"),
+        ((F.count("*") - 1) * F.var_samp("y")).alias("syy_t"),
+    )
+    fit = (
+        pooled.crossJoin(F.broadcast(total))
+        .select(
+            "n",
+            "k",
+            "xbar",
+            (F.col("sxy_w") / F.col("sxx_w")).alias("b_w"),
+            (
+                F.col("syy_w")
+                - F.col("sxy_w") * F.col("sxy_w") / F.col("sxx_w")
+            ).alias("sse_full"),
+            (
+                F.col("syy_t")
+                - F.col("sxy_t") * F.col("sxy_t") / F.col("sxx_t")
+            ).alias("sse_reduced"),
+        )
+    )
+    f_group = (
+        (F.col("sse_reduced") - F.col("sse_full")) / (F.col("k") - 1)
+    ) / (F.col("sse_full") / (F.col("n") - F.col("k") - 1))
+    return per_g.crossJoin(F.broadcast(fit)).select(
+        F.col("g").alias("grp"),
+        F.col("n_g").cast("long").alias("n"),
+        F.round("ybar_g", 6).alias("raw_mean"),
+        F.round(
+            F.col("ybar_g") - F.col("b_w") * (F.col("xbar_g") - F.col("xbar")),
+            6,
+        ).alias("adjusted_mean"),
+        F.round("b_w", 6).alias("common_slope"),
+        F.round(f_group, 4).alias("f_group"),
+    )
