@@ -204,6 +204,11 @@ SCALAR_BROADCAST_OPS = {
     "stats-ancova",            # 1-row pooled-slope/SSE broadcast
     "stats-g-test",            # 1-row G-stat + marginal-sum broadcasts
     "eval-auc-delong-ci",      # 1-row AUC broadcast into variance pass
+    "stats-tukey-hsd",         # 5-row group-summary pair join (k(k-1)/2)
+    "ml-learning-curve",       # 5-row fraction-list inequality broadcast
+    "stats-bland-altman",      # 1-row bias/SD broadcast into outside-LoA pass
+    "stats-icc",               # 1-row grand-total broadcast
+    "timeseries-cochrane-orcutt",  # 1-row OLS/rho/refit scalar broadcasts
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -273,6 +278,10 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "eval-auc-delong-ci": 4,
             # bounded lang x source contingency grid
             "stats-g-test": 1,
+            # bounded 3x3 rating contingency grid
+            "stats-cohen-kappa-weighted": 1,
+            # calendar-bounded daily series (lag windows + marginals)
+            "timeseries-cochrane-orcutt": 3,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

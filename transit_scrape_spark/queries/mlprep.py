@@ -2906,3 +2906,640 @@ def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b_w", 6).alias("common_slope"),
         F.round(f_group, 4).alias("f_group"),
     )
+
+
+@query(
+    "stats-tukey-hsd",
+    oracle="""
+        WITH grp AS (
+            SELECT event_type AS g, CAST(count(*) AS DOUBLE) AS n_g,
+                   avg(value) AS m_g,
+                   (count(*) - 1) * var_samp(value) AS ss_g
+            FROM events GROUP BY event_type
+        ),
+        mse AS (
+            SELECT sum(ss_g) / (sum(n_g) - count(*)) AS mse,
+                   sum(n_g) - count(*) AS df_err
+            FROM grp
+        )
+        SELECT a.g AS group_a, b.g AS group_b,
+               round(a.m_g - b.m_g, 6) AS mean_diff,
+               round(sqrt(m.mse / 2 * (1 / a.n_g + 1 / b.n_g)), 6) AS se,
+               round(abs(a.m_g - b.m_g)
+                     / sqrt(m.mse / 2 * (1 / a.n_g + 1 / b.n_g)), 4)
+                   AS q_stat,
+               CAST(m.df_err AS BIGINT) AS df_err
+        FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN mse m
+    """,
+    doc="Tukey-Kramer HSD post-hoc pairwise comparisons after one-way "
+    "ANOVA (the follow-up stats-anova-oneway stops short of): for "
+    "every group pair the studentized-range statistic q = |m_i - m_j| "
+    "/ sqrt(MSE/2 (1/n_i + 1/n_j)) with the pooled within-group MSE "
+    "— Kramer's harmonic correction handles the unbalanced cells. "
+    "Compare q against q_crit(k, df) offline; emitting the statistic "
+    "keeps the op table-free and engine-pure like stats-welch-ttest. "
+    "The pair join is over the 5-row GROUP SUMMARY (k(k-1)/2 rows), "
+    "never the fact table — post-hoc analysis costs one groupBy at "
+    "any scale.",
+    tags=("stats",),
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.count("*").cast("double").alias("n_g"),
+        F.avg("value").alias("m_g"),
+        ((F.count("*") - 1) * F.var_samp("value")).alias("ss_g"),
+    )
+    mse = grp.agg(
+        (F.sum("ss_g") / (F.sum("n_g") - F.count("*"))).alias("mse"),
+        (F.sum("n_g") - F.count("*")).alias("df_err"),
+    )
+    a = grp.select(
+        F.col("g").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("m_g").alias("m_a"),
+    )
+    b = grp.select(
+        F.col("g").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("m_g").alias("m_b"),
+    )
+    se = F.sqrt(
+        F.col("mse") / 2 * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+            F.round(se, 6).alias("se"),
+            F.round(F.abs(F.col("m_a") - F.col("m_b")) / se, 4).alias(
+                "q_stat"
+            ),
+            F.col("df_err").cast("long").alias("df_err"),
+        )
+    )
+
+
+@query(
+    "timeseries-time-decay-avg",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, value,
+                   power(0.5,
+                         CAST(date_diff('second', ts,
+                              max(ts) OVER (PARTITION BY user_id))
+                              AS DOUBLE) / (7 * 86400.0)) AS wt
+            FROM events
+        ),
+        pu AS (
+            SELECT user_id, sum(wt * value) / sum(wt) AS decayed_avg
+            FROM w GROUP BY user_id
+        )
+        SELECT CAST(floor(decayed_avg / 10) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(decayed_avg), 6) AS mean_decayed
+        FROM pu GROUP BY 1
+    """,
+    doc="Irregular-spacing time-decayed average (half-life 7 days, "
+    "anchored at each user's LAST event): weight = 0.5^(dt/halflife) "
+    "— the time-aware recency metric row-based EWMA "
+    "(timeseries-ewma, window-ewma) gets wrong whenever events "
+    "arrive unevenly, because a row-decay treats a 1-minute gap and "
+    "a 1-month gap identically. The closed weighted-sum form needs "
+    "no recursion: one per-user max-ts window (PARTITIONED — "
+    "per-key, parallel across users) and one groupBy ratio; "
+    "histogram of the per-user result keeps output bounded. This is "
+    "the standard freshness feature in feature stores at any scale.",
+    tags=("timeseries", "ml"),
+)
+def timeseries_time_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = F.max("ts").over(Window.partitionBy("user_id"))
+    wt = F.pow(
+        0.5,
+        (F.unix_timestamp(max_ts) - F.unix_timestamp("ts")).cast("double")
+        / (7 * 86400.0),
+    )
+    w = ev.select("user_id", "value", wt.alias("wt"))
+    pu = w.groupBy("user_id").agg(
+        (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias(
+            "decayed_avg"
+        )
+    )
+    return pu.groupBy(
+        F.floor(F.col("decayed_avg") / 10).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("decayed_avg"), 6).alias("mean_decayed"),
+    )
+
+
+_LC_SALT = ":lc-salt-r5"
+
+
+@query(
+    "ml-learning-curve",
+    oracle=f"""
+        WITH ev_np AS (
+            SELECT user_id, avg(value) AS mv FROM events
+            WHERE event_type <> 'purchase' GROUP BY user_id
+        ),
+        lab AS (
+            SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 13
+                        THEN 1 ELSE 0 END AS label
+            FROM events GROUP BY user_id
+        ),
+        base AS (
+            SELECT v.user_id,
+                   CASE WHEN v.mv < 48 THEN 'lo'
+                        WHEN v.mv < 52 THEN 'mid' ELSE 'hi' END AS f_val,
+                   l.label,
+                   ({sql_string_hash("CAST(v.user_id AS VARCHAR) || '" + _LC_SALT + "'")}) % 100
+                       AS h
+            FROM ev_np v JOIN lab l USING (user_id)
+        ),
+        fr AS (SELECT unnest([16, 32, 48, 64, 80]) AS frac),
+        model AS (
+            SELECT fr.frac, b.f_val,
+                   CAST(count(*) AS BIGINT) AS n_cell,
+                   CASE WHEN sum(b.label) * 2 > count(*) THEN 1 ELSE 0 END
+                       AS pred
+            FROM base b JOIN fr ON b.h < fr.frac
+            GROUP BY fr.frac, b.f_val
+        ),
+        nt AS (
+            SELECT fr.frac, CAST(count(*) AS BIGINT) AS n_train
+            FROM base b JOIN fr ON b.h < fr.frac GROUP BY fr.frac
+        ),
+        te AS (SELECT * FROM base WHERE h >= 80)
+        SELECT m.frac AS train_pct_of_pool, nt.n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               round(avg(CASE WHEN m.pred = t.label THEN 1.0 ELSE 0.0 END), 6)
+                   AS accuracy
+        FROM te t
+        JOIN model m ON m.f_val = t.f_val
+        JOIN nt ON nt.frac = m.frac
+        GROUP BY m.frac, nt.n_train
+    """,
+    doc="Data-scaling learning curve — the per-cell majority-vote "
+    "classifier (predict heavy-purchaser from the mean-value bin) "
+    "retrained at 5 nested training-set sizes (16/32/48/64/80 hash "
+    "percentiles of users — nested so each larger set CONTAINS the "
+    "smaller, the property that makes the curve monotone-comparable) "
+    "and evaluated on the fixed >=80 holdout. The multi-size sweep "
+    "costs ONE pass: rows join the tiny fraction list on h < frac "
+    "(each row lands in every model it belongs to) and the 5 models "
+    "are one grouped aggregate — no per-size rescan, which is the "
+    "difference between 5x and 1x the fact-table IO when the pool is "
+    "100 TB. How accuracy bends with n is the first diagnostic for "
+    "'do we need more data or a better model'.",
+    tags=("ml", "eval"),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev_np = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("mv"))
+    )
+    lab = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 13
+        )
+        .cast("int")
+        .alias("label")
+    )
+    h = string_hash(
+        F.concat(F.col("user_id").cast("string"), F.lit(_LC_SALT))
+    ) % 100
+    base = ev_np.join(lab, "user_id").select(
+        "user_id",
+        F.when(F.col("mv") < 48, "lo")
+        .when(F.col("mv") < 52, "mid")
+        .otherwise("hi")
+        .alias("f_val"),
+        "label",
+        h.alias("h"),
+    )
+    fr = spark.createDataFrame(
+        [(16,), (32,), (48,), (64,), (80,)], ["frac"]
+    )
+    joined = base.join(F.broadcast(fr), F.col("h") < F.col("frac"))
+    model = joined.groupBy("frac", "f_val").agg(
+        F.count("*").cast("long").alias("n_cell"),
+        (F.sum("label") * 2 > F.count("*")).cast("int").alias("pred"),
+    )
+    nt = joined.groupBy("frac").agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    te = base.filter(F.col("h") >= 80)
+    return (
+        te.join(
+            F.broadcast(model.select("frac", "f_val", "pred")), "f_val"
+        )
+        .join(F.broadcast(nt), "frac")
+        .groupBy(
+            F.col("frac").cast("long").alias("train_pct_of_pool"),
+            "n_train",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(F.col("pred") == F.col("label"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+@query(
+    "stats-icc",
+    oracle="""
+        WITH grp AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS n_g,
+                   avg(value) AS m_g,
+                   (count(*) - 1) * var_samp(value) AS ssw_g
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT sum(n_g) AS n, CAST(count(*) AS DOUBLE) AS grps,
+                   sum(n_g * m_g) / sum(n_g) AS gm,
+                   sum(ssw_g) AS ssw, sum(n_g * n_g) AS sum_n2
+            FROM grp
+        ),
+        ms AS (
+            SELECT g.n, g.grps,
+                   sum(grp.n_g * (grp.m_g - g.gm) * (grp.m_g - g.gm))
+                       / (g.grps - 1) AS msb,
+                   g.ssw / (g.n - g.grps) AS msw,
+                   (g.n - g.sum_n2 / g.n) / (g.grps - 1) AS k0
+            FROM grp CROSS JOIN g
+            GROUP BY g.n, g.grps, g.ssw, g.sum_n2
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs, CAST(grps AS BIGINT) AS n_groups,
+               round(msb, 6) AS ms_between,
+               round(msw, 6) AS ms_within,
+               round(k0, 6) AS k0,
+               round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+        FROM ms
+    """,
+    doc="Intraclass correlation ICC(1,1) — one-way random-effects "
+    "reliability of event value within user: (MSB - MSW)/(MSB + "
+    "(k0-1) MSW) with Searle's average-group-size correction "
+    "k0 = (N - sum(n_g^2)/N)/(G-1) for unbalanced groups. The "
+    "clustered-data diagnostic that decides whether per-user "
+    "aggregation (and design-effect inflation ~1+(k0-1)ICC of every "
+    "naive CI the repo's A/B ops compute) matters; complements "
+    "stats-cronbach-alpha (item consistency) and stats-eb-shrinkage "
+    "(which needs exactly this variance partition). Two bounded "
+    "aggregates over the per-user summary — the fact table is read "
+    "once.",
+    tags=("stats",),
+)
+def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_g"),
+        F.avg("value").alias("m_g"),
+        ((F.count("*") - 1) * F.var_samp("value")).alias("ssw_g"),
+    )
+    g = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").cast("double").alias("grps"),
+        (F.sum(F.col("n_g") * F.col("m_g")) / F.sum("n_g")).alias("gm"),
+        F.sum("ssw_g").alias("ssw"),
+        F.sum(F.col("n_g") * F.col("n_g")).alias("sum_n2"),
+    )
+    ms = (
+        grp.crossJoin(F.broadcast(g))
+        .groupBy("n", "grps", "ssw", "sum_n2")
+        .agg(
+            (
+                F.sum(
+                    F.col("n_g")
+                    * (F.col("m_g") - F.col("gm"))
+                    * (F.col("m_g") - F.col("gm"))
+                )
+                / (F.max("grps") - 1)
+            ).alias("msb"),
+            (F.max("ssw") / (F.max("n") - F.max("grps"))).alias("msw"),
+            (
+                (F.max("n") - F.max("sum_n2") / F.max("n"))
+                / (F.max("grps") - 1)
+            ).alias("k0"),
+        )
+    )
+    return ms.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("grps").cast("long").alias("n_groups"),
+        F.round("msb", 6).alias("ms_between"),
+        F.round("msw", 6).alias("ms_within"),
+        F.round("k0", 6).alias("k0"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+    )
+
+
+@query(
+    "stats-bland-altman",
+    oracle="""
+        WITH paired AS (
+            SELECT l.l_extendedprice / l.l_quantity AS m1,
+                   p.p_retailprice AS m2
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        d AS (
+            SELECT m1 - m2 AS diff FROM paired
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   avg(diff) AS bias, stddev_samp(diff) AS sd
+            FROM d
+        )
+        SELECT s.n, round(s.bias, 6) AS bias,
+               round(s.sd, 6) AS sd_diff,
+               round(s.bias - 1.959964 * s.sd, 6) AS loa_lo,
+               round(s.bias + 1.959964 * s.sd, 6) AS loa_hi,
+               round(avg(CASE WHEN abs(d.diff - s.bias) > 1.959964 * s.sd
+                              THEN 1.0 ELSE 0.0 END), 6) AS frac_outside
+        FROM d CROSS JOIN s
+        GROUP BY s.n, s.bias, s.sd
+    """,
+    doc="Bland-Altman agreement analysis between two measures of the "
+    "same quantity — realized unit price (extendedprice/quantity) vs "
+    "catalog retail price: bias (mean difference), SD of differences, "
+    "95%% limits of agreement bias +/- 1.96 SD, and the observed "
+    "fraction outside them (~5%% if differences are normal) — the "
+    "method-comparison analysis a correlation coefficient famously "
+    "CANNOT do (two methods can correlate at 0.99 and still disagree "
+    "by a constant 20%%). Fact-to-dim join left to AQE (broadcast at "
+    "small SF, shuffle-hash beyond), one moment pass, one re-scan of "
+    "the 1-column diff relation against the broadcast scalars.",
+    tags=("stats",),
+)
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    d = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(
+            (
+                F.col("l_extendedprice") / F.col("l_quantity")
+                - F.col("p_retailprice")
+            ).alias("diff")
+        )
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("diff").alias("bias"),
+        F.stddev_samp("diff").alias("sd"),
+    )
+    return (
+        d.crossJoin(F.broadcast(s))
+        .groupBy("n", "bias", "sd")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("diff") - F.col("bias"))
+                        > 1.959964 * F.col("sd"),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("frac_outside")
+        )
+        .select(
+            "n",
+            F.round("bias", 6).alias("bias"),
+            F.round("sd", 6).alias("sd_diff"),
+            F.round(F.col("bias") - 1.959964 * F.col("sd"), 6).alias(
+                "loa_lo"
+            ),
+            F.round(F.col("bias") + 1.959964 * F.col("sd"), 6).alias(
+                "loa_hi"
+            ),
+            "frac_outside",
+        )
+    )
+
+
+@query(
+    "timeseries-cochrane-orcutt",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        pts AS (
+            SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+                        AS DOUBLE) AS t, y
+            FROM daily
+        ),
+        ols AS (
+            SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pts
+        ),
+        res AS (
+            SELECT t, y, y - (o.a + o.b * t) AS e,
+                   lag(y - (o.a + o.b * t)) OVER (ORDER BY t) AS e1,
+                   lag(y) OVER (ORDER BY t) AS y1,
+                   lag(t) OVER (ORDER BY t) AS t1
+            FROM pts CROSS JOIN ols o
+        ),
+        rho_c AS (
+            SELECT sum(e * e1) / sum(e1 * e1) AS rho
+            FROM res WHERE e1 IS NOT NULL
+        ),
+        star AS (
+            SELECT y - r.rho * y1 AS ys, t - r.rho * t1 AS ts_
+            FROM res CROSS JOIN rho_c r WHERE y1 IS NOT NULL
+        ),
+        fit2 AS (
+            SELECT regr_slope(ys, ts_) AS b2, regr_intercept(ys, ts_) AS a2
+            FROM star
+        )
+        SELECT o.n AS n_days,
+               round(r.rho, 6) AS rho,
+               round(o.b, 6) AS slope_ols,
+               round(f.b2, 6) AS slope_co,
+               round(f.a2 / (1 - r.rho), 6) AS intercept_co
+        FROM ols o CROSS JOIN rho_c r CROSS JOIN fit2 f
+    """,
+    doc="Cochrane-Orcutt AR(1)-corrected trend regression on the daily "
+    "event-volume series: OLS residuals give rho = sum(e_t e_{t-1}) / "
+    "sum(e_{t-1}^2), quasi-difference y* = y_t - rho*y_{t-1} (and x*) "
+    "removes the serial correlation, and the re-fit slope is the one "
+    "whose standard errors you may actually trust — naive OLS on an "
+    "autocorrelated series (what timeseries-mom-growth-style trend "
+    "reads imply, and what stats-durbin-watson DETECTS) understates "
+    "SEs by ~sqrt((1+rho)/(1-rho)). Intercept rescaled by 1/(1-rho) "
+    "back to original units. Everything after the daily rollup runs "
+    "on the calendar-bounded summary: two regr_* fits, one lag "
+    "window, three scalar broadcasts.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("double").alias("t"), "y"
+    )
+    ols = pts.agg(
+        F.regr_slope("y", "t").alias("b"),
+        F.regr_intercept("y", "t").alias("a"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy("t")
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("t"))
+    res = pts.crossJoin(F.broadcast(ols)).select(
+        "t",
+        "y",
+        e.alias("e"),
+        F.lag(e).over(w).alias("e1"),
+        F.lag("y").over(w).alias("y1"),
+        F.lag("t").over(w).alias("t1"),
+    )
+    rho_c = res.filter(F.col("e1").isNotNull()).agg(
+        (
+            F.sum(F.col("e") * F.col("e1"))
+            / F.sum(F.col("e1") * F.col("e1"))
+        ).alias("rho")
+    )
+    star = (
+        res.crossJoin(F.broadcast(rho_c))
+        .filter(F.col("y1").isNotNull())
+        .select(
+            (F.col("y") - F.col("rho") * F.col("y1")).alias("ys"),
+            (F.col("t") - F.col("rho") * F.col("t1")).alias("ts_"),
+        )
+    )
+    fit2 = star.agg(
+        F.regr_slope("ys", "ts_").alias("b2"),
+        F.regr_intercept("ys", "ts_").alias("a2"),
+    )
+    return (
+        ols.crossJoin(F.broadcast(rho_c))
+        .crossJoin(F.broadcast(fit2))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round("rho", 6).alias("rho"),
+            F.round("b", 6).alias("slope_ols"),
+            F.round("b2", 6).alias("slope_co"),
+            F.round(F.col("a2") / (1 - F.col("rho")), 6).alias(
+                "intercept_co"
+            ),
+        )
+    )
+
+
+@query(
+    "stats-cohen-kappa-weighted",
+    oracle="""
+        WITH rated AS (
+            SELECT CASE WHEN n_chars < 220 THEN 0
+                        WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,
+                   CASE WHEN length(text) - length(replace(text, ' ', ''))
+                             < 40 THEN 0
+                        WHEN length(text) - length(replace(text, ' ', ''))
+                             < 70 THEN 1 ELSE 2 END AS rb
+            FROM documents
+        ),
+        o AS (
+            SELECT ra, rb, CAST(count(*) AS DOUBLE) AS n_ij
+            FROM rated GROUP BY ra, rb
+        ),
+        m AS (
+            SELECT ra, rb, n_ij,
+                   sum(n_ij) OVER (PARTITION BY ra) AS row_n,
+                   sum(n_ij) OVER (PARTITION BY rb) AS col_n,
+                   sum(n_ij) OVER () AS n
+            FROM o
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_docs,
+               round(1 - sum((ra - rb) * (ra - rb) / 4.0 * n_ij / n)
+                         / sum((ra - rb) * (ra - rb) / 4.0
+                               * (row_n / n) * (col_n / n)), 6)
+                   AS kappa_w,
+               round(sum(CASE WHEN ra = rb THEN n_ij ELSE 0 END) / max(n), 6)
+                   AS raw_agreement
+        FROM m
+    """,
+    doc="Quadratic-weighted Cohen's kappa between two ordinal raters of "
+    "document size — the n_chars tercile vs the whitespace-count "
+    "tercile: kappa_w = 1 - sum(v_ij O_ij)/sum(v_ij E_ij) with "
+    "v_ij = (i-j)^2/(k-1)^2, so near-misses on the ordinal scale "
+    "cost less than 2-step disagreements (nominal kappa and "
+    "eval-fleiss-kappa treat them identically — wrong for ordered "
+    "labels like quality grades, the typical LLM-annotation case). "
+    "Chance agreement from the margins of the same 3x3 contingency "
+    "grid; everything beyond the one groupBy runs on <=9 rows.",
+    tags=("stats", "eval"),
+)
+def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    rated = d.select(
+        F.when(F.col("n_chars") < 220, 0)
+        .when(F.col("n_chars") < 380, 1)
+        .otherwise(2)
+        .alias("ra"),
+        F.when(spaces < 40, 0).when(spaces < 70, 1).otherwise(2).alias("rb"),
+    )
+    o = rated.groupBy("ra", "rb").agg(
+        F.count("*").cast("double").alias("n_ij")
+    )
+    m = o.select(
+        "ra",
+        "rb",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("ra")).alias("row_n"),
+        F.sum("n_ij").over(Window.partitionBy("rb")).alias("col_n"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    v = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")) / 4.0
+    return m.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(
+            1
+            - F.sum(v * F.col("n_ij") / F.col("n"))
+            / F.sum(
+                v * (F.col("row_n") / F.col("n")) * (F.col("col_n") / F.col("n"))
+            ),
+            6,
+        ).alias("kappa_w"),
+        F.round(
+            F.sum(
+                F.when(F.col("ra") == F.col("rb"), F.col("n_ij")).otherwise(
+                    0.0
+                )
+            )
+            / F.max("n"),
+            6,
+        ).alias("raw_agreement"),
+    )
