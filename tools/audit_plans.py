@@ -209,6 +209,9 @@ SCALAR_BROADCAST_OPS = {
     "stats-bland-altman",      # 1-row bias/SD broadcast into outside-LoA pass
     "stats-icc",               # 1-row grand-total broadcast
     "timeseries-cochrane-orcutt",  # 1-row OLS/rho/refit scalar broadcasts
+    "text-lm-interpolated",    # 1-row corpus-token-total broadcast
+    "stats-chow-test",         # 1-row pooled-SSE broadcast
+    "ml-cost-threshold",       # 3-row cost-grid broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -280,6 +283,8 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "stats-g-test": 1,
             # bounded 3x3 rating contingency grid
             "stats-cohen-kappa-weighted": 1,
+            # bounded distinct-score bins (values round to 1 decimal)
+            "ml-cost-threshold": 2,
             # calendar-bounded daily series (lag windows + marginals)
             "timeseries-cochrane-orcutt": 3,
             "timeseries-granger-1lag": 2,

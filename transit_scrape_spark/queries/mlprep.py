@@ -3543,3 +3543,379 @@ def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("raw_agreement"),
     )
+
+
+@query(
+    "stats-chow-test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        bounds AS (
+            SELECT min(d) AS d0,
+                   CAST(date_diff('day', min(d), max(d)) / 2 AS BIGINT) AS t0
+            FROM daily
+        ),
+        pts AS (
+            SELECT CAST(date_diff('day', b.d0, d) AS DOUBLE) AS t, y,
+                   CASE WHEN date_diff('day', b.d0, d) >= b.t0
+                        THEN 1 ELSE 0 END AS post
+            FROM daily CROSS JOIN bounds b
+        ),
+        seg AS (
+            SELECT post, CAST(count(*) AS DOUBLE) AS n,
+                   (count(*) - 1) * (var_samp(y)
+                       - covar_samp(t, y) * covar_samp(t, y) / var_samp(t))
+                       AS sse
+            FROM pts GROUP BY post
+        ),
+        pooled AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   (count(*) - 1) * (var_samp(y)
+                       - covar_samp(t, y) * covar_samp(t, y) / var_samp(t))
+                       AS sse
+            FROM pts
+        )
+        SELECT CAST(p.n AS BIGINT) AS n_days,
+               CAST(max(CASE WHEN s.post = 0 THEN s.n END) AS BIGINT)
+                   AS n_pre,
+               CAST(max(CASE WHEN s.post = 1 THEN s.n END) AS BIGINT)
+                   AS n_post,
+               round(p.sse, 6) AS sse_pooled,
+               round(sum(s.sse), 6) AS sse_split,
+               round(((p.sse - sum(s.sse)) / 2)
+                     / (sum(s.sse) / (p.n - 4)), 4) AS chow_f
+        FROM seg s CROSS JOIN pooled p
+        GROUP BY p.n, p.sse
+    """,
+    doc="Chow test for a structural break at the mid-span breakpoint of "
+    "the daily event-volume trend: F = ((SSE_pooled - SSE1 - SSE2)/k) "
+    "/ ((SSE1+SSE2)/(n-2k)) with k=2 (intercept+slope) — the "
+    "hypothesis TEST that timeseries-intervention-its's effect "
+    "estimates need behind them (ITS says HOW MUCH the line moved; "
+    "Chow says whether a single line would have done). Each segment "
+    "SSE comes in closed form from var/covar aggregates "
+    "((n-1)(Syy - Sxy^2/Sxx)), so the whole test is one groupBy over "
+    "the calendar-bounded daily table plus one global aggregate — "
+    "no residual columns materialized, no second fact-table pass.",
+    tags=("stats", "timeseries"),
+)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) / 2).cast("long").alias("t0"),
+    )
+    pts = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("d", "d0").cast("double").alias("t"),
+        "y",
+        (F.datediff("d", "d0") >= F.col("t0")).cast("int").alias("post"),
+    )
+
+    def sse_expr():
+        return (F.count("*") - 1) * (
+            F.var_samp("y")
+            - F.covar_samp("t", "y")
+            * F.covar_samp("t", "y")
+            / F.var_samp("t")
+        )
+
+    seg = pts.groupBy("post").agg(
+        F.count("*").cast("double").alias("n"), sse_expr().alias("sse")
+    )
+    pooled = pts.agg(
+        F.count("*").cast("double").alias("np"), sse_expr().alias("ssep")
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .groupBy("np", "ssep")
+        .agg(
+            F.max(F.when(F.col("post") == 0, F.col("n")))
+            .cast("long")
+            .alias("n_pre"),
+            F.max(F.when(F.col("post") == 1, F.col("n")))
+            .cast("long")
+            .alias("n_post"),
+            F.round(F.sum("sse"), 6).alias("sse_split"),
+            F.round(
+                ((F.max("ssep") - F.sum("sse")) / 2)
+                / (F.sum("sse") / (F.max("np") - 4)),
+                4,
+            ).alias("chow_f"),
+        )
+        .select(
+            F.col("np").cast("long").alias("n_days"),
+            "n_pre",
+            "n_post",
+            F.round("ssep", 6).alias("sse_pooled"),
+            "sse_split",
+            "chow_f",
+        )
+    )
+
+
+@query(
+    "stats-deming-regression",
+    oracle="""
+        WITH paired AS (
+            SELECT p.p_retailprice AS x,
+                   l.l_extendedprice / l.l_quantity AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   avg(x) AS mx, avg(y) AS my,
+                   var_samp(x) AS sxx, var_samp(y) AS syy,
+                   covar_samp(x, y) AS sxy
+            FROM paired
+        )
+        SELECT n,
+               round((syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+                                       + 4 * sxy * sxy)) / (2 * sxy), 6)
+                   AS slope,
+               round(my - (syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+                                            + 4 * sxy * sxy))
+                          / (2 * sxy) * mx, 6) AS intercept,
+               round(sxy / sqrt(sxx * syy), 6) AS pearson_r
+        FROM m
+    """,
+    doc="Deming regression (errors-in-both-variables, lambda=1) between "
+    "catalog retail price and realized unit price: slope = (Syy - Sxx "
+    "+ sqrt((Syy-Sxx)^2 + 4 Sxy^2)) / (2 Sxy) — the method-comparison "
+    "fit where ORDINARY least squares is biased toward zero "
+    "(regression dilution) because the x measure is noisy too; the "
+    "natural companion to stats-bland-altman on the same pairing "
+    "(BA quantifies disagreement, Deming models it). Closed form "
+    "from one 5-moment aggregate over the joined fact — the second "
+    "cheapest regression in the repo after OLS, and symmetric: "
+    "swapping x and y inverts the slope exactly.",
+    tags=("stats",),
+)
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    paired = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_retailprice").alias("x"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("y"),
+    )
+    m = paired.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("sxx"),
+        F.var_samp("y").alias("syy"),
+        F.covar_samp("x", "y").alias("sxy"),
+    )
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (
+        syy - sxx + F.sqrt((syy - sxx) * (syy - sxx) + 4 * sxy * sxy)
+    ) / (2 * sxy)
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(sxy / F.sqrt(sxx * syy), 6).alias("pearson_r"),
+    )
+
+
+@query(
+    "ml-cost-threshold",
+    oracle="""
+        WITH scored AS (
+            SELECT round(value, 1) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        bins AS (
+            SELECT s, CAST(sum(y) AS DOUBLE) AS pos,
+                   CAST(sum(1 - y) AS DOUBLE) AS neg
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT s,
+                   sum(pos) OVER ()
+                       - coalesce(sum(pos) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS tp,
+                   sum(neg) OVER ()
+                       - coalesce(sum(neg) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS fp,
+                   coalesce(sum(pos) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS fn,
+                   sum(pos) OVER () AS np, sum(neg) OVER () AS nn
+            FROM bins
+        ),
+        costs AS (
+            SELECT c.fn_cost, u.s,
+                   (u.fp * 1.0 + u.fn * c.fn_cost) / (u.np + u.nn)
+                       AS exp_cost
+            FROM cum u
+            CROSS JOIN (SELECT unnest([1, 5, 10]) AS fn_cost) c
+        ),
+        best AS (
+            SELECT fn_cost, s, exp_cost,
+                   row_number() OVER (PARTITION BY fn_cost
+                                      ORDER BY exp_cost, s) AS rn
+            FROM costs
+        )
+        SELECT CAST(fn_cost AS BIGINT) AS fn_cost,
+               round(s, 1) AS best_threshold,
+               round(exp_cost, 6) AS expected_cost
+        FROM best WHERE rn = 1
+    """,
+    doc="Cost-sensitive decision threshold: for asymmetric "
+    "false-negative costs (1x, 5x, 10x a false positive) sweep every "
+    "candidate threshold of the rounded score and pick the one "
+    "minimizing expected cost (FP + c*FN)/N — predict-positive means "
+    "score >= threshold. stats-youden-threshold maximizes J, which "
+    "implicitly prices FN and FP equally; real triage (fraud review, "
+    "PII escalation, unsafe-content filtering) never does. The sweep "
+    "runs entirely on the bounded distinct-score summary (cumulative "
+    "windows <= ~1000 rows), the 3-cost grid is a literal unnest, "
+    "and per-cost argmin is a 3-partition window — fact table "
+    "touched once.",
+    tags=("ml", "eval"),
+)
+def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round("value", 1).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("s").agg(
+        F.sum("y").cast("double").alias("pos"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.select(
+        "s",
+        (
+            F.sum("pos").over(w_all)
+            - F.coalesce(F.sum("pos").over(w_prev), F.lit(0.0))
+        ).alias("tp"),
+        (
+            F.sum("neg").over(w_all)
+            - F.coalesce(F.sum("neg").over(w_prev), F.lit(0.0))
+        ).alias("fp"),
+        F.coalesce(F.sum("pos").over(w_prev), F.lit(0.0)).alias("fn"),
+        F.sum("pos").over(w_all).alias("np"),
+        F.sum("neg").over(w_all).alias("nn"),
+    )
+    costs_dim = spark.createDataFrame([(1,), (5,), (10,)], ["fn_cost"])
+    costs = cum.crossJoin(F.broadcast(costs_dim)).select(
+        "fn_cost",
+        "s",
+        (
+            (F.col("fp") * 1.0 + F.col("fn") * F.col("fn_cost"))
+            / (F.col("np") + F.col("nn"))
+        ).alias("exp_cost"),
+    )
+    w_best = Window.partitionBy("fn_cost").orderBy("exp_cost", "s")
+    return (
+        costs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("fn_cost").cast("long").alias("fn_cost"),
+            F.round("s", 1).alias("best_threshold"),
+            F.round("exp_cost", 6).alias("expected_cost"),
+        )
+    )
+
+
+@query(
+    "stats-fieller-ratio-ci",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS purchases,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS views
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   avg(purchases) AS ma, avg(views) AS mb,
+                   var_samp(purchases) / count(*) AS va,
+                   var_samp(views) / count(*) AS vb,
+                   covar_samp(purchases, views) / count(*) AS vab
+            FROM pu
+        ),
+        f AS (
+            SELECT n, ma, mb, va, vb, vab,
+                   ma / mb AS r,
+                   1.959964 * 1.959964 * vb / (mb * mb) AS g
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(r, 6) AS ratio,
+               round(g, 6) AS g_fieller,
+               round((r - g * vab / vb
+                      - 1.959964 / mb
+                        * sqrt(va - 2 * r * vab + r * r * vb
+                               - g * (va - vab * vab / vb)))
+                     / (1 - g), 6) AS ci_lo,
+               round((r - g * vab / vb
+                      + 1.959964 / mb
+                        * sqrt(va - 2 * r * vab + r * r * vb
+                               - g * (va - vab * vab / vb)))
+                     / (1 - g), 6) AS ci_hi
+        FROM f
+    """,
+    doc="Fieller's theorem CI for a ratio of correlated means — "
+    "purchases-per-view across users: the exact-coverage interval "
+    "for mean(A)/mean(B) accounting for cov(A,B), with the g-factor "
+    "z^2 Var(B)/B^2 that widens (and warns, as g -> 1, that the "
+    "denominator is statistically indistinguishable from zero) — "
+    "where the naive delta-method CI (stats-delta-method-ci, its "
+    "first-order twin) is symmetric and overconfident for noisy "
+    "denominators. Ratio metrics ARE the product metrics "
+    "(conversion, CTR, revenue-per-session); this is the "
+    "inference-grade version. One per-user rollup, one 6-moment "
+    "aggregate, scalar algebra.",
+    tags=("stats",),
+)
+def stats_fieller_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("views"),
+    )
+    m = pu.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("purchases").alias("ma"),
+        F.avg("views").alias("mb"),
+        (F.var_samp("purchases") / F.count("*")).alias("va"),
+        (F.var_samp("views") / F.count("*")).alias("vb"),
+        (F.covar_samp("purchases", "views") / F.count("*")).alias("vab"),
+    )
+    z = 1.959964
+    r = F.col("ma") / F.col("mb")
+    g = z * z * F.col("vb") / (F.col("mb") * F.col("mb"))
+    rad = F.sqrt(
+        F.col("va")
+        - 2 * r * F.col("vab")
+        + r * r * F.col("vb")
+        - g * (F.col("va") - F.col("vab") * F.col("vab") / F.col("vb"))
+    )
+    adj = r - g * F.col("vab") / F.col("vb")
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(g, 6).alias("g_fieller"),
+        F.round((adj - z / F.col("mb") * rad) / (1 - g), 6).alias("ci_lo"),
+        F.round((adj + z / F.col("mb") * rad) / (1 - g), 6).alias("ci_hi"),
+    )

@@ -2805,3 +2805,172 @@ def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("prec"), 6).alias("mean_self_bleu1"),
         F.round(F.max("prec"), 6).alias("max_self_bleu1"),
     )
+
+
+@query(
+    "text-watermark-detect",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        perdoc AS (
+            SELECT doc_id, lang,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN
+                        (CAST(('0x' || substring(md5(token || ':wm-key-r5'), 1, 12))
+                              AS BIGINT) % 2147483647) % 2 = 0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS g
+            FROM tok GROUP BY doc_id, lang
+        ),
+        z AS (
+            SELECT lang, (g - n / 2) / sqrt(n / 4) AS z FROM perdoc
+            WHERE n >= 16
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(z), 6) AS mean_z,
+               round(avg(CASE WHEN z >= 2 THEN 1.0 ELSE 0.0 END), 6)
+                   AS frac_flagged
+        FROM z GROUP BY lang
+    """,
+    doc="Statistical watermark detector (Kirchenbauer-style green-list "
+    "test): a keyed hash splits the vocabulary into green/red halves; "
+    "an un-watermarked document's green-token count is "
+    "Binomial(n, 1/2), so z = (g - n/2)/sqrt(n/4) ~ N(0,1) and "
+    "watermarked generations (sampler biased toward green) push "
+    "z >> 2. Per-language mean z and flag rate audit a corpus for "
+    "synthetic-text contamination BEFORE it trains the next model — "
+    "a first-order curation concern now that model output is in "
+    "every crawl. The hash is the engine-portable md5 form "
+    "(operators/dedup.string_hash); one explode + two hash-aggs, "
+    "no vocabulary state at all — O(corpus tokens) map-side work.",
+    tags=("text", "corpus"),
+)
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.operators.dedup import string_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    green = (
+        string_hash(F.concat(F.col("token"), F.lit(":wm-key-r5"))) % 2 == 0
+    ).cast("int")
+    perdoc = tok.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(green).cast("double").alias("g"),
+    )
+    z = (
+        perdoc.filter(F.col("n") >= 16)
+        .select(
+            "lang",
+            (
+                (F.col("g") - F.col("n") / 2) / F.sqrt(F.col("n") / 4)
+            ).alias("z"),
+        )
+    )
+    return z.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+        F.round(
+            F.avg(F.when(F.col("z") >= 2, 1.0).otherwise(0.0)), 6
+        ).alias("frac_flagged"),
+    )
+
+
+@query(
+    "text-lm-interpolated",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, i, token
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS token,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ) t
+        ),
+        big AS (
+            SELECT doc_id, i, token AS w2,
+                   lag(token) OVER (PARTITION BY doc_id ORDER BY i) AS w1
+            FROM tok
+        ),
+        uni AS (
+            SELECT token AS w, CAST(count(*) AS DOUBLE) AS c1
+            FROM tok GROUP BY token
+        ),
+        tot AS (SELECT sum(c1) AS n FROM uni),
+        bi AS (
+            SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+            FROM big WHERE w1 IS NOT NULL GROUP BY w1, w2
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(0.7 * (bi.c2 / u1.c1) + 0.3 * (u2.c1 / t.n))), 6)
+                   AS avg_interp_logprob
+        FROM big b
+        JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN tot t
+        WHERE b.w1 IS NOT NULL
+        GROUP BY b.doc_id
+    """,
+    doc="Jelinek-Mercer interpolated bigram language model: per token "
+    "position, P = 0.7*P_bigram(w2|w1) + 0.3*P_unigram(w2); per-doc "
+    "mean log-prob is the perplexity-proxy score. Interpolation is "
+    "what makes the bigram model DEPLOYABLE for filtering — the pure "
+    "bigram (text-bigram-perplexity) assigns -inf to any unseen "
+    "pair, so a single novel bigram vetoes a document; the unigram "
+    "backoff (text-unigram-logprob) floors it. Bigrams come from a "
+    "per-doc lag window (PARTITIONED by doc — parallel across the "
+    "corpus); LM state is the (vocab, bigram) count tables keyed by "
+    "token — corpus-size-independent joins, the CCNet architecture.",
+    tags=("text", "corpus"),
+)
+def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = tok.select(
+        "doc_id",
+        "i",
+        F.col("token").alias("w2"),
+        F.lag("token").over(w).alias("w1"),
+    )
+    uni = tok.groupBy(F.col("token").alias("w")).agg(
+        F.count("*").cast("double").alias("c1")
+    )
+    tot = uni.agg(F.sum("c1").alias("n"))
+    bi = (
+        big.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c2"))
+    )
+    u1 = uni.select(F.col("w").alias("u1_w"), F.col("c1").alias("u1_c"))
+    u2 = uni.select(F.col("w").alias("u2_w"), F.col("c1").alias("u2_c"))
+    return (
+        big.filter(F.col("w1").isNotNull())
+        .join(bi, ["w1", "w2"])
+        .join(u1, F.col("w1") == F.col("u1_w"))
+        .join(u2, F.col("w2") == F.col("u2_w"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        0.7 * (F.col("c2") / F.col("u1_c"))
+                        + 0.3 * (F.col("u2_c") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("avg_interp_logprob"),
+        )
+    )
