@@ -212,6 +212,9 @@ SCALAR_BROADCAST_OPS = {
     "text-lm-interpolated",    # 1-row corpus-token-total broadcast
     "stats-chow-test",         # 1-row pooled-SSE broadcast
     "ml-cost-threshold",       # 3-row cost-grid broadcast
+    "stats-bowker-symmetry",   # 1-row total + 9-row transpose-grid joins
+    "analytics-competing-risks",  # 1-row observation-end broadcast
+    "event-mcf-recurrent",     # 1-row cohort-size broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -287,6 +290,9 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "ml-cost-threshold": 2,
             # calendar-bounded daily series (lag windows + marginals)
             "timeseries-cochrane-orcutt": 3,
+            # calendar-bounded duration/exit-time summaries (KM twins)
+            "analytics-competing-risks": 3,
+            "event-mcf-recurrent": 2,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

@@ -3919,3 +3919,389 @@ def stats_fieller_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((adj - z / F.col("mb") * rad) / (1 - g), 6).alias("ci_lo"),
         F.round((adj + z / F.col("mb") * rad) / (1 - g), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "stats-bowker-symmetry",
+    oracle="""
+        WITH rated AS (
+            SELECT CASE WHEN n_chars < 220 THEN 0
+                        WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,
+                   CASE WHEN length(text) - length(replace(text, ' ', ''))
+                             < 40 THEN 0
+                        WHEN length(text) - length(replace(text, ' ', ''))
+                             < 70 THEN 1 ELSE 2 END AS rb
+            FROM documents
+        ),
+        o AS (
+            SELECT ra, rb, CAST(count(*) AS DOUBLE) AS n_ij
+            FROM rated GROUP BY ra, rb
+        ),
+        pairs AS (
+            SELECT least(ra, rb) AS i, greatest(ra, rb) AS j,
+                   sum(CASE WHEN ra < rb THEN n_ij ELSE 0 END) AS n_ij,
+                   sum(CASE WHEN ra > rb THEN n_ij ELSE 0 END) AS n_ji
+            FROM o WHERE ra <> rb GROUP BY 1, 2
+        )
+        SELECT CAST((SELECT sum(n_ij) FROM o) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS dof,
+               round(sum((n_ij - n_ji) * (n_ij - n_ji)
+                         / (n_ij + n_ji)), 6) AS bowker_chi2,
+               round(sum(n_ij + n_ji) / (SELECT sum(n_ij) FROM o), 6)
+                   AS frac_discordant
+        FROM pairs
+    """,
+    doc="Bowker's test of symmetry for a k x k paired-rating table — "
+    "the k-category generalization of stats-mcnemar: chi2 = "
+    "sum_{i<j} (n_ij - n_ji)^2/(n_ij + n_ji), df = the number of "
+    "pairs with any discordance (<= k(k-1)/2 — empty pairs carry no "
+    "information and drop from the df, the standard correction), on the "
+    "same two ordinal size-raters as stats-cohen-kappa-weighted. "
+    "Kappa asks 'do they agree'; Bowker asks the DIRECTIONAL "
+    "question — is rater B systematically grading higher — which is "
+    "the drift you actually act on when an annotator (or an "
+    "LLM-judge version bump) shifts its scale. Everything past one "
+    "groupBy runs on a <=9-row grid self-joined on its transpose.",
+    tags=("stats", "eval"),
+)
+def stats_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    rated = d.select(
+        F.when(F.col("n_chars") < 220, 0)
+        .when(F.col("n_chars") < 380, 1)
+        .otherwise(2)
+        .alias("ra"),
+        F.when(spaces < 40, 0).when(spaces < 70, 1).otherwise(2).alias("rb"),
+    )
+    o = rated.groupBy("ra", "rb").agg(
+        F.count("*").cast("double").alias("n_ij")
+    )
+    tot = o.agg(F.sum("n_ij").alias("n_docs"))
+    pairs = (
+        o.filter(F.col("ra") != F.col("rb"))
+        .groupBy(
+            F.least("ra", "rb").alias("i"),
+            F.greatest("ra", "rb").alias("j"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ra") < F.col("rb"), F.col("n_ij")).otherwise(
+                    0.0
+                )
+            ).alias("n_ij"),
+            F.sum(
+                F.when(F.col("ra") > F.col("rb"), F.col("n_ij")).otherwise(
+                    0.0
+                )
+            ).alias("n_ji"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("n_ij") - F.col("n_ji"))
+                * (F.col("n_ij") - F.col("n_ji"))
+                / (F.col("n_ij") + F.col("n_ji"))
+            ),
+            6,
+        ).alias("bowker_chi2"),
+        F.round(
+            F.sum(F.col("n_ij") + F.col("n_ji")) / F.max("n_docs"), 6
+        ).alias("frac_discordant"),
+    )
+
+
+@query(
+    "analytics-competing-risks",
+    oracle="""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+                       AS fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS fp,
+                   min(CASE WHEN event_type = 'error'
+                            THEN CAST(ts AS DATE) END) AS fe
+            FROM events GROUP BY user_id
+        ),
+        dur AS (
+            SELECT CASE
+                     WHEN fp IS NOT NULL AND fp >= fv
+                          AND (fe IS NULL OR fp <= fe)
+                       THEN date_diff('day', fv, fp)
+                     WHEN fe IS NOT NULL AND fe >= fv
+                       THEN date_diff('day', fv, fe)
+                     ELSE date_diff('day', fv, e.obs_end)
+                   END AS t,
+                   CASE
+                     WHEN fp IS NOT NULL AND fp >= fv
+                          AND (fe IS NULL OR fp <= fe) THEN 1
+                     WHEN fe IS NOT NULL AND fe >= fv THEN 2
+                     ELSE 0
+                   END AS cause
+            FROM pu CROSS JOIN ends e
+            WHERE fv IS NOT NULL
+        ),
+        per_t AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d1,
+                   CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d2,
+                   CAST(count(*) AS DOUBLE) AS total
+            FROM dur GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d1, d2,
+                   sum(total) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_risk
+            FROM per_t
+        ),
+        surv AS (
+            SELECT t, d1, d2, n_risk,
+                   exp(coalesce(sum(CASE WHEN d1 + d2 > 0
+                           THEN ln(1 - (d1 + d2) / n_risk) ELSE 0 END)
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)) AS s_minus
+            FROM risk
+        ),
+        cif AS (
+            SELECT t, d1, d2, n_risk,
+                   sum(s_minus * d1 / n_risk) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cif_purchase,
+                   sum(s_minus * d2 / n_risk) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cif_error
+            FROM surv
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d1 AS BIGINT) AS n_purchase,
+               CAST(d2 AS BIGINT) AS n_error,
+               round(cif_purchase, 6) AS cif_purchase,
+               round(cif_error, 6) AS cif_error
+        FROM cif WHERE d1 + d2 > 0 ORDER BY t_days
+    """,
+    doc="Aalen-Johansen cumulative incidence under competing risks — "
+    "first purchase vs first error racing from first view: "
+    "CIF_k(t) = sum_{u<=t} S(u-) d_ku/n_u where S(u-) is the "
+    "ALL-CAUSE Kaplan-Meier just before u. The estimator "
+    "stats-kaplan-meier users reach for here (1 - KM per cause, "
+    "censoring the competitor) is BIASED upward — the two '1-KM' "
+    "curves can sum past 1; CIFs by construction cannot. Same "
+    "scale contract as the KM/Nelson-Aalen twins: per-user firsts "
+    "(one shuffle), duration summary bounded by the calendar, "
+    "windows only over that summary.",
+    tags=("analytics", "stats"),
+)
+def analytics_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.to_date("ts"))
+        ).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("fp"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.to_date("ts"))
+        ).alias("fe"),
+    )
+    fp_wins = (
+        F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+        & (F.col("fe").isNull() | (F.col("fp") <= F.col("fe")))
+    )
+    fe_wins = F.col("fe").isNotNull() & (F.col("fe") >= F.col("fv"))
+    dur = (
+        pu.crossJoin(F.broadcast(ends))
+        .filter(F.col("fv").isNotNull())
+        .select(
+            F.when(fp_wins, F.datediff("fp", "fv"))
+            .when(fe_wins, F.datediff("fe", "fv"))
+            .otherwise(F.datediff("obs_end", "fv"))
+            .alias("t"),
+            F.when(fp_wins, 1).when(fe_wins, 2).otherwise(0).alias("cause"),
+        )
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("d2"),
+        F.count("*").cast("double").alias("total"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d1", "d2", F.sum("total").over(w_desc).alias("n_risk")
+    )
+    d_all = F.col("d1") + F.col("d2")
+    surv = risk.select(
+        "t",
+        "d1",
+        "d2",
+        "n_risk",
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        d_all > 0, F.log(1 - d_all / F.col("n_risk"))
+                    ).otherwise(0.0)
+                ).over(w_prev),
+                F.lit(0.0),
+            )
+        ).alias("s_minus"),
+    )
+    cif = surv.select(
+        "t",
+        "d1",
+        "d2",
+        "n_risk",
+        F.sum(F.col("s_minus") * F.col("d1") / F.col("n_risk"))
+        .over(w_upto)
+        .alias("cif_purchase"),
+        F.sum(F.col("s_minus") * F.col("d2") / F.col("n_risk"))
+        .over(w_upto)
+        .alias("cif_error"),
+    )
+    return (
+        cif.filter(F.col("d1") + F.col("d2") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d1").cast("long").alias("n_purchase"),
+            F.col("d2").cast("long").alias("n_error"),
+            F.round("cif_purchase", 6).alias("cif_purchase"),
+            F.round("cif_error", 6).alias("cif_error"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
+    "event-mcf-recurrent",
+    oracle="""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        fu AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS enter_d
+            FROM events GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT e.user_id,
+                   date_diff('day', f.enter_d, CAST(e.ts AS DATE)) AS t
+            FROM events e JOIN fu f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        risk_span AS (
+            SELECT f.user_id,
+                   date_diff('day', f.enter_d, x.obs_end) AS tau
+            FROM fu f CROSS JOIN ends x
+        ),
+        ev_t AS (
+            SELECT t, CAST(count(*) AS DOUBLE) AS d FROM purchases
+            GROUP BY t
+        ),
+        exits AS (
+            SELECT tau, CAST(count(*) AS DOUBLE) AS n_exit FROM risk_span
+            GROUP BY tau
+        ),
+        grid AS (
+            SELECT t, d, coalesce(x.n_exit, 0) AS n_exit
+            FROM ev_t LEFT JOIN exits x ON ev_t.t = x.tau
+        ),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_users FROM fu),
+        mcf AS (
+            SELECT t, d,
+                   tot.n_users
+                     - coalesce(sum(n_exit) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk,
+                   tot.n_users
+            FROM grid CROSS JOIN tot
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               round(sum(d / n_risk) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS mcf
+        FROM mcf ORDER BY t_days
+    """,
+    doc="Nelson-Aalen mean cumulative function for RECURRENT events — "
+    "expected purchases per user by day t since first activity: "
+    "MCF(t) = sum_{u<=t} d_u / n_u with the risk set shrinking as "
+    "users' observation windows end (staggered entry -> staggered "
+    "administrative censoring at the corpus high-water mark). The "
+    "single-event estimators (stats-kaplan-meier and twins) describe "
+    "TIME-TO-FIRST; repeat behavior — orders, support tickets, "
+    "crashes per device — needs the MCF, and dividing raw cumulative "
+    "counts by the day-0 cohort size (the naive curve) understates "
+    "late-horizon rates exactly when censoring bites. Purchase "
+    "events and exit times roll up to two calendar-bounded "
+    "summaries; windows run there.",
+    tags=("event", "analytics"),
+)
+def event_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
+    fu = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("enter_d"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fu, "user_id")
+        .select(F.datediff(F.to_date("ts"), "enter_d").alias("t"))
+    )
+    risk_span = fu.crossJoin(F.broadcast(ends)).select(
+        F.datediff("obs_end", "enter_d").alias("tau")
+    )
+    ev_t = purchases.groupBy("t").agg(F.count("*").cast("double").alias("d"))
+    exits = risk_span.groupBy(F.col("tau").alias("t_exit")).agg(
+        F.count("*").cast("double").alias("n_exit")
+    )
+    grid = ev_t.join(
+        exits, ev_t["t"] == exits["t_exit"], "left"
+    ).select(
+        "t", "d", F.coalesce(F.col("n_exit"), F.lit(0.0)).alias("n_exit")
+    )
+    tot = fu.agg(F.count("*").cast("double").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mcf = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_exit").over(w_prev), F.lit(0.0))
+        ).alias("n_risk"),
+    )
+    return mcf.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("d") / F.col("n_risk")).over(w_upto), 6
+        ).alias("mcf"),
+    ).orderBy("t_days")

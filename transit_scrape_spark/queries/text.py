@@ -2814,18 +2814,27 @@ def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
             FROM documents
         ),
-        perdoc AS (
+        flagged AS (
             SELECT doc_id, lang,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(CASE WHEN
+                   CASE WHEN
                         (CAST(('0x' || substring(md5(token || ':wm-key-r5'), 1, 12))
                               AS BIGINT) % 2147483647) % 2 = 0
-                        THEN 1 ELSE 0 END) AS DOUBLE) AS g
-            FROM tok GROUP BY doc_id, lang
+                        THEN 1.0 ELSE 0.0 END AS green
+            FROM tok
+        ),
+        p0 AS (
+            SELECT lang, avg(green) AS p FROM flagged GROUP BY lang
+        ),
+        perdoc AS (
+            SELECT doc_id, f.lang,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(f.green) AS g, max(p0.p) AS p
+            FROM flagged f JOIN p0 ON f.lang = p0.lang
+            GROUP BY doc_id, f.lang
         ),
         z AS (
-            SELECT lang, (g - n / 2) / sqrt(n / 4) AS z FROM perdoc
-            WHERE n >= 16
+            SELECT lang, (g - n * p) / sqrt(n * p * (1 - p)) AS z
+            FROM perdoc WHERE n >= 16
         )
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                round(avg(z), 6) AS mean_z,
@@ -2834,16 +2843,18 @@ def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM z GROUP BY lang
     """,
     doc="Statistical watermark detector (Kirchenbauer-style green-list "
-    "test): a keyed hash splits the vocabulary into green/red halves; "
+    "test): a keyed hash splits the vocabulary into green/red lists; "
     "an un-watermarked document's green-token count is "
-    "Binomial(n, 1/2), so z = (g - n/2)/sqrt(n/4) ~ N(0,1) and "
-    "watermarked generations (sampler biased toward green) push "
-    "z >> 2. Per-language mean z and flag rate audit a corpus for "
-    "synthetic-text contamination BEFORE it trains the next model — "
-    "a first-order curation concern now that model output is in "
-    "every crawl. The hash is the engine-portable md5 form "
-    "(operators/dedup.string_hash); one explode + two hash-aggs, "
-    "no vocabulary state at all — O(corpus tokens) map-side work.",
+    "Binomial(n, p0) where p0 is the LANGUAGE's marginal green rate "
+    "— calibrating against the corpus null instead of assuming "
+    "p0 = 1/2 is what keeps the test honest on a finite vocabulary, "
+    "where the hash split of frequent tokens lands away from half "
+    "and the naive z is biased for every document at once. "
+    "z = (g - n p0)/sqrt(n p0 (1-p0)); watermarked generations "
+    "(sampler biased toward green) push z >> 2 while the per-language "
+    "mean stays ~0 on clean text. The hash is the engine-portable md5 "
+    "form (operators/dedup.string_hash); one explode, a tiny per-lang "
+    "rate broadcast, two hash-aggs — no vocabulary state at all.",
     tags=("text", "corpus"),
 )
 def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2853,19 +2864,34 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    green = (
-        string_hash(F.concat(F.col("token"), F.lit(":wm-key-r5"))) % 2 == 0
-    ).cast("int")
-    perdoc = tok.groupBy("doc_id", "lang").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(green).cast("double").alias("g"),
+    flagged = tok.select(
+        "doc_id",
+        "lang",
+        F.when(
+            string_hash(F.concat(F.col("token"), F.lit(":wm-key-r5"))) % 2
+            == 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("green"),
+    )
+    p0 = flagged.groupBy("lang").agg(F.avg("green").alias("p"))
+    perdoc = (
+        flagged.join(F.broadcast(p0), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("green").alias("g"),
+            F.max("p").alias("p"),
+        )
     )
     z = (
         perdoc.filter(F.col("n") >= 16)
         .select(
             "lang",
             (
-                (F.col("g") - F.col("n") / 2) / F.sqrt(F.col("n") / 4)
+                (F.col("g") - F.col("n") * F.col("p"))
+                / F.sqrt(F.col("n") * F.col("p") * (1 - F.col("p")))
             ).alias("z"),
         )
     )
