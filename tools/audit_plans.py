@@ -215,6 +215,9 @@ SCALAR_BROADCAST_OPS = {
     "stats-bowker-symmetry",   # 1-row total + 9-row transpose-grid joins
     "analytics-competing-risks",  # 1-row observation-end broadcast
     "event-mcf-recurrent",     # 1-row cohort-size broadcast
+    "stats-friedman-nemenyi",  # 5-row treatment-summary pair join
+    "agg-theil-decomposition", # 1-row grand-mean broadcast
+    "timeseries-seasonal-mann-kendall",  # within-season day-summary pair join
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -888,3 +888,69 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in outs[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "dedup-weighted-jaccard",
+    oracle=f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        tf AS (
+            SELECT doc_id % 1000000 AS pair_key,
+                   CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS is_mut,
+                   token, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM corpus) t
+            GROUP BY 1, 2, token
+        ),
+        merged AS (
+            SELECT pair_key, token,
+                   sum(CASE WHEN is_mut = 0 THEN tf ELSE 0 END) AS tf_o,
+                   sum(CASE WHEN is_mut = 1 THEN tf ELSE 0 END) AS tf_m
+            FROM tf GROUP BY pair_key, token
+        )
+        SELECT pair_key AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_union_tokens,
+               round(sum(least(tf_o, tf_m)) / sum(greatest(tf_o, tf_m)), 6)
+                   AS weighted_jaccard
+        FROM merged GROUP BY pair_key
+    """,
+    doc="Weighted (multiset/bag) Jaccard between each document and its "
+    "planted near-dup: J_w = sum_t min(tf_a, tf_b) / "
+    "sum_t max(tf_a, tf_b) over TERM FREQUENCIES — the similarity "
+    "set-based shingle Jaccard (dedup-ngram-jaccard) overstates for "
+    "repetitive text, where a doc that repeats one paragraph 10x and "
+    "its single-copy source share every shingle TYPE but only ~10%% "
+    "of the mass. Boilerplate/spam dedup wants the weighted form. "
+    "No pair join at all: pair_key = doc_id %% 1000000 re-keys both "
+    "sides into ONE groupBy chain (token tf -> per-pair min/max "
+    "ratio) — at 100 TB this is two hash-aggs keyed by "
+    "(pair, token), embarrassingly parallel, zero skew joins.",
+    tags=("dedup",),
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _corpus(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 1000000).alias("pair_key"),
+            (F.col("doc_id") >= 1000000).cast("int").alias("is_mut"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("pair_key", "is_mut", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    merged = tf.groupBy("pair_key", "token").agg(
+        F.sum(
+            F.when(F.col("is_mut") == 0, F.col("tf")).otherwise(0.0)
+        ).alias("tf_o"),
+        F.sum(
+            F.when(F.col("is_mut") == 1, F.col("tf")).otherwise(0.0)
+        ).alias("tf_m"),
+    )
+    return merged.groupBy(F.col("pair_key").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_union_tokens"),
+        F.round(
+            F.sum(F.least("tf_o", "tf_m"))
+            / F.sum(F.greatest("tf_o", "tf_m")),
+            6,
+        ).alias("weighted_jaccard"),
+    )

@@ -4305,3 +4305,406 @@ def event_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d") / F.col("n_risk")).over(w_upto), 6
         ).alias("mcf"),
     ).orderBy("t_days")
+
+
+@query(
+    "stats-friedman-nemenyi",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS m
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ),
+        complete AS (
+            SELECT day FROM daily GROUP BY day HAVING count(*) = 5
+        ),
+        ranked AS (
+            SELECT d.day, d.event_type,
+                   CAST(rank() OVER (PARTITION BY d.day ORDER BY d.m)
+                        AS DOUBLE) AS r
+            FROM daily d JOIN complete c ON c.day = d.day
+        ),
+        rbar AS (
+            SELECT event_type, avg(r) AS rbar,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM ranked GROUP BY event_type
+        ),
+        k AS (SELECT CAST(count(*) AS DOUBLE) AS k, max(n) AS n FROM rbar)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               round(a.rbar, 6) AS rank_a,
+               round(b.rbar, 6) AS rank_b,
+               round(abs(a.rbar - b.rbar)
+                     / sqrt(k.k * (k.k + 1) / (6 * k.n)), 4) AS nemenyi_q,
+               round(abs(a.rbar - b.rbar)
+                     / sqrt(k.k * (k.k + 1) / (6 * k.n))
+                     * sqrt(2.0), 4) AS q_range_scale
+        FROM rbar a JOIN rbar b ON a.event_type < b.event_type
+        CROSS JOIN k
+    """,
+    doc="Nemenyi post-hoc after the Friedman test (stats-friedman-test, "
+    "same day-blocked rank construction): for every treatment pair "
+    "the standardized mean-rank difference |Rbar_i - Rbar_j| / "
+    "sqrt(k(k+1)/6N) — the statistic behind critical-difference "
+    "diagrams, THE standard way to compare k models over N "
+    "datasets/days (Demsar 2006); also emitted on the studentized-"
+    "range scale (x sqrt 2) for q_alpha tables. Friedman only says "
+    "'the five types do not rank identically'; Nemenyi says WHICH "
+    "pairs differ. Within-day ranking is a 5-row partitioned window; "
+    "the pair join runs on the 5-row treatment summary.",
+    tags=("stats", "eval"),
+)
+def stats_friedman_nemenyi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("k_day"))
+        .filter(F.col("k_day") == 5)
+        .select("day")
+    )
+    ranked = daily.join(complete, "day").select(
+        "event_type",
+        F.rank()
+        .over(Window.partitionBy("day").orderBy("m"))
+        .cast("double")
+        .alias("r"),
+    )
+    rbar = ranked.groupBy("event_type").agg(
+        F.avg("r").alias("rbar"), F.count("*").cast("double").alias("n")
+    )
+    k = rbar.agg(
+        F.count("*").cast("double").alias("k"), F.max("n").alias("n")
+    )
+    a = rbar.select(
+        F.col("event_type").alias("type_a"), F.col("rbar").alias("rank_a")
+    )
+    b = rbar.select(
+        F.col("event_type").alias("type_b"), F.col("rbar").alias("rank_b")
+    )
+    se = F.sqrt(F.col("k") * (F.col("k") + 1) / (6 * F.col("n")))
+    q = F.abs(F.col("rank_a") - F.col("rank_b")) / se
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "type_a",
+            "type_b",
+            F.round("rank_a", 6).alias("rank_a"),
+            F.round("rank_b", 6).alias("rank_b"),
+            F.round(q, 4).alias("nemenyi_q"),
+            F.round(q * F.sqrt(F.lit(2.0)), 4).alias("q_range_scale"),
+        )
+    )
+
+
+@query(
+    "stats-yuen-trimmed-ttest",
+    oracle="""
+        WITH grp AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+                        ELSE 'other' END AS g,
+                   value AS y
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        cuts AS (
+            SELECT g, quantile_cont(y, 0.2) AS lo,
+                   quantile_cont(y, 0.8) AS hi
+            FROM grp GROUP BY g
+        ),
+        wins AS (
+            SELECT grp.g,
+                   CASE WHEN y < lo THEN lo
+                        WHEN y > hi THEN hi ELSE y END AS w,
+                   CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END
+                       AS in_core
+            FROM grp JOIN cuts ON grp.g = cuts.g
+        ),
+        s AS (
+            SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(in_core) AS DOUBLE) AS h,
+                   avg(CASE WHEN in_core = 1 THEN w END) AS tmean,
+                   (count(*) - 1) * var_samp(w) AS ssw
+            FROM wins GROUP BY g
+        )
+        SELECT CAST(max(CASE WHEN g = 'purchase' THEN n END) AS BIGINT)
+                   AS n_a,
+               CAST(max(CASE WHEN g = 'other' THEN n END) AS BIGINT)
+                   AS n_b,
+               round(max(CASE WHEN g = 'purchase' THEN tmean END), 6)
+                   AS trimmed_mean_a,
+               round(max(CASE WHEN g = 'other' THEN tmean END), 6)
+                   AS trimmed_mean_b,
+               round((max(CASE WHEN g = 'purchase' THEN tmean END)
+                      - max(CASE WHEN g = 'other' THEN tmean END))
+                     / sqrt(max(CASE WHEN g = 'purchase'
+                                     THEN ssw / (h * (h - 1)) END)
+                            + max(CASE WHEN g = 'other'
+                                       THEN ssw / (h * (h - 1)) END)), 4)
+                   AS yuen_t
+        FROM s
+    """,
+    doc="Yuen's trimmed-mean t-test (20%% trim) between purchase and "
+    "view event values: compare 20%%-trimmed means with Winsorized "
+    "variances, t = (tm_a - tm_b)/sqrt(sw_a^2/(h_a(h_a-1)) + "
+    "sw_b^2/(h_b(h_b-1))) where h is the retained count — the "
+    "robust two-sample test that keeps ~95%% efficiency under "
+    "normality but does not hand a handful of outliers the verdict "
+    "the way stats-welch-ttest does. Trim thresholds are exact "
+    "linear-interpolated quantiles (Spark percentile == DuckDB "
+    "quantile_cont); per-group percentile + winsorize + moments = "
+    "two bounded aggregates and one broadcast of the 2-row cut "
+    "table.",
+    tags=("stats",),
+)
+def stats_yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.when(F.col("event_type") == "purchase", "purchase")
+        .otherwise("other")
+        .alias("g"),
+        F.col("value").alias("y"),
+    )
+    cuts = grp.groupBy("g").agg(
+        F.expr("percentile(y, 0.2)").alias("lo"),
+        F.expr("percentile(y, 0.8)").alias("hi"),
+    )
+    wins = grp.join(F.broadcast(cuts), "g").select(
+        "g",
+        F.when(F.col("y") < F.col("lo"), F.col("lo"))
+        .when(F.col("y") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("y"))
+        .alias("w"),
+        (
+            (F.col("y") >= F.col("lo")) & (F.col("y") <= F.col("hi"))
+        )
+        .cast("int")
+        .alias("in_core"),
+    )
+    s = wins.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("in_core").cast("double").alias("h"),
+        F.avg(F.when(F.col("in_core") == 1, F.col("w"))).alias("tmean"),
+        ((F.count("*") - 1) * F.var_samp("w")).alias("ssw"),
+    )
+
+    def pick(col: str, g: str):
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    sw_a = pick("ssw", "purchase") / (
+        pick("h", "purchase") * (pick("h", "purchase") - 1)
+    )
+    sw_b = pick("ssw", "other") / (
+        pick("h", "other") * (pick("h", "other") - 1)
+    )
+    return s.agg(
+        pick("n", "purchase").cast("long").alias("n_a"),
+        pick("n", "other").cast("long").alias("n_b"),
+        F.round(pick("tmean", "purchase"), 6).alias("trimmed_mean_a"),
+        F.round(pick("tmean", "other"), 6).alias("trimmed_mean_b"),
+        F.round(
+            (pick("tmean", "purchase") - pick("tmean", "other"))
+            / F.sqrt(sw_a + sw_b),
+            4,
+        ).alias("yuen_t"),
+    )
+
+
+@query(
+    "agg-theil-decomposition",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id, CAST(user_id % 4 AS BIGINT) AS seg,
+                   sum(value) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        g AS (SELECT avg(x) AS mu, CAST(count(*) AS DOUBLE) AS n FROM pu),
+        within AS (
+            SELECT p.seg, CAST(count(*) AS DOUBLE) AS n_s, avg(p.x) AS mu_s,
+                   avg((p.x / s.mu_s) * ln(p.x / s.mu_s)) AS t_s
+            FROM pu p JOIN (SELECT seg, avg(x) AS mu_s FROM pu GROUP BY seg) s
+                 ON p.seg = s.seg
+            GROUP BY p.seg
+        )
+        SELECT CAST(g.n AS BIGINT) AS n_users,
+               round(sum((w.n_s / g.n) * (w.mu_s / g.mu) * w.t_s), 6)
+                   AS theil_within,
+               round(sum((w.n_s / g.n) * (w.mu_s / g.mu)
+                         * ln(w.mu_s / g.mu)), 6) AS theil_between,
+               round(sum((w.n_s / g.n) * (w.mu_s / g.mu) * w.t_s)
+                     + sum((w.n_s / g.n) * (w.mu_s / g.mu)
+                           * ln(w.mu_s / g.mu)), 6) AS theil_total
+        FROM within w CROSS JOIN g
+        GROUP BY g.n
+    """,
+    doc="Theil T inequality index with exact between/within "
+    "decomposition over user segments: T = sum_s (n_s/n)(mu_s/mu) T_s "
+    "+ sum_s (n_s/n)(mu_s/mu) ln(mu_s/mu) — the property "
+    "agg-gini-coefficient lacks (Gini is not additively decomposable; "
+    "its 'between' term carries an overlap residual), so Theil is "
+    "what answers 'how much revenue concentration lives INSIDE "
+    "segments vs BETWEEN them'. Per-user purchase totals (one "
+    "shuffle), per-segment entropy terms against broadcast segment "
+    "means, 4-row combine. The decomposition identity is checked "
+    "in-plan by emitting total = within + between.",
+    tags=("agg", "analytics"),
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("x"))
+        .select(
+            (F.col("user_id") % 4).cast("long").alias("seg"), "x"
+        )
+    )
+    g = pu.agg(
+        F.avg("x").alias("mu"), F.count("*").cast("double").alias("n")
+    )
+    seg_mu = pu.groupBy("seg").agg(F.avg("x").alias("mu_s"))
+    within = (
+        pu.join(F.broadcast(seg_mu), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("double").alias("n_s"),
+            F.max("mu_s").alias("mu_s"),
+            F.avg(
+                (F.col("x") / F.col("mu_s"))
+                * F.log(F.col("x") / F.col("mu_s"))
+            ).alias("t_s"),
+        )
+    )
+    share = (F.col("n_s") / F.col("n")) * (F.col("mu_s") / F.col("mu"))
+    t_within = F.sum(share * F.col("t_s"))
+    t_between = F.sum(share * F.log(F.col("mu_s") / F.col("mu")))
+    return (
+        within.crossJoin(F.broadcast(g))
+        .groupBy("n")
+        .agg(
+            F.round(t_within, 6).alias("theil_within"),
+            F.round(t_between, 6).alias("theil_between"),
+            F.round(t_within + t_between, 6).alias("theil_total"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            "theil_within",
+            "theil_between",
+            "theil_total",
+        )
+    )
+
+
+@query(
+    "timeseries-seasonal-mann-kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        keyed AS (
+            SELECT dayofweek(d) AS dow,
+                   CAST(date_diff('week', (SELECT min(d) FROM daily), d)
+                        AS BIGINT) AS wk,
+                   y
+            FROM daily
+        ),
+        pairs AS (
+            SELECT a.dow,
+                   CASE WHEN b.y > a.y THEN 1.0
+                        WHEN b.y < a.y THEN -1.0 ELSE 0.0 END AS sgn
+            FROM keyed a JOIN keyed b
+              ON a.dow = b.dow AND a.wk < b.wk
+        ),
+        per_season AS (
+            SELECT k.dow, CAST(count(*) AS DOUBLE) AS n_s,
+                   coalesce(max(p.s), 0) AS s_s
+            FROM keyed k
+            LEFT JOIN (SELECT dow, sum(sgn) AS s FROM pairs GROUP BY dow) p
+              ON k.dow = p.dow
+            GROUP BY k.dow
+        )
+        SELECT CAST(sum(n_s) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_seasons,
+               CAST(sum(s_s) AS BIGINT) AS s_stat,
+               round(sum(n_s * (n_s - 1) * (2 * n_s + 5)) / 18.0, 6)
+                   AS var_s,
+               round((sum(s_s) - CASE WHEN sum(s_s) > 0 THEN 1
+                                      WHEN sum(s_s) < 0 THEN -1
+                                      ELSE 0 END)
+                     / sqrt(sum(n_s * (n_s - 1) * (2 * n_s + 5)) / 18.0), 4)
+                   AS z_smk
+        FROM per_season
+    """,
+    doc="Seasonal Mann-Kendall trend test (Hirsch-Slack) on daily event "
+    "volume with day-of-week seasons: S = sum over seasons of the "
+    "pairwise sign statistic computed ONLY between same-weekday "
+    "observations, Var = sum n_s(n_s-1)(2n_s+5)/18, z with "
+    "continuity correction — the plain MK test "
+    "(timeseries-mann-kendall) reads a strong weekly cycle as noise "
+    "(or worse, as trend); stratifying by season removes it without "
+    "modeling it. The pairwise join is within-season over the "
+    "calendar-bounded weekly index (n_s ~ span/7 rows per season) — "
+    "quadratic only in WEEKS, constant in event volume.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(d0)).select(
+        F.dayofweek("d").alias("dow"),
+        F.floor(F.datediff("d", "d0") / 7).cast("long").alias("wk"),
+        "y",
+    )
+    a = keyed.select(
+        F.col("dow").alias("a_dow"), F.col("wk").alias("a_wk"),
+        F.col("y").alias("a_y"),
+    )
+    b = keyed.select(
+        F.col("dow").alias("b_dow"), F.col("wk").alias("b_wk"),
+        F.col("y").alias("b_y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_dow") == F.col("b_dow")) & (F.col("a_wk") < F.col("b_wk")),
+    ).select(
+        F.col("a_dow").alias("dow"),
+        F.when(F.col("b_y") > F.col("a_y"), 1.0)
+        .when(F.col("b_y") < F.col("a_y"), -1.0)
+        .otherwise(0.0)
+        .alias("sgn"),
+    )
+    s_per = pairs.groupBy("dow").agg(F.sum("sgn").alias("s"))
+    per_season = (
+        keyed.groupBy("dow")
+        .agg(F.count("*").cast("double").alias("n_s"))
+        .join(s_per, "dow", "left")
+        .select(
+            "dow",
+            "n_s",
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("s_s"),
+        )
+    )
+    s_tot = F.sum("s_s")
+    var_s = F.sum(
+        F.col("n_s") * (F.col("n_s") - 1) * (2 * F.col("n_s") + 5)
+    ) / 18.0
+    cc = (
+        F.when(s_tot > 0, 1.0).when(s_tot < 0, -1.0).otherwise(0.0)
+    )
+    return per_season.agg(
+        F.sum("n_s").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_seasons"),
+        s_tot.cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round((s_tot - cc) / F.sqrt(var_s), 4).alias("z_smk"),
+    )
