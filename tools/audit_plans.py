@@ -218,6 +218,7 @@ SCALAR_BROADCAST_OPS = {
     "stats-friedman-nemenyi",  # 5-row treatment-summary pair join
     "agg-theil-decomposition", # 1-row grand-mean broadcast
     "timeseries-seasonal-mann-kendall",  # within-season day-summary pair join
+    "stats-logrank-test",      # 1-row cohort-size broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id
@@ -296,6 +297,9 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             # calendar-bounded duration/exit-time summaries (KM twins)
             "analytics-competing-risks": 3,
             "event-mcf-recurrent": 2,
+            "stats-logrank-test": 1,
+            # calendar-bounded daily series lag window
+            "timeseries-adf-test": 1,
             "timeseries-granger-1lag": 2,
             "timeseries-harmonic-fit": 2,
             "timeseries-hurst-rs": 2,

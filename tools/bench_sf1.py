@@ -109,6 +109,17 @@ R5_NEW = [
     "stats-kaplan-meier",
     "ml-logistic-irls",
 ]
+# round-5 continuation wave: token-explode LM scoring, bag-of-words
+# pair rollups, map-side model scoring — the heaviest of the 32 ops
+R5_WAVE2 = [
+    "text-lm-interpolated",
+    "dedup-weighted-jaccard",
+    "text-watermark-detect",
+    "ml-naive-bayes",
+    "ml-learning-curve",
+    "eval-auc-delong-ci",
+    "stats-bland-altman",
+]
 
 
 def main() -> None:
@@ -119,7 +130,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     worst = 0.0
-    for op in EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED + R5_NEW:
+    for op in (EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED + R5_NEW
+                   + R5_WAVE2):
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

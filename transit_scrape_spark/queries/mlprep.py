@@ -4708,3 +4708,387 @@ def timeseries_seasonal_mann_kendall(
         F.round(var_s, 6).alias("var_s"),
         F.round((s_tot - cc) / F.sqrt(var_s), 4).alias("z_smk"),
     )
+
+
+@query(
+    "stats-logrank-test",
+    oracle="""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+                   min(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+                       AS fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS fp
+            FROM events GROUP BY user_id
+        ),
+        dur AS (
+            SELECT grp,
+                   CASE WHEN fp IS NOT NULL AND fp >= fv
+                        THEN date_diff('day', fv, fp) ELSE
+                             date_diff('day', fv, e.obs_end) END AS t,
+                   CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END
+                       AS died
+            FROM pu CROSS JOIN ends e
+            WHERE fv IS NOT NULL
+        ),
+        per_t AS (
+            SELECT t,
+                   CAST(sum(died) AS DOUBLE) AS d,
+                   CAST(sum(CASE WHEN grp = 1 THEN died ELSE 0 END)
+                        AS DOUBLE) AS d1,
+                   CAST(count(*) AS DOUBLE) AS total,
+                   CAST(sum(grp) AS DOUBLE) AS total1
+            FROM dur GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d, d1,
+                   sum(total) OVER w AS n_risk,
+                   sum(total1) OVER w AS n1_risk
+            FROM per_t
+            WINDOW w AS (ORDER BY t DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT sum(d1) AS o1,
+                   sum(d * n1_risk / n_risk) AS e1,
+                   sum(CASE WHEN n_risk > 1
+                            THEN d * (n1_risk / n_risk)
+                                 * (1 - n1_risk / n_risk)
+                                 * (n_risk - d) / (n_risk - 1)
+                            ELSE 0 END) AS v
+            FROM risk WHERE d > 0
+        )
+        SELECT CAST((SELECT count(*) FROM dur) AS BIGINT) AS n_users,
+               round(o1, 6) AS observed_g1,
+               round(e1, 6) AS expected_g1,
+               round((o1 - e1) * (o1 - e1) / v, 4) AS logrank_chi2
+        FROM terms
+    """,
+    doc="Two-group log-rank test on first-view -> first-purchase "
+    "conversion (groups = user hash parity): at each event time the "
+    "group-1 deaths are compared against the hypergeometric "
+    "expectation d * n1/n with variance d(n1/n)(1-n1/n)(n-d)/(n-1), "
+    "and chi2 = (O1-E1)^2/V — THE standard test for 'do these two "
+    "survival curves differ', weighting every event time equally "
+    "(Mantel-Haenszel over the risk-set 2x2 tables; the same "
+    "machinery as stats-cmh-pooled-or applied along time). Completes "
+    "the survival suite: KM/Nelson-Aalen estimate curves, "
+    "competing-risks splits causes, log-rank TESTS group contrast. "
+    "Same scale contract: windows only over the calendar-bounded "
+    "duration summary.",
+    tags=("stats", "analytics"),
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.to_date("ts"))
+        ).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("fp"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("grp"), "fv", "fp"
+    )
+    died = (F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))).cast(
+        "int"
+    )
+    dur = (
+        pu.crossJoin(F.broadcast(ends))
+        .filter(F.col("fv").isNotNull())
+        .select(
+            "grp",
+            F.when(died == 1, F.datediff("fp", "fv"))
+            .otherwise(F.datediff("obs_end", "fv"))
+            .alias("t"),
+            died.alias("died"),
+        )
+    )
+    n_users = dur.agg(F.count("*").cast("long").alias("n_users"))
+    per_t = dur.groupBy("t").agg(
+        F.sum("died").cast("double").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("died")).otherwise(0))
+        .cast("double")
+        .alias("d1"),
+        F.count("*").cast("double").alias("total"),
+        F.sum("grp").cast("double").alias("total1"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("total").over(w).alias("n_risk"),
+        F.sum("total1").over(w).alias("n1_risk"),
+    )
+    p1 = F.col("n1_risk") / F.col("n_risk")
+    terms = risk.filter(F.col("d") > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * p1).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n_risk") > 1,
+                F.col("d")
+                * p1
+                * (1 - p1)
+                * (F.col("n_risk") - F.col("d"))
+                / (F.col("n_risk") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return terms.crossJoin(F.broadcast(n_users)).select(
+        "n_users",
+        F.round("o1", 6).alias("observed_g1"),
+        F.round("e1", 6).alias("expected_g1"),
+        F.round(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+            4,
+        ).alias("logrank_chi2"),
+    )
+
+
+@query(
+    "timeseries-adf-test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+                   lag(y) OVER (ORDER BY d) AS y1
+            FROM daily
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   covar_samp(dy, y1) / var_samp(y1) AS rho,
+                   avg(dy) AS mdy, avg(y1) AS my1,
+                   var_samp(dy) AS sdd, var_samp(y1) AS s11,
+                   covar_samp(dy, y1) AS sd1
+            FROM lagged WHERE y1 IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs,
+               round(rho, 6) AS rho_coef,
+               round(rho / sqrt(((n - 1) * (sdd - sd1 * sd1 / s11)
+                                 / (n - 2))
+                                / ((n - 1) * s11)), 4) AS adf_t,
+               round(mdy - rho * my1, 6) AS drift
+        FROM m
+    """,
+    doc="Augmented Dickey-Fuller unit-root test (0 lags, constant): "
+    "regress the first difference on the lagged level, "
+    "dy_t = c + rho*y_{t-1}; the t-statistic of rho (closed form: "
+    "rho / sqrt(sigma2/Sxx) with sigma2 = (n-1)(Sdd - Sd1^2/S11)/"
+    "(n-2)) against the Dickey-Fuller critical values (~-2.89 at 5%) "
+    "decides stationary-vs-random-walk — the complement of "
+    "timeseries-kpss-level (KPSS null = stationary, ADF null = unit "
+    "root; agreement of the two is the standard pre-modeling check "
+    "before trusting any trend regression in this repo, including "
+    "timeseries-cochrane-orcutt's AR(1) fix). One lag window over "
+    "the calendar-bounded daily series, one moment aggregate.",
+    tags=("timeseries", "stats"),
+)
+def timeseries_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("y1"),
+    ).filter(F.col("y1").isNotNull())
+    m = lagged.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.covar_samp("dy", "y1") / F.var_samp("y1")).alias("rho"),
+        F.avg("dy").alias("mdy"),
+        F.avg("y1").alias("my1"),
+        F.var_samp("dy").alias("sdd"),
+        F.var_samp("y1").alias("s11"),
+        F.covar_samp("dy", "y1").alias("sd1"),
+    )
+    n = F.col("n")
+    sigma2 = (
+        (n - 1)
+        * (F.col("sdd") - F.col("sd1") * F.col("sd1") / F.col("s11"))
+        / (n - 2)
+    )
+    se = F.sqrt(sigma2 / ((n - 1) * F.col("s11")))
+    return m.select(
+        n.cast("long").alias("n_obs"),
+        F.round("rho", 6).alias("rho_coef"),
+        F.round(F.col("rho") / se, 4).alias("adf_t"),
+        F.round(F.col("mdy") - F.col("rho") * F.col("my1"), 6).alias(
+            "drift"
+        ),
+    )
+
+
+@query(
+    "attribution-time-decay",
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT e.event_type, p.p_id,
+                   power(0.5, CAST(date_diff('second', e.ts, p.p_ts)
+                                   AS DOUBLE) / 21600.0) AS w
+            FROM events e
+            JOIN purchases p ON p.user_id = e.user_id
+             AND e.ts >= p.p_ts - INTERVAL 24 HOUR AND e.ts < p.p_ts
+            WHERE e.event_type IN ('click', 'view', 'signup')
+        ),
+        norm AS (
+            SELECT event_type, p_id,
+                   w / sum(w) OVER (PARTITION BY p_id) AS credit
+            FROM touches
+        )
+        SELECT event_type,
+               round(sum(credit), 4) AS attributed_conversions,
+               CAST(count(*) AS BIGINT) AS n_touches
+        FROM norm GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-decay multi-touch attribution (6h half-life): every "
+    "touchpoint in the 24h pre-purchase window earns "
+    "0.5^(dt/halflife), normalized per conversion so channel totals "
+    "conserve conversions exactly — the fourth standard model "
+    "completing the attribution family (last-touch, position-based "
+    "U-shape, Shapley): position-based credits BY RANK, time-decay "
+    "by RECENCY, and the two disagree precisely when touch spacing "
+    "is uneven — comparing the family's outputs on the same touch "
+    "relation is how analysts bound model risk. Same scale contract "
+    "as its siblings: user-keyed range join bounded by the 24h "
+    "lookback, one per-conversion normalization window (bounded by "
+    "touches-per-purchase), codegen weights.",
+    tags=("attribution", "analytics"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("ts") < F.col("p_ts")),
+        )
+        .select(
+            "event_type",
+            "p_id",
+            F.pow(
+                0.5,
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+                ).cast("double")
+                / 21600.0,
+            ).alias("w"),
+        )
+    )
+    wn = Window.partitionBy("p_id")
+    norm = touches.select(
+        "event_type",
+        (F.col("w") / F.sum("w").over(wn)).alias("credit"),
+    )
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("attributed_conversions"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats-rayleigh-circular",
+    oracle="""
+        WITH ang AS (
+            SELECT event_type,
+                   (extract(hour FROM ts) * 3600
+                    + extract(minute FROM ts) * 60
+                    + extract(second FROM ts))
+                   * 2 * pi() / 86400.0 AS theta
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                   avg(cos(theta)) AS c, avg(sin(theta)) AS s
+            FROM ang GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               round(CASE WHEN atan2(s, c) < 0
+                          THEN (atan2(s, c) + 2 * pi()) * 86400
+                               / (2 * pi()) / 3600
+                          ELSE atan2(s, c) * 86400 / (2 * pi()) / 3600
+                     END, 4) AS mean_hour,
+               round(sqrt(c * c + s * s), 6) AS resultant_r,
+               round(n * (c * c + s * s), 4) AS rayleigh_z
+        FROM s ORDER BY event_type
+    """,
+    doc="Circular statistics of event time-of-day per event type: "
+    "mean direction (converted back to hours), mean resultant length "
+    "R, and the Rayleigh statistic z = n R^2 testing uniformity "
+    "around the clock (z > ~3 rejects at 5%%). Clock-time is "
+    "CIRCULAR — 23:30 and 00:30 are an hour apart, not 23 — so "
+    "linear means/variances (and stats-uniformity-hours' binned "
+    "chi2, which discards adjacency entirely) misread peaks that "
+    "straddle midnight; the cos/sin resultant is the correct "
+    "geometry and costs exactly one aggregation: two trig codegen "
+    "columns, five groups, no windows, no joins.",
+    tags=("stats", "event"),
+)
+def stats_rayleigh_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    two_pi = 2 * math.pi
+    theta = (
+        (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        )
+        * two_pi
+        / 86400.0
+    )
+    s = ev.select("event_type", theta.alias("theta")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.cos("theta")).alias("c"),
+        F.avg(F.sin("theta")).alias("s"),
+    )
+    mean_dir = F.atan2(F.col("s"), F.col("c"))
+    mean_hour = (
+        F.when(mean_dir < 0, mean_dir + two_pi).otherwise(mean_dir)
+        * 86400
+        / two_pi
+        / 3600
+    )
+    r2 = F.col("c") * F.col("c") + F.col("s") * F.col("s")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(mean_hour, 4).alias("mean_hour"),
+        F.round(F.sqrt(r2), 6).alias("resultant_r"),
+        F.round(F.col("n") * r2, 4).alias("rayleigh_z"),
+    ).orderBy("event_type")
