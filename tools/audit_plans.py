@@ -219,6 +219,7 @@ SCALAR_BROADCAST_OPS = {
     "agg-theil-decomposition", # 1-row grand-mean broadcast
     "timeseries-seasonal-mann-kendall",  # within-season day-summary pair join
     "stats-logrank-test",      # 1-row cohort-size broadcast
+    "ml-bootstrap-slope-se",   # 12-row replica-id + 1-row analytic broadcasts
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -5092,3 +5092,267 @@ def stats_rayleigh_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(r2), 6).alias("resultant_r"),
         F.round(F.col("n") * r2, 4).alias("rayleigh_z"),
     ).orderBy("event_type")
+
+
+_BSE_REPS = 12
+_BSE_CDF = (0.367879, 0.735759, 0.919699, 0.981012)
+
+
+@query(
+    "ml-bootstrap-slope-se",
+    oracle=f"""
+        WITH pu AS (
+            SELECT user_id,
+                   ln(1 + CAST(sum(CASE WHEN event_type <> 'purchase'
+                                        THEN 1 ELSE 0 END) AS DOUBLE)) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS DOUBLE) AS y
+            FROM events GROUP BY user_id
+            HAVING sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   > 0
+        ),
+        analytic AS (
+            SELECT regr_slope(y, x) AS slope,
+                   sqrt(((count(*) - 1)
+                         * (var_samp(y)
+                            - covar_samp(x, y) * covar_samp(x, y)
+                              / var_samp(x)) / (count(*) - 2))
+                        / ((count(*) - 1) * var_samp(x))) AS se_analytic,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pu
+        ),
+        reps AS (SELECT range AS rep FROM range(0, {_BSE_REPS})),
+        weighted AS (
+            SELECT rep, x, y,
+                   CASE
+                     WHEN u < {_BSE_CDF[0]} THEN 0
+                     WHEN u < {_BSE_CDF[1]} THEN 1
+                     WHEN u < {_BSE_CDF[2]} THEN 2
+                     WHEN u < {_BSE_CDF[3]} THEN 3
+                     ELSE 4
+                   END AS w
+            FROM (
+                SELECT rep, x, y,
+                       CAST(('0x' || substring(
+                            md5(CAST(user_id AS VARCHAR) || ':bse:' ||
+                                CAST(rep AS VARCHAR)), 1, 12)) AS BIGINT)
+                           / 281474976710656.0 AS u
+                FROM pu CROSS JOIN reps
+            )
+        ),
+        rep_slopes AS (
+            SELECT rep,
+                   (sum(w * x * y) - sum(w * x) * sum(w * y) / sum(w))
+                   / (sum(w * x * x) - sum(w * x) * sum(w * x) / sum(w))
+                       AS slope_b
+            FROM weighted GROUP BY rep
+        )
+        SELECT a.n AS n_users,
+               CAST({_BSE_REPS} AS BIGINT) AS n_replicas,
+               round(a.slope, 6) AS slope,
+               round(a.se_analytic, 6) AS se_analytic,
+               round(stddev_samp(r.slope_b), 6) AS se_bootstrap,
+               round(stddev_samp(r.slope_b) / a.se_analytic, 4) AS se_ratio
+        FROM rep_slopes r CROSS JOIN analytic a
+        GROUP BY a.n, a.slope, a.se_analytic
+    """,
+    doc="Poisson-bootstrap standard error of a regression slope vs the "
+    "analytic OLS SE, on the per-user activity->purchases fit: each "
+    "user draws a deterministic hash-Poisson(1) weight per replica "
+    "(sample-poisson-bootstrap's shardable scheme) and the weighted "
+    "slope recomputes from weighted moments — no resampling shuffle, "
+    "no model library. se_ratio far from 1 flags "
+    "heteroscedasticity/leverage that the homoscedastic analytic "
+    "formula (ml-ols-inference's) misses — the cheap robustness "
+    "check before trusting reported SEs. One fact pass builds the "
+    "user rollup; the 12x fan-out happens on the TWO-COLUMN rollup, "
+    "and each replica is one weighted-moment partial aggregate.",
+    tags=("ml", "stats"),
+)
+def ml_bootstrap_slope_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            ).alias("npc"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("npc") > 0)
+        .select(
+            "user_id",
+            F.log(1 + F.col("npc").cast("double")).alias("x"),
+            "y",
+        )
+    )
+    analytic = pu.agg(
+        F.regr_slope("y", "x").alias("slope"),
+        F.sqrt(
+            (
+                (F.count("*") - 1)
+                * (
+                    F.var_samp("y")
+                    - F.covar_samp("x", "y")
+                    * F.covar_samp("x", "y")
+                    / F.var_samp("x")
+                )
+                / (F.count("*") - 2)
+            )
+            / ((F.count("*") - 1) * F.var_samp("x"))
+        ).alias("se_analytic"),
+        F.count("*").cast("long").alias("n"),
+    )
+    reps = spark.range(_BSE_REPS).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":bse:"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 281474976710656.0
+    )
+    w = (
+        F.when(u < _BSE_CDF[0], 0)
+        .when(u < _BSE_CDF[1], 1)
+        .when(u < _BSE_CDF[2], 2)
+        .when(u < _BSE_CDF[3], 3)
+        .otherwise(4)
+        .cast("double")
+    )
+    weighted = pu.crossJoin(F.broadcast(reps)).select(
+        "rep", "x", "y", w.alias("w")
+    )
+    wc = F.col("w")
+    rep_slopes = weighted.groupBy("rep").agg(
+        (
+            (
+                F.sum(wc * F.col("x") * F.col("y"))
+                - F.sum(wc * F.col("x")) * F.sum(wc * F.col("y")) / F.sum(wc)
+            )
+            / (
+                F.sum(wc * F.col("x") * F.col("x"))
+                - F.sum(wc * F.col("x")) * F.sum(wc * F.col("x")) / F.sum(wc)
+            )
+        ).alias("slope_b")
+    )
+    return (
+        rep_slopes.crossJoin(F.broadcast(analytic))
+        .groupBy("n", "slope", "se_analytic")
+        .agg(F.stddev_samp("slope_b").alias("se_boot"))
+        .select(
+            F.col("n").alias("n_users"),
+            F.lit(_BSE_REPS).cast("long").alias("n_replicas"),
+            F.round("slope", 6).alias("slope"),
+            F.round("se_analytic", 6).alias("se_analytic"),
+            F.round("se_boot", 6).alias("se_bootstrap"),
+            F.round(F.col("se_boot") / F.col("se_analytic"), 4).alias(
+                "se_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "stats-page-trend-test",
+    oracle="""
+        WITH cell AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(floor(extract(hour FROM ts) / 6) AS INT) AS q,
+                   avg(value) AS m
+            FROM events GROUP BY 1, 2
+        ),
+        complete AS (
+            SELECT day FROM cell GROUP BY day HAVING count(*) = 4
+        ),
+        ranked AS (
+            SELECT c.day, c.q,
+                   CAST(rank() OVER (PARTITION BY c.day ORDER BY c.m)
+                        AS DOUBLE) AS r
+            FROM cell c JOIN complete x ON c.day = x.day
+        ),
+        rsums AS (
+            SELECT q, sum(r) AS rj, CAST(count(*) AS DOUBLE) AS b
+            FROM ranked GROUP BY q
+        ),
+        l AS (
+            SELECT sum((q + 1) * rj) AS big_l, max(b) AS b,
+                   CAST(count(*) AS DOUBLE) AS k
+            FROM rsums
+        )
+        SELECT CAST(b AS BIGINT) AS n_blocks,
+               CAST(k AS BIGINT) AS k_treatments,
+               round(big_l, 4) AS page_l,
+               round(b * k * (k + 1) * (k + 1) / 4.0, 4) AS expected_l,
+               round((12 * big_l - 3 * b * k * (k + 1) * (k + 1))
+                     / sqrt(b * k * k * (k + 1) * (k * k - 1)), 4)
+                   AS page_z
+        FROM l
+    """,
+    doc="Page's trend test for an ORDERED alternative across repeated "
+    "measures: with days as blocks and the four hour-of-day "
+    "quadrants as ordered treatments, L = sum_j j*R_j concentrates "
+    "power on the monotone hypothesis 'value rises through the day' "
+    "— the Friedman test (stats-friedman-test, same block-rank "
+    "machinery) spreads power over ALL departures and misses "
+    "monotone dose-response patterns this catches; z from the exact "
+    "null moments E[L] = bk(k+1)^2/4. Within-day ranking is a 4-row "
+    "partitioned window over the calendar-bounded day x quadrant "
+    "grid — block count scales with days, never event volume.",
+    tags=("stats", "timeseries"),
+)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("q"),
+    ).agg(F.avg("value").alias("m"))
+    complete = (
+        cell.groupBy("day")
+        .agg(F.count("*").alias("kq"))
+        .filter(F.col("kq") == 4)
+        .select("day")
+    )
+    ranked = cell.join(complete, "day").select(
+        "q",
+        F.rank()
+        .over(Window.partitionBy("day").orderBy("m"))
+        .cast("double")
+        .alias("r"),
+    )
+    rsums = ranked.groupBy("q").agg(
+        F.sum("r").alias("rj"), F.count("*").cast("double").alias("b")
+    )
+    l = rsums.agg(
+        F.sum((F.col("q") + 1) * F.col("rj")).alias("big_l"),
+        F.max("b").alias("b"),
+        F.count("*").cast("double").alias("k"),
+    )
+    b, k, big_l = F.col("b"), F.col("k"), F.col("big_l")
+    return l.select(
+        b.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k_treatments"),
+        F.round(big_l, 4).alias("page_l"),
+        F.round(b * k * (k + 1) * (k + 1) / 4.0, 4).alias("expected_l"),
+        F.round(
+            (12 * big_l - 3 * b * k * (k + 1) * (k + 1))
+            / F.sqrt(b * k * k * (k + 1) * (k * k - 1)),
+            4,
+        ).alias("page_z"),
+    )
