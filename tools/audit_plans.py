@@ -220,6 +220,7 @@ SCALAR_BROADCAST_OPS = {
     "timeseries-seasonal-mann-kendall",  # within-season day-summary pair join
     "stats-logrank-test",      # 1-row cohort-size broadcast
     "ml-bootstrap-slope-se",   # 12-row replica-id + 1-row analytic broadcasts
+    "corpus-temperature-sampling",  # 3-row temperature-grid broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -1685,3 +1685,75 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_selected"),
     )
+
+
+@query(
+    "corpus-temperature-sampling",
+    oracle="""
+        WITH src AS (
+            SELECT source,
+                   CAST(sum(n_chars) AS DOUBLE) AS toks
+            FROM documents GROUP BY source
+        ),
+        temps AS (SELECT unnest([0.3, 0.7, 1.0]) AS tau),
+        powered AS (
+            SELECT t.tau, s.source, s.toks,
+                   power(s.toks, t.tau) AS p_raw
+            FROM src s CROSS JOIN temps t
+        ),
+        norm AS (
+            SELECT tau, source, toks,
+                   p_raw / sum(p_raw) OVER (PARTITION BY tau) AS p
+            FROM powered
+        )
+        SELECT round(tau, 1) AS tau, source,
+               CAST(toks AS BIGINT) AS source_tokens,
+               round(p, 6) AS sample_prob,
+               round(p / (toks / sum(toks) OVER (PARTITION BY tau)), 4)
+                   AS upsample_factor
+        FROM norm ORDER BY tau, source
+    """,
+    doc="Temperature-scaled source sampling weights (the multilingual "
+    "mixing rule from mBERT/XLM-R, now standard for corpus mixes): "
+    "p_s(tau) proportional to (token share)^tau for tau in "
+    "{0.3, 0.7, 1.0} — tau=1 is natural proportion, tau->0 is "
+    "uniform, and the emitted upsample_factor (p_s over natural "
+    "share) is exactly the per-source repetition rate a sampler "
+    "must apply. Complements corpus-resample-mix (which EXECUTES a "
+    "target mix) and corpus-language-balance-sampler by computing "
+    "the whole tau grid from the single per-source token rollup — "
+    "one groupBy over the corpus, then arithmetic on a "
+    "sources x 3 grid.",
+    tags=("corpus",),
+)
+def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("toks")
+    )
+    temps = spark.createDataFrame(
+        [(0.3,), (0.7,), (1.0,)], ["tau"]
+    )
+    powered = src.crossJoin(F.broadcast(temps)).select(
+        "tau",
+        "source",
+        "toks",
+        F.pow(F.col("toks"), F.col("tau")).alias("p_raw"),
+    )
+    w = Window.partitionBy("tau")
+    norm = powered.select(
+        "tau",
+        "source",
+        "toks",
+        (F.col("p_raw") / F.sum("p_raw").over(w)).alias("p"),
+        (F.col("toks") / F.sum("toks").over(w)).alias("nat"),
+    )
+    return norm.select(
+        F.round("tau", 1).alias("tau"),
+        "source",
+        F.col("toks").cast("long").alias("source_tokens"),
+        F.round("p", 6).alias("sample_prob"),
+        F.round(F.col("p") / F.col("nat"), 4).alias("upsample_factor"),
+    ).orderBy("tau", "source")

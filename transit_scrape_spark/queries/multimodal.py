@@ -447,3 +447,72 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_frames"),
     )
+
+
+@query(
+    "multimodal-aspect-bucket",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(doc_id % 640 + 1 AS DOUBLE) AS w,
+                   CAST(doc_id % 480 + 1 AS DOUBLE) AS h
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, w, h,
+                   CASE WHEN w / h < 0.625 THEN 0.5
+                        WHEN w / h < 0.875 THEN 0.75
+                        WHEN w / h < 1.165 THEN 1.0
+                        WHEN w / h < 1.665 THEN 1.33
+                        ELSE 2.0 END AS bucket_ar
+            FROM meta
+        )
+        SELECT bucket_ar,
+               CAST(count(*) AS BIGINT) AS n_images,
+               round(avg(w / h), 6) AS mean_ar,
+               round(avg(1 - least(w / h, bucket_ar)
+                             / greatest(w / h, bucket_ar)), 6)
+                   AS mean_crop_waste
+        FROM assigned GROUP BY bucket_ar ORDER BY bucket_ar
+    """,
+    doc="Aspect-ratio bucketing for batched multimodal training (the "
+    "SDXL/NaViT trick): assign each image's metadata aspect ratio to "
+    "the nearest rung of a fixed AR ladder (0.5, 0.75, 1.0, 1.33, "
+    "2.0 — boundaries at rung midpoints) so batches can be formed "
+    "per bucket with minimal crop/pad waste, reported here as "
+    "1 - min(ar, bucket)/max(ar, bucket) per bucket. Square-resizing "
+    "everything (the naive loader) destroys composition for the "
+    "~60%% of images far from 1:1; bucketing is the standard fix, "
+    "and its cost in-engine is nil — metadata-only codegen CASE plus "
+    "one 5-row groupBy, the binary payload column is never touched "
+    "(column pruning keeps it out of the scan).",
+    tags=("multimodal",),
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_binary_payload(d).select(
+        "doc_id",
+        F.col("media_meta.width").cast("double").alias("w"),
+        F.col("media_meta.height").cast("double").alias("h"),
+    )
+    ar = F.col("w") / F.col("h")
+    bucket = (
+        F.when(ar < 0.625, 0.5)
+        .when(ar < 0.875, 0.75)
+        .when(ar < 1.165, 1.0)
+        .when(ar < 1.665, 1.33)
+        .otherwise(2.0)
+    )
+    assigned = m.select("w", "h", bucket.alias("bucket_ar"))
+    waste = 1 - F.least(ar, F.col("bucket_ar")) / F.greatest(
+        ar, F.col("bucket_ar")
+    )
+    return (
+        assigned.groupBy("bucket_ar")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.round(F.avg(ar), 6).alias("mean_ar"),
+            F.round(F.avg(waste), 6).alias("mean_crop_waste"),
+        )
+        .orderBy("bucket_ar")
+    )
