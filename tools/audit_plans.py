@@ -221,6 +221,8 @@ SCALAR_BROADCAST_OPS = {
     "stats-logrank-test",      # 1-row cohort-size broadcast
     "ml-bootstrap-slope-se",   # 12-row replica-id + 1-row analytic broadcasts
     "corpus-temperature-sampling",  # 3-row temperature-grid broadcast
+    "ml-calibration-slope",    # 1-row weighted-moment broadcast
+    "timeseries-sen-slope-seasonal",  # within-season day-summary pair join
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

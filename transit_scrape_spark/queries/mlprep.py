@@ -5356,3 +5356,204 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("page_z"),
     )
+
+
+@query(
+    "timeseries-sen-slope-seasonal",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        keyed AS (
+            SELECT dayofweek(d) AS dow,
+                   CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+                        AS DOUBLE) AS t,
+                   y
+            FROM daily
+        ),
+        slopes AS (
+            SELECT (b.y - a.y) / (b.t - a.t) AS m
+            FROM keyed a JOIN keyed b
+              ON a.dow = b.dow AND a.t < b.t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(m, 0.5), 6) AS sen_slope_per_day,
+               round(quantile_cont(m, 0.05), 6) AS slope_p05,
+               round(quantile_cont(m, 0.95), 6) AS slope_p95
+        FROM slopes
+    """,
+    doc="Seasonal Sen's slope — the ESTIMATOR paired with "
+    "timeseries-seasonal-mann-kendall's test: the median of pairwise "
+    "slopes (y_j - y_i)/(t_j - t_i) computed only between SAME-"
+    "weekday days, so the weekly cycle contributes no spurious "
+    "pairs; p05/p95 of the slope distribution give a nonparametric "
+    "band. Sen's median slope has a 29%% breakdown point where the "
+    "OLS trend (timeseries-cochrane-orcutt's first stage) is wrecked "
+    "by one outlier day. Pair join is within-season over the "
+    "calendar-bounded day summary — quadratic in WEEKS only; the "
+    "median runs on that bounded pair set (exact quantile, Spark "
+    "percentile == DuckDB quantile_cont).",
+    tags=("timeseries", "stats"),
+)
+def timeseries_sen_slope_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(d0)).select(
+        F.dayofweek("d").alias("dow"),
+        F.datediff("d", "d0").cast("double").alias("t"),
+        "y",
+    )
+    a = keyed.select(
+        F.col("dow").alias("a_dow"), F.col("t").alias("a_t"),
+        F.col("y").alias("a_y"),
+    )
+    b = keyed.select(
+        F.col("dow").alias("b_dow"), F.col("t").alias("b_t"),
+        F.col("y").alias("b_y"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("a_dow") == F.col("b_dow")) & (F.col("a_t") < F.col("b_t")),
+    ).select(
+        ((F.col("b_y") - F.col("a_y")) / (F.col("b_t") - F.col("a_t"))).alias(
+            "m"
+        )
+    )
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(m, 0.5)"), 6).alias(
+            "sen_slope_per_day"
+        ),
+        F.round(F.expr("percentile(m, 0.05)"), 6).alias("slope_p05"),
+        F.round(F.expr("percentile(m, 0.95)"), 6).alias("slope_p95"),
+    )
+
+
+_CS_SALT = ":calib-slope-r5"
+
+
+@query(
+    "ml-calibration-slope",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CAST(extract(hour FROM ts) AS INT) AS h,
+                   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                       AS o,
+                   ({sql_string_hash("CAST(event_id AS VARCHAR) || '" + _CS_SALT + "'")}) % 5
+                       AS slot
+            FROM events
+        ),
+        rates AS (
+            SELECT h, avg(o) AS p FROM tagged WHERE slot < 4 GROUP BY h
+        ),
+        bins AS (
+            SELECT r.p, CAST(count(*) AS DOUBLE) AS n_k, avg(t.o) AS obar
+            FROM tagged t JOIN rates r ON t.h = r.h
+            WHERE t.slot >= 4
+            GROUP BY r.p
+        ),
+        lg AS (
+            SELECT n_k,
+                   ln(p / (1 - p)) AS x,
+                   ln((obar * n_k + 0.5) / ((1 - obar) * n_k + 0.5)) AS z
+            FROM bins WHERE p > 0 AND p < 1
+        ),
+        m AS (
+            SELECT sum(n_k) AS sw,
+                   sum(n_k * x) / sum(n_k) AS mx,
+                   sum(n_k * z) / sum(n_k) AS mz,
+                   CAST(count(*) AS BIGINT) AS n_bins
+            FROM lg
+        )
+        SELECT m.n_bins,
+               CAST(m.sw AS BIGINT) AS n_test,
+               round(sum(n_k * (x - mx) * (z - mz))
+                     / sum(n_k * (x - mx) * (x - mx)), 6)
+                   AS calibration_slope,
+               round(mz - sum(n_k * (x - mx) * (z - mz))
+                          / sum(n_k * (x - mx) * (x - mx)) * mx, 6)
+                   AS calibration_intercept
+        FROM lg CROSS JOIN m
+        GROUP BY m.n_bins, m.sw, m.mx, m.mz
+    """,
+    doc="Cox calibration slope and intercept on the logit scale: "
+    "regress the empirical log-odds per forecast bin (Haldane +0.5 "
+    "smoothed) on the forecast log-odds, weighted by bin size — "
+    "slope 1 / intercept 0 is perfect calibration, slope < 1 is the "
+    "overconfidence signature (forecasts too extreme), intercept "
+    "absorbs base-rate drift between fit and test splits. The "
+    "regression READ-OUT that eval-brier-decomposition's scalar "
+    "reliability cannot give (it says HOW MUCH miscalibration, this "
+    "says WHICH DIRECTION and the recalibration map to apply: "
+    "p' = sigmoid(a + b*logit(p))). Same hour-rate forecaster and "
+    "hash split as the Brier op; weighted closed-form WLS over the "
+    "<=24-bin summary.",
+    tags=("ml", "eval"),
+)
+def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.hour("ts").cast("int").alias("h"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("o"),
+        (
+            string_hash(
+                F.concat(F.col("event_id").cast("string"), F.lit(_CS_SALT))
+            )
+            % 5
+        ).alias("slot"),
+    )
+    rates = (
+        tagged.filter(F.col("slot") < 4)
+        .groupBy("h")
+        .agg(F.avg("o").alias("p"))
+    )
+    bins = (
+        tagged.filter(F.col("slot") >= 4)
+        .join(F.broadcast(rates), "h")
+        .groupBy("p")
+        .agg(
+            F.count("*").cast("double").alias("n_k"),
+            F.avg("o").alias("obar"),
+        )
+    )
+    lg = bins.filter((F.col("p") > 0) & (F.col("p") < 1)).select(
+        "n_k",
+        F.log(F.col("p") / (1 - F.col("p"))).alias("x"),
+        F.log(
+            (F.col("obar") * F.col("n_k") + 0.5)
+            / ((1 - F.col("obar")) * F.col("n_k") + 0.5)
+        ).alias("z"),
+    )
+    m = lg.agg(
+        F.sum("n_k").alias("sw"),
+        (F.sum(F.col("n_k") * F.col("x")) / F.sum("n_k")).alias("mx"),
+        (F.sum(F.col("n_k") * F.col("z")) / F.sum("n_k")).alias("mz"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    nk, x, z = F.col("n_k"), F.col("x"), F.col("z")
+    mx, mz = F.col("mx"), F.col("mz")
+    slope = F.sum(nk * (x - mx) * (z - mz)) / F.sum(nk * (x - mx) * (x - mx))
+    return (
+        lg.crossJoin(F.broadcast(m))
+        .groupBy("n_bins", "sw", "mx", "mz")
+        .agg(
+            F.round(slope, 6).alias("calibration_slope"),
+            F.round(F.max(mz) - slope * F.max(mx), 6).alias(
+                "calibration_intercept"
+            ),
+        )
+        .select(
+            "n_bins",
+            F.col("sw").cast("long").alias("n_test"),
+            "calibration_slope",
+            "calibration_intercept",
+        )
+    )
