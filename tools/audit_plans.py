@@ -223,6 +223,8 @@ SCALAR_BROADCAST_OPS = {
     "corpus-temperature-sampling",  # 3-row temperature-grid broadcast
     "ml-calibration-slope",    # 1-row weighted-moment broadcast
     "timeseries-sen-slope-seasonal",  # within-season day-summary pair join
+    "stats-jonckheere-terpstra",  # bounded bin-grid ordered-pair join
+    "eval-rank-stability-bootstrap",  # 12-row replica-id broadcast
 }
 
 # Ops whose SEMANTICS are all-pairs over a bounded relation (the op id

@@ -5557,3 +5557,232 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "calibration_intercept",
         )
     )
+
+
+@query(
+    "stats-jonckheere-terpstra",
+    oracle="""
+        WITH obs AS (
+            SELECT CAST(floor(extract(hour FROM ts) / 6) AS INT) AS g,
+                   round(value, 2) AS v
+            FROM events
+        ),
+        cells AS (
+            SELECT g, v, CAST(count(*) AS DOUBLE) AS c
+            FROM obs GROUP BY g, v
+        ),
+        cum AS (
+            SELECT g, v, c,
+                   coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS below
+            FROM cells
+        ),
+        u AS (
+            SELECT sum(b.c * (a.below + 0.5 * a.c)) AS jt
+            FROM cum a JOIN cells b ON a.v = b.v AND a.g < b.g
+        ),
+        sizes AS (
+            SELECT sum(cnt) AS n,
+                   sum(cnt * cnt) AS sn2,
+                   sum(cnt * cnt * (2 * cnt + 3)) AS sn23
+            FROM (SELECT g, CAST(count(*) AS DOUBLE) AS cnt
+                  FROM obs GROUP BY g) t
+        )
+        SELECT CAST(s.n AS BIGINT) AS n_obs,
+               round(u.jt, 4) AS jt_stat,
+               round((s.n * s.n - s.sn2) / 4.0, 4) AS expected_jt,
+               round((u.jt - (s.n * s.n - s.sn2) / 4.0)
+                     / sqrt((s.n * s.n * (2 * s.n + 3) - s.sn23) / 72.0), 4)
+                   AS jt_z
+        FROM u CROSS JOIN sizes s
+    """,
+    doc="Jonckheere-Terpstra test for an ordered alternative across "
+    "independent groups (hour-of-day quadrants on event value): "
+    "JT = sum over ordered group pairs of the Mann-Whitney count "
+    "#(a < b) + 0.5 #(ties), z from the no-tie null moments "
+    "E = (N^2 - sum n_i^2)/4. Kruskal-Wallis (stats-kruskal-wallis) "
+    "tests ANY group difference; JT concentrates power on the "
+    "MONOTONE ordering — the independent-groups twin of "
+    "stats-page-trend-test's blocked design. The pairwise count "
+    "never touches row pairs: per-(group, rounded-value) counts, a "
+    "per-group cumulative over the bounded value bins, and a "
+    "bin-equi-join across the 6 ordered group pairs.",
+    tags=("stats",),
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.floor(F.hour("ts") / 6).cast("int").alias("g"),
+        F.round("value", 2).alias("v"),
+    )
+    cells = obs.groupBy("g", "v").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0.0)).alias("below"),
+    )
+    a = cum.select(
+        F.col("g").alias("a_g"), F.col("v").alias("a_v"),
+        F.col("c").alias("a_c"), "below",
+    )
+    b = cells.select(
+        F.col("g").alias("b_g"), F.col("v").alias("b_v"),
+        F.col("c").alias("b_c"),
+    )
+    u = a.join(
+        b, (F.col("a_v") == F.col("b_v")) & (F.col("a_g") < F.col("b_g"))
+    ).agg(
+        F.sum(
+            F.col("b_c") * (F.col("below") + 0.5 * F.col("a_c"))
+        ).alias("jt")
+    )
+    sizes = (
+        obs.groupBy("g")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sn2"),
+            F.sum(
+                F.col("cnt") * F.col("cnt") * (2 * F.col("cnt") + 3)
+            ).alias("sn23"),
+        )
+    )
+    n, sn2, sn23 = F.col("n"), F.col("sn2"), F.col("sn23")
+    e_jt = (n * n - sn2) / 4.0
+    var_jt = (n * n * (2 * n + 3) - sn23) / 72.0
+    return u.crossJoin(F.broadcast(sizes)).select(
+        n.cast("long").alias("n_obs"),
+        F.round("jt", 4).alias("jt_stat"),
+        F.round(e_jt, 4).alias("expected_jt"),
+        F.round((F.col("jt") - e_jt) / F.sqrt(var_jt), 4).alias("jt_z"),
+    )
+
+
+_RS_REPS = 12
+_RS_CDF = (0.367879, 0.735759, 0.919699, 0.981012)
+
+
+@query(
+    "eval-rank-stability-bootstrap",
+    oracle=f"""
+        WITH reps AS (SELECT range AS rep FROM range(0, {_RS_REPS})),
+        weighted AS (
+            SELECT rep, event_type, value,
+                   CASE
+                     WHEN u < {_RS_CDF[0]} THEN 0
+                     WHEN u < {_RS_CDF[1]} THEN 1
+                     WHEN u < {_RS_CDF[2]} THEN 2
+                     WHEN u < {_RS_CDF[3]} THEN 3
+                     ELSE 4
+                   END AS w
+            FROM (
+                SELECT rep, event_type, value,
+                       CAST(('0x' || substring(
+                            md5(CAST(event_id AS VARCHAR) || ':rs:' ||
+                                CAST(rep AS VARCHAR)), 1, 12)) AS BIGINT)
+                           / 281474976710656.0 AS u
+                FROM events CROSS JOIN reps
+            )
+        ),
+        rep_means AS (
+            SELECT rep, event_type,
+                   sum(w * value) / sum(w) AS m
+            FROM weighted GROUP BY rep, event_type
+        ),
+        rep_ranks AS (
+            SELECT rep, event_type,
+                   rank() OVER (PARTITION BY rep ORDER BY m DESC,
+                                event_type) AS rk
+            FROM rep_means
+        )
+        SELECT event_type,
+               round(avg(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS p_rank1,
+               round(avg(CAST(rk AS DOUBLE)), 6) AS mean_rank,
+               CAST(min(rk) AS BIGINT) AS best_rank,
+               CAST(max(rk) AS BIGINT) AS worst_rank
+        FROM rep_ranks GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Bootstrap ranking stability — is the leaderboard real?: each "
+    "of 12 hash-Poisson replicas recomputes every event type's mean "
+    "value and re-ranks; P(rank 1), mean rank, and the best-worst "
+    "rank range per type quantify whether the observed winner "
+    "survives resampling noise — the question a single point "
+    "leaderboard (and every eval harness that reports one) leaves "
+    "open, and the reason eval reports now ship rank-stability "
+    "intervals. Same shardable deterministic-weight scheme as "
+    "ml-bootstrap-slope-se; replica re-ranking is a 5-row window "
+    "per replica. At 100 TB the fan-out multiplies the two-column "
+    "projection, not the table.",
+    tags=("eval", "stats"),
+)
+def eval_rank_stability_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(_RS_REPS).select(F.col("id").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":rs:"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 281474976710656.0
+    )
+    w = (
+        F.when(u < _RS_CDF[0], 0)
+        .when(u < _RS_CDF[1], 1)
+        .when(u < _RS_CDF[2], 2)
+        .when(u < _RS_CDF[3], 3)
+        .otherwise(4)
+        .cast("double")
+    )
+    weighted = ev.crossJoin(F.broadcast(reps)).select(
+        "rep", "event_type", "value", w.alias("w")
+    )
+    rep_means = weighted.groupBy("rep", "event_type").agg(
+        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m")
+    )
+    rk = F.rank().over(
+        Window.partitionBy("rep").orderBy(
+            F.col("m").desc(), "event_type"
+        )
+    )
+    rep_ranks = rep_means.select("event_type", rk.alias("rk"))
+    return (
+        rep_ranks.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("rk") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("p_rank1"),
+            F.round(F.avg(F.col("rk").cast("double")), 6).alias(
+                "mean_rank"
+            ),
+            F.min("rk").cast("long").alias("best_rank"),
+            F.max("rk").cast("long").alias("worst_rank"),
+        )
+        .orderBy("event_type")
+    )
