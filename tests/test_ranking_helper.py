@@ -107,3 +107,51 @@ def test_empty_input(spark):
     df = _mk(spark).filter(F.lit(False))
     got = with_global_order(df, "v", rn="rn", total_count="n")
     assert got.count() == 0
+
+
+def test_all_null_bucket_does_not_poison_offsets(spark):
+    """Regression (r6): a bucket whose cum_sums src is entirely NULL
+    must not NULL-poison the prefix offsets of every later bucket.
+    NULL semantics must still match the global window (NULL until the
+    first non-null src in global order, then sum of non-nulls)."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        # first quarter of the key range is all-NULL x
+        F.when(F.col("id") >= 100, (F.col("id") % 7).cast("double")).alias("x"),
+    )
+    got = with_global_order(
+        df, "v", tiebreakers=("k",), rn="rn", cum_sums={"cx": "x"}, n_buckets=8
+    )
+    w = Window.orderBy(F.col("v"), F.col("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("k", F.sum("x").over(w).alias("cx"))
+    j = got.select("k", "cx").alias("g").join(want.alias("w"), "k")
+    bad = j.filter(
+        ~(
+            (F.col("g.cx") == F.col("w.cx"))
+            | (F.col("g.cx").isNull() & F.col("w.cx").isNull())
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_big_int_keys_beyond_double_resolution(spark):
+    """Regression (r6): integer keys with magnitude beyond 2^53 must
+    order exactly (the double cast is for bucketing only); adjacent
+    giant keys that collapse to the same double would otherwise fall
+    to tiebreakers and diverge from the oracle's exact ORDER BY."""
+    base = 1 << 60
+    # adjacent longs around 2^60: indistinguishable as doubles
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.lit(base) + (F.col("id") * 3 % 299)).cast("long").alias("v"),
+    )
+    got = with_global_order(df, "v", tiebreakers=("k",), rn="rn", n_buckets=8)
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    j = got.select("k", "rn").alias("g").join(want.alias("w"), "k")
+    assert j.filter(F.col("g.rn") != F.col("w.rn")).count() == 0

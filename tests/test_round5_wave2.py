@@ -216,3 +216,52 @@ def test_interpolated_lm_dominates_pure_bigram_floor(spark, sf_dir):
         # unigram floor times the bigram weight
         assert math.isfinite(r.avg_interp_logprob)
         assert r.avg_interp_logprob < 0.0
+
+
+def test_jonckheere_terpstra_vs_brute_force(spark, sf_dir):
+    """JT statistic must equal the brute-force pairwise Mann-Whitney sum.
+
+    Regression for the r5 bin-intersection bug: the old equi-join on
+    (a.v = b.v) dropped every later-group bin whose value never occurs
+    in the earlier group, losing its below-count term (-85% on sf0.01).
+    The grid-densified form must match an O(n log n) searchsorted
+    recount of JT = sum over ordered group pairs of #(a<b) + 0.5#(a=b).
+    """
+    import numpy as np
+
+    (row,) = _run(spark, sf_dir, "stats-jonckheere-terpstra")
+
+    from transit_scrape_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.floor(F.hour("ts") / 6).cast("int").alias("g"),
+            F.round("value", 2).alias("v"),
+        )
+        .toPandas()  # test-only materialization, sf0.01
+    )
+    groups = sorted(obs.g.unique())
+    arrs = {g: np.sort(obs.v[obs.g == g].values) for g in groups}
+    jt = 0.0
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            a, b = arrs[ga], arrs[gb]
+            lt = np.searchsorted(a, b, side="left")
+            le = np.searchsorted(a, b, side="right")
+            jt += float(lt.sum()) + 0.5 * float((le - lt).sum())
+
+    assert abs(row.jt_stat - jt) <= 0.5 + 1e-6 * abs(jt)
+
+    # no-tie null moments, recomputed independently (the op's documented
+    # variance deliberately omits the tie correction — assert THAT form)
+    n = float(len(obs))
+    sn2 = sum(float(len(a)) ** 2 for a in arrs.values())
+    sn23 = sum(
+        float(len(a)) ** 2 * (2.0 * len(a) + 3.0) for a in arrs.values()
+    )
+    e_jt = (n * n - sn2) / 4.0
+    var_jt = (n * n * (2.0 * n + 3.0) - sn23) / 72.0
+    assert abs(row.expected_jt - e_jt) <= 1e-3
+    assert abs(row.jt_z - (jt - e_jt) / math.sqrt(var_jt)) <= 1e-3

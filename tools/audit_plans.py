@@ -40,8 +40,6 @@ SCALAR_BROADCAST_OPS = {
     "simsearch-range",         # 1-row query-vector broadcast
     "simsearch-topk",          # 1-row query-vector broadcast
     "text-unigram-logprob",    # 1-row total broadcast
-    "dedup-near-embedding",    # planted-pair demo, doc'd scale note
-    "observe-pipeline-metrics",
     "abc-revenue-deciles",     # 1-row total-revenue broadcast
     "text-bpe-train",          # 1-row winning-merge-pair broadcast per round
     "multimodal-shard-balance",# 1-row mean-bytes broadcast

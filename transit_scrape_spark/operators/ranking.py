@@ -119,8 +119,13 @@ def with_global_order(
         ),
     ).drop("__go_bnds")
 
-    # 2. partitioned (parallel) local ranking
-    order = [F.col("__go_skey").asc()] + [F.col(t).asc() for t in tiebreakers]
+    # 2. partitioned (parallel) local ranking — ordered by the ORIGINAL
+    #    key column, not the double sketch key: the double cast is only
+    #    used for bucketing (where monotonicity suffices), so integer or
+    #    decimal keys beyond 2^53 still sort exactly like the oracle's
+    #    ORDER BY instead of collapsing to tiebreakers.
+    key_order = F.col(key).asc() if ascending else F.col(key).desc()
+    order = [key_order] + [F.col(t).asc() for t in tiebreakers]
     w_local = (
         Window.partitionBy("__go_pid")
         .orderBy(*order)
@@ -136,8 +141,12 @@ def with_global_order(
     # 3. per-bucket summary -> ONE packed row -> array prefix sums.
     #    n_buckets is a constant, so the O(n_buckets^2) slice/aggregate
     #    below is O(1) w.r.t. the data.
+    # coalesce each per-bucket sum to 0: an all-NULL src in one bucket
+    # would otherwise NULL that bucket's sum and poison the array-prefix
+    # (acc + x[field]) for every later bucket's offset.
     aggs = [F.count(F.lit(1)).cast("long").alias("__go_cnt")] + [
-        F.sum(s).alias(f"__go_s{i}") for i, s in enumerate(srcs)
+        F.coalesce(F.sum(s), F.lit(0.0)).alias(f"__go_s{i}")
+        for i, s in enumerate(srcs)
     ]
     grp = d.groupBy("__go_pid").agg(*aggs)
     packed = grp.agg(

@@ -90,6 +90,9 @@ def _load_all() -> None:
         maintenance,
         minhash,
         mlprep,
+        mlprep_eval,
+        mlprep_inference,
+        mlprep_survival,
         multimodal,
         privacy,
         relational,
@@ -98,6 +101,8 @@ def _load_all() -> None:
         sketches,
         sources_sinks,
         stats,
+        stats_distributions,
+        stats_tests,
         timeseries,
         tpch,
         tpch_full,
