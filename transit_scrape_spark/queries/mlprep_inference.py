@@ -394,9 +394,16 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tot
         ),
         marg AS (
-            SELECT sum(1.0 / row_tot) / max(g.c) AS inv_rows,
-                   sum(1.0 / col_tot) / max(g.r) AS inv_cols
-            FROM tot CROSS JOIN g
+            -- marginal reciprocal sums over DISTINCT rows/cols: summing
+            -- 1/row_tot over present cells divided by c only works for a
+            -- DENSE table; empty (lang, source) cells made that form
+            -- understate q (caught by tests/test_golden_stats.py).
+            SELECT (SELECT sum(1.0 / rt) FROM (
+                        SELECT sum(obs) AS rt FROM cells GROUP BY lang))
+                       AS inv_rows,
+                   (SELECT sum(1.0 / ct) FROM (
+                        SELECT sum(obs) AS ct FROM cells GROUP BY source))
+                       AS inv_cols
         )
         SELECT CAST(g.n AS BIGINT) AS n_docs,
                CAST((g.r - 1) * (g.c - 1) AS BIGINT) AS dof,
@@ -454,10 +461,20 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g_stat"),
     )
-    marg = tot.crossJoin(F.broadcast(g.select("r", "c"))).agg(
-        (F.sum(1.0 / F.col("row_tot")) / F.max("c")).alias("inv_rows"),
-        (F.sum(1.0 / F.col("col_tot")) / F.max("r")).alias("inv_cols"),
+    # marginal reciprocal sums over DISTINCT rows/cols, not present cells:
+    # with empty (lang, source) cells the per-cell form understated q
+    # (caught by tests/test_golden_stats.py).
+    rmarg = (
+        cells.groupBy("lang")
+        .agg(F.sum("obs").alias("rt"))
+        .agg(F.sum(1.0 / F.col("rt")).alias("inv_rows"))
     )
+    cmarg = (
+        cells.groupBy("source")
+        .agg(F.sum("obs").alias("ct"))
+        .agg(F.sum(1.0 / F.col("ct")).alias("inv_cols"))
+    )
+    marg = rmarg.crossJoin(F.broadcast(cmarg))
     q = 1 + (F.col("n") * F.col("inv_rows") - 1) * (
         F.col("n") * F.col("inv_cols") - 1
     ) / (6 * F.col("n") * (F.col("r") - 1) * (F.col("c") - 1))
