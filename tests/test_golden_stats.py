@@ -330,3 +330,315 @@ def test_cochran_armitage(ops, duck):
     close(row["ca_trend_z"], num / den)
     close(row["pooled_rate"], pbar)
     assert row["n_user_days"] == n
+
+
+def test_friedman(ops, duck):
+    (row,) = ops("stats-friedman-test")
+    df = _daily_means(duck)
+    piv = df.pivot(index="day", columns="event_type", values="m").dropna()
+    x = piv.to_numpy(dtype=float)
+    n, k = x.shape
+    assert k == 5
+    # within-day ranks 1..k
+    r = x.argsort(1).argsort(1) + 1.0
+    rj = r.sum(0)
+    chi2 = 12.0 / (n * k * (k + 1)) * (rj**2).sum() - 3 * n * (k + 1)
+    close(row["friedman_chi2"], chi2)
+    assert (row["n_days"], row["k_treatments"]) == (n, k)
+
+
+def test_welch_anova(ops, duck):
+    (row,) = ops("stats-welch-anova")
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    groups = [g.to_numpy(dtype=float) for _, g in df.groupby("event_type").value]
+    k = len(groups)
+    w = np.array([len(g) / g.var(ddof=1) for g in groups])
+    m = np.array([g.mean() for g in groups])
+    nv = np.array([len(g) for g in groups], float)
+    mbar = (w * m).sum() / w.sum()
+    numerator = (w * (m - mbar) ** 2).sum() / (k - 1)
+    lam = (((1 - w / w.sum()) ** 2) / (nv - 1)).sum()
+    f = numerator / (1 + 2.0 * (k - 2) / (k * k - 1) * lam)
+    close(row["welch_f"], f)
+    close(row["df2"], (k * k - 1.0) / (3 * lam), tol=1e-3)
+    assert (row["k_groups"], row["df1"]) == (k, k - 1)
+
+
+def _daily_xy(duck):
+    return duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " avg(CASE WHEN event_type='click' THEN value END) AS x,"
+        " avg(CASE WHEN event_type='view' THEN value END) AS y"
+        " FROM events WHERE event_type IN ('click','view')"
+        " GROUP BY 1"
+        " HAVING count(CASE WHEN event_type='click' THEN 1 END) > 0"
+        " AND count(CASE WHEN event_type='view' THEN 1 END) > 0"
+    ).df()
+
+
+def test_kendall_tau(ops, duck):
+    (row,) = ops("stats-kendall-tau")
+    df = _daily_xy(duck)
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    n = len(x)
+    prod = np.sign(np.subtract.outer(x, x)) * np.sign(np.subtract.outer(y, y))
+    iu = np.triu_indices(n, 1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    npairs = n * (n - 1) // 2
+    assert (row["n_pairs"], row["concordant"], row["discordant"]) == (
+        npairs, conc, disc,
+    )
+    close(row["kendall_tau"], (conc - disc) / npairs)
+
+
+def test_mann_kendall(ops, duck):
+    (row,) = ops("stats-mann-kendall")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, avg(value) AS x"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    x = df.x.to_numpy(float)
+    n = len(x)
+    # tril (a>b): outer[a,b] = x_a - x_b = x_j - x_i with j>i — S directly
+    s = float(np.sign(np.subtract.outer(x, x)[np.tril_indices(n, -1)]).sum())
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    close(row["s_stat"], s, tol=1e-1)
+    close(row["var_s"], var_s, tol=1e-3)
+    close(row["z"], (s - np.sign(s)) / math.sqrt(var_s))
+    assert row["n_days"] == n
+
+
+def test_spearman(ops, duck):
+    (row,) = ops("stats-spearman-corr")
+    df = _daily_xy(duck)
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    n = len(x)
+    rx = np.empty(n); rx[np.argsort(x, kind="stable")] = np.arange(1, n + 1)
+    ry = np.empty(n); ry[np.argsort(y, kind="stable")] = np.arange(1, n + 1)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    close(row["spearman_rho"], rho)
+    close(row["rho_formula"], 1 - 6 * ((rx - ry) ** 2).sum() / (n * (n * n - 1)))
+    assert row["n_days"] == n
+
+
+def test_cronbach_alpha(ops, duck):
+    (row,) = ops("stats-cronbach-alpha")
+    df = _daily_means(duck)
+    piv = df.pivot(index="day", columns="event_type", values="m").dropna()
+    x = piv.to_numpy(dtype=float)
+    k = x.shape[1]
+    siv = x.var(0, ddof=1).sum()
+    tv = x.sum(1).var(ddof=1)
+    close(row["sum_item_var"], siv)
+    close(row["total_var"], tv, tol=1e-3)
+    close(row["cronbach_alpha"], k / (k - 1) * (1 - siv / tv))
+    assert row["n_days"] == x.shape[0]
+
+
+def test_icc(ops, duck):
+    (row,) = ops("stats-icc")
+    df = duck.execute("SELECT user_id, value FROM events").df()
+    groups = [g.to_numpy(dtype=float) for _, g in df.groupby("user_id").value]
+    ng = np.array([len(g) for g in groups], float)
+    mg = np.array([g.mean() for g in groups])
+    n, G = ng.sum(), len(groups)
+    gm = (ng * mg).sum() / n
+    msb = (ng * (mg - gm) ** 2).sum() / (G - 1)
+    msw = sum(((g - g.mean()) ** 2).sum() for g in groups) / (n - G)
+    k0 = (n - (ng**2).sum() / n) / (G - 1)
+    close(row["ms_between"], msb)
+    close(row["ms_within"], msw)
+    close(row["k0"], k0, tol=1e-3)
+    close(row["icc1"], (msb - msw) / (msb + (k0 - 1) * msw))
+    assert (row["n_obs"], row["n_groups"]) == (n, G)
+
+
+def test_tukey_hsd(ops, duck):
+    rows = ops("stats-tukey-hsd")
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    stats = {
+        g: (float(len(v)), v.mean(), ((v - v.mean()) ** 2).sum())
+        for g, v in (
+            (g, x.to_numpy(dtype=float))
+            for g, x in df.groupby("event_type").value
+        )
+    }
+    n = sum(s[0] for s in stats.values())
+    k = len(stats)
+    mse = sum(s[2] for s in stats.values()) / (n - k)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        na, ma, _ = stats[r["group_a"]]
+        nb, mb, _ = stats[r["group_b"]]
+        se = math.sqrt(mse / 2 * (1 / na + 1 / nb))
+        close(r["mean_diff"], ma - mb)
+        close(r["se"], se)
+        close(r["q_stat"], abs(ma - mb) / se, tol=1e-3)
+        assert r["df_err"] == n - k
+
+
+def test_auc_delong(ops, duck):
+    (row,) = ops("eval-auc-delong-ci")
+    df = duck.execute(
+        "SELECT round(value,2) AS s,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    ).df()
+    pos = np.sort(df.s[df.y == 1].to_numpy(float))
+    neg = np.sort(df.s[df.y == 0].to_numpy(float))
+    npos, nneg = len(pos), len(neg)
+    # per-observation placement values (DeLong 1988)
+    lt = np.searchsorted(neg, pos, side="left")
+    le = np.searchsorted(neg, pos, side="right")
+    v10 = (lt + 0.5 * (le - lt)) / nneg
+    lt2 = np.searchsorted(pos, neg, side="left")
+    le2 = np.searchsorted(pos, neg, side="right")
+    v01 = ((npos - le2) + 0.5 * (le2 - lt2)) / npos
+    auc = v10.mean()
+    se = math.sqrt(v10.var(ddof=1) / npos + v01.var(ddof=1) / nneg)
+    close(row["auc"], auc)
+    close(row["se"], se)
+    close(row["ci_lo"], auc - 1.959964 * se)
+    close(row["ci_hi"], auc + 1.959964 * se)
+    assert (row["n_pos"], row["n_neg"]) == (npos, nneg)
+    # sanity: both placement means estimate the same AUC
+    close(v01.mean(), auc, tol=1e-9)
+
+
+def test_logistic_irls(ops, duck):
+    (row,) = ops("ml-logistic-irls")
+    df = duck.execute(
+        "SELECT ln(1 + count(*)) AS x,"
+        " CAST(max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS y"
+        " FROM events GROUP BY user_id"
+    ).df()
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    X = np.column_stack([np.ones_like(x), x])
+    beta = np.zeros(2)
+    for _ in range(2):  # two Newton steps from beta=0, the op's spec
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        w = p * (1 - p)
+        h = X.T @ (X * w[:, None])
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(h, g)
+    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    ll = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    close(row["beta0"], beta[0], tol=1e-3)
+    close(row["beta1"], beta[1], tol=1e-3)
+    close(row["log_loss"], ll, tol=1e-4)
+    assert row["n_users"] == len(x)
+
+
+def test_ols_inference(ops, duck):
+    rows = {r["term"]: r for r in ops("ml-ols-inference")}
+    df = duck.execute(
+        "SELECT ln(1 + CAST(sum(CASE WHEN event_type<>'purchase'"
+        " THEN 1 ELSE 0 END) AS DOUBLE)) AS x1,"
+        " avg(CASE WHEN event_type<>'purchase' THEN value END) AS x2,"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS y"
+        " FROM events GROUP BY user_id"
+        " HAVING sum(CASE WHEN event_type<>'purchase' THEN 1 ELSE 0 END) > 0"
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(df)), df.x1.to_numpy(float), df.x2.to_numpy(float)]
+    )
+    y = df.y.to_numpy(float)
+    n, p = X.shape
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sigma2 = (resid @ resid) / (n - p)
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    se = np.sqrt(np.diag(cov))
+    tss = ((y - y.mean()) ** 2).sum()
+    r2 = 1 - (resid @ resid) / tss
+    for i, term in enumerate(
+        ["intercept", "x1_log_nonpurchase", "x2_mean_value"]
+    ):
+        r = rows[term]
+        close(r["estimate"], beta[i], tol=1e-3)
+        close(r["std_err"], se[i], tol=1e-3)
+        close(r["t_stat"], beta[i] / se[i], tol=2e-3)
+        close(r["r2"], r2)
+        assert r["n_obs"] == n
+
+
+def test_adf(ops, duck):
+    (row,) = ops("timeseries-adf-test")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    yv = df.y.to_numpy(float)
+    dy = np.diff(yv)
+    y1 = yv[:-1]
+    n = len(dy)
+    X = np.column_stack([np.ones(n), y1])
+    beta, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    resid = dy - X @ beta
+    sigma2 = (resid @ resid) / (n - 2)
+    se_rho = math.sqrt(sigma2 * np.linalg.inv(X.T @ X)[1, 1])
+    close(row["rho_coef"], beta[1])
+    close(row["adf_t"], beta[1] / se_rho, tol=1e-3)
+    close(row["drift"], beta[0], tol=1e-3)
+    assert row["n_obs"] == n
+
+
+def _daily_counts(duck):
+    return duck.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df().y.to_numpy(float)
+
+
+def test_ljung_box(ops, duck):
+    (row,) = ops("timeseries-ljung-box")
+    x = _daily_counts(duck)
+    n = len(x)
+    xc = x - x.mean()
+    denom = (xc**2).sum()
+    q = 0.0
+    rho1 = None
+    for k in range(1, 6):
+        rk = (xc[k:] * xc[:-k]).sum() / denom
+        if k == 1:
+            rho1 = rk
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    close(row["rho1"], rho1)
+    close(row["ljung_box_q"], q)
+    assert row["n_days"] == n
+
+
+def _trend_resid(y):
+    t = np.arange(1, len(y) + 1, dtype=float)
+    X = np.column_stack([np.ones_like(t), t])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    return y - X @ beta, t
+
+
+def test_durbin_watson(ops, duck):
+    (row,) = ops("stats-durbin-watson")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, avg(value) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    r, _ = _trend_resid(df.y.to_numpy(float))
+    dw = (np.diff(r) ** 2).sum() / (r**2).sum()
+    close(row["durbin_watson"], dw)
+    assert row["n_days"] == len(r)
+
+
+def test_breusch_pagan(ops, duck):
+    (row,) = ops("stats-breusch-pagan")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, avg(value) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    r, t = _trend_resid(df.y.to_numpy(float))
+    r2 = np.corrcoef(r**2, t)[0, 1] ** 2
+    close(row["aux_r2"], r2)
+    close(row["breusch_pagan_lm"], len(r) * r2, tol=1e-3)
+    assert row["n_days"] == len(r)
