@@ -642,3 +642,386 @@ def test_breusch_pagan(ops, duck):
     close(row["aux_r2"], r2)
     close(row["breusch_pagan_lm"], len(r) * r2, tol=1e-3)
     assert row["n_days"] == len(r)
+
+
+def _durations(duck, grouped=False):
+    gsel = "CAST(user_id % 2 AS INT) AS grp," if grouped else ""
+    return duck.execute(
+        f"""
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id, {gsel}
+                   min(CASE WHEN event_type='view' THEN CAST(ts AS DATE) END) AS fv,
+                   min(CASE WHEN event_type='purchase' THEN CAST(ts AS DATE) END) AS fp
+            FROM events GROUP BY user_id
+        )
+        SELECT {'grp,' if grouped else ''}
+               CASE WHEN fp IS NOT NULL AND fp >= fv
+                    THEN date_diff('day', fv, fp)
+                    ELSE date_diff('day', fv, e.obs_end) END AS t,
+               CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS died
+        FROM pu CROSS JOIN ends e WHERE fv IS NOT NULL
+        """
+    ).df()
+
+
+def test_kaplan_meier(ops, duck):
+    rows = ops("stats-kaplan-meier")
+    df = _durations(duck)
+    t = df.t.to_numpy(float)
+    died = df.died.to_numpy(int)
+    s = 1.0
+    golden = {}
+    for u in np.sort(np.unique(t)):
+        at_risk = int((t >= u).sum())
+        d = int(died[t == u].sum())
+        if d > 0:
+            s *= 1 - d / at_risk
+            golden[int(u)] = (at_risk, d, s)
+    assert len(rows) == len(golden)
+    for r in rows:
+        n_risk, d, s = golden[r["t_days"]]
+        assert (r["n_risk"], r["n_events"]) == (n_risk, d)
+        close(r["survival"], s)
+
+
+def test_logrank(ops, duck):
+    (row,) = ops("stats-logrank-test")
+    df = _durations(duck, grouped=True)
+    t = df.t.to_numpy(float)
+    died = df.died.to_numpy(int)
+    g = df.grp.to_numpy(int)
+    o1 = e1 = v = 0.0
+    for u in np.sort(np.unique(t[died == 1])):
+        n = float((t >= u).sum())
+        n1 = float(((t >= u) & (g == 1)).sum())
+        d = float(died[t == u].sum())
+        d1 = float(died[(t == u) & (g == 1)].sum())
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    close(row["observed_g1"], o1)
+    close(row["expected_g1"], e1)
+    close(row["logrank_chi2"], (o1 - e1) ** 2 / v, tol=1e-3)
+    assert row["n_users"] == len(df)
+
+
+def test_jarque_bera(ops, duck):
+    (row,) = ops("stats-jarque-bera")
+    v = duck.execute("SELECT value FROM events").df().value.to_numpy(float)
+    n = len(v)
+    mu = v.mean()
+    m2 = ((v - mu) ** 2).mean()
+    m3 = ((v - mu) ** 3).mean()
+    m4 = ((v - mu) ** 4).mean()
+    s = m3 / m2**1.5
+    k = m4 / m2**2 - 3
+    close(row["skewness"], s)
+    close(row["excess_kurtosis"], k)
+    close(row["jarque_bera"], n / 6.0 * (s * s + k * k / 4), tol=1e-3)
+    assert row["n"] == n
+
+
+def test_dagostino_k2(ops, duck):
+    (row,) = ops("stats-dagostino-k2")
+    v = duck.execute("SELECT value FROM events").df().value.to_numpy(float)
+    n = float(len(v))
+    mu = v.mean()
+    m2 = ((v - mu) ** 2).mean()
+    g1 = ((v - mu) ** 3).mean() / m2**1.5
+    b2 = ((v - mu) ** 4).mean() / m2**2
+    # D'Agostino (1970) skewness transform
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w = math.sqrt(-1 + math.sqrt(2 * (beta2 - 1)))
+    delta = 1 / math.sqrt(math.log(w))
+    alpha = math.sqrt(2 / (w * w - 1))
+    z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    # Anscombe-Glynn (1983) kurtosis transform
+    e_b2 = 3.0 * (n - 1) / (n + 1)
+    v_b2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    x = (b2 - e_b2) / math.sqrt(v_b2)
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    z2 = (
+        (1 - 2.0 / (9 * a))
+        - np.cbrt((1 - 2.0 / a) / (1 + x * math.sqrt(2 / (a - 4))))
+    ) / math.sqrt(2.0 / (9 * a))
+    close(row["skew_g1"], g1)
+    close(row["excess_kurtosis"], b2 - 3)
+    close(row["z_skew"], z1)
+    close(row["z_kurt"], z2)
+    close(row["k2_stat"], z1 * z1 + z2 * z2, tol=1e-3)
+
+
+def test_cochrane_orcutt(ops, duck):
+    (row,) = ops("timeseries-cochrane-orcutt")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    y = df.y.to_numpy(float)
+    t = np.array(
+        [(d - df.d.iloc[0]).days for d in df.d], dtype=float
+    )
+    X = np.column_stack([np.ones_like(t), t])
+    a, b = np.linalg.lstsq(X, y, rcond=None)[0]
+    e = y - (a + b * t)
+    rho = (e[1:] * e[:-1]).sum() / (e[:-1] ** 2).sum()
+    ys = y[1:] - rho * y[:-1]
+    ts = t[1:] - rho * t[:-1]
+    X2 = np.column_stack([np.ones_like(ts), ts])
+    a2, b2 = np.linalg.lstsq(X2, ys, rcond=None)[0]
+    close(row["rho"], rho)
+    close(row["slope_ols"], b, tol=1e-3)
+    close(row["slope_co"], b2, tol=1e-3)
+    close(row["intercept_co"], a2 / (1 - rho), tol=1e-3)
+    assert row["n_days"] == len(y)
+
+
+def test_theil_sen(ops, duck):
+    rows = {r["event_type"]: r for r in ops("timeseries-theil-sen")}
+    df = _daily_means(duck)
+    for et, sub in df.groupby("event_type"):
+        sub = sub.sort_values("day")
+        m = sub.m.to_numpy(float)
+        days = np.array([(d - sub.day.iloc[0]).days for d in sub.day], float)
+        slopes = []
+        for i in range(len(m)):
+            for j in range(i + 1, len(m)):
+                slopes.append((m[j] - m[i]) / (days[j] - days[i]))
+        r = rows[et]
+        close(r["sen_slope"], np.quantile(np.array(slopes), 0.5))
+        assert r["n_pairs"] == len(slopes)
+
+
+def test_granger_1lag(ops, duck):
+    (row,) = ops("timeseries-granger-1lag")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS c,"
+        " CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS v"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    y = df.c.to_numpy(float)[1:]
+    x1 = df.c.to_numpy(float)[:-1]
+    x2 = df.v.to_numpy(float)[:-1]
+    n = len(y)
+    # full model: y ~ 1 + x1 + x2; restricted: y ~ 1 + x1
+    Xf = np.column_stack([np.ones(n), x1, x2])
+    Xr = np.column_stack([np.ones(n), x1])
+    bf, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    rss_f = ((y - Xf @ bf) ** 2).sum()
+    rss_r = ((y - Xr @ br) ** 2).sum()
+    f = (rss_r - rss_f) / (rss_f / (n - 3))
+    close(row["beta_own_lag"], bf[1], tol=1e-3)
+    close(row["beta_cross_lag"], bf[2], tol=1e-3)
+    close(row["granger_f"], f, tol=1e-3)
+    assert row["n"] == n
+
+
+def test_odds_ratio(ops, duck):
+    (row,) = ops("stats-odds-ratio")
+    df = duck.execute(
+        "SELECT user_id % 2 = 0 AS even,"
+        " event_type = 'purchase' AS purch FROM events"
+    ).df()
+    a = float((df.even & df.purch).sum())
+    b = float((df.even & ~df.purch).sum())
+    c = float((~df.even & df.purch).sum())
+    d = float((~df.even & ~df.purch).sum())
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    close(row["odds_ratio"], orr)
+    close(row["ci_lo"], math.exp(math.log(orr) - 1.959964 * se))
+    close(row["ci_hi"], math.exp(math.log(orr) + 1.959964 * se))
+
+
+def test_cmh_pooled_or(ops, duck):
+    (row,) = ops("stats-cmh-pooled-or")
+    df = duck.execute(
+        "WITH counts AS (SELECT user_id,"
+        " sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS k"
+        " FROM events GROUP BY user_id),"
+        " thr AS (SELECT avg(k) AS kbar FROM counts)"
+        " SELECT user_id % 5 AS stratum, user_id % 2 = 0 AS treated,"
+        " CASE WHEN k > kbar THEN 1 ELSE 0 END AS conv"
+        " FROM counts, thr"
+    ).df()
+    num = den = a_tot = c_tot = 0.0
+    for _, s in df.groupby("stratum"):
+        a = float((s.treated & (s.conv == 1)).sum())
+        b = float((s.treated & (s.conv == 0)).sum())
+        c = float((~s.treated & (s.conv == 1)).sum())
+        d = float((~s.treated & (s.conv == 0)).sum())
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+        a_tot += a
+        c_tot += c
+    close(row["cmh_odds_ratio"], num / den)
+    assert (row["treated_converters"], row["control_converters"]) == (
+        a_tot, c_tot,
+    )
+    assert row["n_strata"] == df.stratum.nunique()
+
+
+def test_meta_analysis(ops, duck):
+    (row,) = ops("stats-meta-analysis")
+    df = duck.execute(
+        "SELECT (isodow(CAST(ts AS DATE)) - 1) % 7 AS dow, event_type, value"
+        " FROM events WHERE event_type IN ('click','view')"
+    ).df()
+    d, vd = [], []
+    for _, s in df.groupby("dow"):
+        a = s.value[s.event_type == "click"].to_numpy(float)
+        b = s.value[s.event_type == "view"].to_numpy(float)
+        if len(a) > 1 and len(b) > 1:
+            d.append(a.mean() - b.mean())
+            vd.append(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    d, vd = np.array(d), np.array(vd)
+    w = 1 / vd
+    pooled = (w * d).sum() / w.sum()
+    q = (w * (d - pooled) ** 2).sum()
+    k = len(d)
+    close(row["pooled_effect"], pooled)
+    close(row["pooled_se"], math.sqrt(1 / w.sum()))
+    close(row["cochran_q_het"], q, tol=1e-3)
+    close(row["i_squared"], max(0.0, (q - (k - 1)) / q))
+    assert row["n_strata"] == k
+
+
+def test_diff_in_diff(ops, duck):
+    (row,) = ops("stats-diff-in-diff")
+    df = duck.execute(
+        "WITH treated AS (SELECT user_id,"
+        " max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS tr"
+        " FROM events GROUP BY user_id)"
+        " SELECT t.tr, CAST(e.ts AS DATE) >= DATE '2024-01-16' AS post,"
+        " e.value FROM events e JOIN treated t USING (user_id)"
+        " WHERE e.event_type = 'purchase'"
+    ).df()
+    m = {
+        (tr, post): s.value.mean()
+        for (tr, post), s in df.groupby(["tr", "post"])
+    }
+    # sf0.01 is degenerate: every purchaser signed up, so the control
+    # cells are empty and the op must emit NULLs, not fabricate a did
+    close(row["treated_pre"], m[(1, False)])
+    close(row["treated_post"], m[(1, True)])
+    if (0, False) in m and (0, True) in m:
+        did = (m[(1, True)] - m[(1, False)]) - (m[(0, True)] - m[(0, False)])
+        close(row["did_estimate"], did)
+        close(row["control_post"], m[(0, True)])
+    else:
+        assert row["did_estimate"] is None
+        assert row["control_pre"] is None and row["control_post"] is None
+    assert row["n_obs"] == len(df)
+
+
+def test_cuped(ops, duck):
+    (row,) = ops("stats-cuped-adjustment")
+    df = duck.execute(
+        "WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)"
+        " SELECT avg(CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 14 DAY"
+        "            THEN value END) AS x,"
+        " avg(CASE WHEN CAST(ts AS DATE) >= d0 + INTERVAL 14 DAY"
+        "     THEN value END) AS y"
+        " FROM events, span GROUP BY user_id"
+    ).df().dropna()
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    theta = np.cov(y, x, ddof=1)[0, 1] / x.var(ddof=1)
+    rho2 = np.corrcoef(y, x)[0, 1] ** 2
+    close(row["theta"], theta)
+    close(row["var_raw"], y.var(ddof=1))
+    close(row["var_cuped"], y.var(ddof=1) * (1 - rho2))
+    close(row["variance_reduction"], rho2)
+    assert row["n_users"] == len(x)
+
+
+def test_prop_diff_ci(ops, duck):
+    (row,) = ops("stats-prop-diff-ci")
+    df = duck.execute(
+        "SELECT max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS grp,"
+        " max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv"
+        " FROM events GROUP BY user_id"
+    ).df()
+    z = 1.959964
+    z2 = z * z
+
+    def wilson(x, n):
+        p = x / n
+        ctr = (x + z2 / 2) / (n + z2)
+        hw = z * math.sqrt(n) / (n + z2) * math.sqrt(p * (1 - p) + z2 / (4 * n))
+        return p, ctr - hw, ctr + hw
+
+    n1 = int((df.grp == 1).sum())
+    x1 = int(df.conv[df.grp == 1].sum())
+    n2 = int((df.grp == 0).sum())
+    p1, l1, u1 = wilson(x1, n1)
+    close(row["p_clickers"], p1)
+    assert row["n1"] == n1
+    if n2 > 0:
+        x2 = int(df.conv[df.grp == 0].sum())
+        p2, l2, u2 = wilson(x2, n2)
+        close(row["p_nonclickers"], p2)
+        close(row["diff"], p1 - p2)
+        # Newcombe hybrid square-and-add
+        close(
+            row["ci_lo"],
+            p1 - p2 - math.sqrt((p1 - l1) ** 2 + (u2 - p2) ** 2),
+        )
+        close(
+            row["ci_hi"],
+            p1 - p2 + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2),
+        )
+        assert row["n2"] == n2
+    else:
+        # sf0.01 degeneracy: every user clicked — the non-clicker arm is
+        # empty and the op must surface NULLs rather than a fake diff
+        assert row["n2"] is None and row["diff"] is None
+
+
+def test_eb_shrinkage(ops, duck):
+    rows = {r["c_nationkey"]: r for r in ops("stats-eb-shrinkage")}
+    df = duck.execute(
+        "SELECT c.c_nationkey,"
+        " CAST(sum(CASE WHEN o.o_orderstatus='F' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS conv,"
+        " CAST(count(*) AS DOUBLE) AS n"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " GROUP BY 1"
+    ).df()
+    r = (df.conv / df.n).to_numpy(float)
+    mu, v = r.mean(), r.var(ddof=1)
+    strength = mu * (1 - mu) / v - 1
+    alpha, beta = mu * strength, (1 - mu) * strength
+    for _, g in df.iterrows():
+        got = rows[g.c_nationkey]
+        close(got["raw_rate"], g.conv / g.n)
+        close(got["shrunk_rate"], (g.conv + alpha) / (g.n + alpha + beta))
+        close(got["prior_mean"], mu)
+
+
+def test_gini(ops, duck):
+    (row,) = ops("agg-gini-coefficient")
+    df = duck.execute(
+        "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS revenue FROM orders GROUP BY o_custkey"
+    ).df()
+    x = np.sort(df.revenue.to_numpy(float))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+    close(row["gini"], gini)
+    assert row["n_customers"] == n
