@@ -155,3 +155,36 @@ def test_big_int_keys_beyond_double_resolution(spark):
     want = df.select("k", F.row_number().over(w).alias("rn"))
     j = got.select("k", "rn").alias("g").join(want.alias("w"), "k")
     assert j.filter(F.col("g.rn") != F.col("w.rn")).count() == 0
+
+
+@pytest.mark.parametrize("n_buckets", [1, 8, 64])
+def test_fused_multi_key_matches_global_windows(spark, n_buckets):
+    """with_global_orders must be bit-identical to one single-partition
+    global window PER SPEC, including mixed directions and ties."""
+    from transit_scrape_spark.operators.ranking import with_global_orders
+
+    df = _mk(spark, skew=True)
+    got = with_global_orders(
+        df,
+        [
+            {"key": "v", "rn": "rv", "tiebreakers": ("k",)},
+            {"key": "x", "ascending": False, "rn": "rx",
+             "tiebreakers": ("k",)},
+        ],
+        total_count="n",
+        n_buckets=n_buckets,
+    )
+    w1 = Window.orderBy(F.col("v").asc(), F.col("k"))
+    w2 = Window.orderBy(F.col("x").desc(), F.col("k"))
+    want = df.select(
+        "k",
+        F.row_number().over(w1).alias("rv"),
+        F.row_number().over(w2).alias("rx"),
+    )
+    j = got.alias("g").join(want.alias("w"), "k")
+    bad = j.filter(
+        (F.col("g.rv") != F.col("w.rv")) | (F.col("g.rx") != F.col("w.rx"))
+    ).count()
+    assert bad == 0
+    assert got.select("n").distinct().collect()[0][0] == df.count()
+    assert global_window_count(executed_plan(got)) == 0

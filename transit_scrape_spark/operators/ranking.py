@@ -51,7 +51,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "exact_ntile"]
+__all__ = ["with_global_order", "with_global_orders", "exact_ntile"]
 
 
 def with_global_order(
@@ -138,9 +138,9 @@ def with_global_order(
         )
     d = d.select("*", *local_cols)
 
-    # 3. per-bucket summary -> ONE packed row -> array prefix sums.
-    #    n_buckets is a constant, so the O(n_buckets^2) slice/aggregate
-    #    below is O(1) w.r.t. the data.
+    # 3. per-bucket summary -> ONE packed row -> array prefix sums
+    #    (linear accumulator pass; O(n_buckets) expression, O(1) w.r.t.
+    #    the data).
     # coalesce each per-bucket sum to 0: an all-NULL src in one bucket
     # would otherwise NULL that bucket's sum and poison the array-prefix
     # (acc + x[field]) for every later bucket's offset.
@@ -161,38 +161,52 @@ def with_global_order(
         ).alias("__go_rows")
     )
 
-    def prefix(rows: Column, i: Column, field: str, typ: str) -> Column:
-        # sum of `field` over buckets ordered before position i
-        return F.aggregate(
-            F.slice(rows, 1, i),
-            F.lit(0).cast(typ),
-            lambda acc, x: acc + x[field].cast(typ),
-        )
-
-    def grand(rows: Column, field: str, typ: str) -> Column:
-        return F.aggregate(
-            rows,
-            F.lit(0).cast(typ),
-            lambda acc, x: acc + x[field].cast(typ),
-        )
-
+    # Linear running-accumulator prefix: ONE F.aggregate pass carries
+    # (emitted offsets so far, running count, running sums) through the
+    # sorted bucket rows, so each bucket's offset is the accumulator
+    # value BEFORE adding that bucket — and the final accumulator IS the
+    # grand total. The previous transform+slice form re-aggregated a
+    # prefix slice per bucket position: O(n_buckets^2) expression nodes,
+    # whose per-query codegen compile cost dominated small/medium inputs
+    # (~1-3s per call regardless of data size).
     rows_c = F.col("__go_rows")
-    off_struct = F.transform(
-        rows_c,
-        lambda x, i: F.struct(
-            x["__go_pid"].alias("__go_pid"),
-            prefix(rows_c, i, "__go_cnt", "long").alias("__go_off_rn"),
+    elem_ddl = (
+        "struct<__go_pid:int,__go_off_rn:bigint"
+        + "".join(f",__go_off_{j}:double" for j in range(len(srcs)))
+        + ">"
+    )
+    zero = F.struct(
+        F.array().cast(f"array<{elem_ddl}>").alias("offs"),
+        F.lit(0).cast("long").alias("rc"),
+        *[F.lit(0.0).alias(f"rs{j}") for j in range(len(srcs))],
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        entry = F.struct(
+            x["__go_pid"].cast("int").alias("__go_pid"),
+            acc["rc"].alias("__go_off_rn"),
             *[
-                prefix(rows_c, i, f"__go_s{j}", "double").alias(f"__go_off_{j}")
+                acc[f"rs{j}"].alias(f"__go_off_{j}")
                 for j in range(len(srcs))
             ],
-        ),
-    )
-    offsets = packed.select(
-        F.explode(off_struct).alias("o"),
-        grand(rows_c, "__go_cnt", "long").alias("__go_n_total"),
+        )
+        return F.struct(
+            F.concat(acc["offs"], F.array(entry)).alias("offs"),
+            (acc["rc"] + x["__go_cnt"].cast("long")).alias("rc"),
+            *[
+                (acc[f"rs{j}"] + x[f"__go_s{j}"].cast("double")).alias(
+                    f"rs{j}"
+                )
+                for j in range(len(srcs))
+            ],
+        )
+
+    acc_df = packed.select(F.aggregate(rows_c, zero, step).alias("acc"))
+    offsets = acc_df.select(
+        F.explode(F.col("acc.offs")).alias("o"),
+        F.col("acc.rc").alias("__go_n_total"),
         *[
-            grand(rows_c, f"__go_s{j}", "double").alias(f"__go_tot_{j}")
+            F.col(f"acc.rs{j}").alias(f"__go_tot_{j}")
             for j in range(len(srcs))
         ],
     ).select("o.*", "__go_n_total", *[f"__go_tot_{j}" for j in range(len(srcs))])
@@ -238,3 +252,134 @@ def exact_ntile(rn: Column, n_rows: Column, k: int) -> Column:
         .otherwise(r + F.ceil((rn - cutoff) / q_safe))
         .cast("long")
     )
+
+
+def with_global_orders(
+    df: DataFrame,
+    specs: Sequence[Mapping],
+    *,
+    total_count: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fused multi-key variant of :func:`with_global_order`: exact global
+    ``row_number`` over SEVERAL independent sort orders in one plan.
+
+    Each spec is a mapping with ``key`` (numeric, non-null column),
+    ``rn`` (output name), optional ``ascending`` (default True) and
+    ``tiebreakers``. Semantics per spec are identical to
+    ``with_global_order(df, key, rn=...)``; the fusion is purely a plan
+    shape win for scoring ops that rank the SAME rollup by k different
+    dimensions (RFM's three quintiles):
+
+    - ONE boundary-sketch aggregate + ONE 1-row broadcast carries every
+      key's bucket boundaries (vs k sketch jobs + k broadcasts);
+    - the k local-rank windows chain over one frame — k shuffles, which
+      the independent-branch form also pays, but WITHOUT the k re-joins
+      on the row key to reassemble the rank columns afterwards;
+    - per-key bucket counts come from the pre-window bucket-id frame, so
+      no offset aggregate re-runs a window.
+    """
+    specs = [dict(s) for s in specs]
+    for s in specs:
+        s.setdefault("ascending", True)
+        s.setdefault("tiebreakers", ())
+
+    d = df
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bnd_aggs = []
+    for k, s in enumerate(specs):
+        skey = F.col(s["key"]) if s["ascending"] else -F.col(s["key"])
+        d = d.withColumn(f"__go_skey{k}", skey.cast("double"))
+        bnd_aggs.append(
+            F.array_distinct(
+                F.sort_array(
+                    F.percentile_approx(
+                        F.col(f"__go_skey{k}"), probs, F.lit(1000)
+                    )
+                )
+            ).alias(f"__go_bnds{k}")
+        )
+    bnds = d.agg(*bnd_aggs)
+    d = d.crossJoin(F.broadcast(bnds))
+    def _bucketer(skey_col: str):
+        # closure factory: pyspark counts lambda PARAMETERS to pick the
+        # HOF arity, so a default-arg capture (lambda acc, b, _k=k: ...)
+        # is misread as the 3-arg (acc, x, i) form
+        return lambda acc, b: acc + F.when(
+            F.col(skey_col) > b, 1
+        ).otherwise(0)
+
+    for k in range(len(specs)):
+        d = d.withColumn(
+            f"__go_pid{k}",
+            F.coalesce(
+                F.aggregate(
+                    f"__go_bnds{k}", F.lit(0), _bucketer(f"__go_skey{k}")
+                ),
+                F.lit(0),
+            ),
+        )
+    d = d.drop(*[f"__go_bnds{k}" for k in range(len(specs))])
+    pre_window = d  # bucket ids only — offset counts come from here
+
+    for k, s in enumerate(specs):
+        key_order = (
+            F.col(s["key"]).asc() if s["ascending"] else F.col(s["key"]).desc()
+        )
+        w_local = Window.partitionBy(f"__go_pid{k}").orderBy(
+            key_order, *[F.col(t).asc() for t in s["tiebreakers"]]
+        )
+        d = d.withColumn(f"__go_lrn{k}", F.row_number().over(w_local))
+
+    elem_ddl = "struct<__go_pid:int,__go_off_rn:bigint>"
+    zero = F.struct(
+        F.array().cast(f"array<{elem_ddl}>").alias("offs"),
+        F.lit(0).cast("long").alias("rc"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        entry = F.struct(
+            x["__go_pid"].cast("int").alias("__go_pid"),
+            acc["rc"].alias("__go_off_rn"),
+        )
+        return F.struct(
+            F.concat(acc["offs"], F.array(entry)).alias("offs"),
+            (acc["rc"] + x["__go_cnt"].cast("long")).alias("rc"),
+        )
+
+    for k in range(len(specs)):
+        grp = pre_window.groupBy(
+            F.col(f"__go_pid{k}").alias("__go_pid")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__go_cnt"))
+        packed = grp.agg(
+            F.sort_array(
+                F.collect_list(F.struct("__go_pid", "__go_cnt"))
+            ).alias("__go_rows")
+        )
+        acc_df = packed.select(
+            F.aggregate(F.col("__go_rows"), zero, step).alias("acc")
+        )
+        off_cols = [
+            F.col("o.__go_pid").alias(f"__go_pid{k}"),
+            F.col("o.__go_off_rn").alias(f"__go_off{k}"),
+        ]
+        if k == 0 and total_count is not None:
+            offsets = acc_df.select(
+                F.explode(F.col("acc.offs")).alias("o"),
+                F.col("acc.rc").alias("__go_n_total"),
+            ).select(*off_cols, "__go_n_total")
+        else:
+            offsets = acc_df.select(
+                F.explode(F.col("acc.offs")).alias("o")
+            ).select(*off_cols)
+        d = d.join(F.broadcast(offsets), f"__go_pid{k}")
+
+    out_cols = [F.col(c) for c in df.columns] + [
+        (F.col(f"__go_off{k}") + F.col(f"__go_lrn{k}"))
+        .cast("long")
+        .alias(s["rn"])
+        for k, s in enumerate(specs)
+    ]
+    if total_count is not None:
+        out_cols.append(F.col("__go_n_total").alias(total_count))
+    return d.select(*out_cols)
