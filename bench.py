@@ -35,9 +35,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from transit_scrape_spark.queries.registry import registry
-    from transit_scrape_spark.session import get_spark
+    from transit_scrape_spark.session import (
+        get_spark,
+        quiet_bounded_window_warnings,
+    )
 
     spark = get_spark("tss-bench")
+    # bounded pinned windows spam 'No Partition Defined' hundreds of
+    # times per sweep; the plan audit counts global windows from plan
+    # text, so muting the LOG loses nothing
+    quiet_bounded_window_warnings(spark)
 
     # warm-up: JVM, parquet footer reads, codegen — and the Python
     # DataSource planning/executor worker pool, whose first-use

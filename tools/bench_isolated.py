@@ -48,7 +48,9 @@ import json, os, statistics, sys, time
 
 sys.path.insert(0, {repo!r})
 from transit_scrape_spark.queries.registry import registry
-from transit_scrape_spark.session import get_spark, release_caches
+from transit_scrape_spark.session import (
+    get_spark, quiet_bounded_window_warnings, release_caches,
+)
 
 op_id = {op_id!r}
 sf_dir = {sf_dir!r}
@@ -56,6 +58,7 @@ reps = {reps}
 
 spark = get_spark("tss-bench-isolated")
 spark.sparkContext.setLogLevel("ERROR")
+quiet_bounded_window_warnings(spark)
 spec = registry()[op_id]
 
 # warm-up: one full execution (not timed)

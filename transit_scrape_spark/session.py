@@ -89,3 +89,26 @@ def release_caches(spark: SparkSession) -> int:
 def persistent_rdd_count(spark: SparkSession) -> int:
     """How many RDDs the context currently tracks as persisted."""
     return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def quiet_bounded_window_warnings(spark: SparkSession) -> bool:
+    """Silence WindowExec's 'No Partition Defined' WARN for BENCH runs.
+
+    The remaining empty-partition windows in the registry are all pinned
+    bounded frames (<=10k-row summaries — tools/audit_plans.py counts and
+    stale-checks every pin from PLAN TEXT, not logs, so this log filter
+    cannot hide a real global window from the audit). A full sweep prints
+    the warning hundreds of times, burying real signals in the bench
+    tail (VERDICT r5 #6). Returns True if the log4j2 category level was
+    applied.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", level
+        )
+        return True
+    except Exception:
+        return False  # non-log4j2 backend: warnings stay, nothing breaks
