@@ -1025,3 +1025,104 @@ def test_gini(ops, duck):
     gini = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
     close(row["gini"], gini)
     assert row["n_customers"] == n
+
+
+def test_runs_test(ops, duck):
+    (row,) = ops("stats-runs-test")
+    x = _daily_counts(duck)
+    moves = [1 if b > a else 0 for a, b in zip(x, x[1:]) if b != a]
+    n1 = float(sum(moves))
+    n2 = float(len(moves) - sum(moves))
+    r = 1 + sum(1 for a, b in zip(moves, moves[1:]) if a != b)
+    e_r = 2 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (row["n_up"], row["n_down"], row["n_runs"]) == (n1, n2, r)
+    close(row["expected_runs"], e_r)
+    close(row["z"], (r - e_r) / math.sqrt(var_r))
+
+
+def test_sign_test(ops, duck):
+    (row,) = ops("stats-sign-test")
+    df = _daily_xy(duck)
+    plus = float((df.x > df.y).sum())
+    minus = float((df.x < df.y).sum())
+    assert (row["days_click_higher"], row["days_view_higher"]) == (
+        plus, minus,
+    )
+    close(
+        row["sign_z"],
+        (plus - (plus + minus) / 2) / math.sqrt((plus + minus) / 4),
+    )
+
+
+def test_grubbs(ops, duck):
+    (row,) = ops("stats-grubbs-outlier")
+    df = duck.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev"
+        " FROM orders GROUP BY 1"
+    ).df()
+    rev = df.rev.to_numpy(float)
+    g = np.abs(rev - rev.mean()) / rev.std(ddof=1)
+    i = int(np.argmax(g))
+    close(row["g_stat"], g[i])
+    close(row["outlier_rev"], rev[i], tol=1e-3)
+    assert str(row["outlier_day"])[:10] == str(df.day.iloc[i])[:10]
+    assert row["n_days"] == len(rev)
+
+
+def _daily_rev(duck):
+    return duck.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).df()
+
+
+def test_gumbel_maxima(ops, duck):
+    (row,) = ops("stats-gumbel-maxima")
+    df = duck.execute(
+        "SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)"
+        " AS wk, max(o_totalprice) AS block_max"
+        " FROM orders GROUP BY 1"
+    ).df()
+    x = df.block_max.to_numpy(float)
+    sd = x.std(ddof=1)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = x.mean() - 0.5772156649 * beta
+    close(row["gumbel_beta"], beta, tol=1e-3)
+    close(row["gumbel_mu"], mu, tol=1e-3)
+    close(
+        row["return_level_52wk"],
+        mu - beta * math.log(-math.log(1 - 1.0 / 52)),
+        tol=1e-3,
+    )
+    assert row["n_blocks"] == len(x)
+
+
+def test_gpd_pot(ops, duck):
+    (row,) = ops("stats-gpd-pot")
+    rev = _daily_rev(duck).rev.to_numpy(float)
+    u = np.quantile(rev, 0.90)
+    y = rev[rev > u] - u
+    mu, v = y.mean(), y.var(ddof=1)
+    close(row["mean_excess"], mu, tol=1e-3)
+    close(row["gpd_xi"], 0.5 * (1 - mu * mu / v))
+    close(row["gpd_beta"], 0.5 * mu * (mu * mu / v + 1), tol=1e-3)
+    close(row["max_excess"], y.max(), tol=1e-3)
+    assert row["n_exceedances"] == len(y)
+
+
+def test_hill_tail(ops, duck):
+    (row,) = ops("stats-hill-tail-index")
+    x = duck.execute(
+        "SELECT o_totalprice FROM orders"
+    ).df().o_totalprice.to_numpy(float)
+    xmin = np.quantile(x, 0.9)
+    tail = x[x > xmin]
+    s = np.log(tail / xmin).sum()
+    k = len(tail)
+    close(row["hill_alpha"], 1.0 + k / s)
+    close(row["tail_index"], k / s)
+    assert row["n_tail"] == k
