@@ -1126,3 +1126,285 @@ def test_hill_tail(ops, duck):
     close(row["hill_alpha"], 1.0 + k / s)
     close(row["tail_index"], k / s)
     assert row["n_tail"] == k
+
+
+def _roc_bins(duck):
+    df = duck.execute(
+        "SELECT value AS score,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    ).df()
+    s = df.score.to_numpy(float)
+    y = df.y.to_numpy(int)
+    lo, hi = s.min(), s.max()
+    b = np.minimum(255, np.floor((s - lo) / (hi - lo) * 256.0)).astype(int)
+    bins = np.unique(b)
+    pos = np.array([(y[b == bb] == 1).sum() for bb in bins], float)
+    neg = np.array([(y[b == bb] == 0).sum() for bb in bins], float)
+    return bins, pos, neg, lo, hi
+
+
+def test_roc_auc_binned(ops, duck):
+    (row,) = ops("stats-roc-auc-binned")
+    bins, pos, neg, _, _ = _roc_bins(duck)
+    # descending threshold sweep
+    order = np.argsort(-bins)
+    tpr = np.cumsum(pos[order]) / pos.sum()
+    fpr = np.cumsum(neg[order]) / neg.sum()
+    tpr_prev = np.concatenate([[0.0], tpr[:-1]])
+    fpr_prev = np.concatenate([[0.0], fpr[:-1]])
+    auc = ((fpr - fpr_prev) * (tpr + tpr_prev) / 2).sum()
+    close(row["roc_auc"], auc)
+    assert row["n_thresholds"] == len(bins)
+
+
+def test_youden_threshold(ops, duck):
+    (row,) = ops("stats-youden-threshold")
+    bins, pos, neg, lo, hi = _roc_bins(duck)
+    order = np.argsort(-bins)
+    tpr = np.cumsum(pos[order]) / pos.sum()
+    fpr = np.cumsum(neg[order]) / neg.sum()
+    j = tpr - fpr
+    # argmax with (J desc, bin asc) tie-break
+    cand = sorted(
+        zip(j, bins[order], tpr, fpr), key=lambda t: (-t[0], t[1])
+    )[0]
+    close(row["youden_j"], cand[0])
+    close(row["threshold"], lo + cand[1] * (hi - lo) / 256.0, tol=1e-3)
+    close(row["tpr"], cand[2])
+    close(row["fpr"], cand[3])
+
+
+def test_lin_concordance(ops, duck):
+    (row,) = ops("stats-lin-concordance")
+    df = _daily_xy(duck)
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    ccc = 2 * cxy / (x.var() + y.var() + (x.mean() - y.mean()) ** 2)
+    r = np.corrcoef(x, y)[0, 1]
+    close(row["pearson_r"], r)
+    close(row["lin_ccc"], ccc)
+    close(row["bias_correction_factor"], ccc / r, tol=1e-3)
+    assert row["n_days"] == len(x)
+
+
+def _paired_prices(duck):
+    return duck.execute(
+        "SELECT p.p_retailprice AS x,"
+        " l.l_extendedprice / l.l_quantity AS y"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    ).df()
+
+
+def test_bland_altman(ops, duck):
+    (row,) = ops("stats-bland-altman")
+    df = _paired_prices(duck)
+    diff = (df.y - df.x).to_numpy(float)
+    bias, sd = diff.mean(), diff.std(ddof=1)
+    close(row["bias"], bias, tol=1e-3)
+    close(row["sd_diff"], sd, tol=1e-3)
+    close(row["loa_lo"], bias - 1.959964 * sd, tol=1e-3)
+    close(row["loa_hi"], bias + 1.959964 * sd, tol=1e-3)
+    close(
+        row["frac_outside"],
+        (np.abs(diff - bias) > 1.959964 * sd).mean(),
+    )
+    assert row["n"] == len(diff)
+
+
+def test_deming(ops, duck):
+    (row,) = ops("stats-deming-regression")
+    df = _paired_prices(duck)
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    sxx, syy = x.var(ddof=1), y.var(ddof=1)
+    sxy = np.cov(x, y, ddof=1)[0, 1]
+    slope = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy * sxy)) / (
+        2 * sxy
+    )
+    close(row["slope"], slope, tol=1e-3)
+    close(row["intercept"], y.mean() - slope * x.mean(), tol=1e-3)
+    close(row["pearson_r"], sxy / math.sqrt(sxx * syy))
+    # symmetry property of Deming (lambda=1): swap(x,y) inverts slope
+    sxy2 = sxy
+    slope_inv = (sxx - syy + math.sqrt((sxx - syy) ** 2 + 4 * sxy2**2)) / (
+        2 * sxy2
+    )
+    close(slope * slope_inv, 1.0, tol=1e-5)
+
+
+def test_fieller(ops, duck):
+    (row,) = ops("stats-fieller-ratio-ci")
+    df = duck.execute(
+        "SELECT CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS a,"
+        " CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS b"
+        " FROM events GROUP BY user_id"
+    ).df()
+    a, b = df.a.to_numpy(float), df.b.to_numpy(float)
+    n = len(a)
+    ma, mb = a.mean(), b.mean()
+    va = a.var(ddof=1) / n
+    vb = b.var(ddof=1) / n
+    vab = np.cov(a, b, ddof=1)[0, 1] / n
+    z = 1.959964
+    r = ma / mb
+    g = z * z * vb / (mb * mb)
+    rad = math.sqrt(va - 2 * r * vab + r * r * vb - g * (va - vab**2 / vb))
+    close(row["ratio"], r)
+    close(row["g_fieller"], g)
+    close(row["ci_lo"], (r - g * vab / vb - z / mb * rad) / (1 - g))
+    close(row["ci_hi"], (r - g * vab / vb + z / mb * rad) / (1 - g))
+    assert row["n_users"] == n
+
+
+def test_page_trend(ops, duck):
+    (row,) = ops("stats-page-trend-test")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " CAST(floor(extract(hour FROM ts)/6) AS INT) AS q, avg(value) AS m"
+        " FROM events GROUP BY 1, 2"
+    ).df()
+    piv = df.pivot(index="day", columns="q", values="m").dropna()
+    x = piv.to_numpy(float)
+    b, k = float(x.shape[0]), float(x.shape[1])
+    r = x.argsort(1).argsort(1) + 1.0
+    rj = r.sum(0)
+    big_l = ((np.arange(1, int(k) + 1)) * rj).sum()
+    e_l = b * k * (k + 1) ** 2 / 4.0
+    z = (12 * big_l - 3 * b * k * (k + 1) ** 2) / math.sqrt(
+        b * k * k * (k + 1) * (k * k - 1)
+    )
+    close(row["page_l"], big_l, tol=1e-3)
+    close(row["expected_l"], e_l, tol=1e-3)
+    close(row["page_z"], z, tol=1e-3)
+    assert (row["n_blocks"], row["k_treatments"]) == (b, k)
+
+
+def test_yuen_trimmed(ops, duck):
+    (row,) = ops("stats-yuen-trimmed-ttest")
+    df = duck.execute(
+        "SELECT CASE WHEN event_type='purchase' THEN 'purchase'"
+        " ELSE 'other' END AS g, value AS y FROM events"
+        " WHERE event_type IN ('purchase','view')"
+    ).df()
+
+    def stats_for(g):
+        y = df.y[df.g == g].to_numpy(float)
+        lo, hi = np.quantile(y, 0.2), np.quantile(y, 0.8)
+        w = np.clip(y, lo, hi)
+        core = (y >= lo) & (y <= hi)
+        h = float(core.sum())
+        return y[core].mean(), (len(y) - 1) * w.var(ddof=1), h, len(y)
+
+    tma, sswa, ha, na = stats_for("purchase")
+    tmb, sswb, hb, nb = stats_for("other")
+    t = (tma - tmb) / math.sqrt(
+        sswa / (ha * (ha - 1)) + sswb / (hb * (hb - 1))
+    )
+    close(row["trimmed_mean_a"], tma)
+    close(row["trimmed_mean_b"], tmb)
+    close(row["yuen_t"], t, tol=1e-3)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+
+
+def test_rayleigh(ops, duck):
+    rows = {r["event_type"]: r for r in ops("stats-rayleigh-circular")}
+    df = duck.execute(
+        "SELECT event_type,"
+        " (extract(hour FROM ts)*3600 + extract(minute FROM ts)*60"
+        "  + extract(second FROM ts)) * 2 * pi() / 86400.0 AS theta"
+        " FROM events"
+    ).df()
+    for et, sub in df.groupby("event_type"):
+        th = sub.theta.to_numpy(float)
+        c, s = np.cos(th).mean(), np.sin(th).mean()
+        r2 = c * c + s * s
+        mean_dir = math.atan2(s, c)
+        if mean_dir < 0:
+            mean_dir += 2 * math.pi
+        got = rows[et]
+        close(got["resultant_r"], math.sqrt(r2))
+        close(got["rayleigh_z"], len(th) * r2, tol=1e-3)
+        close(got["mean_hour"], mean_dir * 24 / (2 * math.pi), tol=1e-3)
+        assert got["n_events"] == len(th)
+
+
+def test_anova_two_way(ops, duck):
+    rows = {r["src"]: r for r in ops("stats-anova-two-way")}
+    df = duck.execute(
+        "SELECT event_type AS a,"
+        " CAST(floor(extract(hour FROM ts)/6) AS INT) AS b, value AS y"
+        " FROM events"
+    ).df()
+    y = df.y.to_numpy(float)
+    gm, n = y.mean(), float(len(y))
+    am = df.groupby("a").y.mean()
+    na = df.groupby("a").size().astype(float)
+    bm = df.groupby("b").y.mean()
+    nb = df.groupby("b").size().astype(float)
+    cm = df.groupby(["a", "b"]).y.mean()
+    nc = df.groupby(["a", "b"]).size().astype(float)
+    ss_a = (na * (am - gm) ** 2).sum()
+    ss_b = (nb * (bm - gm) ** 2).sum()
+    ss_ab = sum(
+        nc[(a, b)] * (cm[(a, b)] - am[a] - bm[b] + gm) ** 2
+        for a, b in cm.index
+    )
+    resid = df.y - df.set_index(["a", "b"]).index.map(cm)
+    ss_err = (resid.to_numpy(float) ** 2).sum()
+    df_a, df_b = len(am) - 1, len(bm) - 1
+    n_cells = float(len(cm))
+    mse = ss_err / (n - n_cells)
+    close(rows["event_type"]["sum_sq"], ss_a, tol=1e-3)
+    close(rows["hour_quadrant"]["sum_sq"], ss_b, tol=1e-3)
+    close(rows["interaction"]["sum_sq"], ss_ab, tol=1e-3)
+    close(rows["event_type"]["f_stat"], (ss_a / df_a) / mse, tol=1e-3)
+    close(rows["interaction"]["f_stat"],
+          (ss_ab / (df_a * df_b)) / mse, tol=1e-3)
+    assert rows["interaction"]["df"] == df_a * df_b
+
+
+def test_theil_decomposition(ops, duck):
+    (row,) = ops("agg-theil-decomposition")
+    df = duck.execute(
+        "SELECT CAST(user_id % 4 AS BIGINT) AS seg, sum(value) AS x"
+        " FROM events WHERE event_type = 'purchase' GROUP BY user_id"
+    ).df()
+    x = df.x.to_numpy(float)
+    seg = df.seg.to_numpy(int)
+    mu, n = x.mean(), float(len(x))
+    t_w = t_b = 0.0
+    for s in np.unique(seg):
+        xs = x[seg == s]
+        mus = xs.mean()
+        ts = ((xs / mus) * np.log(xs / mus)).mean()
+        share = (len(xs) / n) * (mus / mu)
+        t_w += share * ts
+        t_b += share * math.log(mus / mu)
+    close(row["theil_within"], t_w)
+    close(row["theil_between"], t_b)
+    close(row["theil_total"], t_w + t_b)
+    # decomposition identity vs the direct Theil T on the pooled data
+    t_direct = ((x / mu) * np.log(x / mu)).mean()
+    close(row["theil_total"], t_direct, tol=1e-3)
+    assert row["n_users"] == n
+
+
+def test_capture_recapture(ops, duck):
+    (row,) = ops("stats-capture-recapture")
+    df = duck.execute(
+        "WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)"
+        " SELECT user_id,"
+        " bool_or(CAST(ts AS DATE) BETWEEN d0 AND d0 + INTERVAL 6 DAY) AS w1,"
+        " bool_or(CAST(ts AS DATE) BETWEEN d0 + INTERVAL 7 DAY"
+        "         AND d0 + INTERVAL 13 DAY) AS w2"
+        " FROM events, span GROUP BY user_id"
+    ).df()
+    n1 = int(df.w1.sum())
+    n2 = int(df.w2.sum())
+    m = int((df.w1 & df.w2).sum())
+    close(row["chapman_estimate"], (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert (row["week1_users"], row["week2_users"], row["recaptured"]) == (
+        n1, n2, m,
+    )
