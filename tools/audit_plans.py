@@ -221,7 +221,7 @@ SCALAR_BROADCAST_OPS = {
     "corpus-temperature-sampling",  # 3-row temperature-grid broadcast
     "ml-calibration-slope",    # 1-row weighted-moment broadcast
     "timeseries-sen-slope-seasonal",  # within-season day-summary pair join
-    "stats-jonckheere-terpstra",  # bounded bin-grid ordered-pair join
+    "stats-jonckheere-terpstra",  # 4-row group-set broadcast cross densifies the bin grid; JT itself is a bin equi-join
     "eval-rank-stability-bootstrap",  # 12-row replica-id broadcast
 }
 
