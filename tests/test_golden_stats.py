@@ -1408,3 +1408,123 @@ def test_capture_recapture(ops, duck):
     assert (row["week1_users"], row["week2_users"], row["recaptured"]) == (
         n1, n2, m,
     )
+
+
+def test_weibull_fit(ops, duck):
+    (row,) = ops("stats-weibull-fit")
+    v = duck.execute(
+        "SELECT value FROM events WHERE value > 0"
+    ).df().value.to_numpy(float)
+    lx = np.log(v)
+    sd = lx.std(ddof=1)
+    k = math.pi / (sd * math.sqrt(6))
+    lam = math.exp(lx.mean() + 0.5772156649 * sd * math.sqrt(6) / math.pi)
+    close(row["weibull_shape_k"], k)
+    close(row["weibull_scale_lambda"], lam, tol=1e-3)
+    assert row["n_rows"] == len(v)
+
+
+def test_gamma_fit(ops, duck):
+    (row,) = ops("stats-gamma-fit")
+    v = duck.execute(
+        "SELECT value FROM events WHERE value > 0"
+    ).df().value.to_numpy(float)
+    mu, var = v.mean(), v.var(ddof=1)
+    k = mu * mu / var
+    close(row["gamma_shape_k"], k)
+    close(row["gamma_scale_theta"], var / mu)
+    close(row["implied_skewness"], 2.0 / math.sqrt(k))
+    assert row["n_rows"] == len(v)
+
+
+def test_negbin_fit(ops, duck):
+    (row,) = ops("stats-negbin-fit")
+    df = duck.execute(
+        "SELECT count(*) AS k FROM events GROUP BY date_trunc('hour', ts)"
+    ).df()
+    k = df.k.to_numpy(float)
+    mu, v = k.mean(), k.var(ddof=1)
+    r = mu * mu / (v - mu)
+    close(row["dispersion_index"], v / mu)
+    close(row["nb_r"], r, tol=1e-3)
+    close(row["nb_p"], mu / v)
+    close(row["nb_alpha"], 1.0 / r)
+    assert row["n_hours"] == len(k)
+
+
+def test_exponential_fit_ks(ops, duck):
+    (row,) = ops("stats-exponential-fit-ks")
+    df = duck.execute(
+        "SELECT date_diff('second', lag(ts) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id), ts) AS dt FROM events"
+    ).df().dropna()
+    dt = df.dt.to_numpy(float)
+    dt = dt[dt > 0]
+    lam = 1.0 / dt.mean()
+    close(row["events_per_hour"], lam * 3600, tol=1e-3)
+    assert row["n_gaps"] == len(dt)
+    # binned ECDF KS vs fitted CDF at upper bin edges, scale-free grid
+    z = dt * lam
+    z = z[z < 8.0]
+    bins = np.floor(z / 0.125).astype(int)
+    uniq = np.unique(bins)
+    counts = np.array([(bins == b).sum() for b in uniq], float)
+    f_emp = np.cumsum(counts) / len(dt)
+    f_fit = 1 - np.exp(-((uniq + 1) * 0.125))
+    close(row["ks_to_exponential"], np.abs(f_emp - f_fit).max())
+
+
+def _binned_ecdf_pair(duck):
+    df = duck.execute(
+        "SELECT value AS v,"
+        " CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is1"
+        " FROM events WHERE event_type IN ('click','view')"
+    ).df()
+    v = df.v.to_numpy(float)
+    is1 = df.is1.to_numpy(int)
+    lo, hi = v.min(), v.max()
+    b = np.minimum(255, np.floor((v - lo) / (hi - lo) * 256.0)).astype(int)
+    bins = np.unique(b)
+    c1 = np.array([(is1[b == bb] == 1).sum() for bb in bins], float)
+    c2 = np.array([(is1[b == bb] == 0).sum() for bb in bins], float)
+    return bins, c1, c2, hi - lo
+
+
+def test_ks_binned(ops, duck):
+    (row,) = ops("stats-ks-binned")
+    bins, c1, c2, _ = _binned_ecdf_pair(duck)
+    f1 = np.cumsum(c1) / c1.sum()
+    f2 = np.cumsum(c2) / c2.sum()
+    d = np.abs(f1 - f2).max()
+    n1, n2 = c1.sum(), c2.sum()
+    close(row["ks_d"], d)
+    close(
+        row["p_approx"],
+        2 * math.exp(-2 * (d * math.sqrt(n1 * n2 / (n1 + n2))) ** 2),
+    )
+    assert (row["n1"], row["n2"]) == (n1, n2)
+
+
+def test_wasserstein_binned(ops, duck):
+    (row,) = ops("stats-wasserstein-binned")
+    bins, c1, c2, span = _binned_ecdf_pair(duck)
+    f1 = np.cumsum(c1) / c1.sum()
+    f2 = np.cumsum(c2) / c2.sum()
+    w1 = (np.abs(f1 - f2) * span / 256.0).sum()
+    close(row["wasserstein_1"], w1)
+
+
+def test_anderson_darling_binned(ops, duck):
+    (row,) = ops("stats-anderson-darling-binned")
+    bins, c1, c2, _ = _binned_ecdf_pair(duck)
+    n1, n2 = c1.sum(), c2.sum()
+    n = n1 + n2
+    cumn = np.cumsum(c1 + c2)
+    f1 = np.cumsum(c1) / n1
+    f2 = np.cumsum(c2) / n2
+    keep = (cumn > 0) & (cumn < n)
+    d = (f1 - f2)[keep]
+    h = (cumn / n)[keep]
+    ad = n1 * n2 / n * (d * d / (h * (1 - h)) / 256.0).sum()
+    close(row["ad_statistic"], ad, tol=1e-3)
+    assert (row["n1"], row["n2"]) == (n1, n2)
