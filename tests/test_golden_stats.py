@@ -1528,3 +1528,200 @@ def test_anderson_darling_binned(ops, duck):
     ad = n1 * n2 / n * (d * d / (h * (1 - h)) / 256.0).sum()
     close(row["ad_statistic"], ad, tol=1e-3)
     assert (row["n1"], row["n2"]) == (n1, n2)
+
+
+def test_mutual_information(ops, duck):
+    (row,) = ops("stats-mutual-information")
+    df = duck.execute(
+        "SELECT event_type AS x, user_id % 4 AS y FROM events"
+    ).df()
+    tab = df.groupby(["x", "y"]).size().unstack(fill_value=0)
+    pxy = tab.to_numpy(float)
+    pxy /= pxy.sum()
+    px = pxy.sum(1, keepdims=True)
+    py = pxy.sum(0, keepdims=True)
+    nz = pxy > 0
+    mi = (pxy[nz] * np.log(pxy[nz] / (px @ py)[nz])).sum()
+    hx = -(px * np.log(px)).sum()
+    hy = -(py * np.log(py)).sum()
+    close(row["mi_nats"], mi)
+    close(row["h_x"], hx)
+    close(row["h_y"], hy)
+    close(row["nmi"], mi / min(hx, hy))
+
+
+def _segment_pvals(duck):
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    gm = df.value.mean()
+    gv = df.value.var(ddof=1)
+    out = {}
+    for et, g in df.groupby("event_type").value:
+        z = abs(g.mean() - gm) / math.sqrt(gv / len(g))
+        out[et] = (z, math.exp(-z * z / 2))
+    return out
+
+
+def test_benjamini_hochberg(ops, duck):
+    rows = ops("stats-benjamini-hochberg")
+    pv = _segment_pvals(duck)
+    m = len(pv)
+    ordered = sorted(pv.items(), key=lambda kv: (kv[1][1], kv[0]))
+    k_max = max(
+        (k for k, (_, (z, p)) in enumerate(ordered, 1)
+         if p <= 0.05 * k / m),
+        default=0,
+    )
+    for r in rows:
+        z, p = pv[r["event_type"]]
+        close(r["z"], z)
+        close(r["p"], p)
+        close(r["bh_threshold"], 0.05 * r["k"] / m)
+        want_k = [et for et, _ in ordered].index(r["event_type"]) + 1
+        assert r["k"] == want_k
+        assert r["rejected"] == (want_k <= k_max)
+
+
+def test_holm_bonferroni(ops, duck):
+    rows = ops("stats-holm-bonferroni")
+    pv = _segment_pvals(duck)
+    m = len(pv)
+    ordered = sorted(pv.items(), key=lambda kv: (kv[1][1], kv[0]))
+    first_fail = next(
+        (k for k, (_, (z, p)) in enumerate(ordered, 1)
+         if p > 0.05 / (m - k + 1)),
+        m + 1,
+    )
+    for r in rows:
+        _, p = pv[r["event_type"]]
+        close(r["p"], p)
+        close(r["holm_threshold"], 0.05 / (m - r["k"] + 1))
+        want_k = [et for et, _ in ordered].index(r["event_type"]) + 1
+        assert r["k"] == want_k
+        assert r["rejected"] == (want_k < first_fail)
+
+
+def test_power_proportions(ops, duck):
+    (row,) = ops("stats-power-proportions")
+    df = duck.execute(
+        "SELECT avg(CASE WHEN event_type='purchase' THEN 1.0 ELSE 0 END)"
+        " AS p1 FROM events"
+    ).df()
+    p1 = float(df.p1.iloc[0])
+    p2 = p1 * 1.10
+    za, zb = 1.959964, 0.841621
+    pbar = (p1 + p2) / 2
+    n = math.ceil(
+        (za * math.sqrt(2 * pbar * (1 - pbar))
+         + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+        / (p2 - p1) ** 2
+    )
+    close(row["baseline_rate"], p1)
+    close(row["target_rate"], p2)
+    assert row["n_per_variant"] == n
+
+
+def test_tost(ops, duck):
+    (row,) = ops("stats-tost-equivalence")
+    df = duck.execute(
+        "SELECT event_type, value FROM events"
+        " WHERE event_type IN ('click','view')"
+    ).df()
+    a = df.value[df.event_type == "click"].to_numpy(float)
+    b = df.value[df.event_type == "view"].to_numpy(float)
+    se = math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    d = a.mean() - b.mean()
+    t_lo, t_hi = (d + 5.0) / se, (d - 5.0) / se
+    close(row["mean_diff"], d)
+    close(row["t_lower"], t_lo, tol=1e-3)
+    close(row["t_upper"], t_hi, tol=1e-3)
+    assert row["equivalent"] == (t_lo > 1.644854 and t_hi < -1.644854)
+
+
+def test_srm_check(ops, duck):
+    (row,) = ops("stats-srm-check")
+    df = duck.execute("SELECT DISTINCT user_id FROM events").df()
+    v = (df.user_id.to_numpy("int64") * 2654435761 % 2147483648) % 2
+    n0, n1 = float((v == 0).sum()), float((v != 0).sum())
+    e = (n0 + n1) / 2
+    chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+    assert (row["variant_a"], row["variant_b"]) == (n0, n1)
+    close(row["srm_chi2"], chi2)
+    assert row["srm_flag"] == (chi2 > 3.841459)
+
+
+def test_cohens_d_battery(ops, duck):
+    rows = {(r["type_a"], r["type_b"]): r for r in ops("stats-cohens-d-battery")}
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    stats = {
+        et: (float(len(g)), g.mean(), g.var(ddof=1))
+        for et, g in df.groupby("event_type").value
+    }
+    ks = sorted(stats)
+    assert len(rows) == len(ks) * (len(ks) - 1) // 2
+    for i, ta in enumerate(ks):
+        for tb in ks[i + 1:]:
+            na, ma, va = stats[ta]
+            nb, mb, vb = stats[tb]
+            d = (ma - mb) / math.sqrt(
+                ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+            )
+            r = rows[(ta, tb)]
+            close(r["cohens_d"], d)
+            close(r["hedges_g"], d * (1 - 3.0 / (4 * (na + nb) - 9)))
+
+
+def test_xbar_control_chart(ops, duck):
+    rows = ops("stats-xbar-control-chart")
+    df = duck.execute("SELECT CAST(ts AS DATE) AS day, value FROM events").df()
+    per = {
+        str(day)[:10]: (g.mean(), g.var(ddof=1), float(len(g)))
+        for day, g in df.groupby("day").value
+    }
+    nsum = sum(n for _, _, n in per.values())
+    gm = sum(m * n for m, _, n in per.values()) / nsum
+    sw = math.sqrt(
+        sum((n - 1) * v for _, v, n in per.values())
+        / sum(n - 1 for _, _, n in per.values())
+    )
+    assert len(rows) == len(per)
+    for r in rows:
+        m, v, n = per[str(r["day"])[:10]]
+        close(r["xbar"], m)
+        close(r["lcl"], gm - 3 * sw / math.sqrt(n), tol=1e-3)
+        close(r["ucl"], gm + 3 * sw / math.sqrt(n), tol=1e-3)
+        assert r["out_of_control"] == (
+            m < gm - 3 * sw / math.sqrt(n) or m > gm + 3 * sw / math.sqrt(n)
+        )
+
+
+def test_ewma_control_chart(ops, duck):
+    rows = ops("stats-ewma-control-chart")
+    df = _daily_rev(duck)
+    rev = df.rev.to_numpy(float)
+    mu, sd = rev.mean(), rev.std(ddof=1)
+    lam = 0.2
+    ucl = mu + 3 * sd * math.sqrt(lam / (2 - lam))
+    lcl = mu - 3 * sd * math.sqrt(lam / (2 - lam))
+    got = {str(r["day"])[:10]: r for r in rows}
+    # 15-lag truncated EWMA with mu filling the tail (the op's doc'd form)
+    for i in (14, len(rev) - 1):  # spot-check a middle and the last day
+        z = 0.0
+        for k in range(15):
+            x = rev[i - k] if i - k >= 0 else mu
+            z += lam * (1 - lam) ** k * x
+        z += (1 - lam) ** 15 * mu
+        r = got[str(df.day.iloc[i])[:10]]
+        close(r["ewma"], z, tol=1e-3)
+        close(r["ucl"], ucl, tol=1e-3)
+        close(r["lcl"], lcl, tol=1e-3)
+
+
+def test_process_capability(ops, duck):
+    (row,) = ops("stats-process-capability")
+    v = duck.execute("SELECT value FROM events").df().value.to_numpy(float)
+    mu, sd = v.mean(), v.std(ddof=1)
+    lsl, usl = 0.0, 200.0
+    close(row["cp"], (usl - lsl) / (6 * sd))
+    close(row["cpk"], min(usl - mu, mu - lsl) / (3 * sd))
+    close(row["centering_k"], (mu - (usl + lsl) / 2) / ((usl - lsl) / 2))
+    assert row["n_rows"] == len(v)
