@@ -1725,3 +1725,187 @@ def test_process_capability(ops, duck):
     close(row["cpk"], min(usl - mu, mu - lsl) / (3 * sd))
     close(row["centering_k"], (mu - (usl + lsl) / 2) / ((usl - lsl) / 2))
     assert row["n_rows"] == len(v)
+
+
+def test_delta_method_ci(ops, duck):
+    (row,) = ops("stats-delta-method-ci")
+    df = duck.execute(
+        "SELECT CAST(sum(CASE WHEN event_type='purchase' THEN value"
+        " ELSE 0 END) AS DOUBLE) AS rev,"
+        " CAST(count(*) AS DOUBLE) AS n_ev"
+        " FROM events GROUP BY user_id"
+    ).df()
+    x, y = df.rev.to_numpy(float), df.n_ev.to_numpy(float)
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    r = mx / my
+    var = (
+        r * r
+        * (x.var(ddof=1) / mx**2 + y.var(ddof=1) / my**2
+           - 2 * np.cov(x, y, ddof=1)[0, 1] / (mx * my))
+        / n
+    )
+    close(row["revenue_per_event"], r)
+    close(row["var_delta"], var)
+    close(row["ci_lo"], r - 1.959964 * math.sqrt(var))
+    close(row["ci_hi"], r + 1.959964 * math.sqrt(var))
+    assert row["n_users"] == n
+
+
+def test_rank_biased_overlap(ops, duck):
+    (row,) = ops("stats-rank-biased-overlap")
+    df = duck.execute(
+        "SELECT CASE WHEN lang='en' THEN 'en' ELSE 'other' END AS grp,"
+        " unnest(string_split(lower(text), ' ')) AS w FROM documents"
+    ).df()
+    df = df[df.w != ""]
+    tops = {}
+    for grp, sub in df.groupby("grp"):
+        cnt = sub.groupby("w").size().reset_index(name="n")
+        cnt = cnt.sort_values(["n", "w"], ascending=[False, True])
+        tops[grp] = {w: i + 1 for i, w in enumerate(cnt.w.head(20))}
+    pairs = [
+        (r1, tops["other"][w])
+        for w, r1 in tops["en"].items()
+        if w in tops["other"]
+    ]
+    rbo = 0.0
+    a20 = None
+    for d in range(1, 21):
+        a_d = sum(1 for r1, r2 in pairs if r1 <= d and r2 <= d) / d
+        rbo += 0.9 ** (d - 1) * a_d
+        if d == 20:
+            a20 = a_d
+    close(row["rbo_p09"], (1 - 0.9) * rbo)
+    close(row["overlap_at_20"], a20)
+
+
+def test_jackknife_cv(ops, duck):
+    (row,) = ops("stats-jackknife-cv")
+    x = _daily_rev(duck).rev.to_numpy(float)
+    n = len(x)
+    cv_full = x.std(ddof=1) / x.mean()
+    cvs = []
+    for i in range(n):
+        loo = np.delete(x, i)
+        cvs.append(loo.std(ddof=1) / loo.mean())
+    cvs = np.array(cvs)
+    se = math.sqrt((n - 1) / n * ((cvs - cvs.mean()) ** 2).sum())
+    close(row["cv_full"], cv_full)
+    close(row["cv_jack_mean"], cvs.mean())
+    close(row["se_jackknife"], se, tol=1e-3)
+    close(row["cv_bias_corrected"], n * cv_full - (n - 1) * cvs.mean(),
+          tol=1e-3)
+    assert row["n_days"] == n
+
+
+def test_quantile_ci(ops, duck):
+    (row,) = ops("stats-quantile-ci")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, avg(value) AS m"
+        " FROM events GROUP BY 1 ORDER BY avg(value)"
+    ).df()
+    m = np.sort(df.m.to_numpy(float))
+    n = len(m)
+    q, z = 0.9, 1.959964
+    r_pt = math.ceil(q * n)
+    r_lo = max(1, math.floor(q * n - z * math.sqrt(n * q * (1 - q))))
+    r_hi = min(n, math.ceil(q * n + z * math.sqrt(n * q * (1 - q))) + 1)
+    close(row["p90_point"], m[r_pt - 1])
+    close(row["ci_lo"], m[r_lo - 1])
+    close(row["ci_hi"], m[r_hi - 1])
+    assert row["n_days"] == n
+
+
+def test_copula_tail(ops, duck):
+    (row,) = ops("stats-copula-tail-dependence")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " avg(CASE WHEN event_type='click' THEN value END) AS x,"
+        " avg(CASE WHEN event_type='view' THEN value END) AS y"
+        " FROM events WHERE event_type IN ('click','view') GROUP BY 1"
+    ).df().dropna()
+    x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+    qxu, qyu = np.quantile(x, 0.8), np.quantile(y, 0.8)
+    qxl, qyl = np.quantile(x, 0.2), np.quantile(y, 0.2)
+    lu = ((x > qxu) & (y > qyu)).sum() / (y > qyu).sum()
+    ll = ((x < qxl) & (y < qyl)).sum() / (y < qyl).sum()
+    close(row["lambda_upper"], lu)
+    close(row["lambda_lower"], ll)
+    assert row["n_days"] == len(x)
+
+
+def test_partial_corr(ops, duck):
+    (row,) = ops("stats-partial-corr")
+    df = duck.execute(
+        "SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z"
+        " FROM lineitem"
+    ).df()
+    c = np.corrcoef(np.column_stack([df.x, df.y, df.z]).T)
+    rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+    close(row["corr_qty_price"], rxy)
+    close(
+        row["partial_corr_given_discount"],
+        (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2)),
+    )
+    assert row["n_rows"] == len(df)
+
+
+def test_turning_points(ops, duck):
+    (row,) = ops("timeseries-turning-points")
+    x = _daily_counts(duck)
+    n = float(len(x))
+    tp = sum(
+        1
+        for i in range(1, len(x) - 1)
+        if (x[i] > x[i - 1] and x[i] > x[i + 1])
+        or (x[i] < x[i - 1] and x[i] < x[i + 1])
+    )
+    e = 2 * (n - 2) / 3
+    close(row["expected_tp"], e)
+    close(row["z"], (tp - e) / math.sqrt((16 * n - 29) / 90))
+    assert (row["n_days"], row["turning_points"]) == (n, tp)
+
+
+def test_approx_entropy(ops, duck):
+    (row,) = ops("timeseries-approx-entropy")
+    x = _daily_counts(duck)
+    n = len(x)
+    r = 0.2 * x.std(ddof=1)
+    # phi_1: per-i fraction of j with |x_i - x_j| < r (self included)
+    d = np.abs(np.subtract.outer(x, x)) < r
+    phi1 = np.log(d.sum(1) / n).mean()
+    # phi_2: both coords of the length-2 template within r
+    x1 = x[1:]
+    d2 = (np.abs(np.subtract.outer(x[:-1], x[:-1])) < r) & (
+        np.abs(np.subtract.outer(x1, x1)) < r
+    )
+    phi2 = np.log(d2.sum(1) / (n - 1)).mean()
+    close(row["phi_m1"], phi1, tol=1e-3)
+    close(row["phi_m2"], phi2, tol=1e-3)
+    close(row["approx_entropy"], phi1 - phi2, tol=1e-3)
+
+
+def test_hurst_rs(ops, duck):
+    (row,) = ops("timeseries-hurst-rs")
+    x = _daily_counts(duck)
+    pts = []
+    for m in (4, 8, 16):
+        rss = []
+        for blk in range(len(x) // m):
+            seg = x[blk * m:(blk + 1) * m]
+            if len(seg) < m:
+                continue
+            z = np.cumsum(seg - seg.mean())
+            s = seg.std()  # population
+            if s > 0:
+                rss.append((z.max() - z.min()) / s)
+        if rss:
+            pts.append((math.log(m), math.log(np.mean(rss))))
+    lx = np.array([p[0] for p in pts])
+    ly = np.array([p[1] for p in pts])
+    h = ((lx * ly).sum() - lx.sum() * ly.sum() / len(lx)) / (
+        (lx * lx).sum() - lx.sum() ** 2 / len(lx)
+    )
+    close(row["hurst_exponent"], h, tol=1e-3)
+    assert row["n_scales"] == len(pts)
