@@ -1909,3 +1909,134 @@ def test_hurst_rs(ops, duck):
     )
     close(row["hurst_exponent"], h, tol=1e-3)
     assert row["n_scales"] == len(pts)
+
+
+def test_ranking_metrics(ops, duck):
+    (row,) = ops("eval-ranking-metrics")
+    df = duck.execute(
+        "SELECT user_id, event_id, value,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS rel"
+        " FROM events"
+    ).df()
+    ndcgs, rrs, p5s = [], [], []
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        rel = g.rel.to_numpy(int)
+        disc = 1.0 / np.log2(np.arange(2, len(rel) + 2))
+        dcg = (rel[:10] * disc[:10]).sum()
+        ideal = np.sort(rel)[::-1]
+        idcg = (ideal[:10] * disc[:10]).sum()
+        if idcg > 0:
+            ndcgs.append(dcg / idcg)
+        hits = np.nonzero(rel)[0]
+        rrs.append(1.0 / (hits[0] + 1) if len(hits) else 0.0)
+        p5s.append(rel[:5].sum() / 5.0)
+    close(row["mean_ndcg_at_10"], np.mean(ndcgs))
+    close(row["mrr"], np.mean(rrs))
+    close(row["p_at_5"], np.mean(p5s))
+    assert row["n_users"] == df.user_id.nunique()
+
+
+def test_pass_at_k(ops, duck):
+    (row,) = ops("eval-pass-at-k")
+    df = duck.execute(
+        "SELECT count(*) AS n,"
+        " sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS c"
+        " FROM events GROUP BY user_id HAVING count(*) >= 10"
+    ).df()
+
+    def pass_at(n, c, k):
+        # exact Codex estimator 1 - C(n-c, k)/C(n, k)
+        if n - c < k:
+            return 1.0
+        return 1.0 - math.comb(int(n - c), k) / math.comb(int(n), k)
+
+    for k, col in ((1, "pass_at_1"), (5, "pass_at_5"), (10, "pass_at_10")):
+        want = np.mean([pass_at(n, c, k) for n, c in zip(df.n, df.c)])
+        close(row[col], want)
+    assert row["n_tasks"] == len(df)
+
+
+def _user_score_label(duck, binw):
+    return duck.execute(
+        f"SELECT least(CAST(floor(avg(value)/{binw}) AS BIGINT),"
+        f" {100 // binw - 1}) AS bin,"
+        " CASE WHEN sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " >= 14 THEN 1 ELSE 0 END AS y"
+        " FROM events GROUP BY user_id"
+    ).df()
+
+
+def test_woe_iv(ops, duck):
+    rows = {r["bin"]: r for r in ops("ml-woe-iv")}
+    df = _user_score_label(duck, 10)
+    tp = float(df.y.sum())
+    tn = float((1 - df.y).sum())
+    iv = 0.0
+    want = {}
+    for b, g in df.groupby("bin"):
+        pos, neg = float(g.y.sum()), float((1 - g.y).sum())
+        pp, pn = (pos + 0.5) / tp, (neg + 0.5) / tn
+        woe = math.log(pp / pn)
+        iv += (pp - pn) * woe
+        want[b] = (pos, neg, woe)
+    assert set(rows) == set(want)
+    for b, (pos, neg, woe) in want.items():
+        r = rows[b]
+        assert (r["n_pos"], r["n_neg"]) == (pos, neg)
+        close(r["woe"], woe)
+        close(r["total_iv"], iv)
+
+
+def test_pr_auc_binned(ops, duck):
+    (row,) = ops("ml-pr-auc-binned")
+    df = _user_score_label(duck, 5)
+    g = df.groupby("bin").y.agg(["sum", "count"]).sort_index(ascending=False)
+    pos = g["sum"].to_numpy(float)
+    tot = g["count"].to_numpy(float)
+    cpos = np.cumsum(pos)
+    call = np.cumsum(tot)
+    prec = cpos / call
+    rec = cpos / pos.sum()
+    d_rec = np.diff(np.concatenate([[0.0], rec]))
+    close(row["pr_auc"], (prec * d_rec).sum())
+    close(
+        row["best_precision_at_recall50"],
+        prec[rec >= 0.5].max(),
+    )
+    assert row["n_bins"] == len(pos)
+
+
+def test_bm25_topk(ops, duck):
+    rows = ops("eval-bm25-topk")
+    df = duck.execute(
+        "SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token"
+        " FROM documents"
+    ).df()
+    k1, b = 1.2, 0.75
+    from collections import Counter
+    dl = df.groupby("doc_id").size().to_dict()
+    avgdl = np.mean(list(dl.values()))
+    n_docs = float(len(dl))
+    # query = 3 most frequent tokens, (count desc, token) tie-break
+    counts = Counter(df.token)
+    qterms = [
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:3]
+    scores = Counter()
+    for q in qterms:
+        sub = df[df.token == q]
+        tf = sub.groupby("doc_id").size()
+        dfq = float(len(tf))
+        idf = math.log(1 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+        for doc, f in tf.items():
+            scores[doc] += (
+                idf * f * (k1 + 1)
+                / (f + k1 * (1 - b + b * dl[doc] / avgdl))
+            )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(rows) == 10
+    for r, (doc, s) in zip(rows, want):
+        assert r["doc_id"] == doc
+        close(r["bm25"], s)
