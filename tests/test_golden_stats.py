@@ -2040,3 +2040,210 @@ def test_bm25_topk(ops, duck):
     for r, (doc, s) in zip(rows, want):
         assert r["doc_id"] == doc
         close(r["bm25"], s)
+
+
+def test_sprt_monitor(ops, duck):
+    rows = ops("stats-sprt-monitor")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        "      AS DOUBLE) AS x,"
+        " CAST(count(*) AS DOUBLE) AS n"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    llr = (
+        df.x.to_numpy(float) * math.log(0.22 / 0.20)
+        + (df.n - df.x).to_numpy(float) * math.log(0.78 / 0.80)
+    )
+    cum = np.cumsum(llr)
+    hi, lo = math.log((1 - 0.2) / 0.05), math.log(0.2 / (1 - 0.05))
+    assert len(rows) == len(cum)
+    for r, c in zip(rows, cum):
+        close(r["llr_cum"], c, tol=1e-3)
+        want = (
+            "accept_h1" if c >= hi else "accept_h0" if c <= lo else "continue"
+        )
+        assert r["decision"] == want
+
+
+def test_var_backtest(ops, duck):
+    (row,) = ops("stats-var-backtest")
+    rev = _daily_rev(duck).rev.to_numpy(float)
+    r = np.log(rev[1:] / rev[:-1])
+    var05 = np.quantile(r, 0.05)
+    n, x = float(len(r)), float((r < var05).sum())
+    p = x / n
+    lr = -2 * (
+        (n - x) * math.log(0.95) + x * math.log(0.05)
+        - (n - x) * math.log(1 - p) - x * math.log(p)
+    )
+    assert (row["n_days"], row["n_violations"]) == (n, x)
+    close(row["violation_rate"], p)
+    close(row["kupiec_lr"], lr, tol=1e-3)
+
+
+def test_croston(ops, duck):
+    rows = {r["l_partkey"]: r for r in ops("timeseries-croston")}
+    df = duck.execute(
+        "SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, sum(l_quantity)"
+        " AS z FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    alpha = 0.1
+    want = {}
+    for pk, g in df.groupby("l_partkey"):
+        if len(g) < 4:
+            continue
+        z = g.z.to_numpy(float)
+        days = [(b - a).days for a, b in zip(g.d, g.d[1:])]
+        # recursive SES, standard Croston init (z1; first interval)
+        zh = z[0]
+        for v in z[1:]:
+            zh = alpha * v + (1 - alpha) * zh
+        ph = float(days[0])
+        for v in days[1:]:
+            ph = alpha * v + (1 - alpha) * ph
+        want[pk] = (len(z), zh, ph)
+    # the op emits the top-20 by forecast
+    assert len(rows) == 20
+    for pk, r in rows.items():
+        n, zh, ph = want[pk]
+        assert r["n_demands"] == n
+        close(r["size_ses"], zh, tol=1e-3)
+        close(r["interval_ses"], ph, tol=1e-3)
+        close(r["croston_forecast"], zh / ph, tol=1e-3)
+
+
+def test_pca_2d(ops, duck):
+    (row,) = ops("stats-pca-2d")
+    df = duck.execute(
+        "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"
+    ).df()
+    X = np.column_stack([df.x.to_numpy(float), df.y.to_numpy(float)])
+    cov = np.cov(X.T, ddof=0)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    close(row["lambda1"], evals[0], tol=1e-3)
+    close(row["lambda2"], evals[1], tol=1e-3)
+    close(row["explained_ratio"], evals[0] / evals.sum())
+    # PC1 direction from the eigenvector, mapped to the op's atan2 form
+    w, v = np.linalg.eigh(cov)
+    pc1 = v[:, np.argmax(w)]
+    ang = math.degrees(math.atan2(pc1[1], pc1[0]))
+    got = row["pc1_angle_deg"]
+    assert (
+        abs(ang - got) < 1e-2 or abs(abs(ang - got) - 180) < 1e-2
+    ), (ang, got)
+    assert row["n_rows"] == len(df)
+
+
+def test_mahalanobis_outliers(ops, duck):
+    rows = ops("stats-mahalanobis-outliers")
+    df = duck.execute(
+        "SELECT o.o_orderkey AS k, o.o_totalprice AS p,"
+        " CAST(count(*) AS DOUBLE) AS q"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY 1, 2"
+    ).df()
+    X = np.column_stack([df.p.to_numpy(float), df.q.to_numpy(float)])
+    mu = X.mean(0)
+    cov = np.cov(X.T, ddof=0)
+    inv = np.linalg.inv(cov)
+    d = X - mu
+    d2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    order = sorted(
+        zip(d2, df.k), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert len(rows) == 20
+    for r, (dist, key) in zip(rows, order):
+        assert r["o_orderkey"] == key
+        close(r["mahalanobis_sq"], dist, tol=1e-3)
+
+
+def test_target_encode_loo(ops, duck):
+    rows = {r["event_type"]: r for r in ops("ml-target-encode-loo")}
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    mu = df.value.mean()
+    for et, g in df.groupby("event_type").value:
+        v = g.to_numpy(float)
+        n, s = len(v), v.sum()
+        if n <= 1:
+            continue
+        loo = (s - v) / (n - 1)
+        smoothed = (s - v + 20 * mu) / (n - 1 + 20)
+        r = rows[et]
+        close(r["mean_loo"], loo.mean())
+        close(r["mean_smoothed"], smoothed.mean())
+        close(r["sd_loo"], loo.std(ddof=1))
+        assert r["n"] == n
+
+
+def test_bradley_terry(ops, duck):
+    rows = {r["event_type"]: r for r in ops("eval-bradley-terry")}
+    df = _daily_means(duck)
+    piv = df.pivot(index="day", columns="event_type", values="m")
+    types = sorted(piv.columns)
+    import itertools
+    nij = {}
+    wij = {}
+    for i, j in itertools.combinations(types, 2):
+        sub = piv[[i, j]].dropna()
+        neq = sub[sub[i] != sub[j]]
+        nij[(i, j)] = float(len(neq))
+        wij[(i, j)] = float((neq[i] > neq[j]).sum())
+    # directed view: per team, total wins and opponent multiset
+    W = {t: 0.0 for t in types}
+    opp = {t: [] for t in types}
+    games = {t: 0.0 for t in types}
+    for (i, j), n in nij.items():
+        if n == 0:
+            continue
+        W[i] += wij[(i, j)]
+        W[j] += n - wij[(i, j)]
+        opp[i].append((j, n))
+        opp[j].append((i, n))
+        games[i] += n
+        games[j] += n
+    # two MM updates from uniform p=1
+    p = {t: 1.0 for t in types}
+    for _ in range(2):
+        p = {
+            t: W[t] / sum(n / (p[t] + p[o]) for o, n in opp[t])
+            for t in types
+        }
+    z = sum(p.values())
+    for t in types:
+        r = rows[t]
+        close(r["bt_strength"], p[t] / z)
+        assert (r["games"], r["wins"]) == (games[t], W[t])
+
+
+def test_gini_split(ops, duck):
+    (row,) = ops("stats-gini-split")
+    df = duck.execute(
+        "SELECT value,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    ).df()
+    v = df.value.to_numpy(float)
+    y = df.y.to_numpy(float)
+    lo, hi = v.min(), v.max()
+    b = np.minimum(31, np.floor((v - lo) / (hi - lo) * 32.0)).astype(int)
+    best = None
+    tpos, tn = y.sum(), float(len(y))
+    for thr_bin in np.unique(b):
+        left = b <= thr_bin
+        ln, lpos = float(left.sum()), y[left].sum()
+        if ln == 0 or ln == tn:
+            continue
+        pl = lpos / ln
+        pr = (tpos - lpos) / (tn - ln)
+        gw = (ln / tn) * 2 * pl * (1 - pl) + ((tn - ln) / tn) * 2 * pr * (
+            1 - pr
+        )
+        if best is None or (gw, thr_bin) < best:
+            best = (gw, thr_bin)
+    gw, thr_bin = best
+    g_root = 2 * (tpos / tn) * (1 - tpos / tn)
+    assert row["bin"] == thr_bin
+    close(row["threshold"], lo + (thr_bin + 1) * (hi - lo) / 32.0, tol=1e-3)
+    close(row["weighted_gini"], gw)
+    close(row["gini_gain"], g_root - gw)
