@@ -111,6 +111,16 @@ R5_NEW = [
 ]
 # round-5 continuation wave: token-explode LM scoring, bag-of-words
 # pair rollups, map-side model scoring — the heaviest of the 32 ops
+# round-6 persist fixes: ops whose executed plans had rfm-class
+# fact-scan fan-outs (18-48 scans) before a bounded-summary persist
+R6_PERSIST = [
+    "eval-bradley-terry",
+    "timeseries-ses-grid",
+    "stats-anova-two-way",
+    "ml-naive-bayes",
+    "text-heaps-law",
+    "embed-mmr-rerank",
+]
 R5_WAVE2 = [
     "text-lm-interpolated",
     "dedup-weighted-jaccard",
@@ -131,7 +141,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     worst = 0.0
     for op in (EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED + R5_NEW
-                   + R5_WAVE2):
+                   + R5_WAVE2 + R6_PERSIST):
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

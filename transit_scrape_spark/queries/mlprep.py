@@ -1244,6 +1244,11 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot = string_hash(
         F.concat(F.col("user_id").cast("string"), F.lit(_NB_SALT))
     ) % 5
+    # persist the per-user feature frame: tr feeds four training
+    # summaries and te the scoring pass — uncached each one re-runs the
+    # 3-way per-user rollup join (18 fact scans in the executed plan).
+    # Much smaller than the fact table (one row per user) and dropped
+    # by release_caches().
     base = (
         uval.join(uhour, "user_id")
         .join(lab, "user_id")
@@ -1257,7 +1262,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             slot.alias("slot"),
         )
-    )
+    ).persist()
     tr = base.filter(F.col("slot") < 4)
     te = base.filter(F.col("slot") >= 4)
     ntr = tr.agg(F.count("*").cast("double").alias("n_train"))

@@ -310,10 +310,17 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ma") != F.col("mb")).select(
         "i", "j", F.when(F.col("ma") > F.col("mb"), 1).otherwise(0).alias("wi")
     )
+    # persist the k(k-1)/2-row pair summary: directed/wins/p1/p2 each
+    # reference it several times, and uncached every reference re-runs
+    # the events scan + daily rollup + day self-join (48 fact scans in
+    # the executed plan — the rfm-class fan-out; at 100 TB that is 48x
+    # the IO). Locally the cache barrier costs ~1s of serialization,
+    # the same local-vs-scale trade window-session-concurrency made in
+    # r5. release_caches() drops it after materialization.
     pair = games.groupBy("i", "j").agg(
         F.count("*").cast("double").alias("nij"),
         F.sum("wi").cast("double").alias("wi"),
-    )
+    ).persist()
     directed = pair.select(
         F.col("i").alias("t"), F.col("j").alias("o"), "nij", F.col("wi").alias("w")
     ).unionByName(

@@ -182,16 +182,20 @@ def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = obs.agg(
         F.avg("y").alias("gm"), F.count("*").cast("double").alias("n")
-    )
+    ).persist()
+    # persist the bounded marginal/cell summaries (5/4/20 rows): the
+    # SS branches reference them repeatedly, and uncached every
+    # reference re-scans the fact table (19 scans in the executed plan
+    # — rfm-class fan-out). release_caches() cleans up.
     ma = obs.groupBy("a").agg(
         F.avg("y").alias("am"), F.count("*").cast("double").alias("na")
-    )
+    ).persist()
     mb = obs.groupBy("b").agg(
         F.avg("y").alias("bm"), F.count("*").cast("double").alias("nb")
-    )
+    ).persist()
     mc = obs.groupBy("a", "b").agg(
         F.avg("y").alias("cm"), F.count("*").cast("double").alias("nc")
-    )
+    ).persist()
     ss_err = (
         obs.join(F.broadcast(mc.select("a", "b", "cm")), ["a", "b"])
         .agg(

@@ -1811,13 +1811,18 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc_tok = tok.groupBy("doc_id").agg(
         F.count("*").cast("double").alias("n_tok")
     )
+    # persist the per-doc decile frame: new_types and per_dec both
+    # reference it, and uncached each re-runs the token explode + the
+    # two-phase rank (26 fact scans in the executed plan). One row per
+    # doc — far smaller than the exploded tokens; release_caches()
+    # cleans up.
     doc_order = with_global_order(
         per_doc_tok, "doc_id", rn="__rn", total_count="__n"
     ).select(
         "doc_id",
         exact_ntile(F.col("__rn"), F.col("__n"), 10).alias("decile"),
         "n_tok",
-    )
+    ).persist()
     first_use = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
     new_types = (
         first_use.join(

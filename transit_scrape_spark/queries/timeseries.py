@@ -3256,13 +3256,17 @@ def timeseries_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = daily.agg(F.avg("y").alias("mu"))
     w = Window.orderBy("day")
+    # persist the calendar-bounded lag frame: the 5 alpha branches each
+    # reference it, and uncached every branch re-runs the orders scan +
+    # daily rollup (20 fact scans in the executed plan — rfm-class
+    # fan-out). release_caches() drops it after materialization.
     lagged = daily.crossJoin(F.broadcast(base)).select(
         "day",
         "y",
         "mu",
         F.row_number().over(w).alias("rn"),
         *[F.lag("y", k + 1).over(w).alias(f"l{k}") for k in range(14)],
-    )
+    ).persist()
     alpha_rows = []
     for a in [0.1, 0.3, 0.5, 0.7, 0.9]:
         cs = [a * (1 - a) ** k for k in range(14)]

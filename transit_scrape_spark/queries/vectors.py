@@ -1184,6 +1184,10 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("simq").desc(), F.col("cid"))
         .limit(_MMR_POOL)
+        # persist the bounded candidate pool: the greedy MMR rounds
+        # reference it ~8 times, and uncached each re-scans the
+        # embeddings table (30 scans in the executed plan).
+        .persist()
     )
     a = cand.select(
         F.col("cid").alias("ca"), F.col("v").alias("va"), F.col("simq").alias("sa")
@@ -1191,7 +1195,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cand.select(F.col("cid").alias("cb"), F.col("v").alias("vb"))
     pair = a.join(b, F.col("ca") != F.col("cb")).select(
         "ca", "cb", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s")
-    )
+    ).persist()  # pool^2 rows, referenced by every MMR round
 
     def argmax(df: DataFrame, score_col: str) -> DataFrame:
         return df.orderBy(F.col(score_col).desc(), F.col("cid")).limit(1)
