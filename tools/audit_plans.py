@@ -234,6 +234,39 @@ INTENTIONAL_ALLPAIRS = {
     "join-interval-overlap",  # theta overlap vs broadcast 8-row campaign dim
 }
 
+# Fact-scan fan-out guard (round 6): an op whose executed plan contains
+# many parquet scans and NO InMemoryTableScan is re-running its fact
+# scan once per reference to a shared lazy summary — the blow-up that
+# cost analytics-rfm 128 scans (3-deep chained rank helpers) and
+# eval-bradley-terry 48 (pair summary fanned into directed/wins/p1/p2).
+# The fix is persisting the first bounded summary; a cached plan shows
+# InMemoryTableScan nodes and the text scans under InMemoryRelation are
+# lineage, not executions. The threshold is deliberately generous: a
+# handful of scans is a legitimate multi-rollup shape (two-way ANOVA
+# reads its fact 5x for 4 marginals + SSE); 15+ with zero caching is
+# the pathological class.
+# Only scans of DATA-SCALED tables count: re-reading the 25-row nation
+# dim 100x (the iterative graph ops) costs nothing at any scale,
+# re-reading events/lineitem does.
+SCAN_FANOUT_THRESHOLD = 15
+FACT_TABLES = (
+    "events", "orders", "lineitem", "documents", "embeddings",
+    "customer", "part",
+)
+SCAN_FANOUT_OPS: set[str] = set()  # no excused ops today — keep it empty
+
+
+def fact_scan_count(plan: str) -> int:
+    """Number of scan nodes over data-scaled parquet tables."""
+    import re as _re
+
+    n = 0
+    for m in _re.finditer(r"(?:Scan parquet|FileScan)[^\n]*", plan):
+        line = m.group(0)
+        if any(f"{t}.parquet" in line for t in FACT_TABLES):
+            n += 1
+    return n
+
 # Ops allowed to keep empty-partition (single-task) Window nodes because
 # the frame is BOUNDED — its cardinality is fixed by calendar, bin
 # count, vocabulary of a low-cardinality column, or an explicit prune —
@@ -453,6 +486,13 @@ def main() -> None:
             flag += "PYTHON-EVAL "
         if gwin > BOUNDED_WINDOW_OPS.get(op_id, (0, ""))[0]:
             flag += f"GLOBAL-WINDOW({gwin}) "
+        n_scans = fact_scan_count(p)
+        if (
+            n_scans >= SCAN_FANOUT_THRESHOLD
+            and "InMemoryTableScan" not in p
+            and op_id not in SCAN_FANOUT_OPS
+        ):
+            flag += f"SCAN-FANOUT({n_scans}) "
         rows.append(
             (
                 op_id,

@@ -417,7 +417,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everything, i.e. uninformative).",
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -583,9 +583,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # persist the bounded symmetrized edge list: deg + both join sides
+    # reference it, and uncached each re-runs the 4-table fact join
+    # (18 fact scans measured). release_caches() reclaims it.
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -735,7 +738,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1/ln(deg) finite; threshold aa>=1 bounds the output.",
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -812,7 +815,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents.",
 )
 def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     e1 = edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
     e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("nbr2"))
     twohop = (
@@ -955,7 +958,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "structure.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     member = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("node"),
         F.col("n_regionkey").cast("long").alias("comm"),
@@ -1025,7 +1028,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph-adamic-adar document.",
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("degree")
     )
@@ -1105,7 +1108,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for when iteration count must be data-dependent.",
 )
 def graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     nodes = edges.select(F.col("a").alias("node")).distinct()
     v = nodes.withColumn("x", F.lit(1.0))
     vecs = [v]
@@ -1166,7 +1169,7 @@ def graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carry node-id pairs only.",
 )
 def graph_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     canon = edges.filter(F.col("a") < F.col("b"))
     e1 = edges.select(F.col("a").alias("u1"), F.col("b").alias("w1"))
     e2 = edges.select(F.col("a").alias("u2"), F.col("b").alias("w2"))
@@ -1357,7 +1360,9 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    edges.unpersist()
+    # NOTE: no edges.unpersist() here — `out` is lazy, so dropping the
+    # cache before the caller materializes made the persist a no-op
+    # (54 fact scans measured). release_caches() reclaims it.
     return out
 
 
@@ -1399,7 +1404,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     nodes = edges.select(F.col("a").alias("node")).distinct()
     l1 = (
         nodes.join(edges, nodes.node == edges.a)
@@ -1455,7 +1460,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _nation_edges(spark, sf_dir)
+    edges = _nation_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("double").alias("deg")
     )
