@@ -2247,3 +2247,137 @@ def test_gini_split(ops, duck):
     close(row["threshold"], lo + (thr_bin + 1) * (hi - lo) / 32.0, tol=1e-3)
     close(row["weighted_gini"], gw)
     close(row["gini_gain"], g_root - gw)
+
+
+def test_nelson_aalen(ops, duck):
+    rows = ops("stats-nelson-aalen")
+    df = _durations(duck)
+    t = df.t.to_numpy(float)
+    died = df.died.to_numpy(int)
+    h = v = 0.0
+    golden = {}
+    for u in np.sort(np.unique(t)):
+        n_risk = float((t >= u).sum())
+        d = float(died[t == u].sum())
+        h += d / n_risk
+        v += d / (n_risk * n_risk)
+        if d > 0:
+            golden[int(u)] = (n_risk, d, h, v)
+    assert len(rows) == len(golden)
+    for r in rows:
+        n_risk, d, hh, vv = golden[r["t_days"]]
+        assert (r["n_risk"], r["n_events"]) == (n_risk, d)
+        close(r["cum_hazard"], hh)
+        close(r["breslow_survival"], math.exp(-hh))
+        close(r["hazard_se"], math.sqrt(vv))
+
+
+def test_mcf_recurrent(ops, duck):
+    rows = ops("event-mcf-recurrent")
+    df = duck.execute(
+        "WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),"
+        " fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS enter_d"
+        "        FROM events GROUP BY user_id)"
+        " SELECT e.user_id,"
+        " date_diff('day', f.enter_d, CAST(e.ts AS DATE)) AS t,"
+        " e.event_type = 'purchase' AS purch,"
+        " date_diff('day', f.enter_d, x.obs_end) AS tau"
+        " FROM events e JOIN fu f USING (user_id) CROSS JOIN ends x"
+    ).df()
+    taus = df.groupby("user_id").tau.first().to_numpy(float)
+    n_users = float(len(taus))
+    p = df[df.purch]
+    mcf = 0.0
+    got = {r["t_days"]: r for r in rows}
+    for u in np.sort(p.t.unique()):
+        d = float((p.t == u).sum())
+        n_risk = n_users - float((taus < u).sum())
+        mcf += d / n_risk
+        r = got[int(u)]
+        assert (r["n_risk"], r["n_events"]) == (n_risk, d)
+        close(r["mcf"], mcf)
+    assert len(rows) == p.t.nunique()
+
+
+def test_competing_risks(ops, duck):
+    rows = ops("analytics-competing-risks")
+    df = duck.execute(
+        """
+        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type='view' THEN CAST(ts AS DATE) END) AS fv,
+                   min(CASE WHEN event_type='purchase' THEN CAST(ts AS DATE) END) AS fp,
+                   min(CASE WHEN event_type='error' THEN CAST(ts AS DATE) END) AS fe
+            FROM events GROUP BY user_id
+        )
+        SELECT CASE
+                 WHEN fp IS NOT NULL AND fp >= fv AND (fe IS NULL OR fp <= fe)
+                   THEN date_diff('day', fv, fp)
+                 WHEN fe IS NOT NULL AND fe >= fv
+                   THEN date_diff('day', fv, fe)
+                 ELSE date_diff('day', fv, e.obs_end) END AS t,
+               CASE
+                 WHEN fp IS NOT NULL AND fp >= fv AND (fe IS NULL OR fp <= fe) THEN 1
+                 WHEN fe IS NOT NULL AND fe >= fv THEN 2
+                 ELSE 0 END AS cause
+        FROM pu CROSS JOIN ends e WHERE fv IS NOT NULL
+        """
+    ).df()
+    t = df.t.to_numpy(float)
+    cause = df.cause.to_numpy(int)
+    # Aalen-Johansen CIFs: S(t-) carried through event times
+    s_minus = 1.0
+    cif1 = cif2 = 0.0
+    golden = {}
+    for u in np.sort(np.unique(t)):
+        n_risk = float((t >= u).sum())
+        d1 = float(((t == u) & (cause == 1)).sum())
+        d2 = float(((t == u) & (cause == 2)).sum())
+        cif1 += s_minus * d1 / n_risk
+        cif2 += s_minus * d2 / n_risk
+        golden[int(u)] = (n_risk, d1, d2, cif1, cif2)
+        if d1 + d2 > 0:
+            s_minus *= 1 - (d1 + d2) / n_risk
+    for r in rows:
+        n_risk, d1, d2, c1, c2 = golden[r["t_days"]]
+        close(r["cif_purchase"], c1)
+        close(r["cif_error"], c2)
+
+
+def test_brier_decomposition(ops, duck):
+    (row,) = ops("eval-brier-decomposition")
+    from transit_scrape_spark.operators.dedup import sql_string_hash
+
+    expr = sql_string_hash("CAST(event_id AS VARCHAR) || ':brier-salt-r5'")
+    df = duck.execute(
+        f"SELECT CAST(extract(hour FROM ts) AS INT) AS h,"
+        f" CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END AS o,"
+        f" ({expr}) % 5 AS slot FROM events"
+    ).df()
+    tr = df[df.slot < 4]
+    te = df[df.slot >= 4].copy()
+    rates = tr.groupby("h").o.mean()
+    te["p"] = te.h.map(rates)
+    te = te.dropna(subset=["p"])
+    o = te.o.to_numpy(float)
+    p = te.p.to_numpy(float)
+    n = float(len(o))
+    obar = o.mean()
+    brier = ((p - o) ** 2).mean()
+    rel = res = 0.0
+    for pk, g in te.groupby("p").o:
+        nk = float(len(g))
+        rel += nk * (pk - g.mean()) ** 2
+        res += nk * (g.mean() - obar) ** 2
+    rel /= n
+    res /= n
+    unc = obar * (1 - obar)
+    close(row["brier"], brier)
+    close(row["reliability"], rel)
+    close(row["resolution"], res)
+    close(row["uncertainty"], unc)
+    # Murphy identity must hold exactly at distinct-forecast binning
+    close(row["identity_residual"], 0.0, tol=1e-5)
+    close(brier, rel - res + unc, tol=1e-9)
+    assert row["n_test"] == n
