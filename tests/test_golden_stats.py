@@ -2381,3 +2381,112 @@ def test_brier_decomposition(ops, duck):
     close(row["identity_residual"], 0.0, tol=1e-5)
     close(brier, rel - res + unc, tol=1e-9)
     assert row["n_test"] == n
+
+
+def test_calibration_slope(ops, duck):
+    (row,) = ops("ml-calibration-slope")
+    from transit_scrape_spark.operators.dedup import sql_string_hash
+
+    expr = sql_string_hash("CAST(event_id AS VARCHAR) || ':calib-slope-r5'")
+    df = duck.execute(
+        f"SELECT CAST(extract(hour FROM ts) AS INT) AS h,"
+        f" CASE WHEN event_type='purchase' THEN 1.0 ELSE 0.0 END AS o,"
+        f" ({expr}) % 5 AS slot FROM events"
+    ).df()
+    tr, te = df[df.slot < 4], df[df.slot >= 4].copy()
+    rates = tr.groupby("h").o.mean()
+    te["p"] = te.h.map(rates)
+    xs, zs, ws = [], [], []
+    for pk, g in te.groupby("p").o:
+        if 0 < pk < 1:
+            nk = float(len(g))
+            obar = g.mean()
+            xs.append(math.log(pk / (1 - pk)))
+            zs.append(math.log((obar * nk + 0.5) / ((1 - obar) * nk + 0.5)))
+            ws.append(nk)
+    x, z, w = map(np.array, (xs, zs, ws))
+    mx = (w * x).sum() / w.sum()
+    mz = (w * z).sum() / w.sum()
+    b = (w * (x - mx) * (z - mz)).sum() / (w * (x - mx) ** 2).sum()
+    close(row["calibration_slope"], b, tol=1e-3)
+    close(row["calibration_intercept"], mz - b * mx, tol=1e-3)
+    assert (row["n_bins"], row["n_test"]) == (len(x), w.sum())
+
+
+def test_calibration_curve(ops, duck):
+    rows = ops("stats-calibration-curve")
+    df = duck.execute(
+        "SELECT value AS score,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    ).df()
+    s = df.score.to_numpy(float)
+    y = df.y.to_numpy(float)
+    conf = (s - s.min()) / (s.max() - s.min())
+    b = np.minimum(9, np.floor(conf * 10)).astype(int)
+    tn = float(len(conf))
+    ece = 0.0
+    golden = {}
+    for bb in np.unique(b):
+        sel = b == bb
+        mc, orr, n = conf[sel].mean(), y[sel].mean(), float(sel.sum())
+        ece += abs(orr - mc) * n / tn
+        golden[int(bb)] = (mc, orr, n)
+    assert len(rows) == len(golden)
+    for r in rows:
+        mc, orr, n = golden[r["bin"]]
+        close(r["mean_confidence"], mc)
+        close(r["observed_rate"], orr)
+        close(r["ece"], ece)
+        assert r["n"] == n
+
+
+def _daily_value_means(duck):
+    return duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, avg(value) AS x"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df().x.to_numpy(float)
+
+
+def test_kpss_level(ops, duck):
+    (row,) = ops("timeseries-kpss-level")
+    x = _daily_value_means(duck)
+    n = len(x)
+    e = x - x.mean()
+    s_t = np.cumsum(e)
+    eta = (s_t**2).sum() / (n * n * (e**2).mean())
+    close(row["kpss_stat"], eta)
+    assert row["n_days"] == n
+    assert row["reject_level_stationarity_5pct"] == int(eta > 0.463)
+
+
+def test_variance_ratio(ops, duck):
+    (row,) = ops("timeseries-variance-ratio")
+    x = _daily_counts(duck)
+    r1 = np.log(x[1:] / x[:-1])
+    r5 = np.log(x[5:] / x[:-5])
+    vr = r5.var(ddof=1) / (5 * r1.var(ddof=1))
+    close(row["var_1d"], r1.var(ddof=1))
+    close(row["var_5d"], r5.var(ddof=1))
+    close(row["variance_ratio"], vr)
+    close(row["z_approx"], (vr - 1) * math.sqrt(len(r5) * 5.0 / 8))
+    assert row["n_returns"] == len(r1)
+
+
+def test_acf_pacf(ops, duck):
+    (row,) = ops("timeseries-acf-pacf")
+    x = _daily_value_means(duck)
+    m = x.mean()
+    e = x - m
+    denom = (e**2).sum()
+    r = [np.dot(e[k:], e[:-k]) / denom for k in (1, 2, 3)]
+    close(row["acf1"], r[0])
+    close(row["acf2"], r[1])
+    close(row["acf3"], r[2])
+    # Durbin-Levinson
+    p22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+    p21 = r[0] * (1 - p22)
+    p33 = (r[2] - p21 * r[1] - p22 * r[0]) / (1 - p21 * r[0] - p22 * r[1])
+    close(row["pacf1"], r[0])
+    close(row["pacf2"], p22)
+    close(row["pacf3"], p33, tol=1e-3)
