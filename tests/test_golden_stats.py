@@ -2490,3 +2490,118 @@ def test_acf_pacf(ops, duck):
     close(row["pacf1"], r[0])
     close(row["pacf2"], p22)
     close(row["pacf3"], p33, tol=1e-3)
+
+
+def test_trimmed_mean(ops, duck):
+    rows = {r["event_type"]: r for r in ops("agg-trimmed-mean")}
+    df = duck.execute("SELECT event_type, value FROM events").df()
+    for et, g in df.groupby("event_type").value:
+        v = g.to_numpy(float)
+        p10, p90 = np.quantile(v, 0.1), np.quantile(v, 0.9)
+        kept = v[(v >= p10) & (v <= p90)]
+        r = rows[et]
+        close(r["trimmed_mean"], kept.mean())
+        close(r["p10"], p10)
+        close(r["p90"], p90)
+        assert r["n_kept"] == len(kept)
+
+
+def test_median_of_means(ops, duck):
+    (row,) = ops("agg-median-of-means")
+    df = duck.execute("SELECT event_id, value FROM events").df()
+    grp = (df.event_id.to_numpy("int64") * 2654435761 % 2147483648) % 10
+    means = np.array(
+        [df.value[grp == g].mean() for g in np.unique(grp)]
+    )
+    close(row["median_of_means"], np.quantile(means, 0.5))
+    close(row["plain_mean"], df.value.mean())
+    assert (row["n_groups"], row["n_rows"]) == (len(means), len(df))
+
+
+def test_power_mean(ops, duck):
+    (row,) = ops("stats-power-mean")
+    v = duck.execute("SELECT value FROM events").df().value.to_numpy(float)
+    mu, var = v.mean(), v.var(ddof=1)
+    delta = mu * 0.05
+    z = 1.959964 + 0.841621
+    close(row["baseline_mean"], mu)
+    close(row["baseline_sd"], math.sqrt(var))
+    assert row["n_per_variant"] == math.ceil(2 * z * z * var / delta**2)
+
+
+def test_lorenz_asymmetry(ops, duck):
+    (row,) = ops("stats-lorenz-asymmetry")
+    r = duck.execute(
+        "SELECT sum(o_totalprice) AS r FROM orders GROUP BY o_custkey"
+    ).df().r.to_numpy(float)
+    mu = r.mean()
+    f = (r < mu).mean()
+    l = r[r < mu].sum() / r.sum()
+    close(row["f_below_mean"], f)
+    close(row["share_below_mean"], l)
+    close(row["lorenz_asymmetry_s"], f + l)
+    assert row["n_customers"] == len(r)
+
+
+def test_overdispersion(ops, duck):
+    (row,) = ops("stats-overdispersion")
+    k = duck.execute(
+        "SELECT CAST(count(*) AS DOUBLE) AS k FROM events GROUP BY user_id"
+    ).df().k.to_numpy(float)
+    mu, v = k.mean(), k.var(ddof=1)
+    close(row["mean_events"], mu)
+    close(row["dispersion_index"], v / mu)
+    close(row["nb_alpha"], (v - mu) / (mu * mu))
+    close(row["poisson_chi2"], (len(k) - 1) * v / mu, tol=1e-3)
+    assert row["n_users"] == len(k)
+
+
+def test_ks_exact_daily(ops, duck):
+    (row,) = ops("stats-ks-exact-daily")
+    df = _daily_means(duck, ("click", "view"))
+    a = np.sort(df.m[df.event_type == "click"].to_numpy(float))
+    b = np.sort(df.m[df.event_type == "view"].to_numpy(float))
+    # exact two-sample KS via merged grid
+    grid = np.sort(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(f1 - f2).max()
+    close(row["ks_d"], d)
+    close(
+        row["ks_stat_scaled"],
+        d * math.sqrt(len(a) * len(b) / (len(a) + len(b))),
+    )
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+
+
+def test_uniformity_hours(ops, duck):
+    (row,) = ops("stats-uniformity-hours")
+    df = duck.execute(
+        "SELECT extract(hour FROM ts) AS hr, count(*) AS c"
+        " FROM events GROUP BY 1"
+    ).df()
+    c = df.c.to_numpy(float)
+    n = c.sum()
+    e = n / 24
+    close(row["chi2_uniform"], ((c - e) ** 2 / e).sum(), tol=1e-3)
+    close(row["peak_to_trough"], c.max() / c.min())
+    assert (row["n_events"], row["n_hours_present"]) == (n, len(c))
+
+
+def test_spectral_entropy(ops, duck):
+    (row,) = ops("timeseries-spectral-entropy")
+    x = _daily_counts(duck)
+    n = float(len(x))
+    xc = x - x.mean()
+    t = np.arange(len(x), dtype=float)
+    p = np.array([
+        (xc * np.cos(2 * math.pi * k * t / n)).sum() ** 2
+        + (xc * np.sin(2 * math.pi * k * t / n)).sum() ** 2
+        for k in range(1, 11)
+    ])
+    q = p / p.sum()
+    se = -(q[q > 0] * np.log(q[q > 0])).sum()
+    close(row["spectral_entropy"], se)
+    close(row["normalized_se"], se / math.log(10))
+    close(row["peak_share"], q.max())
+    assert row["n_freqs"] == 10
