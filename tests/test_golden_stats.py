@@ -2605,3 +2605,122 @@ def test_spectral_entropy(ops, duck):
     close(row["normalized_se"], se / math.log(10))
     close(row["peak_share"], q.max())
     assert row["n_freqs"] == 10
+
+
+def test_ancova(ops, duck):
+    rows = {r["grp"]: r for r in ops("stats-ancova")}
+    df = duck.execute(
+        "SELECT event_type AS g, CAST(extract(hour FROM ts) AS DOUBLE) AS x,"
+        " value AS y FROM events"
+    ).df()
+    sxx_w = sxy_w = syy_w = 0.0
+    per = {}
+    for g, s in df.groupby("g"):
+        x, y = s.x.to_numpy(float), s.y.to_numpy(float)
+        per[g] = (len(x), x.mean(), y.mean())
+        sxx_w += ((x - x.mean()) ** 2).sum()
+        sxy_w += ((x - x.mean()) * (y - y.mean())).sum()
+        syy_w += ((y - y.mean()) ** 2).sum()
+    xt, yt = df.x.to_numpy(float), df.y.to_numpy(float)
+    n, k = float(len(xt)), float(len(per))
+    xbar = xt.mean()
+    b_w = sxy_w / sxx_w
+    sse_full = syy_w - sxy_w**2 / sxx_w
+    sxx_t = ((xt - xt.mean()) ** 2).sum()
+    sxy_t = ((xt - xt.mean()) * (yt - yt.mean())).sum()
+    syy_t = ((yt - yt.mean()) ** 2).sum()
+    sse_red = syy_t - sxy_t**2 / sxx_t
+    f_group = ((sse_red - sse_full) / (k - 1)) / (sse_full / (n - k - 1))
+    for g, (ng, xg, yg) in per.items():
+        r = rows[g]
+        close(r["raw_mean"], yg)
+        close(r["adjusted_mean"], yg - b_w * (xg - xbar))
+        close(r["common_slope"], b_w)
+        close(r["f_group"], f_group, tol=1e-3)
+        assert r["n"] == ng
+
+
+def test_chow(ops, duck):
+    (row,) = ops("stats-chow-test")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    t = np.array([(d - df.d.iloc[0]).days for d in df.d], float)
+    y = df.y.to_numpy(float)
+    t0 = (df.d.iloc[-1] - df.d.iloc[0]).days // 2
+
+    def sse(tt, yy):
+        X = np.column_stack([np.ones_like(tt), tt])
+        b, *_ = np.linalg.lstsq(X, yy, rcond=None)
+        return ((yy - X @ b) ** 2).sum()
+
+    pre, post = t < t0, t >= t0
+    sse_p = sse(t, y)
+    sse_s = sse(t[pre], y[pre]) + sse(t[post], y[post])
+    n = float(len(y))
+    f = ((sse_p - sse_s) / 2) / (sse_s / (n - 4))
+    close(row["sse_pooled"], sse_p, tol=1e-3)
+    close(row["sse_split"], sse_s, tol=1e-3)
+    close(row["chow_f"], f, tol=1e-3)
+    assert (row["n_pre"], row["n_post"]) == (pre.sum(), post.sum())
+
+
+def test_cramers_v_bergsma(ops, duck):
+    """The op whose r4 bias-correction bug motivated this module:
+    Bergsma (2013) r~ = r - (r-1)^2/(N-1), denominator min(r~-1, c~-1)."""
+    (row,) = ops("stats-cramers-v")
+    df = duck.execute(
+        "SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders"
+    ).df()
+    tab = df.groupby(["s", "p"]).size().unstack(fill_value=0)
+    obs = tab.to_numpy(float)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    r, c = obs.shape
+    v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    phi2p = max(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+    rt = r - (r - 1) ** 2 / (n - 1)
+    ct = c - (c - 1) ** 2 / (n - 1)
+    vp = math.sqrt(phi2p / min(rt - 1, ct - 1))
+    close(row["chi2"], chi2, tol=1e-3)
+    close(row["cramers_v"], v)
+    close(row["cramers_v_corrected"], vp)
+    assert row["n_rows"] == n
+
+
+def test_poisson_two_rate(ops, duck):
+    (row,) = ops("stats-poisson-two-rate")
+    df = duck.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d FROM events"
+        " WHERE event_type IN ('click','purchase')"
+    ).df()
+    k1 = float((df.event_type == "click").sum())
+    k2 = float((df.event_type == "purchase").sum())
+    t = df.d.nunique()
+    close(row["rate1"], k1 / t)
+    close(row["rate2"], k2 / t)
+    close(row["z_unconditional"], (k1 - k2) / math.sqrt(k1 + k2))
+    close(
+        row["z_conditional"],
+        (k1 / (k1 + k2) - 0.5) / math.sqrt(0.25 / (k1 + k2)),
+    )
+    assert (row["k1"], row["k2"], row["t_days"]) == (k1, k2, t)
+
+
+def test_runs_median(ops, duck):
+    (row,) = ops("stats-runs-median")
+    x = _daily_counts(duck)
+    md = np.quantile(x, 0.5)
+    sides = [1 if v > md else 0 for v in x if v != md]
+    n1 = float(sum(sides))
+    n2 = float(len(sides) - sum(sides))
+    r = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+    e_r = 2 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (row["n_above"], row["n_below"], row["n_runs"]) == (n1, n2, r)
+    close(row["z"], (r - e_r) / math.sqrt(var_r))
