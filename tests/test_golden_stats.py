@@ -2724,3 +2724,77 @@ def test_runs_median(ops, duck):
     )
     assert (row["n_above"], row["n_below"], row["n_runs"]) == (n1, n2, r)
     close(row["z"], (r - e_r) / math.sqrt(var_r))
+
+
+def test_periodogram(ops, duck):
+    rows = {r["k"]: r for r in ops("timeseries-periodogram")}
+    x = _daily_counts(duck)
+    n = float(len(x))
+    xc = x - x.mean()
+    t = np.arange(len(x), dtype=float)
+    for k in range(1, 11):
+        p = (
+            (xc * np.cos(2 * math.pi * k * t / n)).sum() ** 2
+            + (xc * np.sin(2 * math.pi * k * t / n)).sum() ** 2
+        ) / n**2
+        close(rows[k]["power_norm"], p)
+        close(rows[k]["period_days"], n / k, tol=1e-3)
+
+
+def test_dfa(ops, duck):
+    (row,) = ops("timeseries-dfa")
+    x = _daily_value_means(duck)
+    y = np.cumsum(x - x.mean())
+    fs = {}
+    for s in (5, 10):
+        res = []
+        for box in range(len(y) // s):
+            seg = y[box * s:(box + 1) * s]
+            i = np.arange(s, dtype=float)
+            X = np.column_stack([np.ones(s), i])
+            b, *_ = np.linalg.lstsq(X, seg, rcond=None)
+            res.append(((seg - X @ b) ** 2).mean())
+        fs[s] = math.sqrt(np.mean(res))
+    close(row["f_s5"], fs[5], tol=1e-3)
+    close(row["f_s10"], fs[10], tol=1e-3)
+    close(
+        row["dfa_alpha"],
+        (math.log(fs[10]) - math.log(fs[5])) / (math.log(10) - math.log(5)),
+        tol=1e-3,
+    )
+
+
+def test_pettitt(ops, duck):
+    (row,) = ops("timeseries-pettitt")
+    x = _daily_value_means(duck)
+    n = len(x)
+    # mid-ranks
+    order = np.argsort(x)
+    r = np.empty(n)
+    r[order] = np.arange(1, n + 1)
+    # Pettitt U_t via rank cumsum (continuous values: no ties expected)
+    u = 2 * np.cumsum(r) - np.arange(1, n + 1) * (n + 1.0)
+    k_idx = int(np.argmax(np.abs(u[: n - 1])))
+    k = abs(u[k_idx])
+    close(row["k_stat"], k, tol=1e-3)
+    close(
+        row["p_approx"],
+        2 * math.exp(-6 * k * k / (float(n) ** 3 + float(n) ** 2)),
+    )
+    assert row["n_days"] == n
+
+
+def test_cusum(ops, duck):
+    rows = ops("timeseries-cusum")
+    df = duck.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS day,"
+        " CAST(round(sum(value) * 100) AS BIGINT) AS v"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    got = {(r["event_type"], str(r["day"])[:10]): r["cusum"] for r in rows}
+    for et, g in df.groupby("event_type"):
+        v = g.v.to_numpy("int64")
+        mu = int(round(v.astype(float).mean()))
+        cs = np.cumsum(v - mu)
+        for day, c in zip(g.day, cs):
+            close(got[(et, str(day)[:10])], c / 100.0, tol=1e-6)
