@@ -2798,3 +2798,85 @@ def test_cusum(ops, duck):
         cs = np.cumsum(v - mu)
         for day, c in zip(g.day, cs):
             close(got[(et, str(day)[:10])], c / 100.0, tol=1e-6)
+
+
+def test_page_hinkley(ops, duck):
+    (row,) = ops("timeseries-page-hinkley")
+    x = _daily_value_means(duck)
+    m_t = 0.0
+    m_min = 0.0
+    max_ph = 0.0
+    alarms = 0
+    first = None
+    days = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day FROM events GROUP BY 1 ORDER BY 1"
+    ).df().day
+    running_sum = 0.0
+    for i, v in enumerate(x):
+        running_sum += v
+        xbar = running_sum / (i + 1)
+        m_t += v - xbar - 0.005
+        m_min = min(m_min, m_t)
+        ph = m_t - m_min
+        max_ph = max(max_ph, ph)
+        if ph > 5.0:
+            alarms += 1
+            if first is None:
+                first = days.iloc[i]
+    close(row["max_ph"], max_ph, tol=1e-3)
+    assert row["n_alarm_days"] == alarms
+    if first is not None:
+        assert str(row["first_alarm_day"])[:10] == str(first)[:10]
+    assert row["n_days"] == len(x)
+
+
+def test_seasonality_strength(ops, duck):
+    (row,) = ops("timeseries-seasonality-strength")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x,"
+        " (isodow(CAST(ts AS DATE)) - 1) % 7 AS dow"
+        " FROM events GROUP BY 1, 3 ORDER BY 1"
+    ).df()
+    x = df.x.to_numpy(float)
+    n = len(x)
+    trend = np.full(n, np.nan)
+    for i in range(3, n - 3):
+        trend[i] = x[i - 3:i + 4].mean()
+    dt = x - trend
+    dow = df.dow.to_numpy(int)
+    sraw = np.array([np.nanmean(dt[dow == d]) for d in range(7)])
+    # op normalizes by the mean of per-ROW seasonal_raw (not per-dow)
+    per_row_raw = sraw[dow]
+    seasonal_rows = per_row_raw - per_row_raw.mean()
+    keep = ~np.isnan(trend)
+    detr = dt[keep]
+    resid = (dt - seasonal_rows)[keep]
+    vs_d = detr.var(ddof=1)
+    vs_r = resid.var(ddof=1)
+    close(row["var_detrended"], vs_d, tol=1e-3)
+    close(row["var_residual"], vs_r, tol=1e-3)
+    close(row["seasonality_strength"], max(0.0, 1 - vs_r / vs_d), tol=1e-3)
+    assert row["n_days"] == keep.sum()
+
+
+def test_harmonic_fit(ops, duck):
+    (row,) = ops("timeseries-harmonic-fit")
+    x = _daily_value_means(duck)
+    n = float(len(x))
+    mu = x.mean()
+    t = np.arange(len(x), dtype=float)
+    best = None
+    sst = ((x - mu) ** 2).sum()
+    for k in range(1, 11):
+        a = 2.0 / n * ((x - mu) * np.cos(2 * math.pi * k * t / n)).sum()
+        b = 2.0 / n * ((x - mu) * np.sin(2 * math.pi * k * t / n)).sum()
+        p = a * a + b * b
+        if best is None or p > best[0] + 1e-15:
+            best = (p, k, a, b)
+    p, k, a, b = best
+    close(row["amplitude"], math.sqrt(p))
+    close(row["phase"], math.atan2(b, a), tol=1e-3)
+    assert row["dominant_k"] == k
+    close(row["period_days"], n / k, tol=1e-3)
+    # harmonic R^2 = n(a^2+b^2)/2 / SST
+    close(row["r2_explained"], n * p / 2 / sst, tol=1e-3)
