@@ -2880,3 +2880,82 @@ def test_harmonic_fit(ops, duck):
     close(row["period_days"], n / k, tol=1e-3)
     # harmonic R^2 = n(a^2+b^2)/2 / SST
     close(row["r2_explained"], n * p / 2 / sst, tol=1e-3)
+
+
+def _daily_counts_dates(duck):
+    return duck.execute(
+        "SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+
+
+def test_seasonal_mann_kendall(ops, duck):
+    (row,) = ops("timeseries-seasonal-mann-kendall")
+    df = duck.execute(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS d,"
+        " CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1)"
+        " SELECT dayofweek(d) AS dow,"
+        " CAST(date_diff('week', (SELECT min(d) FROM daily), d) AS BIGINT)"
+        " AS wk, y FROM daily"
+    ).df()
+    s = var_s = 0.0
+    n_days = 0
+    for _, g in df.groupby("dow"):
+        g = g.sort_values("wk")
+        y = g.y.to_numpy(float)
+        ns = float(len(y))
+        n_days += len(y)
+        for i in range(len(y)):
+            for j in range(i + 1, len(y)):
+                s += np.sign(y[j] - y[i])
+        var_s += ns * (ns - 1) * (2 * ns + 5) / 18.0
+    z = (s - np.sign(s)) / math.sqrt(var_s)
+    assert (row["n_days"], row["s_stat"]) == (n_days, s)
+    close(row["var_s"], var_s, tol=1e-3)
+    close(row["z_smk"], z, tol=1e-3)
+
+
+def test_sen_slope_seasonal(ops, duck):
+    (row,) = ops("timeseries-sen-slope-seasonal")
+    df = _daily_counts_dates(duck)
+    d0 = df.d.iloc[0]
+    df["t"] = [(d - d0).days for d in df.d]
+    # use duckdb's dayofweek directly to avoid convention mismatch
+    df["dow"] = duck.execute(
+        "SELECT dayofweek(CAST(ts AS DATE)) AS dow FROM events"
+        " GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)"
+    ).df().dow.to_numpy()
+    slopes = []
+    for _, g in df.groupby("dow"):
+        t = g.t.to_numpy(float)
+        y = g.y.to_numpy(float)
+        for i in range(len(t)):
+            for j in range(i + 1, len(t)):
+                slopes.append((y[j] - y[i]) / (t[j] - t[i]))
+    slopes = np.array(slopes)
+    close(row["sen_slope_per_day"], np.quantile(slopes, 0.5))
+    close(row["slope_p05"], np.quantile(slopes, 0.05))
+    close(row["slope_p95"], np.quantile(slopes, 0.95))
+    assert row["n_pairs"] == len(slopes)
+
+
+def test_intervention_its(ops, duck):
+    (row,) = ops("timeseries-intervention-its")
+    df = _daily_counts_dates(duck)
+    d0 = df.d.iloc[0]
+    t = np.array([(d - d0).days for d in df.d], float)
+    y = df.y.to_numpy(float)
+    t0 = (df.d.iloc[-1] - d0).days // 2
+
+    def fit(tt, yy):
+        X = np.column_stack([np.ones_like(tt), tt])
+        return np.linalg.lstsq(X, yy, rcond=None)[0]
+
+    pre, post = t < t0, t >= t0
+    a0, b0 = fit(t[pre], y[pre])
+    a1, b1 = fit(t[post], y[post])
+    close(row["slope_pre"], b0, tol=1e-3)
+    close(row["slope_post"], b1, tol=1e-3)
+    close(row["slope_change"], b1 - b0, tol=1e-3)
+    close(row["level_jump"], (a1 + b1 * t0) - (a0 + b0 * t0), tol=1e-3)
+    assert (row["n_pre"], row["n_post"]) == (pre.sum(), post.sum())
