@@ -2959,3 +2959,109 @@ def test_intervention_its(ops, duck):
     close(row["slope_change"], b1 - b0, tol=1e-3)
     close(row["level_jump"], (a1 + b1 * t0) - (a0 + b0 * t0), tol=1e-3)
     assert (row["n_pre"], row["n_post"]) == (pre.sum(), post.sum())
+
+
+def _two_raters(duck):
+    return duck.execute(
+        "SELECT CASE WHEN n_chars < 220 THEN 0"
+        " WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,"
+        " CASE WHEN length(text) - length(replace(text, ' ', '')) < 40"
+        "      THEN 0"
+        " WHEN length(text) - length(replace(text, ' ', '')) < 70"
+        "      THEN 1 ELSE 2 END AS rb"
+        " FROM documents"
+    ).df()
+
+
+def test_cohen_kappa_weighted(ops, duck):
+    (row,) = ops("stats-cohen-kappa-weighted")
+    df = _two_raters(duck)
+    tab = np.zeros((3, 3))
+    for a, b in zip(df.ra, df.rb):
+        tab[a, b] += 1
+    n = tab.sum()
+    o = tab / n
+    pr = tab.sum(1) / n
+    pc = tab.sum(0) / n
+    i, j = np.meshgrid(np.arange(3), np.arange(3), indexing="ij")
+    v = (i - j) ** 2 / 4.0
+    kappa_w = 1 - (v * o).sum() / (v * np.outer(pr, pc)).sum()
+    close(row["kappa_w"], kappa_w)
+    close(row["raw_agreement"], np.trace(tab) / n)
+    assert row["n_docs"] == n
+
+
+def test_bowker_symmetry(ops, duck):
+    (row,) = ops("stats-bowker-symmetry")
+    df = _two_raters(duck)
+    tab = np.zeros((3, 3))
+    for a, b in zip(df.ra, df.rb):
+        tab[a, b] += 1
+    chi2 = 0.0
+    dof = 0
+    disc = 0.0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            nij, nji = tab[i, j], tab[j, i]
+            if nij + nji > 0:
+                chi2 += (nij - nji) ** 2 / (nij + nji)
+                dof += 1
+                disc += nij + nji
+    close(row["bowker_chi2"], chi2)
+    close(row["frac_discordant"], disc / tab.sum())
+    assert (row["n_docs"], row["dof"]) == (tab.sum(), dof)
+
+
+def test_friedman_nemenyi(ops, duck):
+    rows = {
+        (r["type_a"], r["type_b"]): r for r in ops("stats-friedman-nemenyi")
+    }
+    df = _daily_means(duck)
+    piv = df.pivot(index="day", columns="event_type", values="m").dropna()
+    x = piv.to_numpy(float)
+    n, k = map(float, x.shape)
+    r = x.argsort(1).argsort(1) + 1.0
+    rbar = dict(zip(piv.columns, r.mean(0)))
+    se = math.sqrt(k * (k + 1) / (6 * n))
+    for (ta, tb), rr in rows.items():
+        q = abs(rbar[ta] - rbar[tb]) / se
+        close(rr["rank_a"], rbar[ta])
+        close(rr["rank_b"], rbar[tb])
+        close(rr["nemenyi_q"], q, tol=1e-3)
+        close(rr["q_range_scale"], q * math.sqrt(2), tol=1e-3)
+
+
+def test_fleiss_kappa(ops, duck):
+    (row,) = ops("eval-fleiss-kappa")
+    from transit_scrape_spark.operators.dedup import sql_string_hash
+
+    h1 = sql_string_hash(
+        "CAST(e.event_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)"
+        " || ':fleiss-salt-r5'"
+    )
+    h2 = sql_string_hash(
+        "CAST(e.event_id AS VARCHAR) || ':n:' || CAST(t.r AS VARCHAR)"
+        " || ':fleiss-salt-r5'"
+    )
+    df = duck.execute(
+        f"SELECT e.event_id,"
+        f" CASE WHEN ({h1}) % 4 = 0"
+        f"  THEN (least(CAST(floor(e.value / 34) AS BIGINT), 2) + 1"
+        f"        + ({h2}) % 2) % 3"
+        f"  ELSE least(CAST(floor(e.value / 34) AS BIGINT), 2) END AS cat"
+        f" FROM events e CROSS JOIN (SELECT unnest(range(3)) AS r) t"
+    ).df()
+    # per-subject agreement P_i with n=3 raters
+    pis = []
+    nj = np.zeros(3)
+    for _, g in df.groupby("event_id").cat:
+        counts = np.bincount(g.to_numpy(int), minlength=3).astype(float)
+        nj += counts
+        pis.append(((counts**2).sum() - 3) / (3 * 2))
+    p_bar = float(np.mean(pis))
+    pj = nj / nj.sum()
+    p_e = float((pj**2).sum())
+    close(row["p_bar"], p_bar)
+    close(row["p_e"], p_e)
+    close(row["fleiss_kappa"], (p_bar - p_e) / (1 - p_e))
+    assert row["n_subjects"] == len(pis)

@@ -1054,12 +1054,21 @@ def timeseries_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT ra, rb, CAST(count(*) AS DOUBLE) AS n_ij
             FROM rated GROUP BY ra, rb
         ),
+        -- densify onto the full k x k grid: empty cells carry the
+        -- LARGEST disagreement weights in the chance-agreement sum
+        -- (sparse-grid bug caught by tests/test_golden_stats.py)
+        grid AS (
+            SELECT a.ra, b.rb, coalesce(o.n_ij, 0) AS n_ij
+            FROM (SELECT DISTINCT ra FROM o) a
+            CROSS JOIN (SELECT DISTINCT rb FROM o) b
+            LEFT JOIN o ON o.ra = a.ra AND o.rb = b.rb
+        ),
         m AS (
             SELECT ra, rb, n_ij,
                    sum(n_ij) OVER (PARTITION BY ra) AS row_n,
                    sum(n_ij) OVER (PARTITION BY rb) AS col_n,
                    sum(n_ij) OVER () AS n
-            FROM o
+            FROM grid
         )
         SELECT CAST(max(n) AS BIGINT) AS n_docs,
                round(1 - sum((ra - rb) * (ra - rb) / 4.0 * n_ij / n)
@@ -1096,7 +1105,22 @@ def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = rated.groupBy("ra", "rb").agg(
         F.count("*").cast("double").alias("n_ij")
     )
-    m = o.select(
+    # densify onto the full k x k grid: the chance-agreement denominator
+    # sums v_ij * p_i * p_j over EVERY cell, and empty cells carry the
+    # LARGEST weights (the extreme-disagreement corners) — summing over
+    # present cells only understated kappa_w on both engines (0.9331 vs
+    # the true 0.9773 at sf0.01; caught by tests/test_golden_stats.py,
+    # same sparse-grid class as the stats-g-test Williams bug).
+    ras = o.select("ra").distinct()
+    rbs = o.select("rb").distinct()
+    grid = (
+        ras.crossJoin(F.broadcast(rbs))
+        .join(o, ["ra", "rb"], "left")
+        .select(
+            "ra", "rb", F.coalesce("n_ij", F.lit(0.0)).alias("n_ij")
+        )
+    )
+    m = grid.select(
         "ra",
         "rb",
         "n_ij",
