@@ -157,15 +157,24 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cells
         )
         SELECT round(sum(pxy * ln(pxy / (px * py))), 6) AS mi_nats,
-               round(-sum(CASE WHEN y = (SELECT min(y) FROM p)
-                               THEN px * ln(px) ELSE 0 END), 6) AS h_x,
-               round(-sum(CASE WHEN x = (SELECT min(x) FROM p)
-                               THEN py * ln(py) ELSE 0 END), 6) AS h_y,
+               -- marginal entropies over proper per-margin rollups: the
+               -- min-key-slice form drops terms on sparse grids
+               round((SELECT -sum((cx / tn) * ln(cx / tn)) FROM (
+                   SELECT x, sum(c) AS cx, sum(sum(c)) OVER () AS tn
+                   FROM cells GROUP BY x)), 6) AS h_x,
+               round((SELECT -sum((cy / tn) * ln(cy / tn)) FROM (
+                   SELECT y, sum(c) AS cy, sum(sum(c)) OVER () AS tn
+                   FROM cells GROUP BY y)), 6) AS h_y,
                round(sum(pxy * ln(pxy / (px * py)))
-                     / least(-sum(CASE WHEN y = (SELECT min(y) FROM p)
-                                       THEN px * ln(px) ELSE 0 END),
-                             -sum(CASE WHEN x = (SELECT min(x) FROM p)
-                                       THEN py * ln(py) ELSE 0 END)), 6)
+                     / least(
+                         (SELECT -sum((cx / tn) * ln(cx / tn)) FROM (
+                             SELECT x, sum(c) AS cx,
+                                    sum(sum(c)) OVER () AS tn
+                             FROM cells GROUP BY x)),
+                         (SELECT -sum((cy / tn) * ln(cy / tn)) FROM (
+                             SELECT y, sum(c) AS cy,
+                                    sum(sum(c)) OVER () AS tn
+                             FROM cells GROUP BY y))), 6)
                    AS nmi
         FROM p
     """,
@@ -198,25 +207,46 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("c").over(Window.partitionBy("y")) / F.sum("c").over(w_all)
         ).alias("py"),
-    ).withColumn("min_y", F.min("y").over(w_all)).withColumn(
-        "min_x", F.min("x").over(w_all)
     )
     mi = F.sum(F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py"))))
-    h_x = -F.sum(
-        F.when(F.col("y") == F.col("min_y"), F.col("px") * F.log("px")).otherwise(
-            0.0
+    # marginal entropies from proper per-margin aggregates over the
+    # bounded cells summary: the previous min-key-slice trick dropped a
+    # margin's entropy term whenever that margin had no cell at the
+    # slicing key — fine on a dense grid, silently wrong on a sparse
+    # one (the g-test/kappa sparse-grid class, hardened proactively).
+    tot = cells.agg(F.sum("c").alias("tn"))
+    hx_df = (
+        cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("cx") / F.col("tn"))
+                * F.log(F.col("cx") / F.col("tn"))
+            )).alias("h_x")
         )
     )
-    h_y = -F.sum(
-        F.when(F.col("x") == F.col("min_x"), F.col("py") * F.log("py")).otherwise(
-            0.0
+    hy_df = (
+        cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("cy") / F.col("tn"))
+                * F.log(F.col("cy") / F.col("tn"))
+            )).alias("h_y")
         )
     )
-    return p.agg(
-        F.round(mi, 6).alias("mi_nats"),
-        F.round(h_x, 6).alias("h_x"),
-        F.round(h_y, 6).alias("h_y"),
-        F.round(mi / F.least(h_x, h_y), 6).alias("nmi"),
+    return (
+        p.agg(mi.alias("mi"))
+        .crossJoin(F.broadcast(hx_df))
+        .crossJoin(F.broadcast(hy_df))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_x"), F.col("h_y")), 6
+            ).alias("nmi"),
+        )
     )
 
 
@@ -1816,12 +1846,19 @@ def stats_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS DOUBLE) AS obs
             FROM orders GROUP BY o_orderstatus, o_orderpriority
         ),
+        -- densify: empty cells contribute E to chi2 (sparse-grid class)
+        grid AS (
+            SELECT a.s, b.p, coalesce(c.obs, 0) AS obs
+            FROM (SELECT DISTINCT s FROM cells) a
+            CROSS JOIN (SELECT DISTINCT p FROM cells) b
+            LEFT JOIN cells c ON c.s = a.s AND c.p = b.p
+        ),
         marg AS (
             SELECT s, p, obs,
                    sum(obs) OVER (PARTITION BY s) AS row_tot,
                    sum(obs) OVER (PARTITION BY p) AS col_tot,
                    sum(obs) OVER () AS n
-            FROM cells
+            FROM grid
         ),
         stat AS (
             SELECT max(n) AS n,
@@ -1860,7 +1897,14 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = od.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
     ).agg(F.count("*").cast("double").alias("obs"))
-    marg = cells.select(
+    # densify: empty cells contribute E to chi2 (see oracle note)
+    grid = (
+        cells.select("s").distinct()
+        .crossJoin(F.broadcast(cells.select("p").distinct()))
+        .join(cells, ["s", "p"], "left")
+        .select("s", "p", F.coalesce("obs", F.lit(0.0)).alias("obs"))
+    )
+    marg = grid.select(
         "s",
         "p",
         "obs",

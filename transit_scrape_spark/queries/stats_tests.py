@@ -20,12 +20,23 @@ from transit_scrape_spark.sources.tables import load_table
                    CAST(count(*) AS BIGINT) AS obs
             FROM events GROUP BY event_type, user_id % 4
         ),
+        -- densify: an EMPTY cell still contributes its expected count E
+        -- to chi2 ((0-E)^2/E = E); summing over present cells only
+        -- understates the statistic on sparse grids (the g-test/kappa
+        -- sparse-grid class, hardened proactively)
+        grid AS (
+            SELECT a.event_type, b.seg, coalesce(c.obs, 0) AS obs
+            FROM (SELECT DISTINCT event_type FROM cells) a
+            CROSS JOIN (SELECT DISTINCT seg FROM cells) b
+            LEFT JOIN cells c ON c.event_type = a.event_type
+                             AND c.seg = b.seg
+        ),
         tot AS (
             SELECT event_type, seg, obs,
                    sum(obs) OVER (PARTITION BY event_type) AS row_tot,
                    sum(obs) OVER (PARTITION BY seg) AS col_tot,
                    sum(obs) OVER () AS n
-            FROM cells
+            FROM grid
         )
         SELECT CAST(max(n) AS BIGINT) AS n_events,
                CAST((count(DISTINCT event_type) - 1)
@@ -53,7 +64,16 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 4).cast("long").alias("seg")
     ).agg(F.count("*").alias("obs"))
-    tot = cells.select(
+    # densify: empty cells contribute E to chi2 (see oracle note)
+    grid = (
+        cells.select("event_type").distinct()
+        .crossJoin(F.broadcast(cells.select("seg").distinct()))
+        .join(cells, ["event_type", "seg"], "left")
+        .select(
+            "event_type", "seg", F.coalesce("obs", F.lit(0)).alias("obs")
+        )
+    )
+    tot = grid.select(
         "event_type",
         "seg",
         "obs",
