@@ -3065,3 +3065,74 @@ def test_fleiss_kappa(ops, duck):
     close(row["p_e"], p_e)
     close(row["fleiss_kappa"], (p_bar - p_e) / (1 - p_e))
     assert row["n_subjects"] == len(pis)
+
+
+def test_vif_collinearity(ops, duck):
+    rows = {r["feature"]: r for r in ops("ml-vif-collinearity")}
+    df = duck.execute(
+        "SELECT ln(1 + count(*)) AS x1, avg(value) AS x2,"
+        " ln(1 + sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END))"
+        " AS x3 FROM events GROUP BY user_id"
+    ).df()
+    X = df[["x1", "x2", "x3"]].to_numpy(float)
+    names = ["x1_log_events", "x2_mean_value", "x3_log_purchases"]
+    # VIF via direct OLS of each feature on the other two
+    for i, name in enumerate(names):
+        y = X[:, i]
+        others = X[:, [j for j in range(3) if j != i]]
+        A = np.column_stack([np.ones(len(y)), others])
+        b, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ b
+        r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+        close(rows[name]["vif"], 1 / (1 - r2), tol=1e-3)
+        assert rows[name]["n_users"] == len(y)
+
+
+def test_uplift_by_segment(ops, duck):
+    rows = {r["segment"]: r for r in ops("ml-uplift-by-segment")}
+    df = duck.execute(
+        "SELECT count(*) AS n,"
+        " max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS tr,"
+        " max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv"
+        " FROM events GROUP BY user_id"
+    ).df()
+    seg = np.where(df.n < 50, "low", np.where(df.n < 80, "mid", "high"))
+    for s in np.unique(seg):
+        sel = df[seg == s]
+        t = sel[sel.tr == 1]
+        c = sel[sel.tr == 0]
+        r = rows[s]
+        assert (r["n_treated"], r["n_control"]) == (len(t), len(c))
+        pt = t.conv.mean() if len(t) else None
+        pc = c.conv.mean() if len(c) else None
+        if pt is not None:
+            close(r["conv_treated"], pt)
+        if pc is not None:
+            close(r["conv_control"], pc)
+        if pt is not None and pc is not None:
+            close(r["uplift"], pt - pc)
+
+
+def test_cost_threshold(ops, duck):
+    rows = {r["fn_cost"]: r for r in ops("ml-cost-threshold")}
+    df = duck.execute(
+        "SELECT round(value, 1) AS s,"
+        " CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    ).df()
+    s = df.s.to_numpy(float)
+    y = df.y.to_numpy(int)
+    thresholds = np.unique(s)
+    n = float(len(y))
+    for c in (1, 5, 10):
+        best = None
+        for thr in thresholds:
+            pred = s >= thr
+            fp = float((pred & (y == 0)).sum())
+            fn = float((~pred & (y == 1)).sum())
+            cost = (fp + c * fn) / n
+            if best is None or (cost, thr) < best:
+                best = (cost, thr)
+        r = rows[c]
+        close(r["expected_cost"], best[0])
+        close(r["best_threshold"], best[1], tol=1e-6)
