@@ -3136,3 +3136,92 @@ def test_cost_threshold(ops, duck):
         r = rows[c]
         close(r["expected_cost"], best[0])
         close(r["best_threshold"], best[1], tol=1e-6)
+
+
+def test_hhi(ops, duck):
+    (row,) = ops("analytics-hhi")
+    df = duck.execute(
+        "SELECT n.n_name, sum(o.o_totalprice) AS r FROM orders o"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+    ).df()
+    s = df.r.to_numpy(float)
+    s = s / s.sum()
+    close(row["hhi"], (s**2).sum() * 10000, tol=1e-3)
+    close(row["effective_n"], 1.0 / (s**2).sum(), tol=1e-3)
+    close(row["top_share"], s.max())
+    assert row["n_nations"] == len(s)
+
+
+def test_price_elasticity(ops, duck):
+    (row,) = ops("analytics-price-elasticity")
+    df = duck.execute(
+        "SELECT l_partkey, ln(l_extendedprice / l_quantity) AS lp,"
+        " ln(l_quantity) AS lq FROM lineitem WHERE l_quantity > 0"
+    ).df()
+    # within (fixed-effects) estimator via per-part demeaning
+    gp = df.groupby("l_partkey")
+    dlp = (df.lp - gp.lp.transform("mean")).to_numpy(float)
+    dlq = (df.lq - gp.lq.transform("mean")).to_numpy(float)
+    sxy = (dlp * dlq).sum()
+    sxx = (dlp * dlp).sum()
+    syy = (dlq * dlq).sum()
+    n = len(dlp)
+    close(row["elasticity"], sxy / sxx)
+    close(row["r2_within"], sxy * sxy / (sxx * syy))
+    close(row["se_naive"],
+          math.sqrt((syy - sxy**2 / sxx) / (n - 2) / sxx), tol=1e-3)
+    assert row["n_obs"] == n
+
+
+def test_conversion_ci(ops, duck):
+    rows = {str(r["day"])[:10]: r for r in ops("analytics-conversion-ci")}
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " count(DISTINCT user_id) AS n,"
+        " count(DISTINCT user_id) FILTER (WHERE event_type='purchase')"
+        " AS b FROM events GROUP BY 1"
+    ).df()
+    z = 1.959964
+    for _, g in df.iterrows():
+        n, b = float(g.n), float(g.b)
+        phat = b / n
+        ctr = phat + z * z / (2 * n)
+        hw = z * math.sqrt(phat * (1 - phat) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        r = rows[str(g.day)[:10]]
+        close(r["conv_rate"], phat)
+        close(r["wilson_lo"], (ctr - hw) / denom)
+        close(r["wilson_hi"], (ctr + hw) / denom)
+        assert (r["active_users"], r["buyers"]) == (n, b)
+
+
+def test_retention_decay_fit(ops, duck):
+    (row,) = ops("analytics-retention-decay-fit")
+    df = duck.execute(
+        "WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events"
+        "           WHERE event_type='purchase'),"
+        " firsts AS (SELECT user_id, min(day) AS d0 FROM p GROUP BY 1),"
+        " maxd AS (SELECT max(CAST(ts AS DATE)) AS md FROM events)"
+        " SELECT DISTINCT p.user_id,"
+        " date_diff('day', f.d0, p.day) AS age,"
+        " date_diff('day', f.d0, m.md) AS capacity"
+        " FROM p JOIN firsts f USING (user_id) CROSS JOIN maxd m"
+    ).df()
+    caps = df.groupby("user_id").capacity.first()
+    pts = []
+    for age in sorted(df.age[df.age >= 1].unique()):
+        numer = float((df.age == age).sum())
+        denom = float((caps >= age).sum())
+        if 0 < numer < denom:
+            pts.append((math.log(age), math.log(numer / denom)))
+    lx = np.array([p[0] for p in pts])
+    ly = np.array([p[1] for p in pts])
+    n = len(lx)
+    beta = ((lx * ly).sum() - lx.sum() * ly.sum() / n) / (
+        (lx * lx).sum() - lx.sum() ** 2 / n
+    )
+    icept = (ly.sum() - beta * lx.sum()) / n
+    close(row["decay_exponent"], beta, tol=1e-3)
+    close(row["day1_retention_fit"], math.exp(icept), tol=1e-3)
+    assert row["n_ages"] == n
