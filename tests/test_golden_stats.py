@@ -3225,3 +3225,73 @@ def test_retention_decay_fit(ops, duck):
     close(row["decay_exponent"], beta, tol=1e-3)
     close(row["day1_retention_fit"], math.exp(icept), tol=1e-3)
     assert row["n_ages"] == n
+
+
+def test_bass_diffusion(ops, duck):
+    (row,) = ops("analytics-bass-diffusion")
+    df = duck.execute(
+        "SELECT min(CAST(ts AS DATE)) AS d0 FROM events"
+        " WHERE event_type='purchase' GROUP BY user_id"
+    ).df()
+    counts = df.groupby("d0").size().sort_index()
+    n_t = counts.to_numpy(float)
+    big_n = np.concatenate([[0.0], np.cumsum(n_t)[:-1]])
+    # OLS n_t = a + b*N + c*N^2
+    X = np.column_stack([np.ones_like(big_n), big_n, big_n**2])
+    (a, b, c), *_ = np.linalg.lstsq(X, n_t, rcond=None)
+    m_cap = (-b - math.sqrt(b * b - 4 * c * a)) / (2 * c)
+    close(row["coef_a"], a, tol=1e-3)
+    close(row["coef_b"], b, tol=1e-3)
+    close(row["coef_c"], c, tol=1e-3)
+    close(row["market_size"], m_cap, tol=1e-3)
+    close(row["p_innovation"], a / m_cap, tol=1e-3)
+    close(row["q_imitation"], -c * m_cap, tol=1e-3)
+    assert row["n_days"] == len(n_t)
+
+
+def test_adstock_regression(ops, duck):
+    (row,) = ops("analytics-adstock-regression")
+    df = duck.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS x,"
+        " sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS y"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    x = df.x.to_numpy(float)
+    y = df.y.to_numpy(float)
+    ad = np.array([
+        sum(0.6**k * x[i - k] for k in range(8)) for i in range(7, len(x))
+    ])
+    yy = y[7:]
+    X = np.column_stack([np.ones_like(ad), ad])
+    (alpha, beta), *_ = np.linalg.lstsq(X, yy, rcond=None)
+    resid = yy - (alpha + beta * ad)
+    r2 = 1 - (resid**2).sum() / ((yy - yy.mean()) ** 2).sum()
+    close(row["beta"], beta, tol=1e-3)
+    close(row["alpha"], alpha, tol=1e-3)
+    close(row["r2"], r2, tol=1e-3)
+    close(row["elasticity_at_mean"], beta * ad.mean() / yy.mean(), tol=1e-3)
+    assert row["n_days"] == len(ad)
+
+
+def test_event_study(ops, duck):
+    rows = {r["event_type"]: r for r in ops("analytics-event-study")}
+    df = _daily_means(duck)
+    t0 = df.day.min() + __import__("datetime").timedelta(days=14)
+    lo, hi = t0 - __import__("datetime").timedelta(days=7), t0 + __import__(
+        "datetime"
+    ).timedelta(days=6)
+    for et, g in df.groupby("event_type"):
+        g = g[(g.day >= lo) & (g.day <= hi)]
+        pre = g.m[g.day < t0].to_numpy(float)
+        post = g.m[g.day >= t0].to_numpy(float)
+        r = rows[et]
+        close(r["lift"], post.mean() - pre.mean())
+        close(
+            r["t_stat"],
+            (post.mean() - pre.mean())
+            / math.sqrt(
+                pre.var(ddof=1) / len(pre) + post.var(ddof=1) / len(post)
+            ),
+        )
+        assert (r["n_pre"], r["n_post"]) == (len(pre), len(post))
