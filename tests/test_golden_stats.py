@@ -3295,3 +3295,67 @@ def test_event_study(ops, duck):
             ),
         )
         assert (r["n_pre"], r["n_post"]) == (len(pre), len(post))
+
+
+def _transition_counts(duck):
+    return duck.execute(
+        "WITH seq AS (SELECT event_type AS i,"
+        " lead(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS j FROM events)"
+        " SELECT i, j, CAST(count(*) AS DOUBLE) AS n FROM seq"
+        " WHERE j IS NOT NULL GROUP BY i, j"
+    ).df()
+
+
+def test_entropy_rate(ops, duck):
+    (row,) = ops("event-entropy-rate")
+    t = _transition_counts(duck)
+    total = t.n.sum()
+    h_rate = h0 = 0.0
+    for i, g in t.groupby("i"):
+        ni = g.n.sum()
+        pi = ni / total
+        p = g.n.to_numpy(float) / ni
+        h_rate += pi * -(p * np.log(p)).sum()
+        h0 += -pi * math.log(pi)
+    close(row["entropy_marginal"], h0)
+    close(row["entropy_rate"], h_rate)
+    close(row["predictability_gain"], 1 - h_rate / h0)
+
+
+def test_markov_stationary(ops, duck):
+    rows = {r["state"]: r for r in ops("event-markov-stationary")}
+    t = _transition_counts(duck)
+    states = sorted(set(t.i))
+    idx = {s: k for k, s in enumerate(states)}
+    T = np.zeros((len(states), len(states)))
+    for _, r in t.iterrows():
+        T[idx[r.i], idx[r.j]] = r.n
+    T = T / T.sum(1, keepdims=True)
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(4):
+        pi = pi @ T
+    pi = pi / pi.sum()
+    for s in states:
+        close(rows[s]["pi_stationary"], pi[idx[s]])
+
+
+def test_interarrival_burstiness(ops, duck):
+    rows = {r["event_type"]: r for r in ops("event-interarrival-burstiness")}
+    df = duck.execute(
+        "SELECT event_type,"
+        " CAST(date_diff('second', lag(ts) OVER (PARTITION BY event_type"
+        " ORDER BY ts, event_id), ts) AS DOUBLE) AS g"
+        " FROM events ORDER BY event_type, ts, event_id"
+    ).df().dropna()
+    for et, g in df.groupby("event_type").g:
+        v = g.to_numpy(float)
+        mu, sd = v.mean(), v.std(ddof=1)
+        cv = sd / mu
+        mem = np.corrcoef(v[1:], v[:-1])[0, 1]
+        r = rows[et]
+        close(r["mean_gap_sec"], mu, tol=1e-3)
+        close(r["cv"], cv)
+        close(r["burstiness"], (cv - 1) / (cv + 1))
+        close(r["memory_coef"], mem, tol=1e-3)
+        assert r["n_gaps"] == len(v)
