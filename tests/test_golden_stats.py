@@ -3359,3 +3359,94 @@ def test_interarrival_burstiness(ops, duck):
         close(r["burstiness"], (cv - 1) / (cv + 1))
         close(r["memory_coef"], mem, tol=1e-3)
         assert r["n_gaps"] == len(v)
+
+
+def test_stratified_ate(ops, duck):
+    (row,) = ops("stats-stratified-ate")
+    df = duck.execute(
+        "SELECT count(*) AS n,"
+        " max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS tr,"
+        " sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS y,"
+        " user_id"
+        " FROM events GROUP BY user_id ORDER BY n, user_id"
+    ).df()
+    # ANSI ntile(5) over (n_events, user_id) order
+    n_rows = len(df)
+    k = 5
+    q, rem = divmod(n_rows, k)
+    sizes = [q + 1 if i < rem else q for i in range(k)]
+    strata = np.repeat(np.arange(1, k + 1), sizes)
+    num = den = 0.0
+    for s in range(1, k + 1):
+        sel = df[strata == s]
+        t = sel.y[sel.tr == 1]
+        c = sel.y[sel.tr == 0]
+        if len(t) and len(c):
+            num += (t.mean() - c.mean()) * len(sel)
+            den += len(sel)
+    n_t, n_c = int((df.tr == 1).sum()), int((df.tr == 0).sum())
+    if den > 0:
+        naive = df.y[df.tr == 1].mean() - df.y[df.tr == 0].mean()
+        close(row["ate_naive"], naive, tol=1e-3)
+        close(row["ate_stratified"], num / den, tol=1e-3)
+        assert (row["n_treated"], row["n_control"]) == (n_t, n_c)
+    else:
+        # sf0.01 degeneracy: every user signed up, so NO stratum has
+        # both arms and the op's both-arms filter empties the summary —
+        # the whole row must surface as NULL, not a fabricated effect
+        assert n_c == 0
+        assert all(
+            row[c] is None
+            for c in ("n_treated", "n_control", "ate_naive",
+                      "ate_stratified")
+        )
+
+
+def test_bic_trend_select(ops, duck):
+    (row,) = ops("stats-bic-trend-select")
+    y = _daily_value_means(duck)
+    n = float(len(y))
+    t = np.arange(1, len(y) + 1, dtype=float)
+
+    def rss(design):
+        X = np.column_stack([np.ones_like(t)] + design)
+        b, *_ = np.linalg.lstsq(X, y, rcond=None)
+        return ((y - X @ b) ** 2).sum()
+
+    r0 = ((y - y.mean()) ** 2).sum()
+    r1 = rss([t])
+    r2 = rss([t, t * t])
+    b0 = n * math.log(r0 / n) + 1 * math.log(n)
+    b1 = n * math.log(r1 / n) + 2 * math.log(n)
+    b2 = n * math.log(r2 / n) + 3 * math.log(n)
+    close(row["bic_constant"], b0, tol=1e-3)
+    close(row["bic_linear"], b1, tol=1e-3)
+    close(row["bic_quadratic"], b2, tol=1e-3)
+    want = (
+        "constant" if b0 <= min(b1, b2) else "linear" if b1 <= b2
+        else "quadratic"
+    )
+    assert row["best_model"] == want
+
+
+def test_holt_linear(ops, duck):
+    rows = {r["event_type"]: r for r in ops("timeseries-holt-linear")}
+    from transit_scrape_spark.queries.timeseries import HOLT_ALPHA, HOLT_BETA
+
+    df = duck.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS day,"
+        " CAST(count(*) AS DOUBLE) AS y"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    for et, g in df.groupby("event_type"):
+        y = g.y.to_numpy(float)
+        lvl, tr = y[0], 0.0
+        for v in y[1:]:
+            new_lvl = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (new_lvl - lvl) + (1 - HOLT_BETA) * tr
+            lvl = new_lvl
+        r = rows[et]
+        assert r["level_e6"] == math.floor(lvl * 1e6 + 0.5)
+        assert r["trend_e6"] == math.floor(tr * 1e6 + 0.5)
+        assert r["forecast_7d_e6"] == math.floor((lvl + 7 * tr) * 1e6 + 0.5)
+        assert r["n_days"] == len(y)
