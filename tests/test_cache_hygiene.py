@@ -15,21 +15,85 @@ cache-using ops create.
 
 from __future__ import annotations
 
+import ast
+import pathlib
+
 import pytest
 
 from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import persistent_rdd_count, release_caches
 
-# ops the r3 judge called out plus the other known persist users
-_PERSIST_OPS = [
-    "simsearch-ivf-probe",
-    "graph-triangle-count",
-    "graph-components-iterative",
-    "graph-bfs-distance",
-    "graph-closeness-centrality",
-    "dedup-near-minhash",
-    "dedup-semdedup-bucket",
-]
+
+def _derive_persist_ops() -> list[str]:
+    """Scan the queries package AST for @query-decorated functions that
+    call ``.persist()``/``.cache()`` — the hand-maintained list went
+    stale twice (r3, r6), so the registry-level cache contract is now
+    enforced against the MECHANICALLY derived set. (A module-level
+    helper with a persist would escape this scan; as of r7 every persist
+    site in the package sits inside a decorated query function, which
+    ``test_scan_is_complete`` asserts.)"""
+    ops: list[str] = []
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "transit_scrape_spark/queries"
+    )
+    for p in sorted(pkg.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            op_id = None
+            for dec in node.decorator_list:
+                name = getattr(dec.func, "id", getattr(dec.func, "attr", "")) \
+                    if isinstance(dec, ast.Call) else ""
+                if name == "query" and dec.args and isinstance(
+                    dec.args[0], ast.Constant
+                ):
+                    op_id = dec.args[0].value
+            if op_id is None:
+                continue
+            if any(
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr in ("persist", "cache")
+                for n in ast.walk(node)
+            ):
+                ops.append(op_id)
+    return ops
+
+
+_PERSIST_OPS = _derive_persist_ops()
+
+
+def test_scan_is_complete():
+    """Every persist/cache call site in the queries package must sit
+    inside a @query function — otherwise _derive_persist_ops would miss
+    the op that reaches it and the hygiene sweep silently shrinks."""
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "transit_scrape_spark/queries"
+    )
+    orphans = []
+    for p in sorted(pkg.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        covered: set[int] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and any(
+                isinstance(d, ast.Call)
+                and getattr(d.func, "id", getattr(d.func, "attr", "")) == "query"
+                for d in node.decorator_list
+            ):
+                covered.update(range(node.lineno, node.end_lineno + 1))
+        for n in ast.walk(tree):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr in ("persist", "cache")
+                and n.lineno not in covered
+            ):
+                orphans.append(f"{p.name}:{n.lineno}")
+    assert not orphans, f"persist sites outside @query functions: {orphans}"
+    # sanity: the derivation found the known heavy persist users
+    for known in ("simsearch-ivf-probe", "graph-pagerank", "analytics-rfm"):
+        assert known in _PERSIST_OPS
 
 
 @pytest.mark.parametrize("op_id", _PERSIST_OPS)

@@ -109,19 +109,10 @@ def test_empty_input(spark):
     assert got.count() == 0
 
 
-def test_all_null_bucket_does_not_poison_offsets(spark):
-    """Regression (r6): a bucket whose cum_sums src is entirely NULL
-    must not NULL-poison the prefix offsets of every later bucket.
-    NULL semantics must still match the global window (NULL until the
-    first non-null src in global order, then sum of non-nulls)."""
-    df = spark.range(400).select(
-        F.col("id").alias("k"),
-        F.col("id").cast("double").alias("v"),
-        # first quarter of the key range is all-NULL x
-        F.when(F.col("id") >= 100, (F.col("id") % 7).cast("double")).alias("x"),
-    )
+def _assert_cumsum_matches_oracle(spark, df, n_buckets):
     got = with_global_order(
-        df, "v", tiebreakers=("k",), rn="rn", cum_sums={"cx": "x"}, n_buckets=8
+        df, "v", tiebreakers=("k",), rn="rn", cum_sums={"cx": "x"},
+        n_buckets=n_buckets,
     )
     w = Window.orderBy(F.col("v"), F.col("k")).rowsBetween(
         Window.unboundedPreceding, 0
@@ -135,6 +126,51 @@ def test_all_null_bucket_does_not_poison_offsets(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_all_null_bucket_does_not_poison_offsets(spark):
+    """Regression (r6): a bucket whose cum_sums src is entirely NULL
+    must not NULL-poison the prefix offsets of every later bucket.
+    NULL semantics must still match the global window (NULL until the
+    first non-null src in global order, then sum of non-nulls)."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        # first quarter of the key range is all-NULL x
+        F.when(F.col("id") >= 100, (F.col("id") % 7).cast("double")).alias("x"),
+    )
+    _assert_cumsum_matches_oracle(spark, df, n_buckets=8)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 8, 64])
+def test_interleaved_null_src_matches_oracle(spark, n_buckets):
+    """Regression (r7, from ADVICE): NULL srcs INTERLEAVED with non-nulls
+    — including a NULL row opening a bucket after earlier non-null
+    buckets — must reproduce the oracle window exactly: a row after the
+    first non-null gets the running sum of prior non-nulls, never NULL.
+    Output must also be invariant to n_buckets."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        # NULL on every 3rd row, plus an all-NULL stretch mid-range so
+        # some buckets start on (or consist entirely of) NULL srcs
+        F.when(
+            (F.col("id") % 3 != 0) & ~F.col("id").between(180, 260),
+            (F.col("id") % 7).cast("double"),
+        ).alias("x"),
+    )
+    _assert_cumsum_matches_oracle(spark, df, n_buckets=n_buckets)
+
+
+def test_all_null_src_everywhere_stays_null(spark):
+    """Degenerate contract: a src that is NULL on EVERY row yields an
+    all-NULL cum_sum, matching the oracle window."""
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    _assert_cumsum_matches_oracle(spark, df, n_buckets=4)
 
 
 def test_big_int_keys_beyond_double_resolution(spark):

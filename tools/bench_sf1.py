@@ -130,6 +130,17 @@ R5_WAVE2 = [
     "eval-auc-delong-ci",
     "stats-bland-altman",
 ]
+# round-7 (VERDICT r6 item 3): the 5 heaviest graph ops — the iterative
+# ones (pagerank 82 exchanges, components 404) are the likeliest
+# super-linear candidates at 10x edges, and the soak list had no graph
+# entries at all
+R7_GRAPH = [
+    "graph-pagerank",
+    "graph-components-iterative",
+    "graph-spectral-radius",
+    "graph-hits-scores",
+    "graph-rich-club",
+]
 
 
 def main() -> None:
@@ -140,8 +151,11 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     worst = 0.0
-    for op in (EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED + R5_NEW
-                   + R5_WAVE2 + R6_PERSIST):
+    # dict.fromkeys: order-preserving dedup — text-heaps-law / ml-naive-bayes
+    # appear in two waves, and a second (warmer-session) run would silently
+    # overwrite the first timing in the results dict
+    for op in dict.fromkeys(EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED
+                            + R5_NEW + R5_WAVE2 + R6_PERSIST + R7_GRAPH):
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

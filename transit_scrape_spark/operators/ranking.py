@@ -136,6 +136,13 @@ def with_global_order(
         local_cols.append(
             F.sum(F.col(src).cast("double")).over(w_local).alias(f"__go_lc_{out}")
         )
+        # local non-null count of src: with the per-bucket prefix count it
+        # decides whether ANY non-null precedes this row in global order,
+        # which is what makes the NULL semantics match the oracle window
+        # (NULL until the first non-null src, never again after).
+        local_cols.append(
+            F.count(F.col(src)).over(w_local).alias(f"__go_ln_{out}")
+        )
     d = d.select("*", *local_cols)
 
     # 3. per-bucket summary -> ONE packed row -> array prefix sums
@@ -144,10 +151,19 @@ def with_global_order(
     # coalesce each per-bucket sum to 0: an all-NULL src in one bucket
     # would otherwise NULL that bucket's sum and poison the array-prefix
     # (acc + x[field]) for every later bucket's offset.
-    aggs = [F.count(F.lit(1)).cast("long").alias("__go_cnt")] + [
-        F.coalesce(F.sum(s), F.lit(0.0)).alias(f"__go_s{i}")
-        for i, s in enumerate(srcs)
-    ]
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("__go_cnt")]
+        + [
+            F.coalesce(F.sum(s), F.lit(0.0)).alias(f"__go_s{i}")
+            for i, s in enumerate(srcs)
+        ]
+        # per-bucket NON-NULL counts: carried through the prefix pass so
+        # each bucket knows how many non-null srcs precede it globally
+        + [
+            F.count(F.col(s)).cast("long").alias(f"__go_n{i}")
+            for i, s in enumerate(srcs)
+        ]
+    )
     grp = d.groupBy("__go_pid").agg(*aggs)
     packed = grp.agg(
         F.sort_array(
@@ -156,6 +172,7 @@ def with_global_order(
                     "__go_pid",
                     "__go_cnt",
                     *[f"__go_s{i}" for i in range(len(srcs))],
+                    *[f"__go_n{i}" for i in range(len(srcs))],
                 )
             )
         ).alias("__go_rows")
@@ -173,12 +190,14 @@ def with_global_order(
     elem_ddl = (
         "struct<__go_pid:int,__go_off_rn:bigint"
         + "".join(f",__go_off_{j}:double" for j in range(len(srcs)))
+        + "".join(f",__go_offn_{j}:bigint" for j in range(len(srcs)))
         + ">"
     )
     zero = F.struct(
         F.array().cast(f"array<{elem_ddl}>").alias("offs"),
         F.lit(0).cast("long").alias("rc"),
         *[F.lit(0.0).alias(f"rs{j}") for j in range(len(srcs))],
+        *[F.lit(0).cast("long").alias(f"rn{j}") for j in range(len(srcs))],
     )
 
     def step(acc: Column, x: Column) -> Column:
@@ -189,6 +208,10 @@ def with_global_order(
                 acc[f"rs{j}"].alias(f"__go_off_{j}")
                 for j in range(len(srcs))
             ],
+            *[
+                acc[f"rn{j}"].alias(f"__go_offn_{j}")
+                for j in range(len(srcs))
+            ],
         )
         return F.struct(
             F.concat(acc["offs"], F.array(entry)).alias("offs"),
@@ -196,6 +219,12 @@ def with_global_order(
             *[
                 (acc[f"rs{j}"] + x[f"__go_s{j}"].cast("double")).alias(
                     f"rs{j}"
+                )
+                for j in range(len(srcs))
+            ],
+            *[
+                (acc[f"rn{j}"] + x[f"__go_n{j}"].cast("long")).alias(
+                    f"rn{j}"
                 )
                 for j in range(len(srcs))
             ],
@@ -221,8 +250,17 @@ def with_global_order(
         )
     src_idx = {s: i for i, s in enumerate(srcs)}
     for out, src in cum_sums.items():
+        i = src_idx[src]
+        # oracle semantics: sum() OVER (... ROWS UNBOUNDED PRECEDING) is
+        # NULL exactly until the first non-null src in global order. The
+        # per-bucket sums are coalesced to 0 (so an all-NULL bucket can't
+        # poison later offsets); the nn counts decide when to emit NULL.
         out_cols.append(
-            (F.col(f"__go_off_{src_idx[src]}") + F.col(f"__go_lc_{out}")).alias(out)
+            F.when(
+                F.col(f"__go_offn_{i}") + F.col(f"__go_ln_{out}") > 0,
+                F.col(f"__go_off_{i}")
+                + F.coalesce(F.col(f"__go_lc_{out}"), F.lit(0.0)),
+            ).alias(out)
         )
     if total_count is not None:
         out_cols.append(F.col("__go_n_total").alias(total_count))
