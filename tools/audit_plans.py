@@ -61,6 +61,16 @@ SCALAR_BROADCAST_OPS = {
     "privacy-t-closeness",     # |groups| x |segments| broadcast cross join
     "simsearch-recall-eval",   # 5-row query-block broadcast
     "text-df-prune",           # 1-row corpus-count broadcast
+    # r6 sparse-grid densification (91bd3a4/e6107ee): distinct-rows x
+    # distinct-cols cross join rebuilds the FULL contingency grid so
+    # empty cells contribute their expected/weight terms — both sides
+    # are category-level relations (a handful of rows), broadcast NLJ
+    # is the intended constant-cost shape. Caught by the r7 audit rerun:
+    # the r6 PLAN_AUDIT.md was generated before the densify commits.
+    "stats-chi-square",
+    "stats-cohen-kappa-weighted",
+    "stats-cramers-v",
+    "stats-mutual-information",
     # round-4 stats/eval/timeseries wave (55 ops): each broadcasts a
     # 1-row moment/extrema/fit summary (crossJoin(broadcast(agg))) or a
     # bounded side (fixed anchor set, day spine, k-row frequency or
