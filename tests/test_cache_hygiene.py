@@ -24,15 +24,22 @@ from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import persistent_rdd_count, release_caches
 
 
-def _derive_persist_ops() -> list[str]:
+def _derive_persist_ops() -> tuple[list[str], list[str]]:
     """Scan the queries package AST for @query-decorated functions that
     call ``.persist()``/``.cache()`` — the hand-maintained list went
     stale twice (r3, r6), so the registry-level cache contract is now
     enforced against the MECHANICALLY derived set. (A module-level
-    helper with a persist would escape this scan; as of r7 every persist
-    site in the package sits inside a decorated query function, which
-    ``test_scan_is_complete`` asserts.)"""
+    helper with a persist would escape this scan; ``test_scan_is_complete``
+    asserts every persist site in the whole package sits inside a
+    decorated query function in queries/*.py.)
+
+    Returns (ops, unextractable): the second list names @query functions
+    that use persist/cache but whose op id is not a string literal — the
+    derivation can't see those, so the completeness test fails on any
+    (ADVICE r7: a computed id would otherwise silently escape the sweep).
+    """
     ops: list[str] = []
+    unextractable: list[str] = []
     pkg = pathlib.Path(__file__).resolve().parent.parent / (
         "transit_scrape_spark/queries"
     )
@@ -42,46 +49,56 @@ def _derive_persist_ops() -> list[str]:
             if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 continue
             op_id = None
+            has_query_dec = False
             for dec in node.decorator_list:
                 name = getattr(dec.func, "id", getattr(dec.func, "attr", "")) \
                     if isinstance(dec, ast.Call) else ""
-                if name == "query" and dec.args and isinstance(
-                    dec.args[0], ast.Constant
-                ):
-                    op_id = dec.args[0].value
-            if op_id is None:
-                continue
-            if any(
+                if name == "query":
+                    has_query_dec = True
+                    if dec.args and isinstance(dec.args[0], ast.Constant):
+                        op_id = dec.args[0].value
+            uses_persist = any(
                 isinstance(n, ast.Call)
                 and isinstance(n.func, ast.Attribute)
                 and n.func.attr in ("persist", "cache")
                 for n in ast.walk(node)
-            ):
+            )
+            if not uses_persist:
+                continue
+            if op_id is not None:
                 ops.append(op_id)
-    return ops
+            elif has_query_dec:
+                unextractable.append(f"{p.name}:{node.lineno}:{node.name}")
+    return ops, unextractable
 
 
-_PERSIST_OPS = _derive_persist_ops()
+_PERSIST_OPS, _UNEXTRACTABLE = _derive_persist_ops()
 
 
 def test_scan_is_complete():
-    """Every persist/cache call site in the queries package must sit
-    inside a @query function — otherwise _derive_persist_ops would miss
-    the op that reaches it and the hygiene sweep silently shrinks."""
-    pkg = pathlib.Path(__file__).resolve().parent.parent / (
-        "transit_scrape_spark/queries"
-    )
+    """Every persist/cache call site anywhere in the package must sit
+    inside a @query function in queries/*.py — otherwise
+    _derive_persist_ops would miss the op that reaches it and the hygiene
+    sweep silently shrinks. Scans the WHOLE transit_scrape_spark tree
+    (ADVICE r7: a persist added to operators/, session helpers, or a
+    queries/ subpackage previously escaped both the derivation and this
+    guard)."""
+    root = pathlib.Path(__file__).resolve().parent.parent / "transit_scrape_spark"
+    queries_pkg = root / "queries"
     orphans = []
-    for p in sorted(pkg.glob("*.py")):
+    for p in sorted(root.rglob("*.py")):
         tree = ast.parse(p.read_text())
         covered: set[int] = set()
-        for node in ast.walk(tree):
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and any(
-                isinstance(d, ast.Call)
-                and getattr(d.func, "id", getattr(d.func, "attr", "")) == "query"
-                for d in node.decorator_list
-            ):
-                covered.update(range(node.lineno, node.end_lineno + 1))
+        # only @query functions in top-level queries/*.py count as covered —
+        # the derivation scans exactly that set.
+        if p.parent == queries_pkg:
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and any(
+                    isinstance(d, ast.Call)
+                    and getattr(d.func, "id", getattr(d.func, "attr", "")) == "query"
+                    for d in node.decorator_list
+                ):
+                    covered.update(range(node.lineno, node.end_lineno + 1))
         for n in ast.walk(tree):
             if (
                 isinstance(n, ast.Call)
@@ -89,8 +106,13 @@ def test_scan_is_complete():
                 and n.func.attr in ("persist", "cache")
                 and n.lineno not in covered
             ):
-                orphans.append(f"{p.name}:{n.lineno}")
+                orphans.append(f"{p.relative_to(root)}:{n.lineno}")
     assert not orphans, f"persist sites outside @query functions: {orphans}"
+    # @query functions with persist but a non-literal op id would escape
+    # the derivation entirely — fail loudly instead (ADVICE r7).
+    assert not _UNEXTRACTABLE, (
+        f"@query persist-users with non-literal op ids: {_UNEXTRACTABLE}"
+    )
     # sanity: the derivation found the known heavy persist users
     for known in ("simsearch-ivf-probe", "graph-pagerank", "analytics-rfm"):
         assert known in _PERSIST_OPS
