@@ -10,9 +10,11 @@ What a red flag means:
 - many exchanges: shuffle count is the scale cost driver; high counts
   deserve a justification in the op docstring.
 
-Streaming ops are skipped (their plans only exist inside a running
-query); fixture-building ops execute their builds as a side effect of
-planning, which is fine (content-cached).
+Streaming ops are EXECUTED (availableNow) with the live physical plan
+and state-store metrics captured via queries/streaming.AUDIT_SINK —
+their plans only exist inside a running query, so planning-only can't
+see them (VERDICT r7 task 1). Fixture-building ops execute their builds
+as a side effect of planning, which is fine (content-cached).
 
 Usage: python tools/audit_plans.py [--sf-dir DIR]
 """
@@ -182,7 +184,6 @@ SCALAR_BROADCAST_OPS = {
     "analytics-pareto-point",
     "text-heaps-law",
     "text-ngram-novelty",
-    "window-session-concurrency",
     # round-5 ml/eval wave: each broadcasts a 1-row scalar summary
     # (global prior, corpus stats, current beta vector, strength
     # normalizer, observation high-water mark) into a conditionless join
@@ -368,6 +369,9 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "timeseries-variance-ratio": 1,
             "timeseries-vwap": 1,
             "timeseries-wma-crossover": 1,
+            # r8 day-bucketed sweep: opening-offset window over the
+            # per-day delta summary (|days| rows)
+            "window-session-concurrency": 1,
         },
     ),
     (
@@ -436,6 +440,210 @@ BOUNDED_WINDOW_OPS: dict[str, tuple[int, str]] = {
     for op, n in group.items()
 }
 
+# ---------------------------------------------------------------------------
+# Streaming audit (VERDICT r7 task 1). Streaming physical plans only
+# exist inside a running query, so the batch path below can't see them.
+# Every streaming op already RUNS its query to completion (availableNow)
+# inside the op function; queries/streaming.AUDIT_SINK records each
+# query's live plan (explainInternal after termination) + progress
+# (state-store metrics), and the same CARTESIAN/BNLJ/PYTHON-EVAL grading
+# runs on that text, plus streaming-specific checks:
+#   WATERMARK-MISSING  op pinned watermark-bounded but the physical plan
+#                      has no EventTimeWatermark node
+#   STATE-UNPINNED     a stateful operator ran but STREAM_STATE_PINS has
+#                      no entry saying how its state stays bounded
+#   STATE-OVER-BOUND   final state-store rows exceeded the op's
+#                      batch-computed upper bound (key cardinality /
+#                      window count / buffered-row count)
+#   NO-STREAM-CAPTURED the op ran no streaming query (checkpointed dirs
+#                      are cleared first, so this means the hook broke)
+#
+# kind: how state stays bounded in CONTINUOUS operation at 100 TB —
+#   watermark   state evicted once the watermark passes (plan must show
+#               EventTimeWatermark)
+#   keys        state rows = key cardinality of a bounded key space
+#   data-keyed  state grows with distinct data ids — UNBOUNDED by design,
+#               the op exists to demonstrate the hazard next to its
+#               watermarked twin
+#   stateless   no state operator at all
+# bound: key into the batch-computed bounds dict (_stream_bounds) giving
+# the max allowed total state rows per query run at the audited SF.
+STREAM_STATE_PINS: dict[str, tuple[str, str | None, str]] = {
+    "stream-file-source": ("keys", "n_event_types", "complete-mode count keyed by event_type"),
+    "stream-tumbling-agg": ("watermark", "n_hour_type", "hour windows x event_type, watermark-evicted"),
+    "stream-sliding-agg": ("watermark", "n_slide_windows", "4 overlapping hour windows per event, watermark-evicted"),
+    "stream-append-sink": ("stateless", None, "pure ingest passthrough, exactly-once via file tracking"),
+    "stream-watermark": ("watermark", "n_hours", "hour windows, append-mode emission on watermark pass"),
+    "stream-stream-join": ("watermark", "n_view_purchase", "both sides buffered until watermark+range eviction"),
+    "stream-foreach-batch-upsert": ("keys", "n_user_type", "complete-mode count keyed by (user_id, event_type)"),
+    "stream-session-window": ("watermark", "n_events", "open sessions, closed on watermark pass (bound: one session per event)"),
+    "stream-stateful-count": ("keys", "n_users", "GroupState per user_id"),
+    "stream-dedup": ("data-keyed", "n_event_ids", "dropDuplicates state grows with distinct event ids — the documented unbounded form; the watermarked twin is the scale path"),
+    "stream-dedup-watermarked": ("watermark", "n_event_ids", "dedup keys evicted past the watermark horizon"),
+    "stream-outer-join": ("watermark", "n_view_purchase", "outer join buffers both sides until watermark proves no match"),
+    "stream-transform-with-state": ("keys", "n_users", "ValueState per user_id (RocksDB provider)"),
+    "stream-static-join": ("keys", "n_tier_type", "complete-mode agg keyed by (tier, event_type); static dim side is stateless"),
+    "stream-chained-windows": ("watermark", "n_chained_windows", "10-min windows + hour rollup, each tier watermark-evicted"),
+    "stream-rocksdb-state": ("keys", "n_event_types", "complete-mode count keyed by event_type on RocksDB"),
+    "stream-windowed-topk": ("watermark", "n_hour_type", "hour x event_type counts; top-k ranks batch-side"),
+    "stream-state-reader": ("keys", "n_event_types", "checkpointed count state keyed by event_type, read back via statestore source"),
+}
+
+# Streaming ops whose Python nodes are the point (arbitrary stateful
+# processing surfaces), mirroring PYTHON_SURFACE_OPS for batch.
+STREAM_PYTHON_SURFACE = {
+    "stream-stateful-count",       # applyInPandasWithState
+    "stream-transform-with-state", # transformWithStateInPandas (or fallback)
+}
+
+# Checkpoint roots the streaming ops pin in /tmp: cleared before the
+# audit so every query processes real batches (a reused checkpoint makes
+# availableNow a zero-batch no-op with no plan to inspect).
+STREAM_CHECKPOINT_GLOBS = (
+    "/tmp/tss_stream_append_*",
+    "/tmp/tss_stream_wm_*",
+    "/tmp/tss_febatch_*",
+)
+
+_STREAM_STATEFUL_NODE_RE = (
+    r"StateStoreSave|StreamingDeduplicate|StreamingSymmetricHashJoin"
+    r"|SessionWindowStateStore|FlatMapGroupsWithState"
+    r"|FlatMapGroupsInPandasWithState|TransformWithState"
+)
+
+
+def _stream_bounds(spark, sf_dir: str) -> dict[str, int]:
+    """Batch-computed upper bounds on state-store rows per op (see
+    STREAM_STATE_PINS). All cheap aggregates over the events table."""
+    from pyspark.sql import functions as F
+
+    from transit_scrape_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.persist()
+    hour = F.date_trunc("hour", "ts")
+    b = {
+        "n_events": ev.count(),
+        "n_event_types": ev.select("event_type").distinct().count(),
+        "n_event_ids": ev.select("event_id").distinct().count(),
+        "n_users": ev.select("user_id").distinct().count(),
+        "n_user_type": ev.select("user_id", "event_type").distinct().count(),
+        "n_hours": ev.select(hour).distinct().count(),
+        "n_hour_type": ev.select(hour, "event_type").distinct().count(),
+        "n_view_purchase": ev.filter(
+            F.col("event_type").isin("view", "purchase")
+        ).count(),
+        "n_slide_windows": 4
+        * ev.select(F.window("ts", "15 minutes")).distinct().count(),
+        "n_chained_windows": ev.select(F.window("ts", "10 minutes")).distinct().count()
+        + ev.select(hour).distinct().count(),
+    }
+    b["n_tier_type"] = 3 * b["n_event_types"]
+    ev.unpersist()
+    return b
+
+
+def _audit_streaming_op(op_id, spec, spark, sf_dir, bounds):
+    """Run a streaming op with the AUDIT_SINK hook armed; grade the live
+    plans + state metrics. Returns (status, n_ex, pushdown, broadcast,
+    detail_row)."""
+    from transit_scrape_spark.plans.inspect import (
+        executed_plan,
+        global_window_count,
+    )
+    from transit_scrape_spark.queries import streaming as streaming_mod
+
+    streaming_mod.AUDIT_SINK = sink = []
+    try:
+        df = spec.fn(spark, sf_dir)
+        batch_plan = executed_plan(df)
+    finally:
+        streaming_mod.AUDIT_SINK = None
+
+    import re as _re
+
+    from transit_scrape_spark.plans.inspect import live_exchange_count
+
+    phys = [
+        r["plan"].split("== Physical Plan ==")[-1] for r in sink
+    ]
+    all_plans = "\n".join(phys + [batch_plan])
+    n_ex = live_exchange_count(all_plans)
+    watermarked = any("EventTimeWatermark" in p for p in phys)
+    stateful_nodes = sorted(
+        {m.group(0) for p in phys for m in _re.finditer(_STREAM_STATEFUL_NODE_RE, p)}
+    )
+    # state rows: per query, last progress entry's total across its
+    # state operators; max across the op's queries
+    state_rows = 0
+    op_names: set[str] = set()
+    for r in sink:
+        progs = r["progress"]
+        if not progs:
+            continue
+        last = progs[-1]
+        ops = last.get("stateOperators") or []
+        state_rows = max(
+            state_rows, sum(int(s.get("numRowsTotal", 0)) for s in ops)
+        )
+        op_names.update(s.get("operatorName", "?") for s in ops)
+    stateful = bool(stateful_nodes or op_names)
+
+    kind, bound_key, _reason = STREAM_STATE_PINS.get(op_id, (None, None, ""))
+    flag = ""
+    if not sink:
+        flag += "NO-STREAM-CAPTURED "
+    if "CartesianProduct" in all_plans and op_id not in INTENTIONAL_ALLPAIRS:
+        flag += "CARTESIAN "
+    if (
+        "BroadcastNestedLoopJoin" in all_plans
+        and op_id not in SCALAR_BROADCAST_OPS
+        and op_id not in INTENTIONAL_ALLPAIRS
+    ):
+        flag += "BNLJ "
+    py_nodes = _re.search(
+        r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|TransformWithState",
+        all_plans,
+    )
+    if py_nodes and op_id not in STREAM_PYTHON_SURFACE:
+        flag += "PYTHON-EVAL "
+    gwin = global_window_count(batch_plan)
+    if gwin > BOUNDED_WINDOW_OPS.get(op_id, (0, ""))[0]:
+        flag += f"GLOBAL-WINDOW({gwin}) "
+    if kind == "watermark" and sink and not watermarked:
+        flag += "WATERMARK-MISSING "
+    if stateful and kind is None:
+        flag += "STATE-UNPINNED "
+    if bound_key is not None and state_rows > bounds[bound_key]:
+        flag += f"STATE-OVER-BOUND({state_rows}>{bounds[bound_key]}) "
+    if kind == "stateless" and stateful:
+        flag += "STATE-UNPINNED "
+
+    pushdown = (
+        "y"
+        if "PushedFilters: [" in all_plans and "PushedFilters: []" not in all_plans
+        else "-"
+    )
+    broadcast = (
+        "y"
+        if "BroadcastHashJoin" in all_plans or "BroadcastExchange" in all_plans
+        else "-"
+    )
+    detail = {
+        "op": op_id,
+        "queries": len(sink),
+        "exchanges": n_ex,
+        "stateful": ",".join(sorted(op_names) or stateful_nodes) or "-",
+        "state_rows": state_rows,
+        "bound": f"{bounds[bound_key]} ({bound_key})" if bound_key else "-",
+        "watermark": "y" if watermarked else "-",
+        "kind": kind or "?",
+    }
+    return ("ok" if not flag else flag.strip()), n_ex, pushdown, broadcast, detail
+
+
 PYTHON_SURFACE_OPS = {
     "fn-arrow-udf",
     "fn-os-grid-ref",  # expression path + udf cross-check column
@@ -460,17 +668,43 @@ def main() -> None:
     from transit_scrape_spark.plans.inspect import (
         executed_plan,
         global_window_count,
+        live_exchange_count,
     )
     from transit_scrape_spark.queries.registry import registry
     from transit_scrape_spark.session import get_spark
 
     spark = get_spark("tss-plan-audit")
+
+    # clear pinned streaming checkpoints so every streaming query
+    # actually processes batches (see STREAM_CHECKPOINT_GLOBS)
+    import glob as _glob
+    import shutil as _shutil
+
+    for pat in STREAM_CHECKPOINT_GLOBS:
+        for d in _glob.glob(pat):
+            _shutil.rmtree(d, ignore_errors=True)
+    stream_bounds = _stream_bounds(spark, args.sf_dir)
+
     rows = []
+    stream_details = []
     observed_gw: dict[str, int] = {}
     observed_bnlj: dict[str, bool] = {}
     for op_id, spec in sorted(registry().items()):
         if op_id.startswith("stream-"):
-            rows.append((op_id, "streaming", "-", "-", "-"))
+            try:
+                status, n_ex, pushdown, broadcast, detail = _audit_streaming_op(
+                    op_id, spec, spark, args.sf_dir, stream_bounds
+                )
+            except Exception as exc:  # pragma: no cover - audit robustness
+                rows.append((op_id, "ERROR", str(exc)[:60], "-", "-"))
+                continue
+            rows.append((op_id, status, str(n_ex), pushdown, broadcast))
+            stream_details.append(detail)
+            print(
+                f"# {op_id}: queries={detail['queries']} exchanges={n_ex} "
+                f"state_rows={detail['state_rows']} {status if status != 'ok' else ''}",
+                file=sys.stderr,
+            )
             continue
         try:
             df = spec.fn(spark, args.sf_dir)
@@ -478,9 +712,7 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - audit robustness
             rows.append((op_id, "ERROR", str(exc)[:60], "-", "-"))
             continue
-        n_ex = p.count("Exchange hashpartitioning") + p.count(
-            "Exchange rangepartitioning"
-        )
+        n_ex = live_exchange_count(p)
         cart = "CartesianProduct" in p
         bnlj = "BroadcastNestedLoopJoin" in p
         pyeval = "BatchEvalPython" in p or "ArrowEvalPython" in p
@@ -534,21 +766,24 @@ def main() -> None:
     with open(path, "w") as fh:
         fh.write(
             "# PLAN AUDIT — whole-registry physical-plan checklist\n\n"
-            "Generated by `python tools/audit_plans.py` (planning only, "
-            "no execution). Columns: shuffle-exchange count, filter "
-            "pushdown reached a scan, any broadcast join present. "
-            "Flags: CARTESIAN (all-pairs join), PYTHON-EVAL "
-            "(row/batch Python outside the declared Python-surface "
-            "ops), GLOBAL-WINDOW (empty-partition Window over a frame "
-            "not pinned as bounded in BOUNDED_WINDOW_OPS — the "
-            "single-task scale hazard; unbounded frames must use the "
-            "two-phase rank in operators/ranking.py). Streaming ops "
-            "are audited by their dedicated tests instead (plans only "
-            "exist inside a running query).\n\n"
+            "Generated by `python tools/audit_plans.py` (batch ops: "
+            "planning only, no execution; streaming ops: executed under "
+            "availableNow with the live plan + state-store metrics "
+            "captured via queries/streaming.AUDIT_SINK). Columns: "
+            "shuffle-exchange count, filter pushdown reached a scan, any "
+            "broadcast join present. Flags: CARTESIAN (all-pairs join), "
+            "PYTHON-EVAL (row/batch Python outside the declared "
+            "Python-surface ops), GLOBAL-WINDOW (empty-partition Window "
+            "over a frame not pinned as bounded in BOUNDED_WINDOW_OPS — "
+            "the single-task scale hazard; unbounded frames must use the "
+            "two-phase rank in operators/ranking.py), WATERMARK-MISSING / "
+            "STATE-UNPINNED / STATE-OVER-BOUND / NO-STREAM-CAPTURED "
+            "(streaming state-boundedness checks against "
+            "STREAM_STATE_PINS and batch-computed row bounds).\n\n"
             f"**{len(rows)} ops: "
             f"{len([r for r in rows if r[1] == 'ok'])} clean, "
-            f"{len([r for r in rows if r[1] == 'streaming'])} streaming-skip, "
-            f"{len(flagged)} flagged, {len(errors)} errored.**\n\n"
+            f"{len(flagged)} flagged, {len(errors)} errored "
+            f"({len(stream_details)} streaming ops audited live).**\n\n"
         )
         if flagged:
             fh.write("## Flagged\n\n| op | flag | exchanges |\n|---|---|---|\n")
@@ -564,6 +799,27 @@ def main() -> None:
                 fh.write(f"- `{op}`: pinned {pinned} global windows, measured {got}\n")
             for op in stale_bnlj:
                 fh.write(f"- `{op}`: in SCALAR_BROADCAST_OPS but no BNLJ in plan\n")
+            fh.write("\n")
+        if stream_details:
+            fh.write(
+                "## Streaming ops (live-query audit)\n\n"
+                "Per op: streaming queries run, shuffle exchanges across "
+                "all live plans + the batch tail, stateful operators "
+                "observed (from lastProgress), final state-store rows vs "
+                "the batch-computed upper bound, EventTimeWatermark "
+                "present, and the pinned boundedness kind (watermark = "
+                "evicted past the horizon; keys = bounded key space; "
+                "data-keyed = deliberately unbounded demo; stateless).\n\n"
+                "| op | queries | exchanges | stateful operators | "
+                "state rows | bound | wm | kind |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+            )
+            for d in stream_details:
+                fh.write(
+                    f"| `{d['op']}` | {d['queries']} | {d['exchanges']} | "
+                    f"{d['stateful']} | {d['state_rows']} | {d['bound']} | "
+                    f"{d['watermark']} | {d['kind']} |\n"
+                )
             fh.write("\n")
         fh.write("## All ops\n\n| op | status | exchanges | pushdown | broadcast |\n|---|---|---|---|---|\n")
         for r in rows:

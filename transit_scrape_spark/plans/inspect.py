@@ -98,3 +98,61 @@ def exchange_count(df: DataFrame) -> int:
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
+
+
+def _split_inmemory_blocks(plan: str) -> tuple[str, list[str]]:
+    """Split a plan string into (text outside InMemoryRelation lineage,
+    list of lineage block texts). The plan text repeats a cached
+    relation's full build lineage under EVERY InMemoryTableScan that
+    reads it, but that lineage executes at most once (at cache build) —
+    per-scan copies are documentation, not work."""
+    import re
+
+    def depth(s: str) -> int:
+        return len(re.match(r"[ :]*", s).group(0))
+
+    lines = plan.splitlines()
+    out: list[str] = []
+    blocks: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            d0 = depth(line)
+            j = i + 1
+            blk = [line]
+            while j < len(lines) and depth(lines[j]) > d0:
+                blk.append(lines[j])
+                j += 1
+            blocks.append("\n".join(blk))
+            i = j
+        else:
+            out.append(line)
+            i += 1
+    return "\n".join(out), blocks
+
+
+def live_exchange_count(plan: str) -> int:
+    """Shuffle-exchange count with cached lineage DEDUPLICATED: each
+    distinct InMemoryRelation's build lineage is counted once (it runs
+    once, at cache build), not once per InMemoryTableScan referencing
+    it. Expression ids (#123) and plan ids differ between the printed
+    copies of the same relation, so dedup keys normalize them away.
+    For plans with no cache this equals the plain text count."""
+    import re
+
+    body, blocks = _split_inmemory_blocks(plan)
+
+    def norm(b: str) -> str:
+        # copies of the same relation differ in tree indentation (their
+        # position under each scan) and in expression/plan ids — strip both
+        lines = [re.sub(r"^[ :+|*-]*", "", ln) for ln in b.splitlines()]
+        return re.sub(r"#\d+|plan_id=\d+", "", "\n".join(lines))
+
+    distinct: dict[str, str] = {}
+    for b in blocks:
+        distinct.setdefault(norm(b), b)
+    text = "\n".join([body, *distinct.values()])
+    return text.count("Exchange hashpartitioning") + text.count(
+        "Exchange rangepartitioning"
+    )

@@ -1448,47 +1448,72 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identically everywhere: an end meeting a start at the same "
     "instant counts conservatively (-1 sorts first). The boundary "
     "relation is 2x|sessions| rows — it grows with the data, so the "
-    "running sum is the two-phase bucketed prefix sum from "
-    "operators/ranking.py (time-range buckets, local cumsum, "
-    "broadcast carried-in opening counts), never a single-partition "
-    "sweep.",
+    "running sum is a two-phase bucketed prefix sum, never a "
+    "single-partition sweep. Fused (r8, was 19 exchanges / 1.7 s): the "
+    "lag and running-sum windows share one (user_id)/(ts, event_id) "
+    "sort, the session groupBy rides the same hash partitioning (no "
+    "exchange), endpoints explode from one pass instead of a union "
+    "re-derivation, and because the output is keyed by DAY the prefix "
+    "buckets ARE the days: a per-day local cumsum plus a running "
+    "opening offset over the per-day delta totals (a calendar-bounded "
+    "global window, |days| rows) replaces the generic percentile-"
+    "bucketed helper. One agg computes each day's max local prefix and "
+    "its total delta, so the whole op is two shuffles and one pass.",
 )
 def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # one shuffle + one sort serve both windows: lag needs (ts, event_id)
+    # order; the running sid sum uses the same order (a deterministic
+    # refinement of the oracle's ORDER BY ts ROWS frame)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_session = F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0)
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
+    sess = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).select("user_id", "ts", F.sum("new_session").over(wrun).alias("sid"))
+    # grouping keys are a superset of the window's hash partitioning
+    # (user_id), so this aggregate needs no exchange
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = intervals.select(
+        (F.col("user_id") * 1000 + F.col("sid")).alias("skey"),
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select(F.col("e.ts").alias("ts"), F.col("e.delta").alias("delta"), "skey")
+    # day-bucketed sweep: within a day the local running sum follows the
+    # total order (ts, delta, skey) — day is a prefix of ts order, so
+    # day-local cumsum + the day's opening offset IS the global cumsum
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "skey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sess = ev.select(
-        "user_id", "ts", new_session.alias("new_session")
-    ).select(
-        "user_id", "ts", F.sum("new_session").over(wrun).alias("sid")
+    local = deltas.withColumn("day", day).select(
+        "day", "delta", F.sum("delta").over(wday).alias("local_cum")
     )
-    intervals = sess.groupBy(
-        (F.col("user_id") * 1000 + F.col("sid")).alias("skey")
-    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
-    deltas = intervals.select(
-        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "skey"
-    ).unionByName(
-        intervals.select(
-            F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "skey"
-        )
+    # one agg per day: max local prefix (the day's internal peak relative
+    # to its opening) and the day's total delta (to roll the opening
+    # forward). Rides the day partitioning — no exchange.
+    daysum = local.groupBy("day").agg(
+        F.max("local_cum").alias("mx"), F.sum("delta").alias("day_delta")
     )
-    from transit_scrape_spark.operators.ranking import with_global_order
-
-    running = with_global_order(
-        deltas.withColumn("ts_key", F.col("ts").cast("double")),
-        "ts_key",
-        tiebreakers=("delta", "skey"),
-        cum_sums={"concurrency": "delta"},
-    ).select("ts", "concurrency")
-    return running.groupBy(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
-    ).agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+    # opening offset = concurrency carried in from all earlier days: a
+    # global window over the per-day summary — CALENDAR-bounded (|days|
+    # rows), the audited bounded-global-window class, not data-scaled
+    wdays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return daysum.select(
+        "day",
+        (F.coalesce(F.sum("day_delta").over(wdays), F.lit(0)) + F.col("mx"))
+        .cast("long")
+        .alias("peak_concurrency"),
+    )
 
 
 @query(

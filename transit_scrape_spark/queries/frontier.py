@@ -809,6 +809,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.queries.streaming import (
         _events_stream,
         _state_partitions_sized_to_cluster,
+        audited_await,
     )
     from transit_scrape_spark.sources.fixtures import content_tag
 
@@ -834,7 +835,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            audited_await(q)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.event_type").alias("event_type"),

@@ -59,6 +59,36 @@ def _state_partitions_sized_to_cluster(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+# Set by tools/audit_plans.py (to a list) while auditing streaming ops:
+# every streaming query an op runs appends {name, plan, progress} records
+# here via audited_await, exposing the live physical plan + state-store
+# metrics that batch-style executed_plan() can never see. None (the
+# default) is zero-overhead for tests/bench/driver runs.
+AUDIT_SINK: list | None = None
+
+
+def audited_await(q) -> None:
+    """awaitTermination, then (only when AUDIT_SINK is set) record the
+    query's physical plan and per-batch progress for the plan audit.
+    explainInternal and recentProgress both remain readable after an
+    availableNow query terminates (lastExecution is retained on the
+    driver)."""
+    q.awaitTermination()
+    if AUDIT_SINK is None:
+        return
+    try:
+        plan = q._jsq.explainInternal(True)
+    except Exception as exc:  # pragma: no cover - audit robustness
+        plan = f"<explain unavailable: {exc}>"
+    AUDIT_SINK.append(
+        {
+            "name": q.name,
+            "plan": plan,
+            "progress": list(q.recentProgress),
+        }
+    )
+
+
 def _run_stream_to_memory(sdf, out_mode: str) -> str:
     """Run a streaming DataFrame to completion into a memory sink;
     returns the sink table name."""
@@ -71,7 +101,7 @@ def _run_stream_to_memory(sdf, out_mode: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        audited_await(q)
     return name
 
 
@@ -210,7 +240,7 @@ def stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        audited_await(q)
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
@@ -278,7 +308,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            audited_await(q)
 
     if not os.path.exists(f"{base}/_DONE"):
         shutil.rmtree(base, ignore_errors=True)
@@ -403,7 +433,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        audited_await(q)
     return spark.read.parquet(target)
 
 
