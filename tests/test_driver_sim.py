@@ -39,7 +39,10 @@ from oracle_harness import compare, duck_conn
 from transit_scrape_spark.session import release_caches, persistent_rdd_count
 
 sf = {sf_dir!r}
+only = {only!r}
 q, o = e.queries(), e.oracle_sql()
+if only is not None:
+    q = {{k: q[k] for k in only}}
 con = duck_conn(sf)
 failed = []
 for op in sorted(q):
@@ -67,7 +70,10 @@ sys.exit(1 if failed else 0)
 def test_full_registry_driver_sim():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _SWEEP.format(
-        repo=repo, tests=os.path.join(repo, "tests"), sf_dir="/root/testdata/sf0.01"
+        repo=repo,
+        tests=os.path.join(repo, "tests"),
+        sf_dir="/root/testdata/sf0.01",
+        only=None,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
@@ -84,6 +90,41 @@ def test_full_registry_driver_sim():
     assert "SWEEP" in proc.stdout
 
 
+def test_rotating_driver_draw():
+    """Seeded 50-op driver-shaped sample over ops the REAL driver has
+    never drawn (VERDICT r7 task 6): the full sweep above already covers
+    everything, but this names a fresh reproducible 50 each round
+    (seed = round number, eligible = registry minus the ops in any
+    CORRECTNESS_r*.json), certifying it in its own vanilla subprocess —
+    the exact shape of the driver's per-round check. The draw is
+    printed (and recorded in SCALING.md by tools/round_close.py)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.driver_draw import current_round, rotating_draw
+
+    draw = rotating_draw()
+    print(f"round {current_round()} rotating draw ({len(draw)} ops): {draw}")
+    code = _SWEEP.format(
+        repo=repo,
+        tests=os.path.join(repo, "tests"),
+        sf_dir="/root/testdata/sf0.01",
+        only=draw,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=repo,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-40:])
+    assert proc.returncode == 0, (
+        f"rotating-draw sweep failed (draw: {draw}):\n{tail}\n--- stderr tail ---\n"
+        + "\n".join(proc.stderr.splitlines()[-15:])
+    )
+    assert f"SWEEP {len(draw)}/{len(draw)} green" in proc.stdout
+
+
 def test_full_registry_driver_sim_sf01():
     """Nightly-style sf0.1 sweep (VERDICT r3 item 7) — 10x the data of
     the default sim, too slow for every pytest run, so flag-gated:
@@ -95,7 +136,10 @@ def test_full_registry_driver_sim_sf01():
         pytest.skip("set SPARK_GRAFT_SIM_SF01=1 to run the sf0.1 sweep")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _SWEEP.format(
-        repo=repo, tests=os.path.join(repo, "tests"), sf_dir="/root/testdata/sf0.1"
+        repo=repo,
+        tests=os.path.join(repo, "tests"),
+        sf_dir="/root/testdata/sf0.1",
+        only=None,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
