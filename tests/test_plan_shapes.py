@@ -290,3 +290,18 @@ def test_readability_is_single_projection(spark, sf_dir):
     p = _plan(spark, sf_dir, "text-readability")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_session_concurrency_day_bucketed_sweep(spark, sf_dir):
+    """r8 fusion (VERDICT r7 task 5): the sweep-line concurrency op must
+    plan as two shuffles (user sessionization + day buckets) with no
+    BNLJ and exactly one global window — the calendar-bounded opening-
+    offset pass over the per-day summary (|days| rows), not a
+    data-scaled serial sweep."""
+    from transit_scrape_spark.plans.inspect import global_window_count
+
+    df = registry()["window-session-concurrency"].fn(spark, sf_dir)
+    p = executed_plan(df)
+    assert exchange_count(df) <= 3  # user_id + day (+ AQE text variance)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert global_window_count(p) == 1  # per-day summary opening offsets

@@ -208,3 +208,26 @@ def test_checkpoint_restart_tumbling_agg(spark, tmp_path):
         f"windows diverge after restart: {len(got)} emitted vs {len(want)} batch; "
         f"first diffs: {list(set(got.items()) ^ set(want.items()))[:5]}"
     )
+
+
+def test_audit_sink_hook(spark, sf_dir):
+    """The plan-audit hook (queries/streaming.AUDIT_SINK): dormant by
+    default, and when armed it records each streaming query's live
+    physical plan + progress — the capture tools/audit_plans.py's
+    streaming checks are built on (VERDICT r7 task 1)."""
+    from transit_scrape_spark.queries import streaming as sm
+    from transit_scrape_spark.queries.registry import registry
+
+    assert sm.AUDIT_SINK is None  # zero-overhead default
+    sm.AUDIT_SINK = sink = []
+    try:
+        registry()["stream-file-source"].fn(spark, sf_dir).collect()
+    finally:
+        sm.AUDIT_SINK = None
+    assert len(sink) == 1
+    rec = sink[0]
+    plan = rec["plan"].split("== Physical Plan ==")[-1]
+    assert "StateStoreSave" in plan  # the live streaming plan, not the batch tail
+    assert rec["progress"], "recentProgress must be captured"
+    ops = rec["progress"][-1].get("stateOperators") or []
+    assert sum(int(s.get("numRowsTotal", 0)) for s in ops) > 0

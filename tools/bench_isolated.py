@@ -41,6 +41,8 @@ HEADLINE = [
     "join-fk-chain", "window-latest-per-key", "sessionize",
     "dedup-near-minhash", "simsearch-topk", "text-quality-score",
     "multimodal-cols", "stream-tumbling-agg",
+    # r8: tracks the day-bucketed sweep rework (VERDICT r7 task 5)
+    "window-session-concurrency",
 ]
 
 _CHILD = r"""

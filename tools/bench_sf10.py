@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""sf10 scaling point for the three corpus heavies (VERDICT r7 task 7).
+
+Runs text-ngram-novelty, dedup-span-coverage (documents) and
+embed-hubness (embeddings) at sf1 (tools/gen_sf1.py output) AND sf10
+(tools/gen_sf10.py output, 10x the sf1 corpus) and records the ratio in
+BENCH_SF10.json. With the existing sf0.1->sf1 soak this gives each op a
+measured TWO-DECADE curve (sf0.1 -> sf1 -> sf10, 100x end to end).
+
+Pass criterion mirrors bench_sf1.py: ratio <= RATIO_MAX (default 15)
+for 10x data. One rep by design (the fixtures are 100x the driver SF;
+a median-of-3 adds minutes for a bound that a single rep already
+establishes — a super-linear op blows the 15x gate with room to spare).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transit_scrape_spark.queries.registry import registry
+from transit_scrape_spark.session import get_spark, release_caches
+
+SF1 = os.environ.get("SF1_DIR", "/root/repo/.sf1")
+SF10 = os.environ.get("SF10_DIR", "/root/repo/.sf10")
+RATIO_MAX = float(os.environ.get("RATIO_MAX", "15"))
+
+OPS = ["text-ngram-novelty", "dedup-span-coverage", "embed-hubness"]
+
+
+def main() -> None:
+    spark = get_spark("sf10-soak")
+    reg = registry()
+    # warm both corpora (page cache + codegen baseline)
+    spark.read.parquet(f"{SF1}/documents.parquet").count()
+    spark.read.parquet(f"{SF10}/documents.parquet").count()
+
+    results: dict[str, dict] = {}
+    worst = 0.0
+    for op in OPS:
+        row = {}
+        for tag, sf_dir in (("sf1", SF1), ("sf10", SF10)):
+            t0 = time.perf_counter()
+            reg[op].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[tag] = round(time.perf_counter() - t0, 3)
+            release_caches(spark)
+        row["ratio"] = round(row["sf10"] / row["sf1"], 2) if row["sf1"] else None
+        row["pass"] = row["ratio"] is not None and row["ratio"] <= RATIO_MAX
+        worst = max(worst, row["ratio"] or 0.0)
+        results[op] = row
+        print(
+            f"# {op}: sf1={row['sf1']}s sf10={row['sf10']}s "
+            f"ratio={row['ratio']}x pass={row['pass']}",
+            file=sys.stderr,
+        )
+
+    out = {
+        "metric": "sf10_soak_ratio",
+        "ratio_max_allowed": RATIO_MAX,
+        "worst_ratio": worst,
+        "all_pass": all(r["pass"] for r in results.values()),
+        "n_ops": len(results),
+        "copies_vs_sf1": 10,
+        "ops": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF10.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("worst_ratio", "all_pass", "n_ops")}))
+
+
+if __name__ == "__main__":
+    main()
