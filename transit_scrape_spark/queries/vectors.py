@@ -1383,8 +1383,10 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n AS n_in_some_topk,
                round(mx, 6) AS max_k_occurrence,
-               round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
-                     / power(m2r - mu * mu, 1.5), 6) AS k_skewness
+               CASE WHEN m2r - mu * mu > 0 THEN
+                   round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                         / power(m2r - mu * mu, 1.5), 6)
+               END AS k_skewness
         FROM m
     """,
     doc="Hubness diagnostic for the embedding space: how skewed is "
@@ -1444,7 +1446,10 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_in_some_topk"),
         F.round(F.col("mx"), 6).alias("max_k_occurrence"),
-        F.round(m3 / F.pow(var, 1.5), 6).alias("k_skewness"),
+        # NULL on zero variance (every k-occurrence identical — the
+        # degenerate-corpus case the sf10 clone soak exposed under ANSI
+        # mode): skewness is undefined there, and dividing errors out
+        F.when(var > 0, F.round(m3 / F.pow(var, 1.5), 6)).alias("k_skewness"),
     )
 
 
