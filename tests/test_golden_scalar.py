@@ -303,3 +303,86 @@ def test_schema_align(ops, duck):
     for eid, uid, et in rows:
         r = got[eid]
         assert (r["user_id"], r["event_type"], r["score"]) == (uid, et, None)
+
+
+# ---------------------------------------------------------------------------
+# sketches + scale_demo stragglers (promotes both modules): the bloom
+# prefilter's bit math and the salting demos' invariance contracts
+
+
+def test_join_bloom_prefilter(ops, duck):
+    import hashlib
+
+    def bit(key: int, k: int) -> int:
+        h = hashlib.md5(f"{key}:bloom{k}".encode()).hexdigest()[:12]
+        return int(h, 16) % 2147483647 % 4096
+
+    members = {
+        p for (p,) in duck.execute(
+            "SELECT p_partkey FROM part WHERE p_size = 15"
+        ).fetchall()
+    }
+    bits = {bit(p, k) for p in members for k in range(3)}
+    probe = {
+        p for (p,) in duck.execute(
+            "SELECT DISTINCT l_partkey FROM lineitem"
+        ).fetchall()
+    }
+    might = {p for p in probe if all(bit(p, k) in bits for k in range(3))}
+    (row,) = ops("join-bloom-prefilter")
+    assert row["n_probe_keys"] == len(probe)
+    assert row["n_members"] == len(probe & members)
+    assert row["n_pass"] == len(might)
+    assert row["n_false_pos"] == len(might - members)
+    # the defining bloom property, asserted from the golden sets too
+    assert (probe & members) <= might
+    assert row["no_false_negatives"] is True
+
+
+def test_agg_salted_skew(ops, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem"
+    ).fetchall()
+    agg: dict = {}
+    for f, p in rows:
+        n, s = agg.get(f, (0, 0.0))
+        agg[f] = (n + 1, s + p)
+    got = {r["l_returnflag"]: (r["n"], r["total"]) for r in ops("agg-salted-skew")}
+    assert set(got) == set(agg)
+    for f, (n, s) in agg.items():
+        gn, gs = got[f]
+        assert gn == n
+        close(gs, s, tol=1e-1)
+
+
+def test_join_bucketed(ops, duck):
+    rows = duck.execute(
+        "SELECT o.o_orderpriority, l.l_quantity FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ).fetchall()
+    agg: dict = {}
+    for pr, q in rows:
+        n, s = agg.get(pr, (0, 0.0))
+        agg[pr] = (n + 1, s + q)
+    got = {r["o_orderpriority"]: (r["n_items"], r["sum_qty"]) for r in ops("join-bucketed")}
+    assert set(got) == set(agg)
+    for pr, (n, s) in agg.items():
+        gn, gs = got[pr]
+        assert gn == n
+        close(gs, s, tol=1e-2)
+
+
+def test_join_skew_salted(ops, duck):
+    rows = duck.execute("SELECT l_orderkey, l_quantity FROM lineitem").fetchall()
+    agg: dict = {}
+    for ok, q in rows:
+        k = 0 if q < 10 else ok % 500
+        band = k // 100
+        n, s = agg.get(band, (0, 0.0))
+        agg[band] = (n + 1, s + k * 0.01 * q)
+    got = {r["key_band"]: (r["n"], r["weighted_qty"]) for r in ops("join-skew-salted")}
+    assert set(got) == set(agg)
+    for band, (n, s) in agg.items():
+        gn, gs = got[band]
+        assert gn == n
+        close(gs, s, tol=1e-1)
