@@ -52,11 +52,11 @@ def test_formula_dense_modules_exist():
 
 def test_golden_set_never_shrinks():
     """The derived golden count must not drop below the r7 high-water
-    mark (499, r8) — catches an accidental suite deletion or a registry
+    mark (514, r8) — catches an accidental suite deletion or a registry
     rename that orphans literals."""
     reg = _reg()
     golden = golden_covered_ops(reg)
-    assert len(golden) >= 499, len(golden)
+    assert len(golden) >= 514, len(golden)
 
 
 def test_coverage_md_in_sync():
