@@ -1,0 +1,354 @@
+"""Advanced-module golden cross-checks (r8): the SQL-surface demos
+(cube/grouping sets, set ops, listagg, unpivot, merge/upsert, pipe
+syntax, plan reuse), the window batteries (rank/first-last/rows-vs-
+range/running-distinct), decile ranking, range-band joins, correlated
+subqueries and SCD2 intervals — all recomputed in plain Python from the
+raw parquet rows. With these, advanced joins FORMULA_DENSE_MODULES and
+the only golden-uncovered classes left are relational/IO/streaming/
+TPC-H, where the DuckDB oracle is itself an independent implementation.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections import Counter
+
+import duckdb
+import pytest
+
+from transit_scrape_spark.queries.registry import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def ops(spark):
+    reg = registry()
+
+    def run(op_id):
+        return [r.asDict() for r in reg[op_id].fn(spark, SF).collect()]
+
+    return run
+
+
+def close(got, want, tol=1e-4):
+    assert got == pytest.approx(want, rel=tol, abs=tol), (got, want)
+
+
+def test_abc_revenue_deciles(ops, duck):
+    rows = duck.execute("SELECT o_custkey, o_totalprice FROM orders").fetchall()
+    rev: dict = {}
+    for ck, tp in rows:
+        rev[ck] = rev.get(ck, 0.0) + tp
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ranked)
+    base, extra = divmod(n, 10)
+    per: dict = {}
+    i = 0
+    total = sum(rev.values())
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        chunk = ranked[i : i + size]
+        i += size
+        s = sum(v for _k, v in chunk)
+        per[d] = (len(chunk), s, s / total)
+    got = {r["decile"]: (r["n_customers"], r["decile_revenue"], r["revenue_share"]) for r in ops("abc-revenue-deciles")}
+    assert set(got) == set(per)
+    for d, (nc, s, share) in per.items():
+        gn, gs, gsh = got[d]
+        assert gn == nc
+        close(gs, s, tol=1e-1)
+        close(gsh, share, tol=1e-5)
+
+
+def test_agg_approx_and_merge_sketches(ops, duck):
+    rows = duck.execute("SELECT l_returnflag, l_partkey FROM lineitem").fetchall()
+    exact: dict = {}
+    for f, p in rows:
+        exact.setdefault(f, set()).add(p)
+    for op, bool_cols in (
+        ("agg-approx-sketch", ("hll_within_5pct", "p50_within_5pct")),
+        ("agg-sketch-merge", ("merge_near_lossless", "merged_within_5pct")),
+    ):
+        got = {r["l_returnflag"]: r for r in ops(op)}
+        assert set(got) == set(exact), op
+        for f, s in exact.items():
+            r = got[f]
+            assert r["exact_parts"] == len(s), (op, f)
+            for c in bool_cols:
+                assert r[c] is True, (op, f, c)
+
+
+def test_agg_cube(ops, duck):
+    rows = duck.execute("SELECT l_returnflag, l_linestatus FROM lineitem").fetchall()
+    want = Counter()
+    for f, s in rows:
+        for key in ((f, s), (f, None), (None, s), (None, None)):
+            want[key] += 1
+    got = {(r["l_returnflag"], r["l_linestatus"]): r["n"] for r in ops("agg-cube")}
+    assert got == dict(want)
+
+
+def test_agg_grouping_sets(ops, duck):
+    rows = duck.execute("SELECT l_returnflag, l_linestatus FROM lineitem").fetchall()
+    want = Counter()
+    for f, s in rows:
+        want[(f, None)] += 1
+        want[(None, s)] += 1
+        want[(None, None)] += 1
+    got = {(r["l_returnflag"], r["l_linestatus"]): r["n"] for r in ops("agg-grouping-sets")}
+    assert got == dict(want)
+
+
+def test_agg_listagg_ordered(ops, duck):
+    rows = duck.execute("SELECT n_regionkey, n_name FROM nation").fetchall()
+    per: dict = {}
+    for rk, name in rows:
+        per.setdefault(rk, []).append(name)
+    want = {rk: ",".join(sorted(v)) for rk, v in per.items()}
+    got = {r["n_regionkey"]: r["nations"] for r in ops("agg-listagg-ordered")}
+    assert got == want
+
+
+def test_corr_subquery_agg(ops, duck):
+    rows = duck.execute(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer"
+    ).fetchall()
+    per: dict = {}
+    for _ck, nk, b in rows:
+        n, s = per.get(nk, (0, 0.0))
+        per[nk] = (n + 1, s + b)
+    avg = {nk: s / n for nk, (n, s) in per.items()}
+    want = {ck: b for ck, nk, b in rows if b > avg[nk]}
+    got = {r["c_custkey"]: r["bal"] for r in ops("corr-subquery-agg")}
+    assert set(got) == set(want)
+    for ck, b in want.items():
+        close(got[ck], b, tol=1e-2)
+
+
+def test_join_range_bucketized(ops, duck):
+    rows = duck.execute("SELECT l_extendedprice FROM lineitem").fetchall()
+    bands = {"low": (0, 30000), "mid": (30000, 70000), "high": (70000, 120000)}
+    per = {b: (0, 0.0) for b in bands}
+    for (p,) in rows:
+        for b, (lo, hi) in bands.items():
+            if lo <= p < hi:
+                n, s = per[b]
+                per[b] = (n + 1, s + p)
+    per = {b: v for b, v in per.items() if v[0]}
+    got = {r["band_name"]: (r["n"], r["total"]) for r in ops("join-range-bucketized")}
+    assert set(got) == set(per)
+    for b, (n, s) in per.items():
+        gn, gs = got[b]
+        assert gn == n
+        close(gs, s, tol=1e-1)
+
+
+def test_merge_upsert(ops, duck):
+    rows = duck.execute(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+    ).fetchall()
+    updates = {
+        k: round(tp + 1000.0, 2) for k, tp, _st in rows if k % 10 == 0
+    }
+    want = Counter()
+    for k, tp, st in rows:
+        if st == "F" and k not in updates:
+            want[(k, tp, "kept")] += 1
+    for k, tp in updates.items():
+        want[(k, tp, "upserted")] += 1
+    got = Counter(
+        (r["o_orderkey"], r["o_totalprice"], r["src"]) for r in ops("merge-upsert")
+    )
+    assert got == want
+
+
+def test_plan_reuse_exchange(ops, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem"
+    ).fetchall()
+    agg: dict = {}
+    for f, s, p in rows:
+        n, t = agg.get((f, s), (0, 0.0))
+        agg[(f, s)] = (n + 1, t + p)
+    agg = {k: (n, round(t, 2)) for k, (n, t) in agg.items()}
+    flag: dict = {}
+    for (f, _s), (n, t) in agg.items():
+        fn, ft = flag.get(f, (0, 0.0))
+        flag[f] = (fn + n, ft + t)
+    got = {(r["l_returnflag"], r["l_linestatus"]): r for r in ops("plan-reuse-exchange")}
+    assert set(got) == set(agg)
+    for (f, s), (n, t) in agg.items():
+        r = got[(f, s)]
+        assert (r["n"], r["flag_n"]) == (n, flag[f][0])
+        close(r["total"], t, tol=1e-1)
+        close(r["share_of_flag"], t / flag[f][1], tol=1e-5)
+
+
+def test_scd2_intervals(ops, duck):
+    rows = duck.execute(
+        "SELECT user_id, event_id, ts, event_type FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    sentinel = datetime.datetime(2200, 1, 1)
+    want: Counter = Counter()
+    for i, (uid, eid, ts, et) in enumerate(rows):
+        nxt = rows[i + 1] if i + 1 < len(rows) else None
+        if nxt is not None and nxt[0] == uid:
+            want[(uid, et, ts, nxt[2], False)] += 1
+        else:
+            want[(uid, et, ts, sentinel, True)] += 1
+    got = Counter(
+        (
+            r["user_id"], r["state"], r["effective_from"],
+            r["effective_to"], r["is_current"],
+        )
+        for r in ops("scd2-intervals")
+    )
+    assert got == want
+
+
+def test_set_except(ops, duck):
+    custs = {k for (k,) in duck.execute("SELECT c_custkey FROM customer").fetchall()}
+    buyers = {k for (k,) in duck.execute("SELECT o_custkey FROM orders").fetchall()}
+    got = {r["c_custkey"] for r in ops("set-except")}
+    assert got == custs - buyers
+
+
+def test_set_intersect(ops, duck):
+    f = {k for (k,) in duck.execute("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'").fetchall()}
+    o = {k for (k,) in duck.execute("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'").fetchall()}
+    got = {r["o_custkey"] for r in ops("set-intersect")}
+    assert got == f & o
+
+
+def test_sql_pipe_syntax(ops, duck):
+    rows = duck.execute(
+        "SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem "
+        "WHERE l_quantity > 10"
+    ).fetchall()
+    agg: dict = {}
+    for f, s, q in rows:
+        n, t = agg.get((f, s), (0, 0.0))
+        agg[(f, s)] = (n + 1, t + q)
+    got = {(r["l_returnflag"], r["l_linestatus"]): (r["n"], r["avg_qty"]) for r in ops("sql-pipe-syntax")}
+    assert set(got) == set(agg)
+    for k, (n, t) in agg.items():
+        gn, ga = got[k]
+        assert gn == n
+        close(ga, t / n, tol=1e-3)
+
+
+def test_unpivot(ops, duck):
+    rows = duck.execute(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem"
+    ).fetchall()
+    want = Counter()
+    for k, ln, q, d in rows:
+        want[(k, ln, "quantity", round(q, 6))] += 1
+        want[(k, ln, "discount", round(d, 6))] += 1
+    got = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["measure"], round(r["value"], 6))
+        for r in ops("unpivot")
+    )
+    assert got == want
+
+
+def test_window_first_last(ops, duck):
+    rows = duck.execute(
+        "SELECT user_id, event_id, ts, event_type FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per: dict = {}
+    for uid, eid, ts, et in rows:
+        per.setdefault(uid, []).append((eid, et))
+    got = {r["event_id"]: (r["first_type"], r["last_type"], r["second_type"]) for r in ops("window-first-last")}
+    for uid, evs in per.items():
+        first = evs[0][1]
+        last = evs[-1][1]
+        second = evs[1][1] if len(evs) > 1 else None
+        for eid, _et in evs:
+            assert got[eid] == (first, last, second), (uid, eid)
+
+
+def test_window_rank_battery(ops, duck):
+    rows = duck.execute(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    per: dict = {}
+    for k, pr, tp in rows:
+        per.setdefault(pr, []).append((-tp, k))
+    got = {r["o_orderkey"]: r for r in ops("window-rank-battery")}
+    for pr, items in per.items():
+        items.sort()
+        n = len(items)
+        base, extra = divmod(n, 4)
+        # rank/dense_rank over (-price, key): keys are unique so ties
+        # cannot occur and rank == dense_rank == row position
+        for i, (_negtp, k) in enumerate(items):
+            r = got[k]
+            assert r["rnk"] == i + 1
+            assert r["drnk"] == i + 1
+            close(r["prank"], i / (n - 1) if n > 1 else 0.0, tol=1e-5)
+            # ntile(4): first `extra` quartiles get base+1 rows
+            cum = 0
+            for qt in range(1, 5):
+                size = base + (1 if qt <= extra else 0)
+                if i < cum + size:
+                    assert r["quartile"] == qt
+                    break
+                cum += size
+
+
+def test_window_rows_vs_range(ops, duck):
+    rows = duck.execute(
+        "SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders "
+        "WHERE o_orderkey % 50 = 0"
+    ).fetchall()
+    per: dict = {}
+    for _k, pr, od in rows:
+        per.setdefault(pr, []).append(od)
+    got = {
+        (r["o_orderpriority"], r["o_orderdate"]): (
+            r["n_peers"], r["rows_cnt_first"], r["rows_cnt_last"], r["range_cnt"]
+        )
+        for r in ops("window-rows-vs-range")
+    }
+    want = {}
+    for pr, dates in per.items():
+        dates.sort()
+        n = len(dates)
+        from bisect import bisect_left, bisect_right
+
+        for od in set(dates):
+            lo = bisect_left(dates, od)
+            hi = bisect_right(dates, od)
+            want[(pr, od)] = (hi - lo, lo + 1, hi, hi)
+    assert got == want
+
+
+def test_window_running_distinct(ops, duck):
+    rows = duck.execute(
+        "SELECT user_id, event_id, ts, event_type FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    got = {r["event_id"]: r["distinct_types_so_far"] for r in ops("window-running-distinct")}
+    seen: dict = {}
+    prev_uid = None
+    for uid, eid, _ts, et in rows:
+        if uid != prev_uid:
+            seen, prev_uid = set(), uid
+        seen.add(et)
+        assert got[eid] == len(seen), (uid, eid)
