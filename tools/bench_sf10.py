@@ -29,7 +29,16 @@ SF1 = os.environ.get("SF1_DIR", "/root/repo/.sf1")
 SF10 = os.environ.get("SF10_DIR", "/root/repo/.sf10")
 RATIO_MAX = float(os.environ.get("RATIO_MAX", "15"))
 
-OPS = ["text-ngram-novelty", "dedup-span-coverage", "embed-hubness"]
+OPS = [
+    "text-ngram-novelty",
+    "dedup-span-coverage",
+    "embed-hubness",
+    # r8 extension: the other two of the sweep's five heaviest corpus
+    # ops (both embeddings-only, so the existing sf10 fixtures cover
+    # them) — the two-decade curve now spans all five.
+    "dedup-semdedup-bucket",
+    "embed-intrinsic-dim",
+]
 
 
 def main() -> None:
