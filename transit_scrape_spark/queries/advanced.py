@@ -217,7 +217,9 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double(F.col("embedding")).alias("cv"))
         .collect()
     }
-    cents = [list(fetched[i]) for i in cent_ids]
+    # absent seed ids (empty/sparse corpus) fall back to zero vectors:
+    # assignment still evaluates, and with no rows the result is empty
+    cents = [list(fetched.get(i, [0.0] * DIM)) for i in cent_ids]
 
     v = as_double(F.col("embedding"))
     # persist the parsed vectors: init + each Lloyd iteration + the final

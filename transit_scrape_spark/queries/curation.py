@@ -149,7 +149,12 @@ def simsearch_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("v"),
         lsh_bucket(as_double(F.col("embedding"))).alias("bucket"),
     )
-    qrow = tagged.filter(F.col("vec_id") == 1).select("v", "bucket").collect()[0]
+    qrows = tagged.filter(F.col("vec_id") == 1).select("v", "bucket").collect()
+    if not qrows:  # no query vector (empty corpus): empty result, total op
+        return tagged.select(
+            "vec_id", F.lit(0.0).alias("sim")
+        ).filter(F.lit(False))
+    qrow = qrows[0]
     probes = [qrow["bucket"]] + [qrow["bucket"] ^ (1 << k) for k in range(N_PLANES)]
     qv = F.array(*[F.lit(x) for x in qrow["v"]])
     return (

@@ -227,7 +227,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
+    # max(1) keeps the op total on an empty graph: zero nodes means the
+    # rank relation is empty anyway, the divisor is never observed
+    n_nodes = max(nodes.count(), 1)
     deg = edges.groupBy("a").agg(F.count("*").cast("double").alias("d"))
     # (a, b, d): source, target, out-degree — consumed by every round
     out = edges.join(deg, "a").persist()

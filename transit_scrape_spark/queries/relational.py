@@ -496,6 +496,8 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def derive_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    if lo is None:  # empty input: no key range, no buckets — stay total
+        lo, hi = 0, 0
     n_buckets = 16
     width = max((int(hi) - int(lo) + n_buckets) // n_buckets, 1)
     # pid ascends with event_id range, so

@@ -290,13 +290,15 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # the real job's action
     m = obs.get
+    # empty input: sum/max observe as None (count stays 0) — keep the
+    # op total, matching the oracle's count FILTER = 0 / NULL totals
     return spark.createDataFrame(
         [
             (
                 int(m["n_rows"]),
-                int(m["n_negative"]),
-                float(m["total_value"]),
-                float(m["max_value"]),
+                int(m["n_negative"] or 0),
+                None if m["total_value"] is None else float(m["total_value"]),
+                None if m["max_value"] is None else float(m["max_value"]),
             )
         ],
         "n_rows long, n_negative long, total_value double, max_value double",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import uuid
 from typing import Callable
@@ -37,7 +38,8 @@ def content_tag(sf_dir: str) -> str:
         if name.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, name))
             h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # anything non-identifier (hyphens in pytest tmp dirs, etc.) -> _
+    tag = re.sub(r"[^0-9A-Za-z_]", "_", sf_dir.strip("/"))
     return f"{tag}_{h.hexdigest()[:10]}"
 
 
