@@ -144,10 +144,22 @@ def live_exchange_count(plan: str) -> int:
     body, blocks = _split_inmemory_blocks(plan)
 
     def norm(b: str) -> str:
-        # copies of the same relation differ in tree indentation (their
-        # position under each scan) and in expression/plan ids — strip both
-        lines = [re.sub(r"^[ :+|*-]*", "", ln) for ln in b.splitlines()]
-        return re.sub(r"#\d+|plan_id=\d+", "", "\n".join(lines))
+        # copies of the same relation differ in (a) whole-stage-codegen
+        # stage ids — '*(3)' vs '*(7)' for the same subtree, (b) absolute
+        # tree indentation (their position under each scan), and (c)
+        # expression/plan ids. Normalize stage ids away, then rebase each
+        # line's depth to the block root — PRESERVING relative depth so
+        # two structurally different lineages with identical node text
+        # don't collapse into one.
+        b = re.sub(r"(\*|WholeStageCodegen )\(\d+\)", r"\1", b)
+        lines = b.splitlines()
+        depths = [len(re.match(r"[ :+|*-]*", ln).group(0)) for ln in lines]
+        base = depths[0] if depths else 0
+        rebased = [
+            " " * max(0, d - base) + re.sub(r"^[ :+|*-]*", "", ln)
+            for ln, d in zip(lines, depths)
+        ]
+        return re.sub(r"#\d+|plan_id=\d+", "", "\n".join(rebased))
 
     distinct: dict[str, str] = {}
     for b in blocks:

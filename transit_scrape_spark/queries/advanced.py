@@ -217,9 +217,18 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double(F.col("embedding")).alias("cv"))
         .collect()
     }
-    # absent seed ids (empty/sparse corpus) fall back to zero vectors:
-    # assignment still evaluates, and with no rows the result is empty
-    cents = [list(fetched.get(i, [0.0] * DIM)) for i in cent_ids]
+    # absent seed ids (empty/sparse corpus) are DROPPED, mirroring the
+    # oracle's c0 CTE which only materializes present seeds — padding
+    # zero vectors instead would train k cells while the oracle trains
+    # fewer, diverging on sparse-but-nonempty corpora. Each kept
+    # centroid carries its ORIGINAL cell id so assignment labels match
+    # the oracle's (vec_id - 2) // 7 + 1 numbering.
+    cells = [c + 1 for c in range(N_CENTROIDS) if cent_ids[c] in fetched]
+    cents = [list(fetched[cent_ids[c]]) for c in range(N_CENTROIDS) if cent_ids[c] in fetched]
+    if not cells:
+        # no seed vectors at all: the oracle's c0 is empty so every
+        # downstream CTE (and the result) is empty — mirror exactly
+        return e.select("vec_id", F.lit(0.0).alias("sim")).filter(F.lit(False))
 
     v = as_double(F.col("embedding"))
     # persist the parsed vectors: init + each Lloyd iteration + the final
@@ -245,11 +254,12 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ),
         )
-        return df.select(
-            "vec_id",
-            "v",
-            F.array_position(dists, F.array_min(dists)).alias("cell"),
-        )
+        # array_position returns the FIRST minimum = lowest cell among
+        # ties (cells are ascending), matching the oracle's row_number
+        # ORDER BY dist, cell; map position -> original cell id
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        cell = F.element_at(F.array(*[F.lit(c) for c in cells]), pos)
+        return df.select("vec_id", "v", cell.cast("bigint").alias("cell"))
 
     # Lloyd iterations: assignment is lazy/codegen; the update's collect
     # moves only k*dim doubles to the driver (MLlib KMeans does the same)
@@ -259,7 +269,7 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.avg(F.col("v")[i]), 9).alias(f"m{i}") for i in range(DIM)]
         )
         got = {int(r["cell"]): [r[f"m{i}"] for i in range(DIM)] for r in means.collect()}
-        cents = [got.get(c + 1, cents[c]) for c in range(N_CENTROIDS)]
+        cents = [got.get(cells[j], cents[j]) for j in range(len(cells))]
 
     assigned = assign(vecs, cents)
     q = assigned.filter(F.col("vec_id") == 1).select(

@@ -301,8 +301,12 @@ def run_skew_fact_fact(spark: SparkSession, sf_dir: str):
 def join_skew_fact_fact_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, plan = run_skew_fact_fact(spark, sf_dir)
     # an empty fact table has no skew to split — the demonstration
-    # contract only binds when there are rows to skew
-    assert "skew=true" in plan or out.isEmpty(), "AQE skew split did not fire"
+    # contract only binds when there are rows to skew. Gate the
+    # exemption on the INPUT being empty, not the output: an empty
+    # output can also mean a regression silently dropped every row,
+    # which is exactly what this assert exists to catch.
+    events_empty = load_table(spark, sf_dir, "events").isEmpty()
+    assert "skew=true" in plan or events_empty, "AQE skew split did not fire"
     return out
 
 
