@@ -65,10 +65,32 @@ def main() -> None:
 
     from transit_scrape_spark.session import release_caches
 
+    # frozen calibration anchor (VERDICT r8 ask 1): pinned workload,
+    # never changes across rounds; box_factor = anchor_sec / frozen
+    # baseline separates box-speed drift from code regressions
+    from transit_scrape_spark.bench_anchor import run_anchor
+
+    anchor = run_anchor(spark)
+    print(
+        f"# anchor: {anchor['anchor_sec']:.3f}s "
+        f"(baseline {anchor['anchor_baseline_sec']}s, "
+        f"box_factor {anchor['box_factor']})",
+        file=sys.stderr,
+    )
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # optional subset (comma-separated op ids): fast verify surface;
+    # subset runs do NOT overwrite the committed full-sweep detail file
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_OPS", "").split(",")
+        if s.strip()
+    }
     timings: dict[str, float] = {}
     total = 0.0
     for op_id, spec in sorted(registry().items()):
+        if only and op_id not in only:
+            continue
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -88,15 +110,21 @@ def main() -> None:
         print(f"# {op_id}: {dt:.3f}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    bf = anchor["box_factor"] or 1.0
     detail = {
         "metric": "full_query_sweep_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-op timings divided by box_factor: what each op would have
+        # measured at the frozen anchor baseline's box speed
+        "queries_norm": {k: round(v / bf, 4) for k, v in timings.items()},
         "sf": sf_val,
+        **{k: v for k, v in anchor.items() if k != "anchor_runs"},
     }
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL.partial.json" if only else "BENCH_DETAIL.json",
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh)
@@ -123,7 +151,14 @@ def main() -> None:
                 # registry-size-normalized: the sweep total grows with
                 # every op added, so cross-round comparisons use this
                 "sec_per_op": round(total / len(timings), 4) if timings else 0.0,
-                "detail": "BENCH_DETAIL.json",
+                # box-speed-adjusted (divide by box_factor): THE number
+                # to compare across rounds — see bench_anchor.py
+                "anchor_sec": anchor["anchor_sec"],
+                "box_factor": anchor["box_factor"],
+                "sec_per_op_norm": round(total / len(timings) / bf, 4)
+                if timings
+                else 0.0,
+                "detail": os.path.basename(detail_path),
             }
         )
     )

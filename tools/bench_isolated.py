@@ -79,10 +79,43 @@ print(json.dumps({{"op": op_id, "median": statistics.median(runs),
 """
 
 
+_ANCHOR_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from transit_scrape_spark.session import get_spark
+from transit_scrape_spark.bench_anchor import run_anchor
+spark = get_spark("tss-bench-anchor")
+spark.sparkContext.setLogLevel("ERROR")
+print(json.dumps(run_anchor(spark)))
+"""
+
+
+def run_anchor_subprocess() -> dict:
+    """Frozen calibration anchor in its own fresh process (same
+    protocol as every measured query here); see bench_anchor.py."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _ANCHOR_CHILD.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+    )
+    if proc.returncode != 0:
+        print(f"# anchor FAILED\n{proc.stderr[-2000:]}", file=sys.stderr)
+        return {"anchor_sec": None, "box_factor": None}
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    anchor = run_anchor_subprocess()
+    print(
+        f"# anchor: {anchor['anchor_sec']}s (box_factor {anchor['box_factor']})",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
@@ -111,15 +144,21 @@ def main() -> None:
         )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    bf = anchor.get("box_factor") or 1.0
     out = {
         "metric": "isolated_headline_median_sec",
         "unit": "sec",
         "sf": sf_val,
         "reps": reps,
         "queries": timings,
+        # box-speed-adjusted (divided by box_factor): compare THESE
+        # across rounds — see transit_scrape_spark/bench_anchor.py
+        "queries_norm": {k: round(v / bf, 4) for k, v in timings.items()},
+        **{k: v for k, v in anchor.items() if k != "anchor_runs"},
         "runs": runs_detail,
         "protocol": "fresh subprocess + fresh SparkSession per query, "
-        "1 warm-up + median of reps",
+        "1 warm-up + median of reps; anchor: fresh process, 2 warm-ups "
+        "+ min of 5 on the frozen pinned workload",
     }
     path = os.path.join(REPO, "BENCH_ISOLATED.json")
     with open(path, "w") as fh:
