@@ -14,6 +14,7 @@ driver cannot hash passed locally and failed the real gate):
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -33,13 +34,16 @@ TABLES = [
 def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written multi-file table (e.g. the .skew/.sf1
+            # warehouses): glob the part files
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
-def _norm(v, op_id="?"):
+def _norm(v, op_id="?", float_sig=9):
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
@@ -47,8 +51,9 @@ def _norm(v, op_id="?"):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # quantize to 9 significant digits so last-bit drift can't differ
-        return float(f"{v:.9g}")
+        # quantize to float_sig significant digits so last-bit drift
+        # can't differ (default 9 = the driver-equivalent strictness)
+        return float(f"{v:.{float_sig}g}")
     if isinstance(v, datetime):
         v = v.replace(tzinfo=None)
         # driver canonicalizes through pandas ns timestamps — a value
@@ -82,7 +87,14 @@ def assert_driver_safe_schema(sdf, op_id: str = "?") -> None:
         )
 
 
-def compare(spark_df, con, sql: str, op_id: str = "?") -> None:
+def compare(spark_df, con, sql: str, op_id: str = "?", float_sig: int = 9) -> None:
+    """float_sig: significant digits floats are quantized to before
+    comparison. 9 (default) matches the driver's strictness on the
+    uniform fixtures. The zipf skew axis passes 7: its ~300k-row hot
+    keys accumulate engine-summation-order drift that can flip the last
+    digits of a rounded SUM (e.g. tpch-q3 revenue 1290248.3 vs .2) —
+    a float-associativity artifact, not a correctness signal; 7 digits
+    still catches any real wrong-rows bug."""
     sdf = spark_df
     assert_driver_safe_schema(sdf, op_id)
     spark_cols = sorted(sdf.columns)
@@ -101,10 +113,10 @@ def compare(spark_df, con, sql: str, op_id: str = "?") -> None:
     )
 
     s_set = sorted(
-        (tuple(_norm(r[c], op_id) for c in spark_cols) for r in srows), key=repr
+        (tuple(_norm(r[c], op_id, float_sig) for c in spark_cols) for r in srows), key=repr
     )
     idx = [duck_colnames.index(c) for c in duck_cols]
-    d_set = sorted((tuple(_norm(r[i], op_id) for i in idx) for r in drows), key=repr)
+    d_set = sorted((tuple(_norm(r[i], op_id, float_sig) for i in idx) for r in drows), key=repr)
     if s_set != d_set:
         diffs = [
             (a, b) for a, b in zip(s_set, d_set) if a != b

@@ -307,7 +307,12 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast to double (fractional seconds), NOT long: a long cast
+    # truncates microseconds, so a 1800.5s gap reads as 1800 and fails
+    # the > check while the oracle's exact INTERVAL comparison passes —
+    # invisible on sparse fixtures, caught by the zipf skew axis where
+    # the hot user's dense event stream hits the boundary
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_session = F.when(
         F.coalesce(gap, F.lit(0)) > 30 * 60, F.lit(1)
     ).otherwise(F.lit(0))
@@ -1479,7 +1484,10 @@ def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refinement of the oracle's ORDER BY ts ROWS frame)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # double, not long: long truncates microseconds and diverges from the
+    # oracle's exact INTERVAL comparison on sub-second boundary gaps
+    # (found by the r9 zipf skew axis on sessionize)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_session = F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0)
     sess = ev.select(
         "user_id", "ts", "event_id", new_session.alias("new_session")

@@ -1960,7 +1960,10 @@ def analytics_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # double, not long: long truncates microseconds and diverges from the
+    # oracle's exact INTERVAL comparison on sub-second boundary gaps
+    # (found by the r9 zipf skew axis on sessionize)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     gaps = ev.select(
         "user_id",
         "event_type",
@@ -2721,7 +2724,10 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # double, not long: long truncates microseconds and diverges from the
+    # oracle's exact INTERVAL comparison on sub-second boundary gaps
+    # (found by the r9 zipf skew axis on sessionize)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     gaps = ev.select(
         "user_id",
         "event_type",
@@ -3490,7 +3496,9 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         mkt AS (
             SELECT n, a, b, c,
-                   (-b - sqrt(b * b - 4 * c * a)) / (2 * c) AS m_cap
+                   CASE WHEN b * b - 4 * c * a >= 0
+                        THEN (-b - sqrt(b * b - 4 * c * a)) / (2 * c)
+                        ELSE NULL END AS m_cap
             FROM abc
         )
         SELECT CAST(n AS BIGINT) AS n_days,
@@ -3558,10 +3566,14 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = s.select("n", b.alias("b"), c.alias("c"), "my", "m1", "m2")
     a = F.col("my") - F.col("b") * F.col("m1") - F.col("c") * F.col("m2")
     abc = fit.select("n", a.alias("a"), "b", "c")
-    m_cap = (
-        -F.col("b")
-        - F.sqrt(F.col("b") * F.col("b") - 4 * F.col("c") * F.col("a"))
-    ) / (2 * F.col("c"))
+    # guard the discriminant on BOTH engines: a non-Bass-shaped adoption
+    # curve (seen on the zipf skew warehouse) fits a quadratic with no
+    # real root — Spark's sqrt(negative) is a silent NaN while DuckDB's
+    # raises, so both sides return NULL for the structural parameters
+    disc = F.col("b") * F.col("b") - 4 * F.col("c") * F.col("a")
+    m_cap = F.when(
+        disc >= 0, (-F.col("b") - F.sqrt(disc)) / (2 * F.col("c"))
+    )
     mkt = abc.select("n", "a", "b", "c", m_cap.alias("m_cap"))
     return mkt.select(
         F.col("n").cast("long").alias("n_days"),
@@ -4157,7 +4169,10 @@ def event_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # double, not long: long truncates microseconds and diverges from the
+    # oracle's exact INTERVAL comparison on sub-second boundary gaps
+    # (found by the r9 zipf skew axis on sessionize)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_session = F.when(F.coalesce(gap, F.lit(0)) > 30 * 60, 1).otherwise(0)
     sess = ev.select(
         "user_id",

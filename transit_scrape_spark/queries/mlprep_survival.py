@@ -338,8 +338,8 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_risk AS BIGINT) AS n_risk,
                CAST(d1 AS BIGINT) AS n_purchase,
                CAST(d2 AS BIGINT) AS n_error,
-               round(cif_purchase, 6) AS cif_purchase,
-               round(cif_error, 6) AS cif_error
+               round(cif_purchase + 1e-9, 6) AS cif_purchase,
+               round(cif_error + 1e-9, 6) AS cif_error
         FROM cif WHERE d1 + d2 > 0 ORDER BY t_days
     """,
     doc="Aalen-Johansen cumulative incidence under competing risks — "
@@ -442,8 +442,13 @@ def analytics_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_risk").cast("long").alias("n_risk"),
             F.col("d1").cast("long").alias("n_purchase"),
             F.col("d2").cast("long").alias("n_error"),
-            F.round("cif_purchase", 6).alias("cif_purchase"),
-            F.round("cif_error", 6).alias("cif_error"),
+            # +1e-9 on BOTH engines before the 6dp round: a CIF can land
+            # exactly on a representable rounding half (0.1421875 on the
+            # zipf skew warehouse) where engine last-bit drift flips
+            # HALF_UP; the nudge is >> drift (~1e-15) and << the rounding
+            # step (1e-6), so it only moves the knife-edge
+            F.round(F.col("cif_purchase") + 1e-9, 6).alias("cif_purchase"),
+            F.round(F.col("cif_error") + 1e-9, 6).alias("cif_error"),
         )
         .orderBy("t_days")
     )

@@ -3226,13 +3226,12 @@ def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(power(y - f, 2)) AS sse
             FROM fc WHERE rn > 15
             GROUP BY alpha
-        ),
-        best AS (SELECT min(sse) AS msse FROM scored)
+        )
         SELECT alpha,
                round(sse, 2) AS sse,
-               CAST(CASE WHEN sse = best.msse THEN 1 ELSE 0 END AS BIGINT)
-                   AS is_best
-        FROM scored, best
+               CAST(CASE WHEN row_number() OVER (ORDER BY sse, alpha) = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        FROM scored
         ORDER BY alpha
     """,
     doc="Simple-exponential-smoothing hyperparameter sweep: the "
@@ -3289,13 +3288,17 @@ def timeseries_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("alpha")
         .agg(F.sum(F.pow(F.col("y") - F.col("f"), 2)).alias("sse"))
     )
-    best = scored.agg(F.min("sse").alias("msse"))
+    # argmin via row_number over the 5-row grid summary, NOT a float
+    # equality against a separately-computed min: re-evaluating the
+    # aggregation for the min sums in a different order, and the
+    # last-bit-different value matches nothing (the zipf skew sweep
+    # caught DuckDB doing exactly that with the inlined CTE)
+    wbest = Window.orderBy("sse", "alpha")
     return (
-        scored.crossJoin(F.broadcast(best))
-        .select(
+        scored.select(
             "alpha",
             F.round("sse", 2).alias("sse"),
-            F.when(F.col("sse") == F.col("msse"), 1)
+            F.when(F.row_number().over(wbest) == 1, 1)
             .otherwise(0)
             .cast("long")
             .alias("is_best"),

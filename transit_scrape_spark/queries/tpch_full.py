@@ -287,13 +287,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l.l_suppkey AS supplier_no,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS total_revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS total_revenue
             FROM lineitem l
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1996-04-01'
             GROUP BY l.l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
         FROM supplier s
         JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -302,7 +303,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q15 (top supplier): the revenue view is computed once, "
     "its max is a single-row aggregate broadcast back (argmax by "
     "scalar subquery, not a global sort), and the supplier dim "
-    "broadcasts into the surviving row(s).",
+    "broadcasts into the surviving row(s). Revenue is rounded to 2dp "
+    "BEFORE the max-equality comparison on both engines: the raw "
+    "float-equality against a separately-evaluated max is drift-"
+    "fragile — on the zipf skew warehouse DuckDB's two parallel "
+    "evaluations of the revenue CTE summed in different orders and "
+    "the equality matched zero rows.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -311,18 +317,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
 
