@@ -18,14 +18,15 @@ simsearch-ivf-probe (KeyError on absent seed vectors),
 simsearch-lsh-multiprobe (IndexError on absent query row) and
 join-skew-fact-fact-aqe (plan assert that can't hold without rows).
 
-Exempt (documented below): ops whose FIRST step materializes their own
-source files from table rows — with zero rows the derived fixture
-itself degenerates (no files to glob, a JSON source whose schema can't
-be inferred, a partitioned dataset with zero partition dirs). Those
-failures are artifacts of self-contained testability, not of scan
-logic: at scale the source files exist independently of row counts.
-Streaming ops are excluded as in the other sweeps (replay tests +
-live-plan audit cover them).
+r9 removed the last 13 exemptions (fixture-bootstrap scan ops): their
+failures were all schema INFERENCE degenerating on empty sources (an
+empty feature array infers to nothing flattenable, a zero-partition
+parquet dir has no footers to infer from). The fix — declared scan
+schemas everywhere + a schema-complete empty file when a fixture has
+zero rows — is the scale-correct design regardless: inference costs an
+extra full pass over 100 TB and can flip types between runs. Streaming
+ops are excluded as in the other sweeps (replay tests + live-plan audit
+cover them).
 """
 
 from __future__ import annotations
@@ -40,30 +41,13 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# fixture-bootstrap ops: each derives its own source files from table
-# rows before scanning them, so an empty warehouse degenerates the
-# FIXTURE, not the op's logic
-_EXEMPT = {
-    # zero nation rows -> zero .geojson files -> nothing to glob
-    "derive-source-file",
-    "scan-glob",
-    # geojson features derived from nation rows: an empty feature array
-    # JSON-infers to string, so the struct-field extraction can't bind
-    "filter-valid-rows",
-    "project-drop-geometry",
-    "scan-geojson",
-    "scan-geojson-lib",
-    "sink-csv-wkt",
-    "sink-geojson",
-    "source-wfs",
-    # corrupt-record CSV demo needs at least one record to salvage
-    "scan-csv-robust",
-    # partitioned-parquet round trip: zero rows -> zero partition dirs
-    # -> read-back cannot infer a schema
-    "scan-dynamic-partition-prune",
-    "scan-partition-prune",
-    "sink-parquet-partitioned",
-}
+# r9: the list is EMPTY — the 13 r8 exemptions were all schema-inference
+# casualties, fixed by declaring scan schemas (sources/geojson.py
+# geojson_schema + declared parquet/CSV read-back schemas) and landing a
+# schema-complete empty file when a fixture has zero rows — the
+# scale-correct design anyway (inference costs an extra full pass at
+# 100 TB and cannot bind on a legitimately-empty input).
+_EXEMPT: set[str] = set()
 
 
 @pytest.fixture(scope="module")

@@ -278,6 +278,12 @@ def geo_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- GeoJSON scan round-trip (real file I/O through the engine) -----------
 
+# declared property schema of every nation-derived GeoJSON fixture —
+# scans DECLARE rather than infer (inference is an extra full pass at
+# scale and cannot bind on an empty feature list; see sources/geojson.py)
+NATION_PROPS = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+
+
 def _geojson_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a deterministic FeatureCollection from `nation` once per
     (sf_dir CONTENT) under /tmp; returns the file path. Content-keyed so
@@ -335,7 +341,7 @@ def _geojson_fixture_path(spark: SparkSession, sf_dir: str) -> str:
 )
 def scan_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _geojson_fixture_path(spark, sf_dir)
-    feats = read_geojson_features(spark, path)
+    feats = read_geojson_features(spark, path, properties=NATION_PROPS)
     return feats.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
@@ -366,12 +372,18 @@ def sink_csv_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.sources.sinks import write_csv_wkt
 
     path = _geojson_fixture_path(spark, sf_dir)
-    feats = read_geojson_features(spark, path).select(
+    feats = read_geojson_features(spark, path, properties=NATION_PROPS).select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "coordinates"
     )
     out_dir = os.path.dirname(path) + "/csv_out"
     write_csv_wkt(feats, out_dir)
-    back = spark.read.option("header", "true").csv(out_dir)
+    # declared read-back schema: inference would re-read the corpus at
+    # scale and cannot bind when the sink legitimately wrote zero rows
+    back = (
+        spark.read.schema("n_nationkey BIGINT, geometry_wkt STRING")
+        .option("header", "true")
+        .csv(out_dir)
+    )
     return back.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "geometry_wkt"
     )

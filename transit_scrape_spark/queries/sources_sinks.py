@@ -16,7 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transit_scrape_spark.queries.geo import _geojson_fixture_path
+from transit_scrape_spark.queries.geo import NATION_PROPS, _geojson_fixture_path
 from transit_scrape_spark.queries.registry import query
 from transit_scrape_spark.sources.fixtures import content_tag, fixture_dir
 from transit_scrape_spark.sources.geojson import read_geojson_features
@@ -37,6 +37,11 @@ def _glob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         by_region: dict[int, list] = {}
         for r in rows:
             by_region.setdefault(r["n_regionkey"], []).append(r)
+        if not by_region:
+            # schema-complete empty corpus: a quiet day still lands a
+            # (feature-less) file, so the glob/scan path stays exercised
+            with open(os.path.join(d, "nation_none.geojson"), "w") as f:
+                json.dump({"type": "FeatureCollection", "features": []}, f)
         for rk, rs in by_region.items():
             feats = [
                 {
@@ -72,7 +77,9 @@ def _glob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _glob_fixture_dir(spark, sf_dir)
-    feats = read_geojson_features(spark, f"{d}/*.geojson")
+    feats = read_geojson_features(
+        spark, f"{d}/*.geojson", properties="n_nationkey BIGINT, n_name STRING"
+    )
     return feats.groupBy("source_file").agg(F.count("*").alias("n"))
 
 
@@ -88,7 +95,9 @@ def scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def derive_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _glob_fixture_dir(spark, sf_dir)
-    feats = read_geojson_features(spark, f"{d}/*.geojson")
+    feats = read_geojson_features(
+        spark, f"{d}/*.geojson", properties="n_nationkey BIGINT, n_name STRING"
+    )
     return feats.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "source_file"
     )
@@ -107,7 +116,7 @@ def derive_source_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_geojson_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _geojson_fixture_path(spark, sf_dir)
-    feats = read_geojson_features(spark, path)
+    feats = read_geojson_features(spark, path, properties=NATION_PROPS)
     return feats.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
@@ -160,12 +169,14 @@ def sink_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.sources.sinks import write_geojson
 
     path = _geojson_fixture_path(spark, sf_dir)
-    feats = read_geojson_features(spark, path).select(
+    feats = read_geojson_features(spark, path, properties=NATION_PROPS).select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "coordinates"
     )
     out_dir = os.path.dirname(path) + "/geojson_out"
     write_geojson(feats, out_dir)
-    back = read_geojson_features(spark, out_dir, multiline=False)
+    back = read_geojson_features(
+        spark, out_dir, multiline=False, properties="n_nationkey BIGINT"
+    )
     return back.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "geometry_type",
@@ -240,7 +251,7 @@ def sink_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def project_drop_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _geojson_fixture_path(spark, sf_dir)
-    feats = read_geojson_features(spark, path)
+    feats = read_geojson_features(spark, path, properties=NATION_PROPS)
     keep = [c for c in feats.columns if c not in ("coordinates", "geometry_type")]
     return feats.select(*keep).select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
@@ -294,16 +305,19 @@ def _corrupt_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     "keep flowing.",
 )
 def filter_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.sources.geojson import geojson_schema
+
     d = _corrupt_fixture_dir(spark, sf_dir)
     raw = (
         spark.read.option("multiLine", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(geojson_schema(NATION_PROPS, corrupt_col="_corrupt_record"))
         .json(f"{d}/*.geojson")
         .cache()  # Spark disallows filtering on only the corrupt column otherwise
     )
     n_corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).count()
-    valid = read_geojson_features(spark, f"{d}/good.geojson")
+    valid = read_geojson_features(spark, f"{d}/good.geojson", properties=NATION_PROPS)
     return valid.agg(F.count("*").alias("n_valid")).select(
         "n_valid", F.lit(n_corrupt).cast("long").alias("n_corrupt")
     )
@@ -423,6 +437,20 @@ def _partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     return fixture_dir("tss_part", sf_dir, build)
 
 
+def _read_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the hive-layout orders copy with a DECLARED schema (source
+    table columns + the o_year partition column): inference would list
+    and foot every file an extra time at scale, and cannot bind at all
+    when a partition write legitimately produced zero directories."""
+    d = _partitioned_orders_dir(spark, sf_dir)
+    sch = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .schema
+    )
+    return spark.read.schema(sch).parquet(d)
+
+
 @query(
     "scan-partition-prune",
     oracle="""
@@ -445,9 +473,8 @@ def _partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     "the sum is order-insensitive.",
 )
 def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _partitioned_orders_dir(spark, sf_dir)
     return (
-        spark.read.parquet(d)
+        _read_partitioned_orders(spark, sf_dir)
         .filter(F.col("o_year") == 1997)
         .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
         .agg(
@@ -513,6 +540,12 @@ def scan_csv_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .csv(d)
+        # Spark disallows queries whose pruned schema is ONLY the corrupt
+        # column (e.g. a count() over the filtered result); the documented
+        # remedy is caching the parsed scan (same as filter-valid-rows).
+        # At 100 TB the quarantine split is one pass writing clean and
+        # corrupt rows to two sinks, not a cache.
+        .cache()
     )
     return df.filter(F.col("_bad").isNull()).select(
         "route_id", "name", "length_m"
@@ -599,7 +632,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = fixture_dir("tss_part_parquet", sf_dir, build)
-    back = spark.read.parquet(os.path.join(root, "docs"))
+    # declared read-back schema (same rationale as _read_partitioned_orders)
+    back = spark.read.schema(
+        load_table(spark, sf_dir, "documents").schema
+    ).parquet(os.path.join(root, "docs"))
     return (
         back.filter(F.col("lang").isin("en", "fr"))
         .groupBy("lang")
@@ -741,8 +777,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "days the dim selects, without the query author naming them.",
 )
 def scan_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _partitioned_orders_dir(spark, sf_dir)
-    fact = spark.read.parquet(d)
+    fact = _read_partitioned_orders(spark, sf_dir)
     picked = (
         load_table(spark, sf_dir, "orders")
         .filter((F.col("o_orderkey") % 97 == 0) & (F.year("o_orderdate") >= 1996))
@@ -950,7 +985,7 @@ def source_wfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{staged}.tmp-{uuid.uuid4().hex[:8]}"
         fetch_wfs_to_geojson(url, tmp)
         os.replace(tmp, staged)
-    feats = read_geojson_features(spark, staged)
+    feats = read_geojson_features(spark, staged, properties=NATION_PROPS)
     return feats.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",

@@ -19,18 +19,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def geojson_schema(properties: str, corrupt_col: str | None = None) -> T.StructType:
+    """Declared polymorphic-envelope schema for a GeoJSON scan.
+
+    ``properties`` is a DDL fragment for the feature property keys
+    (e.g. ``"n_nationkey BIGINT, n_name STRING"``). The returned schema
+    declares BOTH envelope shapes (``features`` array for a
+    FeatureCollection, top-level ``properties``/``geometry`` for bare
+    Features), so the same null-routing branches below work unchanged.
+
+    Why declare instead of infer: at 100 TB schema inference is an extra
+    full pass over the corpus, can flip types between runs on sparse
+    keys, and cannot bind at all on a legitimately-empty input (an empty
+    ``features`` array infers to nothing flattenable) — the declared
+    schema makes the scan total on quiet-day inputs.
+    """
+    prop_t = T.StructType.fromDDL(properties)
+    geom_t = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("coordinates", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    feat_t = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("properties", prop_t),
+            T.StructField("geometry", geom_t),
+        ]
+    )
+    fields = [
+        T.StructField("type", T.StringType()),
+        T.StructField("features", T.ArrayType(feat_t)),
+        T.StructField("properties", prop_t),
+        T.StructField("geometry", geom_t),
+    ]
+    if corrupt_col is not None:
+        fields.append(T.StructField(corrupt_col, T.StringType()))
+    return T.StructType(fields)
 
 
 def read_geojson_features(
-    spark: SparkSession, path: str, multiline: bool = True
+    spark: SparkSession,
+    path: str,
+    multiline: bool = True,
+    properties: str | None = None,
 ) -> DataFrame:
     """Read GeoJSON file(s)/glob -> one row per feature.
 
     Output columns: every property key (flattened), plus
     ``geometry_type``, ``coordinates`` (LineString: array<array<double>>),
     and ``source_file`` (basename, reference process_cycle_networks.py:95).
+
+    ``properties`` (DDL fragment of the property keys) switches the scan
+    from inference to the declared envelope schema — see
+    :func:`geojson_schema` for why that is the only correct mode at
+    scale. Inference remains for ad-hoc exploration.
     """
-    raw = spark.read.option("multiLine", "true" if multiline else "false").json(path)
+    reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if properties is not None:
+        reader = reader.schema(geojson_schema(properties))
+    raw = reader.json(path)
     cols = set(raw.columns)
 
     def _flatten(feats: DataFrame) -> DataFrame:
