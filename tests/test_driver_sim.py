@@ -91,13 +91,13 @@ def test_full_registry_driver_sim():
 
 
 def test_rotating_driver_draw():
-    """Seeded 50-op driver-shaped sample over ops the REAL driver has
-    never drawn (VERDICT r7 task 6): the full sweep above already covers
-    everything, but this names a fresh reproducible 50 each round
-    (seed = round number, eligible = registry minus the ops in any
-    CORRECTNESS_r*.json), certifying it in its own vanilla subprocess —
-    the exact shape of the driver's per-round check. The draw is
-    printed (and recorded in SCALING.md by tools/round_close.py)."""
+    """Seeded driver-shaped sample (100/round since r9, VERDICT r8
+    task 4) over ops neither the REAL driver nor a prior round's local
+    draw has validated: the full sweep above already covers everything,
+    but this names a fresh reproducible batch each round (seed = round
+    number), certifying it in its own vanilla subprocess — the exact
+    shape of the driver's per-round check. The draw is printed (and
+    recorded in SCALING.md by tools/round_close.py)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     from tools.driver_draw import current_round, rotating_draw

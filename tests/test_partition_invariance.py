@@ -1,13 +1,14 @@
-"""Physical-partitioning invariance sweep (r8): an op's RESULT must not
-depend on shuffle partition count, scan split size, or AQE — the
-property that makes a plan give the same answer on 8 threads and on
-1000 executors. Neither the DuckDB parity gate (one engine config) nor
-the golden suites (value math) certify it; this sweep does, directly:
-each covered op runs twice in the same session — once under the suite
-config (AQE on, shuffle=8, 4 MB-floor scan splits) and once under a
-deliberately hostile contrast (AQE off, shuffle=3, 64 KB scan splits so
-every parquet file shatters into many input partitions) — and the two
-results must canonically match value-for-value.
+"""Physical-partitioning invariance sweep (r8, full-registry since r9):
+an op's RESULT must not depend on shuffle partition count, scan split
+size, or AQE — the property that makes a plan give the same answer on 8
+threads and on 1000 executors. Neither the DuckDB parity gate (one
+engine config) nor the golden suites (value math) certify it; this
+sweep does, directly: each covered op runs twice in the same session —
+once under the suite config (AQE on, shuffle=8, 4 MB-floor scan splits)
+and once under a deliberately hostile contrast (AQE off, shuffle=3,
+64 KB scan splits so every parquet file shatters into many input
+partitions) — and the two results must canonically match
+value-for-value.
 
 What this would catch that nothing else can: a window/row_number whose
 ORDER BY under-specifies ties (partition layout then picks the winner),
@@ -16,19 +17,17 @@ reductions whose tolerance-violating reassociation differs across
 partition trees, an accidental dependence on
 spark.sql.shuffle.partitions in bucketing math.
 
-Coverage = a pinned core (the headline queries plus the known
-tie-break-sensitive machinery: global-order ranking, ntile deciles,
-running windows) + a seeded rotating sample over the rest of the batch
-registry (seed = the round number, same scheme as tools/driver_draw.py)
-so the certified set grows round over round. Streaming ops are excluded
-— their invariance evidence is the replay tests plus the live-plan
-audit (PLAN_AUDIT.md); conf flips mid-checkpoint would test the harness,
-not the ops.
+Coverage (r9, VERDICT r8 task 3): ALL batch ops — the r8 sweep sampled
+76/624; the empty-input sweep proved full-registry sweeps are
+affordable. Streaming ops are excluded as before — their invariance
+evidence is the replay tests plus the live-plan audit (PLAN_AUDIT.md);
+conf flips mid-checkpoint would test the harness, not the ops.
+Legitimately layout-sensitive ops are pinned in _EXEMPT with per-op
+reasons, and test_exempt_list_is_minimal fails if an exemption goes
+stale (same discipline as the empty-input sweep).
 """
 
 from __future__ import annotations
-
-import random
 
 import pytest
 
@@ -45,46 +44,19 @@ _CONTRAST = {
     "spark.sql.files.openCostInBytes": "0",
 }
 
-# always-run core: the isolated-bench headliners + ops built on the
-# machinery where a tie-break bug would live (with_global_order prefix
-# ranking, ntile deciles, running/sessionized windows, LSH banding)
-_CORE = [
-    "tpch-q3",
-    "tpch-q6",
-    "tpch-q10",
-    "tpch-q17",
-    "join-fk-chain",
-    "window-latest-per-key",
-    "sessionize",
-    "dedup-near-minhash",
-    "simsearch-topk",
-    "text-quality-score",
-    "multimodal-cols",
-    "analytics-rfm",
-    "abc-revenue-deciles",
-    "window-running-distinct",
-    "window-session-concurrency",
-    "agg-running-totals",
-]
-
-_SAMPLE_K = 60
-
-
-def _round_seed() -> int:
-    from tools.driver_draw import current_round
-
-    return current_round()
+# Ops whose OUTPUT legitimately depends on physical layout, each with
+# the reason it is exempt rather than fixed. Kept as small as honest;
+# test_exempt_list_is_minimal proves every entry still diverges under
+# the contrast config (a stale exemption fails the suite).
+_EXEMPT: dict[str, str] = {}
 
 
 def _covered_ops() -> list[str]:
-    reg = registry()
-    batch = sorted(k for k in reg if not k.startswith("stream-"))
-    for op in _CORE:
-        assert op in reg, f"pinned core op {op} missing from registry"
-    pool = [k for k in batch if k not in _CORE]
-    rng = random.Random(_round_seed())
-    sample = rng.sample(pool, min(_SAMPLE_K, len(pool)))
-    return _CORE + sorted(sample)
+    return sorted(
+        k
+        for k in registry()
+        if not k.startswith("stream-") and k not in _EXEMPT
+    )
 
 
 def _canon(df, op_id):
@@ -95,8 +67,7 @@ def _canon(df, op_id):
     )
 
 
-@pytest.mark.parametrize("op_id", _covered_ops())
-def test_partition_invariance(op_id, spark, sf_dir):
+def _run_contrast_pair(spark, sf_dir, op_id):
     spec = registry()[op_id]
     saved = {k: spark.conf.get(k) for k in _CONTRAST}
     base = _canon(spec.fn(spark, sf_dir), op_id)
@@ -109,6 +80,12 @@ def test_partition_invariance(op_id, spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
         release_caches(spark)
+    return base, contrast
+
+
+@pytest.mark.parametrize("op_id", _covered_ops())
+def test_partition_invariance(op_id, spark, sf_dir):
+    base, contrast = _run_contrast_pair(spark, sf_dir, op_id)
     assert len(base) == len(contrast), (
         f"[{op_id}] row count changed under contrast partitioning: "
         f"{len(base)} vs {len(contrast)}"
@@ -119,3 +96,20 @@ def test_partition_invariance(op_id, spark, sf_dir):
             f"[{op_id}] result depends on physical partitioning, "
             f"first diffs: {diffs}"
         )
+
+
+def test_exempt_list_is_minimal(spark, sf_dir):
+    """Every exempt op must actually DIVERGE under the contrast config —
+    an entry that starts matching means a fix landed and the exemption
+    is stale."""
+    stale = []
+    for op_id in sorted(_EXEMPT):
+        try:
+            base, contrast = _run_contrast_pair(spark, sf_dir, op_id)
+        except Exception:
+            continue  # an error is still "not invariant-certifiable"
+        if base == contrast:
+            stale.append(op_id)
+    assert not stale, (
+        f"exempt ops now partition-invariant, remove from _EXEMPT: {stale}"
+    )

@@ -38,6 +38,13 @@ OPS = [
     # them) — the two-decade curve now spans all five.
     "dedup-semdedup-bucket",
     "embed-intrinsic-dim",
+    # r9 extension (VERDICT r8 task 6): the two heaviest iterative-join
+    # graph ops — the driver-loop join class previously soaked only to
+    # sf1. Their 25-node nation graph is fixed; what scales 100x is the
+    # lineitem->orders->customer->supplier edge derivation they spend
+    # their time in (gen_sf10.py generates the chain tables).
+    "graph-pagerank",
+    "graph-components-iterative",
 ]
 
 

@@ -36,10 +36,76 @@ OUT = os.environ.get("OUT", "/root/repo/.sf10")
 COPIES = int(os.environ.get("COPIES", "100"))
 
 
+# r9 extension (VERDICT r8 task 6): the two heaviest iterative-join ops
+# (graph-pagerank, graph-components-iterative) derive their edge table
+# from the lineitem->orders->customer->supplier chain — the other
+# super-linear risk class (driver-loop joins) previously stopped at sf1.
+# Generate just the four chain tables (keys shifted per copy so
+# referential integrity holds, like tools/gen_sf1.py) plus the nation
+# dim passthrough (fixed 25 rows per TPC-H — the GRAPH stays 25 nodes;
+# what scales 100x is the edge-derivation join the ops spend their time
+# in, which is the honest scale axis for these fixtures).
+GRAPH_SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+GRAPH_SPACES = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+}
+GRAPH_COL_SPACE = {
+    "c_custkey": "custkey", "o_custkey": "custkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "l_partkey": "partkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+}
+
+
+def gen_graph_tables(spark, copies) -> None:
+    todo = [
+        t for t in GRAPH_SHIFT
+        if not os.path.isdir(f"{OUT}/{t}.parquet") or os.environ.get("FORCE") == "1"
+    ]
+    for t in ("nation", "region"):
+        dest = f"{OUT}/{t}.parquet"
+        if not os.path.isdir(dest) or os.environ.get("FORCE") == "1":
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(dest)
+            print(f"{t}: passthrough", flush=True)
+    if not todo:
+        print("graph tables: exist, skipped (FORCE=1 to regenerate)", flush=True)
+        return
+    src = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in GRAPH_SHIFT}
+    strides = {
+        space: max(src[t].agg(F.max(c)).collect()[0][0] for t, c in cols) + 1
+        for space, cols in GRAPH_SPACES.items()
+    }
+    for t in todo:
+        df = src[t]
+        out = df.crossJoin(F.broadcast(copies))
+        for c in GRAPH_SHIFT[t]:
+            dt = dict(df.dtypes)[c]
+            out = out.withColumn(
+                c,
+                (F.col(c) + F.col("_copy") * strides[GRAPH_COL_SPACE[c]]).cast(dt),
+            )
+        out.drop("_copy").repartition(32).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
+        print(f"{t}: {n} rows", flush=True)
+
+
 def main() -> None:
     spark = get_spark("gen-sf10")
     os.makedirs(OUT, exist_ok=True)
     copies = spark.range(COPIES).select(F.col("id").cast("int").alias("_copy"))
+    gen_graph_tables(spark, copies)
 
     for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
         dest = f"{OUT}/{t}.parquet"

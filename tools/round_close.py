@@ -60,8 +60,9 @@ def record_draw() -> None:
     lines = [
         DRAW_START,
         "",
-        "Per-round seeded 50-op draws over ops the REAL driver has never",
-        "validated (tools/driver_draw.py; certified green each round by",
+        "Per-round seeded draws (50/round r7-r8, 100/round since r9) over",
+        "ops neither the REAL driver nor a prior local draw has validated",
+        "(tools/driver_draw.py; certified green each round by",
         "tests/test_driver_sim.py::test_rotating_driver_draw in a vanilla",
         "subprocess session). Full lists in LOCAL_SIM_DRAWS.json.",
         "",
