@@ -51,13 +51,23 @@ def sql_string_hash(s: str) -> str:
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """k-token shingles: ['a','b','c','d'] -> ['a b c', 'b c d']."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
-    return F.transform(
+    """k-token shingles: ['a','b','c','d'] -> ['a b c', 'b c d'].
+
+    Guarded for docs shorter than k tokens (and NULL token arrays):
+    sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the unguarded
+    form crashes element_at on any short document — invisible on
+    long-doc fixtures, guaranteed at corpus scale.
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    body = F.transform(
         idx,
         lambda i: F.concat_ws(
             TOKEN_SPLIT, *[F.element_at(tokens, i + j) for j in range(k)]
         ),
+    )
+    return F.when(n >= k, body).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -157,9 +167,16 @@ def shingle_hash_rows(corpus, id_col: str = "doc_id", text_col: str = "text",
     """corpus[id, text] -> distinct rows (id, sh): one row per distinct
     k-shingle hash. explode -> per-token md5 hash (codegen) -> window
     lead() to fold the k-gram -> distinct. One shuffle on id (the window
-    sort); the groupBys layered on top reuse that partitioning."""
+    sort); the groupBys layered on top reuse that partitioning.
+
+    ``id_col`` must identify the document: duplicate rows (re-crawled
+    copies) are collapsed to one before the window, because the
+    per-token lead() fold interleaves tied positions from multiple
+    copies into phantom shingles otherwise (caught by the
+    duplicate-hostile parity sweep)."""
     from pyspark.sql.window import Window
 
+    corpus = corpus.dropDuplicates([id_col])
     tok = corpus.select(
         id_col, F.posexplode(F.split(text_col, TOKEN_SPLIT)).alias("_i", "_t")
     ).select(id_col, "_i", string_hash(F.col("_t")).alias("_h"))

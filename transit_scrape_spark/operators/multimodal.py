@@ -56,14 +56,25 @@ def decode_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "real image decode path: PIL present but intentionally "
                 "unimplemented in v1 — swap in Image.open(BytesIO(b)) here"
             )
-        blens = payloads.map(len)
+        # NULL payloads (failed fetch/decode upstream) are dropped, not
+        # a worker crash — pandas would smuggle NaN (not SQL NULL) into
+        # the float feature columns otherwise
+        keep = payloads.notnull()
+        pdf, payloads = pdf[keep], payloads[keep]
+        blens = payloads.map(lambda b: len(b) if b is not None else None)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "byte_len": blens,
                 "n_frames": blens % 7 + 1,
-                "mean_byte": payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
-                "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                "mean_byte": payloads.map(
+                    lambda b: (sum(b) / len(b) if len(b) else 0.0)
+                    if b is not None
+                    else None
+                ),
+                "head_hex": payloads.map(
+                    lambda b: bytes(b[:8]).hex() if b is not None else None
+                ),
             }
         )
 

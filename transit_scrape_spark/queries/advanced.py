@@ -64,7 +64,7 @@ def _sql_bucket(v: str) -> str:
     oracle=f"""
         SELECT {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket,
                count(*) AS n_vectors
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
         GROUP BY 1
     """,
     doc="Sign-LSH bucketing (8 deterministic hyperplanes -> 256 buckets): "
@@ -73,7 +73,7 @@ def _sql_bucket(v: str) -> str:
     "(plus neighbors for recall) instead of scanning everything.",
 )
 def simsearch_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return (
         e.select(lsh_bucket(as_double(F.col("embedding"))).alias("bucket"))
         .groupBy("bucket")
@@ -87,7 +87,7 @@ def simsearch_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tagged AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), q AS (SELECT v AS qv, bucket AS qbucket FROM tagged WHERE vec_id = 1)
         SELECT vec_id,
                round(list_dot_product(v, (SELECT qv FROM q))
@@ -105,7 +105,7 @@ def simsearch_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition pruning at scale.",
 )
 def simsearch_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     tagged = e.select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
@@ -166,7 +166,7 @@ def _kmeans_update_sql(assigned: str, old: str, out: str) -> str:
 def _ivf_kmeans_oracle() -> str:
     init_ids = ", ".join(str(c * 7 + 2) for c in range(N_CENTROIDS))
     parts = [
-        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         c0 AS (
             SELECT CAST((vec_id - 2) // 7 + 1 AS BIGINT) AS cell, v AS c
             FROM vecs WHERE vec_id IN ({init_ids})
@@ -206,7 +206,7 @@ def _ivf_kmeans_oracle() -> str:
     "independent of Spark's partial-agg summation order.",
 )
 def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # init: one driver job fetches the k sampled seed vectors (a
     # per-centroid collect loop is k sequential round-trips — the r1
     # bench's slowest op)
@@ -236,7 +236,13 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scans parquet and re-casts the arrays. At cluster scale this is
     # the standard cache-the-training-set posture; memory = corpus
     # vectors only, not intermediates.
-    vecs = e.select("vec_id", v.alias("v")).persist()
+    # vec_id is the vector KEY: duplicate (re-ingested) rows collapse to
+    # one, or the Lloyd update double-weights them while the oracle's
+    # per-vec_id row_number assignment counts them once (caught by the
+    # duplicate-hostile sweep)
+    vecs = (
+        e.select("vec_id", v.alias("v")).dropDuplicates(["vec_id"]).persist()
+    )
 
     def assign(df: DataFrame, cs: list[list[float]]) -> DataFrame:
         # ONE nested-literal array + transform instead of k separate
@@ -291,7 +297,8 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_id, ts,
                    CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM (SELECT DISTINCT user_id, event_id, ts FROM events
+                  WHERE ts IS NOT NULL) base
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, event_id, ts,
@@ -305,7 +312,14 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern). One shuffle on user_id; both windows share the sort.",
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # duplicate deliveries collapse BEFORE sessionizing: tied copies get
+    # different new_session flags from the lag pass, and the running-sum
+    # window's tie order is engine/partition-dependent after that
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # cast to double (fractional seconds), NOT long: a long cast
     # truncates microseconds, so a 1800.5s gap reads as 1800 and fails
@@ -531,7 +545,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         TIMESTAMP '2200-01-01') AS effective_to,
                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
                    AS is_current
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     doc="SCD2 history build (guide CDC/SCD2 pattern, emulated without "
     "MERGE): each state change becomes an [effective_from, effective_to) "
@@ -543,7 +557,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics regardless of sentinel choice.",
 )
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return ev.select(
@@ -590,10 +604,12 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("long").alias("exact_parts"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
     )
-    pct = li.groupBy("l_returnflag").agg(
+    pct = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         (F.abs(p50_approx - p50_exact) <= 0.05 * p50_exact).alias("p50_within_5pct")
     )
-    return cd.join(pct, "l_returnflag")
+    # NULL-safe join key: a plain equi-join silently drops the NULL
+    # group that GROUP BY keeps (caught by the null-hostility sweep)
+    return cd.join(pct, F.col("l_returnflag").eqNullSafe(F.col("rf"))).drop("rf")
 
 
 @query(
@@ -696,7 +712,10 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("direct_est"),
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
     )
-    return direct.join(merged, "l_returnflag").select(
+    merged = merged.withColumnRenamed("l_returnflag", "rf")
+    return direct.join(
+        merged, F.col("l_returnflag").eqNullSafe(F.col("rf"))
+    ).select(
         "l_returnflag",
         "exact_parts",
         (
@@ -752,7 +771,7 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING
                              AND UNBOUNDED FOLLOWING) AS second_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="first_value / last_value / nth_value battery over per-user "
@@ -766,7 +785,7 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return ev.select(
@@ -783,7 +802,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH pts AS (
             SELECT o_orderkey, o_totalprice,
                    CAST(o_orderkey % 7 AS BIGINT) + length(o_orderpriority) AS speed
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         ranked AS (
             SELECT *,
@@ -812,7 +831,11 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # a NULL price can't sit on a price/speed frontier — and it sorts
+    # FIRST in Spark's bucket window, poisoning the running champion
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     pts = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -956,7 +979,7 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS range_cnt
             FROM orders
-            WHERE o_orderkey % 50 = 0
+            WHERE o_orderkey % 50 = 0 AND o_orderdate IS NOT NULL
         )
         SELECT o_orderpriority, o_orderdate,
                CAST(count(*) AS BIGINT) AS n_peers,
@@ -980,7 +1003,9 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebra.",
 )
 def window_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 50 == 0) & F.col("o_orderdate").isNotNull()
+    )
     base = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
     w_rows = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_range = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1009,6 +1034,7 @@ def window_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS cum_w,
                    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
             FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         )
         SELECT l_returnflag,
                round(min(l_extendedprice), 4) AS weighted_median
@@ -1026,7 +1052,9 @@ def window_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-group sort entirely, trading exactness for bin width.",
 )
 def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     wsort = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -1196,7 +1224,7 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
                                                 ORDER BY ts, event_id) = 1
                         THEN 1 ELSE 0 END AS first_seen
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT user_id, ts, event_id,
                CAST(sum(first_seen) OVER (PARTITION BY user_id
@@ -1216,7 +1244,7 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale-safe.",
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
@@ -1308,7 +1336,7 @@ def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tagged AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
               FROM tagged WHERE vec_id <= 5),
@@ -1356,7 +1384,7 @@ def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruned.",
 )
 def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     tagged = e.select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
@@ -1542,7 +1570,7 @@ def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tagged AS (
             SELECT label,
                    {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         cells AS (
             SELECT bucket, label, CAST(count(*) AS BIGINT) AS n
@@ -1574,7 +1602,7 @@ def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by |buckets|x|labels| then |buckets|.",
 )
 def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     tagged = e.select(
         "label", lsh_bucket(as_double(F.col("embedding"))).alias("bucket")
     )
@@ -1603,7 +1631,7 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                    {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         q AS (SELECT e AS qv, bucket AS qb FROM v WHERE vec_id = 1),
         cands AS (
@@ -1648,7 +1676,7 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both top-10s are TakeOrderedAndProject.",
 )
 def simsearch_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = emb.select(
         "vec_id",
         as_double(F.col("embedding")).alias("e"),

@@ -113,7 +113,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type AS from_state,
                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS to_state
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT from_state, to_state,
                CAST(count(*) AS BIGINT) AS n,
@@ -133,7 +133,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("from_state"),
@@ -277,12 +277,12 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "attribution-last-touch",
     oracle="""
         WITH touches AS (
-            SELECT user_id, ts, event_id, event_type FROM events
-            WHERE event_type IN ('view', 'click')
+            SELECT DISTINCT user_id, ts, event_id, event_type FROM events
+            WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
         ),
         purchases AS (
-            SELECT user_id, ts, event_id FROM events
-            WHERE event_type = 'purchase'
+            SELECT DISTINCT user_id, ts, event_id FROM events
+            WHERE ts IS NOT NULL AND event_type = 'purchase'
         )
         SELECT coalesce(t.channel, 'direct') AS channel,
                CAST(count(*) AS BIGINT) AS n_purchases
@@ -310,7 +310,13 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # re-delivered duplicate events collapse before attribution (the
+    # oracle's purchase-keyed join fans out on duplicate event_ids)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     tagged = ev.filter(
         F.col("event_type").isin("view", "click", "purchase")
     ).select(
@@ -527,7 +533,7 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                    first_value(value) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS v0
             FROM events
-            WHERE event_type = 'purchase'
+            WHERE ts IS NOT NULL AND event_type = 'purchase'
         )
         SELECT user_id, ts, event_id,
                round(100.0 * value / v0, 4) AS indexed_value
@@ -546,7 +552,7 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_index_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(
         F.col("event_type") == "purchase"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -635,7 +641,7 @@ def analytics_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts, event_id,
                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS next_ts
-            FROM events WHERE event_type = 'purchase'
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         ),
         gaps AS (
             SELECT CAST(floor(date_diff('second', ts, next_ts) / 3600.0) AS BIGINT)
@@ -659,7 +665,7 @@ def analytics_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(
         F.col("event_type") == "purchase"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1064,7 +1070,9 @@ def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ORDER BY ts, event_id) AS s2,
                    lead(event_type, 2) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id) AS s3
-            FROM events
+            FROM (SELECT DISTINCT user_id, event_type, ts, event_id
+                  FROM events
+                  WHERE ts IS NOT NULL AND event_type IS NOT NULL) base
         ),
         grams AS (
             SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
@@ -1091,7 +1099,13 @@ def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # typed, deduped sequence: NULL-type steps are noise (and engines
+    # disagree on NULL concat), duplicate deliveries collapse
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("s1"),
@@ -1175,6 +1189,7 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(min(c_acctbal), 2) AS min_bal,
                round(max(c_acctbal), 2) AS max_bal
         FROM customer
+        WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
         GROUP BY c_nationkey
     """,
     doc="arg_min/arg_max (Spark min_by/max_by): the value of one column "
@@ -1189,7 +1204,12 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair per extremum.",
 )
 def agg_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    # engines disagree on NULL-skipping in arg extremes (DuckDB arg_min
+    # drops rows where EITHER argument is NULL; Spark min_by only drops
+    # a NULL ordering key) — exclude them explicitly on both sides
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_name").isNotNull() & F.col("c_acctbal").isNotNull()
+    )
     ordkey = (
         F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
         + F.col("c_custkey")
@@ -1478,7 +1498,7 @@ def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH first AS (
             SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-            FROM events GROUP BY user_id
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id
         ),
         sizes AS (
             SELECT cohort_day, count(*) AS n_users FROM first GROUP BY cohort_day
@@ -1488,7 +1508,7 @@ def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_index,
                    sum(e.value) AS rev
             FROM events e JOIN first f USING (user_id)
-            WHERE e.event_type = 'purchase'
+            WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
             GROUP BY 1, 2
         )
         SELECT p.cohort_day, CAST(p.day_index AS BIGINT) AS day_index,
@@ -1512,7 +1532,7 @@ def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
     )
@@ -1766,7 +1786,7 @@ def analytics_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type AS i,
                    lead(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS j
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         t AS (
             SELECT i, j,
@@ -1812,7 +1832,7 @@ def analytics_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("i"),
@@ -1919,7 +1939,7 @@ def anomaly_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
                              > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -1958,7 +1978,7 @@ def anomaly_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # double, not long: long truncates microseconds and diverges from the
     # oracle's exact INTERVAL comparison on sub-second boundary gaps
@@ -2203,7 +2223,7 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type AS i,
                    lead(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS j
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         t AS (
             SELECT i, j, CAST(count(*) AS DOUBLE) AS n
@@ -2246,7 +2266,7 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("i"),
@@ -2406,7 +2426,7 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type AS i,
                    lead(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS j
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         t AS (
             SELECT i, j, CAST(count(*) AS DOUBLE) AS n
@@ -2438,7 +2458,7 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_next_action_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("i"),
@@ -2684,7 +2704,8 @@ def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
                              > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM (SELECT DISTINCT user_id, event_type, ts, event_id
+                  FROM events WHERE ts IS NOT NULL) base
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -2702,7 +2723,7 @@ def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         FROM paths
-        WHERE len(string_split(path, ' > ')) <= 4
+        WHERE path IS NOT NULL AND len(string_split(path, ' > ')) <= 4
         GROUP BY path
         ORDER BY n_sessions DESC, path
         LIMIT 15
@@ -2722,7 +2743,11 @@ def analytics_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # double, not long: long truncates microseconds and diverges from the
     # oracle's exact INTERVAL comparison on sub-second boundary gaps
@@ -2763,7 +2788,11 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return (
-        paths.filter(F.size(F.split("path", " > ")) <= 4)
+        # all-NULL-type sessions: string_agg yields NULL (dropped) in
+        # SQL, array_join yields '' in Spark — exclude explicitly
+        paths.filter(
+            (F.col("path") != "") & (F.size(F.split("path", " > ")) <= 4)
+        )
         .groupBy("path")
         .agg(F.count("*").cast("long").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
@@ -2873,7 +2902,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS buyers,
                    CAST(count(*) AS DOUBLE) AS orders_,
                    sum(o_totalprice) AS revenue
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ),
         lagged AS (
             SELECT wk, buyers, orders_, revenue,
@@ -2905,7 +2934,9 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     weekly = o.groupBy(
         F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
     ).agg(
@@ -3594,7 +3625,7 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
                    sum(CASE WHEN event_type = 'purchase' THEN value
                             ELSE 0 END) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         ad AS (
             SELECT day, y,
@@ -3638,7 +3669,7 @@ def analytics_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
         F.sum(
@@ -3949,7 +3980,8 @@ def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type, ts, event_id,
                    lag(ts) OVER (PARTITION BY event_type
                                  ORDER BY ts, event_id) AS prev_ts
-            FROM events
+            FROM (SELECT DISTINCT event_type, ts, event_id FROM events
+                  WHERE ts IS NOT NULL) base
         ),
         gaps AS (
             SELECT event_type,
@@ -3994,7 +4026,11 @@ def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     ordered = ev.select(
         "event_type", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
@@ -4130,7 +4166,8 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN ts - coalesce(lag(ts) OVER w, ts)
                              > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM (SELECT DISTINCT user_id, event_id, ts FROM events
+                  WHERE ts IS NOT NULL) base
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -4167,7 +4204,11 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .dropDuplicates(["event_id"])
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # double, not long: long truncates microseconds and diverges from the
     # oracle's exact INTERVAL comparison on sub-second boundary gaps

@@ -227,7 +227,7 @@ def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_order"),
         F.lit(0).alias("is_purchase"),
     )
-    feat_orders = orders.select(
+    feat_orders = orders.filter(F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
         F.lit(0).alias("side"),
@@ -237,7 +237,9 @@ def featurestore_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_order"),
         F.lit(0).alias("is_purchase"),
     )
-    feat_purch = ev.filter(F.col("event_type") == "purchase").select(
+    feat_purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
         F.lit(3).alias("side"),  # purchases at t == spine ts do NOT count (<)
@@ -381,8 +383,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate"
+    # NULL-date orders satisfy neither <= nor >= in the oracle's
+    # correlated form; a NULL-ts event matches nothing (guarded below)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderdate")
     )
     l_tag = ev.select(
         F.col("user_id").alias("_k"),
@@ -431,7 +437,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("_fwd"))
     )
     return carried.select(
-        "event_id", "user_id", "ts", nearest.alias("nearest_o_orderdate")
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("ts").isNotNull(), nearest).alias("nearest_o_orderdate"),
     )
 
 
@@ -458,8 +467,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderdate")
     )
     l_tag = ev.select(
         F.col("user_id").alias("_k"),
@@ -492,5 +503,10 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("_rts", ignorenulls=True).over(w_fwd).alias("next_o_orderdate"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        "event_id", "user_id", "ts", "next_o_orderdate"
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("ts").isNotNull(), F.col("next_o_orderdate")).alias(
+            "next_o_orderdate"
+        ),
     )

@@ -151,10 +151,11 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
-               'k' AS prop_keys,
+               CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
                CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
                    AS prop_vals,
-               CAST(1 AS BIGINT) AS n_props
+               CAST(CASE WHEN props IS NULL THEN NULL ELSE 1 END AS BIGINT)
+                   AS n_props
         FROM events
     """,
     doc="Map battery (§2.9): from_json -> MapType, map_keys / map_values "
@@ -310,7 +311,7 @@ def fn_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_nationkey,
                CAST(n_nationkey AS BIGINT) AS xid,
-               n_name AS xname,
+               coalesce(n_name, '') AS xname,
                CAST(n_regionkey AS VARCHAR) AS xregion_attr,
                CAST(2 AS BIGINT) AS n_stops
         FROM nation
@@ -332,7 +333,7 @@ def fn_xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<stops><s>a</s><s>b</s></stops></route>",
         F.col("n_regionkey"),
         F.col("n_nationkey"),
-        F.col("n_name"),
+        F.coalesce(F.col("n_name"), F.lit("")),
     )
     x = n.select("n_nationkey", xml.alias("xml"))
     return x.select(
@@ -590,7 +591,7 @@ def join_existence_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,
                    round(sum(value), 6) AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ),
         rolled AS (
             SELECT event_type, day, v,
@@ -619,7 +620,7 @@ def join_existence_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort, one pass.",
 )
 def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))

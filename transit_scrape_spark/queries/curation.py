@@ -114,7 +114,7 @@ def _multiprobe_oracle() -> str:
 _MULTIPROBE_TEMPLATE = """
         WITH tagged AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), q AS (SELECT v AS qv, bucket AS qbucket FROM tagged WHERE vec_id = 1),
         probes AS (
             SELECT xor((SELECT qbucket FROM q), p.f) AS pb
@@ -143,7 +143,7 @@ def simsearch_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.vectors import as_double, cosine
     from transit_scrape_spark.queries.advanced import N_PLANES, lsh_bucket
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     tagged = e.select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
@@ -470,7 +470,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT k.lang,
                CAST(count(*) AS BIGINT) AS n_before,
-               CAST((SELECT count(*) FROM kept WHERE kept.lang = k.lang) AS BIGINT)
+               CAST((SELECT count(*) FROM kept
+                     WHERE kept.lang IS NOT DISTINCT FROM k.lang) AS BIGINT)
                    AS n_after
         FROM keyed k
         GROUP BY k.lang

@@ -28,7 +28,7 @@ def _synth_variant(ev: DataFrame) -> DataFrame:
         F.col("user_id"),
         F.col("event_id") % 100,
         F.col("user_id") % 50,
-        F.col("event_type"),
+        F.coalesce(F.col("event_type"), F.lit("N/A")),
     )
     return ev.select("event_id", F.parse_json(payload).alias("v"))
 
@@ -39,7 +39,7 @@ def _synth_variant(ev: DataFrame) -> DataFrame:
         SELECT event_id,
                CAST(user_id AS BIGINT) AS a,
                CAST(event_id % 100 AS BIGINT) AS arr0,
-               event_type AS tag,
+               coalesce(event_type, 'N/A') AS tag,
                'OBJECT<a: BIGINT, arr: ARRAY<BIGINT>, tag: STRING>' AS vschema
         FROM events
     """,
@@ -750,7 +750,8 @@ def variant_get_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY n.n_nationkey
                                       ORDER BY c.c_acctbal DESC,
                                                c.c_custkey) AS rn
-            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            FROM (SELECT DISTINCT n_nationkey, n_name FROM nation) n
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
         )
         WHERE rn <= 2
     """,
@@ -765,9 +766,12 @@ def variant_get_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decorrelated form directly.",
 )
 def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
-        "tss_lat_nation"
-    )
+    # nation rows must be key-unique: LATERAL runs per OUTER ROW, so a
+    # duplicated dimension row doubles its top-k block while the
+    # decorrelated oracle (rank per KEY) does not
+    load_table(spark, sf_dir, "nation").dropDuplicates(
+        ["n_nationkey"]
+    ).createOrReplaceTempView("tss_lat_nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "tss_lat_cust"
     )

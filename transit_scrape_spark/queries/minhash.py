@@ -36,16 +36,25 @@ ROWS = 3
 
 # corpus: original docs + near-dup mutations (drop last 2 tokens)
 _CORPUS_SQL = """
-    SELECT doc_id, text FROM documents
+    SELECT DISTINCT doc_id, text FROM documents WHERE text IS NOT NULL
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id,
+    SELECT DISTINCT doc_id + 1000000 AS doc_id,
            array_to_string(string_split(text, ' ')[1 : greatest(len(string_split(text, ' ')) - 2, 1)], ' ') AS text
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 """
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # docs with NULL text cannot be shingled (engines disagree on how
+    # NULL propagates through split/concat chains), and doc_id is the
+    # document KEY: re-crawled duplicate rows collapse to one so the
+    # planted-pair self-joins stay 1:1 — both explicit on both engines
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+    )
     toks = F.split("text", " ")
     mutated = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -66,7 +75,8 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed AS (
             SELECT doc_id, {sql_shingle_hashes_from_tokens('th')} AS sh FROM tokens
         )
-        SELECT doc_id, array_to_string({sql_minhash_signature('sh', NUM_PERM)}, '-')
+        SELECT DISTINCT doc_id,
+               array_to_string({sql_minhash_signature('sh', NUM_PERM)}, '-')
                    AS signature
         FROM hashed
     """,
@@ -262,9 +272,10 @@ def _emb_lsh_oracle() -> str:
 _EMB_LSH_ORACLE_TEMPLATE = """
         WITH corpus AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), tagged AS (
             SELECT vec_id, v, {bucket} AS bucket FROM corpus
         )
@@ -293,7 +304,7 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.vectors import as_double, dot, norm
     from transit_scrape_spark.queries.advanced import lsh_bucket
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     corpus = e.unionByName(
@@ -335,10 +346,10 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup-near-embedding",
     oracle="""
         WITH corpus AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
@@ -356,7 +367,7 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.vectors import as_double, cosine
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     doubled = e.unionByName(

@@ -640,6 +640,7 @@ def rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(CAST(n_chars AS DOUBLE)
                          * (1 + len(string_split(text, ' '))), 4 ) AS difficulty
             FROM documents
+            WHERE n_chars IS NOT NULL AND text IS NOT NULL
         ),
         ranked AS (
             SELECT lang, difficulty,
@@ -673,7 +674,9 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_order,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
     scored = d.select(
         "doc_id",
         "lang",
@@ -1542,7 +1545,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH scored AS (
             SELECT round(value, 1) AS s,
                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         bins AS (
             SELECT s, CAST(sum(y) AS DOUBLE) AS pos,
@@ -1599,7 +1602,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = ev.select(
         F.round("value", 1).alias("s"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),

@@ -545,7 +545,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH scored AS (
             SELECT round(value, 2) AS s,
                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         bins AS (
             SELECT s, CAST(sum(y) AS DOUBLE) AS np_k,
@@ -606,7 +606,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = ev.select(
         F.round("value", 2).alias("s"),
         F.when(F.col("event_type") == "purchase", 1)

@@ -17,7 +17,7 @@ from transit_scrape_spark.sources.tables import load_table
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         bounds AS (
             SELECT min(d) AS d0,
@@ -67,7 +67,7 @@ from transit_scrape_spark.sources.tables import load_table
     tags=("timeseries", "stats"),
 )
 def timeseries_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("double").alias("y")
     )
@@ -283,7 +283,7 @@ def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH demand AS (
             SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
                    sum(l_quantity) AS z
-            FROM lineitem GROUP BY 1, 2
+            FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2
         ),
         seq AS (
             SELECT l_partkey, d, z,
@@ -329,7 +329,7 @@ def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     demand = li.groupBy(
         "l_partkey", F.to_date("l_shipdate").alias("d")
     ).agg(F.sum("l_quantity").alias("z"))
@@ -928,7 +928,7 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         pts AS (
             SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d)
@@ -982,7 +982,7 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("double").alias("y")
     )
@@ -1156,7 +1156,7 @@ def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         bounds AS (
             SELECT min(d) AS d0,
@@ -1208,7 +1208,7 @@ def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("double").alias("y")
     )
@@ -1921,7 +1921,7 @@ def timeseries_seasonal_mann_kendall(
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         lagged AS (
             SELECT y - lag(y) OVER (ORDER BY d) AS dy,
@@ -1960,7 +1960,7 @@ def timeseries_seasonal_mann_kendall(
 def timeseries_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("double").alias("y")
     )

@@ -457,15 +457,16 @@ def analytics_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event-mcf-recurrent",
     oracle="""
-        WITH ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM events),
+        WITH ev0 AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        ends AS (SELECT CAST(max(ts) AS DATE) AS obs_end FROM ev0),
         fu AS (
             SELECT user_id, min(CAST(ts AS DATE)) AS enter_d
-            FROM events GROUP BY user_id
+            FROM ev0 GROUP BY user_id
         ),
         purchases AS (
             SELECT e.user_id,
                    date_diff('day', f.enter_d, CAST(e.ts AS DATE)) AS t
-            FROM events e JOIN fu f ON e.user_id = f.user_id
+            FROM ev0 e JOIN fu f ON e.user_id = f.user_id
             WHERE e.event_type = 'purchase'
         ),
         risk_span AS (
@@ -520,7 +521,7 @@ def analytics_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
     fu = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("enter_d"))
     purchases = (

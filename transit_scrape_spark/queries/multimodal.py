@@ -144,7 +144,7 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(generate_series(1, length(text)),
                                   j -> ascii(substring(text, j, 1))) AS byte_vals,
                    lower(hex(encode(substring(text, 1, 8)))) AS head_hex
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                CAST(blen AS BIGINT) AS byte_len,

@@ -582,14 +582,16 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                    AS running_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     doc="Running per-key sum ordered by time — sequential fold per key, "
     "identical order on both engines so doubles match bit-for-bit "
     "(rounded for safety).",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # rows without a timestamp cannot be sequenced (engines disagree on
+    # NULL sort placement) — excluded on BOTH engines
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -610,13 +612,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(value - coalesce(lag(value) OVER (PARTITION BY user_id
                                                        ORDER BY ts, event_id), 0), 4)
                    AS delta
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     doc="lag() delta per key — sessionization building block "
     "(gap detection per SURVEY §2.10 / guide sessionization pattern).",
 )
 def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",

@@ -24,7 +24,7 @@ from transit_scrape_spark.sources.tables import load_table
                upper(lang) AS lang_uc,
                CAST(length(text) AS BIGINT) AS n_chars_computed,
                substring(text, 1, 20) AS head,
-               concat(source, ':', lang) AS source_lang,
+               source || ':' || lang AS source_lang,
                replace(lang, 'e', 'E') AS lang_sub
         FROM documents
     """,
@@ -51,7 +51,8 @@ def proj_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_extract(string_split(path, '/'), -1) AS basename,
                regexp_replace(list_extract(string_split(path, '/'), -1),
                               '\\.[^.]+$', '') AS stem
-        FROM (SELECT doc_id, concat('data/raw/', source, '/doc_', CAST(doc_id AS VARCHAR), '.geojson') AS path
+        FROM (SELECT doc_id, 'data/raw/' || source || '/doc_'
+                             || CAST(doc_id AS VARCHAR) || '.geojson' AS path
               FROM documents)
     """,
     doc="basename/splitext provenance derivation (reference "
@@ -133,7 +134,7 @@ def fn_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn-format-popup",
     oracle="""
         SELECT event_id,
-               concat('<b>Event:</b> ', event_type,
+               concat('<b>Event:</b> ', coalesce(event_type, 'N/A'),
                       '<br><b>User:</b> ', CAST(user_id AS VARCHAR),
                       '<br><b>Value:</b> ', coalesce(CAST(round(value, 2) AS VARCHAR), 'N/A'))
                    AS popup
@@ -147,7 +148,8 @@ def fn_format_popup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.concat(
-            F.lit("<b>Event:</b> "), F.col("event_type"),
+            F.lit("<b>Event:</b> "),
+            F.coalesce(F.col("event_type"), F.lit("N/A")),
             F.lit("<br><b>User:</b> "), F.col("user_id").cast("string"),
             F.lit("<br><b>Value:</b> "),
             F.coalesce(F.round(F.col("value"), 2).cast("string"), F.lit("N/A")),
@@ -429,7 +431,8 @@ def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType="long", useArrow=True)
     def count_vowels(s: str) -> int:
-        return len(re.findall(r"[aeiou]", s))
+        # total over NULL text: propagate None (the SQL regexp does)
+        return len(re.findall(r"[aeiou]", s)) if s is not None else None
 
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -473,7 +476,9 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         dec.alias("c_name"),
-        F.when(dec == F.col("c_name"), 1).otherwise(0).cast("long").alias(
-            "roundtrip_ok"
-        ),
+        # null-safe: roundtrip of a NULL name is NULL == NULL, still OK
+        F.when(dec.eqNullSafe(F.col("c_name")), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("roundtrip_ok"),
     )

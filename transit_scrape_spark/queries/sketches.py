@@ -161,7 +161,9 @@ def _sql_bloom_bit(expr: str, k: str) -> str:
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    members = part.filter(F.col("p_size") == 15).select("p_partkey")
+    # distinct: the oracle's IN-subquery is set-semantics, while a
+    # duplicated dimension row would fan out the membership join
+    members = part.filter(F.col("p_size") == 15).select("p_partkey").distinct()
     k_arr = F.array(*[F.lit(k) for k in range(_BLOOM_K)])
     bits = (
         members.select(F.explode(k_arr).alias("k"), "p_partkey")

@@ -501,12 +501,13 @@ def _messy_csv_dir(spark: SparkSession, sf_dir: str) -> str:
             f.write("route_id,name,length_m\n")
             for r in rows:
                 k = r["n_nationkey"]
+                nm = r["n_name"] if r["n_name"] is not None else ""
                 if k % 7 == 3:
-                    f.write(f"{k},{r['n_name']}\n")  # missing column
+                    f.write(f"{k},{nm}\n")  # missing column
                 elif k % 11 == 5:
-                    f.write(f"{k},{r['n_name']},not-a-number\n")
+                    f.write(f"{k},{nm},not-a-number\n")
                 else:
-                    f.write(f"{k},{r['n_name']},{k * 100}.5\n")
+                    f.write(f"{k},{nm},{k * 100}.5\n")
 
     return fixture_dir("tss_csv", sf_dir, build)
 
@@ -665,12 +666,25 @@ def _xml_fixture_dir(sf_dir: str) -> str:
             with open(os.path.join(d, f"suppliers-{i}.xml"), "w") as f:
                 f.write("<suppliers>\n")
                 for r in chunk:
+                    # NULL column -> element omitted entirely (the XML
+                    # representation of SQL NULL; emitting 'None' text
+                    # would corrupt the typed scan)
+                    name = (
+                        f"<s_name>{escape(r['s_name'])}</s_name>"
+                        if r["s_name"] is not None
+                        else ""
+                    )
+                    bal = (
+                        f"<s_acctbal>{r['s_acctbal']!r}</s_acctbal>"
+                        if r["s_acctbal"] is not None
+                        else ""
+                    )
                     f.write(
                         "  <supplier>"
                         f"<s_suppkey>{r['s_suppkey']}</s_suppkey>"
-                        f"<s_name>{escape(r['s_name'])}</s_name>"
+                        f"{name}"
                         f"<s_nationkey>{r['s_nationkey']}</s_nationkey>"
-                        f"<s_acctbal>{r['s_acctbal']!r}</s_acctbal>"
+                        f"{bal}"
                         "</supplier>\n"
                     )
                 f.write("</suppliers>\n")

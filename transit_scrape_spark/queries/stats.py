@@ -259,7 +259,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DOUBLE) AS c,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                         AS DOUBLE) AS v
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         lagged AS (
             SELECT c AS y, lag(c) OVER (ORDER BY day) AS x1,
@@ -311,7 +311,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def timeseries_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("double")
@@ -851,7 +851,7 @@ def stats_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         ctr AS (
             SELECT day, x - avg(x) OVER () AS xc,
@@ -896,7 +896,7 @@ def stats_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1197,7 +1197,7 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
@@ -1236,7 +1236,7 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("y")
     )
@@ -1332,7 +1332,7 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
@@ -1368,7 +1368,7 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("y")
     )
@@ -1572,7 +1572,7 @@ def stats_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
@@ -1629,7 +1629,7 @@ def stats_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stats_bic_trend_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("y")
     )
@@ -1844,7 +1844,9 @@ def stats_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH cells AS (
             SELECT o_orderstatus AS s, o_orderpriority AS p,
                    CAST(count(*) AS DOUBLE) AS obs
-            FROM orders GROUP BY o_orderstatus, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY o_orderstatus, o_orderpriority
         ),
         -- densify: empty cells contribute E to chi2 (sparse-grid class)
         grid AS (
@@ -1893,7 +1895,12 @@ def stats_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    # NULL categories are excluded from the contingency table (classic
+    # practice; also NULL join keys break the densify grid differently
+    # per engine)
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
     cells = od.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
     ).agg(F.count("*").cast("double").alias("obs"))
@@ -2277,7 +2284,7 @@ def stats_prop_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH strat AS (
             SELECT doc_id, n_chars,
                    ntile(5) OVER (ORDER BY n_chars, doc_id) AS stratum
-            FROM documents
+            FROM documents WHERE n_chars IS NOT NULL
         ),
         per AS (
             SELECT stratum, count(*) AS nh, stddev_samp(n_chars) AS sh,
@@ -2314,7 +2321,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_order,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     # quintile strata via the two-phase bucketed rank
     # (operators/ranking.py) — document frame grows with the corpus,
     # so no ntile global window.
@@ -2431,7 +2440,7 @@ _EWMA_L = 0.2  # smoothing weight; 15-lag unroll truncates at 0.8^15 ~ 3.5%
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         base AS (
             SELECT avg(rev) AS mu, stddev_samp(rev) AS sd FROM daily
@@ -2482,7 +2491,7 @@ _EWMA_L = 0.2  # smoothing weight; 15-lag unroll truncates at 0.8^15 ~ 3.5%
 def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )

@@ -277,7 +277,7 @@ def stats_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT x, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
@@ -328,7 +328,7 @@ def stats_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1777,8 +1777,10 @@ def stats_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,
-                   avg(CASE WHEN event_type = 'click' THEN value END) AS x,
-                   avg(CASE WHEN event_type = 'view' THEN value END) AS y
+                   round(avg(CASE WHEN event_type = 'click' THEN value END),
+                         6) AS x,
+                   round(avg(CASE WHEN event_type = 'view' THEN value END),
+                         6) AS y
             FROM events WHERE event_type IN ('click', 'view')
             GROUP BY CAST(ts AS DATE)
         ),
@@ -1821,8 +1823,16 @@ def stats_copula_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type").isin("click", "view"))
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
-            F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("x"),
-            F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("y"),
+            # round BEFORE the quantile/threshold compare: engine
+            # summation-order drift in the daily mean's last bits can
+            # flip a point sitting exactly on a tail quantile (the
+            # knife-edge class the skew axis documented)
+            F.round(
+                F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6
+            ).alias("y"),
         )
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )

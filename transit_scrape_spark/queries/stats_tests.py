@@ -18,7 +18,9 @@ from transit_scrape_spark.sources.tables import load_table
         WITH cells AS (
             SELECT event_type, CAST(user_id % 4 AS BIGINT) AS seg,
                    CAST(count(*) AS BIGINT) AS obs
-            FROM events GROUP BY event_type, user_id % 4
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, user_id % 4
         ),
         -- densify: an EMPTY cell still contributes its expected count E
         -- to chi2 ((0-E)^2/E = E); summing over present cells only
@@ -60,7 +62,11 @@ from transit_scrape_spark.sources.tables import load_table
     tags=("stats",),
 )
 def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL category rows break the densify grid (NULL join keys never
+    # match, so a whole row-margin collapses to 0 and exp divides by 0)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 4).cast("long").alias("seg")
     ).agg(F.count("*").alias("obs"))
@@ -247,9 +253,9 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats-welch-ttest",
     oracle="""
         WITH g AS (
-            SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            SELECT count(CASE WHEN event_type = 'click' THEN value END)
                        AS n1,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   count(CASE WHEN event_type = 'view' THEN value END)
                        AS n2,
                    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
                    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
@@ -398,7 +404,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, count(*) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         moves AS (
             SELECT day,
@@ -442,7 +448,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("x")
     )
@@ -849,7 +855,7 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CASE WHEN event_type = 'purchase'
                                  THEN 1 ELSE 0 END) AS DOUBLE) AS x,
                    CAST(count(*) AS DOUBLE) AS n
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         llr AS (
             SELECT day,
@@ -884,7 +890,7 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("double")
@@ -1257,9 +1263,9 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats-tost-equivalence",
     oracle="""
         WITH g AS (
-            SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            SELECT count(CASE WHEN event_type = 'click' THEN value END)
                        AS n1,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   count(CASE WHEN event_type = 'view' THEN value END)
                        AS n2,
                    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
                    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
@@ -1403,9 +1409,9 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH seg AS (
             SELECT (isodow(CAST(ts AS DATE)) - 1) % 7 AS dow,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   count(CASE WHEN event_type = 'click' THEN value END)
                        AS n1,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   count(CASE WHEN event_type = 'view' THEN value END)
                        AS n2,
                    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
                    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
@@ -1414,6 +1420,7 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                    var_samp(CASE WHEN event_type = 'view' THEN value END)
                        AS v2
             FROM events WHERE event_type IN ('click', 'view')
+              AND ts IS NOT NULL
             GROUP BY 1
         ),
         effects AS (
@@ -1451,7 +1458,7 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stats_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(
         F.col("event_type").isin("click", "view")
     )
     click = F.when(F.col("event_type") == "click", F.col("value"))

@@ -182,7 +182,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_transform(string_split(text, ' '),
                            t -> CAST(ascii(substring(t, 1, 1)) * 31 + length(t) AS BIGINT))),
                    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS fingerprint
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     doc="Rolling polynomial document fingerprint over the token stream "
     "(per-token code = ascii(first char)*31 + len, folded mod 2^31-1) — "
@@ -190,7 +190,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines; integer math so bit-exact.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     codes = F.transform(
         F.split("text", " "),
         lambda t: (F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)).cast("long"),
@@ -367,6 +369,8 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="idx bigint, bigram string")
     class Bigrams:
         def eval(self, text: str):
+            if text is None:  # NULL text emits no rows (oracle's
+                return        # generate_series over NULL is empty)
             toks = text.split(" ")
             for i in range(len(toks) - 1):
                 yield i + 1, toks[i] + " " + toks[i + 1]
@@ -419,7 +423,7 @@ def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
                           '@example.com or +44', CAST(doc_id * 7 AS VARCHAR),
                           ' now') AS t
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                substring(
@@ -441,7 +445,9 @@ def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first and the oracle applies the identical pipeline.",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
     num_re = r"\+?[0-9][0-9]+"
     raw = F.concat(
@@ -654,20 +660,23 @@ def text_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="lang string, n_docs bigint, total_tokens bigint, max_tokens bigint")
     class LangSummary:
         def __init__(self):
+            self._seen = False
             self._lang = None
             self._n = 0
-            self._total = 0
-            self._max = 0
+            self._total = None
+            self._max = None
 
         def eval(self, row):
+            self._seen = True
             self._lang = row["lang"]
-            n = len(row["text"].split(" "))
             self._n += 1
-            self._total += n
-            self._max = max(self._max, n)
+            if row["text"] is not None:
+                n = len(row["text"].split(" "))
+                self._total = (self._total or 0) + n
+                self._max = n if self._max is None else max(self._max, n)
 
         def terminate(self):
-            if self._lang is not None:
+            if self._seen:
                 yield self._lang, self._n, self._total, self._max
 
     spark.udtf.register("tss_lang_summary", LangSummary)
@@ -1609,21 +1618,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision odds). The explode runs ONCE: per-(tg,doc) counts are
     # the working relation, first-occurrence is a window min over tg —
     # no second trigram pass, no self-join.
-    tri = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))
-                ),
-                lambda i: F.xxhash64(
-                    F.element_at(ws, i + 1),
-                    F.element_at(ws, i + 2),
-                    F.element_at(ws, i + 3),
-                ),
-            )
-        ).alias("tg"),
-    )
+    # guard short/NULL docs: sequence(0, -1) is a DESCENDING [0, -1] in
+    # Spark, which would hash NULL tokens into phantom trigrams (the
+    # shingles() bug class, caught by the null-hostility sweep)
+    tri_hashes = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.xxhash64(
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    tri = d.select("doc_id", F.explode(tri_hashes).alias("tg"))
     grouped = tri.groupBy("tg", "doc_id").agg(F.count("*").alias("c"))
     wt = Window.partitionBy("tg")
     marked = grouped.withColumn("first_doc", F.min("doc_id").over(wt))

@@ -212,7 +212,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lag(value, 2) OVER w AS v2,
                    lag(value, 3) OVER w AS v3,
                    lag(value, 4) OVER w AS v4
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, event_id, ts,
@@ -238,7 +238,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     weights = [1.0, 0.5, 0.25, 0.125, 0.0625]
     lags = [F.col("value")] + [F.lag("value", k).over(w) for k in range(1, 5)]
@@ -492,7 +492,7 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,
                    round(sum(value), 6) AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ),
         lagged AS (
             SELECT event_type, v,
@@ -522,7 +522,7 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
@@ -549,7 +549,7 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,
                    CAST(round(sum(value) * 100) AS BIGINT) AS v_c
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ),
         centered AS (
             SELECT event_type, day, v_c,
@@ -580,7 +580,7 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value") * 100).cast("long").alias("v_c"))
@@ -610,7 +610,7 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(date_trunc('month', ts) AS DATE) AS month,
                    round(sum(value), 4) AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         )
         SELECT event_type, month, v,
                round(lag(v) OVER (PARTITION BY event_type ORDER BY month), 4)
@@ -629,7 +629,7 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     monthly = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("month", F.col("ts"))).alias("month")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
@@ -652,7 +652,7 @@ def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                    round(sum(value), 6) AS v
-            FROM events WHERE event_type = 'purchase'
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
             GROUP BY 1
         ),
         holed AS (  -- deterministic synthetic gaps: day-of-month % 4 = 1 unknown
@@ -699,7 +699,7 @@ def timeseries_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
@@ -745,7 +745,7 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS DATE) AS day,
                    round(sum(value), 6) AS v
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ),
         fc AS (
             SELECT event_type, day, v,
@@ -772,7 +772,7 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
 def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
@@ -797,7 +797,7 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
                        AS v_view,
                    round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
                        AS v_purchase
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             GROUP BY 1
         ),
         rolled AS (
@@ -829,7 +829,7 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
 def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(
@@ -981,7 +981,7 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
         ),
         cum AS (
             SELECT event_type, day,
@@ -1028,7 +1028,7 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("x")
     )
@@ -1091,7 +1091,7 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         tr AS (
             SELECT day, x,
@@ -1132,7 +1132,7 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_stl_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1176,7 +1176,8 @@ def timeseries_stl_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(l_shipdate AS DATE) AS day,
                    sum(l_extendedprice * l_quantity) AS pq,
                    sum(l_quantity) AS q
-            FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+            FROM lineitem WHERE l_shipdate IS NOT NULL
+            GROUP BY CAST(l_shipdate AS DATE)
         )
         SELECT day,
                round(pq / q, 6) AS day_vwap,
@@ -1199,7 +1200,11 @@ def timeseries_stl_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # rows without a ship date cannot be placed on the time axis (null
+    # ordering diverges between engines) — drop them on BOTH engines
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
     daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pq"),
         F.sum("l_quantity").alias("q"),
@@ -1425,7 +1430,7 @@ def timeseries_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         rets AS (
             SELECT day,
@@ -1456,7 +1461,7 @@ def timeseries_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1482,7 +1487,7 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         tr AS (
             SELECT day, x,
@@ -1528,7 +1533,7 @@ def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1581,7 +1586,7 @@ def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t,
@@ -1635,7 +1640,7 @@ def timeseries_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats"),
 )
 def timeseries_slope_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("y")
     )
@@ -1765,7 +1770,7 @@ def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT day, y,
@@ -1824,7 +1829,7 @@ def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("y")
     )
@@ -1884,7 +1889,7 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         tr AS (
             SELECT day, x,
@@ -1932,7 +1937,7 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -1978,7 +1983,7 @@ def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFra
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         banded AS (
             SELECT day, rev,
@@ -2007,7 +2012,7 @@ def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("timeseries",),
 )
 def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
@@ -2039,7 +2044,7 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         lagged AS (
             SELECT x,
@@ -2088,7 +2093,7 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     w = Window.orderBy("day")
     lagged = daily.select(
@@ -2140,7 +2145,7 @@ def timeseries_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         stats AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
         segd AS (
@@ -2177,7 +2182,7 @@ def timeseries_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     stats = daily.agg(
         F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
@@ -2212,6 +2217,7 @@ def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
                    avg(CASE WHEN event_type = 'click' THEN value END) AS x,
                    avg(CASE WHEN event_type = 'purchase' THEN value END) AS y
             FROM events WHERE event_type IN ('click', 'purchase')
+                          AND ts IS NOT NULL
             GROUP BY CAST(ts AS DATE)
         ),
         stats AS (
@@ -2258,7 +2264,7 @@ def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(F.to_date("ts").alias("day"))
@@ -2307,7 +2313,7 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         mu AS (SELECT avg(x) AS m, count(*) AS n FROM daily),
         parts AS (
@@ -2340,7 +2346,7 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     mu = daily.agg(F.avg("x").alias("m"), F.count("*").alias("n"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -2423,7 +2429,7 @@ def anomaly_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         cum AS (
             SELECT day, rev,
@@ -2467,7 +2473,7 @@ def anomaly_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
@@ -2507,7 +2513,7 @@ def timeseries_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         idx AS (
             SELECT x, row_number() OVER (ORDER BY day) - 1 AS t,
@@ -2555,7 +2561,7 @@ def timeseries_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     w = Window.orderBy("day")
     wall = Window.partitionBy()
@@ -2597,7 +2603,7 @@ def timeseries_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         sig AS (
             SELECT day, rev,
@@ -2629,7 +2635,7 @@ def timeseries_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_wma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
@@ -2664,7 +2670,7 @@ def timeseries_wma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    sum(o_totalprice) AS rev
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         tri AS (
             SELECT day, rev,
@@ -2698,7 +2704,7 @@ def timeseries_wma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_despike_med3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
@@ -2735,7 +2741,7 @@ def timeseries_despike_med3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         ranked AS (
             SELECT day,
@@ -2778,7 +2784,7 @@ def timeseries_despike_med3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     wd = Window.orderBy("day")
     ranked = daily.select(
@@ -2827,7 +2833,7 @@ def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         prof AS (
             SELECT row_number() OVER (ORDER BY day) AS t,
@@ -2882,7 +2888,7 @@ def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries",),
 )
 def timeseries_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
     mu = daily.agg(F.avg("x").alias("mu"))
     w = Window.orderBy("day")
@@ -2947,7 +2953,7 @@ HOLT_BETA = 0.2
         WITH daily AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
                    CAST(count(*) AS DOUBLE) AS y
-            FROM events GROUP BY event_type, date_trunc('day', ts)
+            FROM events WHERE ts IS NOT NULL GROUP BY event_type, date_trunc('day', ts)
         ),
         folded AS (
             SELECT event_type,
@@ -2991,7 +2997,7 @@ HOLT_BETA = 0.2
 )
 def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, g = HOLT_ALPHA, HOLT_BETA
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").cast("double").alias("y"))
@@ -3030,7 +3036,7 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         lagged AS (
             SELECT day, y,
@@ -3067,7 +3073,7 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("y")
     )
@@ -3107,7 +3113,7 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, avg(value) AS x
-            FROM events GROUP BY CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
         ),
         run AS (
             SELECT day, x,
@@ -3153,7 +3159,7 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("x")
     )
@@ -3187,7 +3193,7 @@ def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
         ),
         base AS (SELECT avg(y) AS mu FROM daily),
         lagged AS (
@@ -3251,7 +3257,7 @@ def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("y")
     )

@@ -32,7 +32,7 @@ _QUERY_VEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_
                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                         * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
         FROM embeddings
-        WHERE vec_id <> 1
+        WHERE embedding IS NOT NULL AND vec_id <> 1
         ORDER BY sim DESC, vec_id
         LIMIT 10
     """,
@@ -41,7 +41,7 @@ _QUERY_VEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_
     "TakeOrderedAndProject top-k (no global sort).",
 )
 def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     qvec = emb.filter(F.col("vec_id") == 1).select(
         as_double(F.col("embedding")).alias("qv")
     )
@@ -114,14 +114,14 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
                round(min(list_min(CAST(embedding AS DOUBLE[]))), 6) AS min_component,
                round(max(list_max(CAST(embedding AS DOUBLE[]))), 6) AS max_component
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
         GROUP BY label
     """,
     doc="Per-label embedding stats (norms, component bounds) — vector "
     "exprs feeding an ordinary grouped agg.",
 )
 def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = as_double(F.col("embedding"))
     return (
         emb.select(
@@ -148,7 +148,7 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                         * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
         FROM embeddings
-        WHERE vec_id <> 1
+        WHERE embedding IS NOT NULL AND vec_id <> 1
           AND list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                  * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))) >= 0.3
@@ -161,7 +161,7 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(emit-all-above-threshold, then group).",
 )
 def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     qvec = emb.filter(F.col("vec_id") == 1).select(
         as_double(F.col("embedding")).alias("qv")
     )
@@ -229,7 +229,7 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))), 6)
                    AS first_unit
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     """,
     doc="mapInArrow batch kernel (SURVEY §2.11 API family, the third "
     "Python-batch surface besides pandas_udf and applyInPandas): "
@@ -259,7 +259,7 @@ def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["vec_id", "nrm", "first_unit"],
             )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("v_id"),
         as_double(F.col("embedding")).alias("emb"),  # widen pre-kernel
     )
@@ -352,7 +352,7 @@ _PQ_M, _PQ_D, _PQ_K = 4, 16, 8
 _PQ_SQL_CTES = f"""
         e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         sub AS (
             SELECT vec_id, label, m,
@@ -412,7 +412,9 @@ def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     subs = _pq_subvectors(emb)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
@@ -490,7 +492,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _pq_assignments(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     subs = _pq_subvectors(emb)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
@@ -519,13 +521,13 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
                          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                             * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS sim
-            FROM embeddings WHERE vec_id <> 1
+            FROM embeddings WHERE vec_id <> 1 AND embedding IS NOT NULL
         ),
         trunc AS (
             SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS v16,
                    (SELECT list_slice(CAST(embedding AS DOUBLE[]), 1, 16)
                     FROM embeddings WHERE vec_id = 1) AS q16
-            FROM embeddings WHERE vec_id <> 1
+            FROM embeddings WHERE vec_id <> 1 AND embedding IS NOT NULL
         ),
         trunc_sim AS (
             SELECT vec_id,
@@ -559,7 +561,7 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the prefix, re-rank the shortlist on full vectors).",
 )
 def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     base = emb.filter(F.col("vec_id") != 1)
     qrow = emb.filter(F.col("vec_id") == 1).select(
         as_double(F.col("embedding")).alias("qv")
@@ -1108,7 +1110,7 @@ _COS_Q = (
             SELECT vec_id AS cid, v, simq FROM (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        {_COS_Q} AS simq
-                FROM embeddings WHERE vec_id <> 1
+                FROM embeddings WHERE vec_id <> 1 AND embedding IS NOT NULL
             ) ORDER BY simq DESC, vec_id LIMIT {_MMR_POOL}
         ),
         pair AS (
@@ -1168,7 +1170,7 @@ _COS_Q = (
     "naturally drops the picked row).",
 )
 def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     qv = e.filter(F.col("vec_id") == 1).select(
         as_double(F.col("embedding")).alias("qv")
     )
@@ -1255,7 +1257,7 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed-intrinsic-dim",
     oracle="""
         WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
         ),
         anchors AS (SELECT * FROM v WHERE vec_id % 10 = 0 AND vec_id < 2000),
         d2 AS (
@@ -1303,7 +1305,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each side (n + n_anchors folds) so the anchors x corpus loop pays
     # only the single cross dot — 1/3 the fold work of the naive
     # aa - 2ab + bb per pair.
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         as_double(F.col("embedding")).alias("e"),
     ).withColumn("bb", dot(F.col("e"), F.col("e")))
@@ -1353,7 +1355,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                    list_dot_product(CAST(embedding AS DOUBLE[]),
                                     CAST(embedding AS DOUBLE[])) AS bb
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         anchors AS (SELECT * FROM v WHERE vec_id % 5 = 0 AND vec_id < 2000),
         d2 AS (
@@ -1405,7 +1407,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).withColumn("bb", dot(F.col("e"), F.col("e")))
     # fixed anchor set (ids < 2000) for the same linear-scan reason as
@@ -1461,7 +1463,7 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[])))
                        AS nrm
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         ext AS (SELECT min(nrm) AS lo, max(nrm) AS hi FROM norms),
         binned AS (
@@ -1501,7 +1503,7 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_norm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = as_double(F.col("embedding"))
     norms = emb.select(
         F.when(F.col("label") == 0, 1).otherwise(0).alias("is0"),
@@ -1554,7 +1556,7 @@ def embed_norm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         dims AS (
             SELECT label, t.i AS i, avg(e[t.i]) AS avg_val
@@ -1600,7 +1602,7 @@ def embed_norm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
     dim = 64
@@ -1697,7 +1699,8 @@ def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed-jl-projection",
     oracle="""
         WITH anchors AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 20
+            SELECT DISTINCT vec_id, embedding FROM embeddings
+            WHERE vec_id <= 20 AND embedding IS NOT NULL
         ),
         proj AS (
             SELECT a.vec_id, u.j,
@@ -1751,9 +1754,13 @@ def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embed",),
 )
 def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") <= 20).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # duplicate-hostile fixture: anchor ids must be unique or the pair
+    # count inflates (copies are identical rows, so dedup is deterministic)
+    anchors = (
+        e.filter(F.col("vec_id") <= 20)
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
     )
     # 16 output dims, each a fold over the 64 inputs with literal signs
     proj = F.array(
@@ -1904,7 +1911,7 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     subs = _pq_subvectors(emb)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
@@ -1949,7 +1956,7 @@ _DIM_AVGS_64 = ", ".join(f"avg(e[{i + 1}])" for i in range(64))
     oracle=f"""
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         cent AS (
             SELECT label AS clabel, list_value({_DIM_AVGS_64}) AS c
@@ -2000,7 +2007,7 @@ _DIM_AVGS_64 = ", ".join(f"avg(e[{i + 1}])" for i in range(64))
 def embed_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = e.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
     cent = v.groupBy(F.col("label").alias("clabel")).agg(
         F.array(*[F.avg(F.col("e")[i]) for i in range(64)]).alias("c")
