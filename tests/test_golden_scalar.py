@@ -104,12 +104,9 @@ def test_fn_format_popup(ops, duck):
     rows = duck.execute("SELECT event_id, event_type, user_id, value FROM events").fetchall()
     want = {}
     for eid, et, uid, v in rows:
-        val = "N/A" if v is None else f"{_half_away(v, 2):g}"
-        # DuckDB/Spark render 2-dp doubles like 12.34 / 12.3 / 12.0 — match
-        # the engines' shortest-round-trip float formatting
-        if v is not None:
-            fv = _half_away(v, 2)
-            val = repr(fv) if fv != int(fv) else f"{fv:.1f}"
+        # the op renders via DECIMAL(38,2) (extreme-axis fix: double->
+        # string goes scientific at 1e7 on Spark) — always exactly 2 dp
+        val = "N/A" if v is None else f"{_half_away(v, 2):.2f}"
         want[eid] = f"<b>Event:</b> {et}<br><b>User:</b> {uid}<br><b>Value:</b> {val}"
     got = {r["event_id"]: r["popup"] for r in ops("fn-format-popup")}
     assert got == want

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""One-shot triage for the extreme-values axis: run every oracled batch
+op on the extreme warehouse (sources/extremegen.py) and dump pass/fail
+plus the first value diff to /tmp/extreme_triage.json. Faster to iterate
+than the pytest sweep while fixing; the sweep
+(tests/test_extreme_parity.py) is the durable gate."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import traceback  # noqa: F401
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tests.oracle_harness import compare, duck_conn  # noqa: E402
+from transit_scrape_spark.queries.registry import registry  # noqa: E402
+from transit_scrape_spark.session import get_spark, release_caches  # noqa: E402
+from transit_scrape_spark.sources.extremegen import generate_extreme_warehouse  # noqa: E402
+
+
+def main() -> None:
+    only = sys.argv[1:] or None
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("extreme-triage", shuffle_partitions=8)
+    out = os.path.join(tempfile.gettempdir(), "extreme_sf001")
+    if not os.path.isdir(os.path.join(out, "events.parquet")):
+        generate_extreme_warehouse(spark, sf_dir, out)
+    duck = duck_conn(out)
+    ops = sorted(
+        k for k, s in registry().items()
+        if s.oracle and not k.startswith("stream-")
+    )
+    if only:
+        ops = [k for k in ops if k in set(only)]
+    results: dict[str, dict] = {}
+    path = os.environ.get(
+        "TRIAGE_OUT",
+        "/tmp/extreme_triage_sub.json" if only else "/tmp/extreme_triage.json",
+    )
+    if os.path.exists(path) and not only:
+        results = json.load(open(path))
+    for i, op in enumerate(ops):
+        if op in results and results[op]["status"] == "pass" and not only:
+            continue
+        spec = registry()[op]
+        try:
+            compare(spec.fn(spark, out), duck, spec.oracle, op, float_sig=6)
+            results[op] = {"status": "pass"}
+        except Exception as e:
+            msg = str(e)
+            results[op] = {"status": "fail", "err": msg[:600]}
+        finally:
+            release_caches(spark)
+        if (i + 1) % 25 == 0 or results[op]["status"] == "fail":
+            print(f"[{i+1}/{len(ops)}] {op}: {results[op]['status']}", flush=True)
+            json.dump(results, open(path, "w"), indent=1)
+    json.dump(results, open(path, "w"), indent=1)
+    fails = [k for k, v in results.items() if v["status"] == "fail"]
+    print(f"\nDONE: {len(results) - len(fails)} pass, {len(fails)} fail")
+    print("\n".join(fails))
+
+
+if __name__ == "__main__":
+    main()

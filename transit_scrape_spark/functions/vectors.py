@@ -28,4 +28,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # Zero-norm vectors make cosine undefined: emit NULL rather than
+    # ANSI-erroring the whole job (a single bad embedding at 100 TB must
+    # not kill the stage). try_divide(x, 0) -> NULL matches DuckDB's
+    # x/0 -> NULL, and NULLS sort last under desc in BOTH engines, so
+    # undefined rows fall out of top-k identically.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -67,8 +67,11 @@ def decode_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_id": pdf["doc_id"],
                 "byte_len": blens,
                 "n_frames": blens % 7 + 1,
+                # NULL (not 0.0) for an empty hostile payload: the mean
+                # of nothing is undefined, and 0.0 would silently read as
+                # "all zero bytes" downstream
                 "mean_byte": payloads.map(
-                    lambda b: (sum(b) / len(b) if len(b) else 0.0)
+                    lambda b: (sum(b) / len(b) if len(b) else None)
                     if b is not None
                     else None
                 ),

@@ -1182,10 +1182,13 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg-argminmax-battery",
     oracle="""
         SELECT c_nationkey,
-               arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
-                               + c_custkey) AS poorest_customer,
-               arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
-                               + c_custkey) AS richest_customer,
+               -- DECIMAL packing: hostile 1e10-scale balances overflow the
+               -- BIGINT (cents * 1e7 > 2^63); decimal arithmetic is exact
+               -- and wide enough on both engines
+               arg_min(c_name, CAST(round(c_acctbal * 100) AS DECIMAL(30,0))
+                               * 10000000 + c_custkey) AS poorest_customer,
+               arg_max(c_name, CAST(round(c_acctbal * 100) AS DECIMAL(30,0))
+                               * 10000000 + c_custkey) AS richest_customer,
                round(min(c_acctbal), 2) AS min_bal,
                round(max(c_acctbal), 2) AS max_bal
         FROM customer
@@ -1210,8 +1213,10 @@ def agg_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_name").isNotNull() & F.col("c_acctbal").isNotNull()
     )
+    # DECIMAL packing (not BIGINT): hostile 1e10-scale balances would
+    # overflow cents * 1e7 past 2^63 and ANSI-kill the stage
     ordkey = (
-        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+        F.round(F.col("c_acctbal") * 100).cast("decimal(30,0)") * 10000000
         + F.col("c_custkey")
     )
     return c.groupBy("c_nationkey").agg(
@@ -1706,8 +1711,12 @@ def window_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g AS (
             SELECT event_type,
-                   count(CASE WHEN side = 'pre' THEN 1 END) AS n_pre,
-                   count(CASE WHEN side = 'post' THEN 1 END) AS n_post,
+                   -- count DEFINED daily means, not rows: a day whose
+                   -- values are all NULL (gauntlet) has m = NULL and
+                   -- contributes to neither the mean nor the variance,
+                   -- so it must not inflate the Welch n either
+                   count(CASE WHEN side = 'pre' THEN m END) AS n_pre,
+                   count(CASE WHEN side = 'post' THEN m END) AS n_post,
                    avg(CASE WHEN side = 'pre' THEN m END) AS m_pre,
                    avg(CASE WHEN side = 'post' THEN m END) AS m_post,
                    var_samp(CASE WHEN side = 'pre' THEN m END) AS v_pre,
@@ -1868,9 +1877,14 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly-alert-debounce",
     oracle="""
         WITH daily AS (
+            -- NULL ts rows have no day to alert on: excluded on both
+            -- engines (gauntlet interaction: the NULL-day pseudo-group
+            -- can cross the z threshold, and its lag/debounce ordering
+            -- is NULLS FIRST on Spark but NULLS LAST on DuckDB)
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(count(*) AS DOUBLE) AS x
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
         ),
         scored AS (
             SELECT event_type, day,
@@ -1904,7 +1918,7 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomaly_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("x")
     )
@@ -2774,24 +2788,24 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(wr).alias("sid"),
     )
+    types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    # NULL path ONLY when every type in the session is NULL (string_agg
+    # yields NULL there; array_join would render ''): a genuine ''
+    # event_type (hostile fixture) is a REAL value whose path both
+    # engines keep — the earlier `path != ''` cut conflated the two.
     paths = sess.groupBy("user_id", "sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("ts", "event_id", "event_type")
-                    )
-                ),
-                lambda s: s["event_type"],
-            ),
-            " > ",
+        F.when(
+            F.exists(types, lambda t: t.isNotNull()),
+            F.array_join(types, " > "),
         ).alias("path")
     )
     return (
-        # all-NULL-type sessions: string_agg yields NULL (dropped) in
-        # SQL, array_join yields '' in Spark — exclude explicitly
         paths.filter(
-            (F.col("path") != "") & (F.size(F.split("path", " > ")) <= 4)
+            F.col("path").isNotNull()
+            & (F.size(F.split("path", " > ", -1)) <= 4)
         )
         .groupBy("path")
         .agg(F.count("*").cast("long").alias("n_sessions"))
@@ -3416,7 +3430,10 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_partkey,
                    ln(l_extendedprice / l_quantity) AS lp,
                    ln(l_quantity) AS lq
-            FROM lineitem WHERE l_quantity > 0
+            -- log-log model is only defined on positive price AND
+            -- quantity: hostile negative prices must be excluded
+            -- explicitly (Spark ln(neg) silently NULLs, DuckDB errors)
+            FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
         ),
         demeaned AS (
             SELECT lp - avg(lp) OVER (PARTITION BY l_partkey) AS dlp,
@@ -3453,7 +3470,12 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    obs = li.filter(F.col("l_quantity") > 0).select(
+    # positive-domain guard on BOTH factors: the log-log observation is
+    # undefined for hostile negative/zero prices (Spark would silently
+    # NULL the log where DuckDB hard-errors — pin the exclusion).
+    obs = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).select(
         "l_partkey",
         F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
         F.log("l_quantity").alias("lq"),

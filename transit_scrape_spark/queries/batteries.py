@@ -150,11 +150,17 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn-map-battery",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
-               CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
-               CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
-                   AS prop_vals,
-               CAST(CASE WHEN props IS NULL THEN NULL ELSE 1 END AS BIGINT)
+               -- json_valid guards: malformed hostile props behave as
+               -- absent (Spark's PERMISSIVE from_json yields a NULL map,
+               -- so every derived column is NULL)
+               CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS DOUBLE) AS k_val,
+               CASE WHEN json_valid(props) THEN 'k' END AS prop_keys,
+               CAST(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS DOUBLE) AS VARCHAR) AS prop_vals,
+               CAST(CASE WHEN json_valid(props) THEN 1 END AS BIGINT)
                    AS n_props
         FROM events
     """,
@@ -351,14 +357,20 @@ def fn_xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "privacy-mask-battery",
     oracle="""
         SELECT c_custkey,
+               -- Unicode classes, not [A-Z]: Spark's mask() classifies by
+               -- Character.isUpperCase/isLowerCase (ü, Δ are letters on
+               -- hostile text); RE2's \\p{Lu}/\\p{Ll}/\\p{Nd} match that
                regexp_replace(regexp_replace(regexp_replace(
-                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
-                   '[0-9]', 'n', 'g') AS masked_default,
+                   c_name, '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'),
+                   '\\p{Nd}', 'n', 'g') AS masked_default,
                regexp_replace(regexp_replace(regexp_replace(
-                   c_name, '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'),
-                   '[0-9]', '#', 'g') AS masked_custom,
+                   c_name, '\\p{Lu}', '*', 'g'), '\\p{Ll}', '*', 'g'),
+                   '\\p{Nd}', '#', 'g') AS masked_custom,
                c_name AS aes_roundtrip,
-               CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_bytes
+               -- AES pads BYTES: octet_length of the UTF-8 encoding, not
+               -- the codepoint count
+               CAST((octet_length(encode(c_name)) // 16 + 1) * 16 AS BIGINT)
+                   AS ct_bytes
         FROM customer
     """,
     doc="Masking + reversible-encryption battery (mask(), aes_encrypt/"

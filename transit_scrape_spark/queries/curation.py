@@ -1401,7 +1401,12 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "bucket",
         "cent_sim",
-        F.array(*[F.col("v")[i] / F.col("nrm") for i in range(64)]).alias("u"),
+        # try_divide: a zero-norm hostile vector normalizes to NULL
+        # elements, so its pair dots are NULL and the > 0.85 gate drops
+        # them — exactly as the oracle's -1 sentinel fails the same gate.
+        F.array(
+            *[F.try_divide(F.col("v")[i], F.col("nrm")) for i in range(64)]
+        ).alias("u"),
     ).persist()  # consumed by both pair sides + the per-bucket base
     # counts; registry-level release_caches() reclaims after the op's
     # output materializes (test_cache_hygiene contract)

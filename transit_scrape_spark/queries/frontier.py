@@ -23,12 +23,15 @@ from transit_scrape_spark.sources.tables import load_table
 def _synth_variant(ev: DataFrame) -> DataFrame:
     """Deterministic open-schema JSON per event, parsed once to VARIANT
     (the parse-at-ingest half of the shredded storage model)."""
-    payload = F.format_string(
-        '{"a": %d, "arr": [%d, %d], "tag": "%s"}',
-        F.col("user_id"),
-        F.col("event_id") % 100,
-        F.col("user_id") % 50,
-        F.coalesce(F.col("event_type"), F.lit("N/A")),
+    # to_json, never format_string interpolation: a control character or
+    # quote inside event_type (hostile fixture: '  x \t') must be escaped
+    # or the synthesized record is not JSON at all.
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("a"),
+            F.array(F.col("event_id") % 100, F.col("user_id") % 50).alias("arr"),
+            F.coalesce(F.col("event_type"), F.lit("N/A")).alias("tag"),
+        )
     )
     return ev.select("event_id", F.parse_json(payload).alias("v"))
 

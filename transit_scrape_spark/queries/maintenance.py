@@ -1035,9 +1035,12 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("computed_total")
     )
     cmp = o.join(expected, o.o_orderkey == expected.l_orderkey).select(
-        (
-            F.abs(F.col("o_totalprice") - F.col("computed_total"))
-            / F.col("o_totalprice")
+        # try_divide: a zero header total (hostile fixture) makes rel_err
+        # NULL on both engines (DuckDB x/0 is NULL); count(*) still counts
+        # the order, the >0.01 flag and avg/max skip it identically.
+        F.try_divide(
+            F.abs(F.col("o_totalprice") - F.col("computed_total")),
+            F.col("o_totalprice"),
         ).alias("rel_err")
     )
     return cmp.agg(

@@ -78,7 +78,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id,
                array_to_string({sql_minhash_signature('sh', NUM_PERM)}, '-')
                    AS signature
-        FROM hashed
+        -- a doc with < k tokens has an EMPTY shingle set and therefore no
+        -- MinHash signature: excluded on both engines (the Spark explode
+        -- path never emits it)
+        FROM hashed WHERE len(sh) > 0
     """,
     doc="MinHash signatures (12 permutations over 3-token shingle char "
     "hashes) as pure codegen expressions — the projection stage of "
@@ -200,6 +203,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(len(list_intersect(o.sh, m.sh)) AS DOUBLE)
                      / len(list_distinct(list_concat(o.sh, m.sh))), 6) AS jaccard_sim
         FROM hashed o JOIN hashed m ON m.doc_id = o.doc_id + 1000000
+        -- pairs where either side shingles to EMPTY (hostile short/empty
+        -- text) are undefined and excluded on both engines (Spark's
+        -- explode path never emits the empty side)
+        WHERE len(o.sh) > 0 AND len(m.sh) > 0
     """,
     doc="Exact n-gram (3-token shingle) Jaccard between each document and "
     "its planted near-dup — the verification primitive of the LSH "
@@ -325,7 +332,9 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     a = tagged.alias("a")
     b = tagged.alias("b")
-    cs = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # try_divide: zero-norm vectors (hostile fixture) make cosine NULL on
+    # both engines (DuckDB x/0 is NULL), and the >= threshold drops NULLs.
+    cs = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -516,6 +525,9 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                (len(list_distinct(o.sh)) <= len(list_distinct(m.sh)))
                    AS orig_is_shorter
         FROM hashed o JOIN hashed m ON m.doc_id = o.doc_id + 1000000
+        -- empty-shingle sides excluded on both engines (see
+        -- dedup-ngram-jaccard)
+        WHERE len(o.sh) > 0 AND len(m.sh) > 0
     """,
     doc="N-gram CONTAINMENT (|A intersect B| / |A|) between each doc and "
     "its planted mutation, in both directions — the asymmetric "
@@ -681,7 +693,10 @@ _EST_MATCH_SQL = " + ".join(
                    a.sh AS sh_a, b.sh AS sh_b,
                    a.sig AS sig_a, b.sig AS sig_b
             FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1000000
+            -- empty-shingle sides have no signature: excluded on both
+            -- engines (see dedup-minhash-signature)
             WHERE a.doc_id % 5 = 0
+              AND len(a.sh) > 0 AND len(b.sh) > 0
         ),
         scored AS (
             SELECT doc_a,
@@ -884,8 +899,12 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in (2, 3, 5):
         a = F.array_distinct(shingle_hashes_from_tokens(F.col("oth"), k))
         b = F.array_distinct(shingle_hashes_from_tokens(F.col("mth"), k))
-        jac = F.size(F.array_intersect(a, b)).cast("double") / F.size(
-            F.array_union(a, b)
+        # try_divide: a doc with < k tokens (empty/whitespace hostile text)
+        # has an empty shingle set on both sides -> 0/0 -> NULL, which
+        # avg/min skip identically on both engines.
+        jac = F.try_divide(
+            F.size(F.array_intersect(a, b)).cast("double"),
+            F.size(F.array_union(a, b)),
         )
         outs.append(
             pairs.agg(

@@ -882,8 +882,10 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         li.join(pt, li["l_partkey"] == pt["p_partkey"])
         .select(
+            # try_divide: hostile zero quantities -> NULL unit price on both
+            # engines; avg/stddev skip it, count(*) still counts the row.
             (
-                F.col("l_extendedprice") / F.col("l_quantity")
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
                 - F.col("p_retailprice")
             ).alias("diff")
         )
@@ -1306,7 +1308,10 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load_table(spark, sf_dir, "part")
     paired = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
         F.col("p_retailprice").alias("x"),
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("y"),
+        # try_divide: zero quantities -> NULL y; var/covar skip the pair on
+        # both engines (count(*) is the one agg that still sees the row —
+        # acceptable: n reports observed pairs, the moments define the fit).
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("y"),
     )
     m = paired.agg(
         F.count("*").cast("long").alias("n"),

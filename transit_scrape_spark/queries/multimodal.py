@@ -29,7 +29,11 @@ from transit_scrape_spark.sources.tables import load_table
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                CAST(doc_id % 640 + 1 AS BIGINT) AS width,
                CAST(doc_id % 480 + 1 AS BIGINT) AS height,
-               lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+               -- slice BYTES (2 hex chars per byte), not codepoints:
+               -- substring(text, 1, 4) would take 4 CHARACTERS and
+               -- encode to >4 bytes on multibyte hostile text while the
+               -- Spark side slices the binary payload itself
+               substring(lower(hex(encode(text))), 1, 8) AS head_hex
         FROM documents
     """,
     doc="Binary media columns with typed metadata struct: BinaryType "
@@ -53,15 +57,20 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal-frame-sample",
     oracle="""
         WITH meta AS (
-            SELECT doc_id, octet_length(encode(text)) AS blen, text
+            -- hex-level byte addressing (2 hex chars per byte): offsets
+            -- are BYTE offsets into the binary payload, which codepoint
+            -- substring(text, ...) would misplace on multibyte hostile
+            -- text
+            SELECT doc_id, octet_length(encode(text)) AS blen,
+                   lower(hex(encode(text))) AS hx
             FROM documents
         )
         SELECT doc_id,
                CAST(unnest(generate_series(0, least(blen % 7 + 1, 4) - 1)) AS BIGINT)
                    AS frame_idx,
-               lower(hex(encode(substring(text,
+               substring(hx,
                    1 + CAST(unnest(generate_series(0, least(blen % 7 + 1, 4) - 1))
-                       * floor(blen / least(blen % 7 + 1, 4)) AS INT), 4))))
+                       * floor(blen / least(blen % 7 + 1, 4)) AS INT) * 2, 8)
                    AS frame_head_hex
         FROM meta
     """,
@@ -139,18 +148,29 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal-decode",
     oracle="""
         WITH codes AS (
+            -- per-BYTE values recovered from the hex encoding: ascii()
+            -- over substring(text, j, 1) would yield CODEPOINTS (and
+            -- length(text) counts them), diverging from the kernel's
+            -- raw-byte mean on multibyte hostile text
             SELECT doc_id,
                    octet_length(encode(text)) AS blen,
-                   list_transform(generate_series(1, length(text)),
-                                  j -> ascii(substring(text, j, 1))) AS byte_vals,
-                   lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+                   lower(hex(encode(text))) AS hx
             FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                CAST(blen AS BIGINT) AS byte_len,
                CAST(blen % 7 + 1 AS BIGINT) AS n_frames,
-               CAST(list_sum(byte_vals) AS DOUBLE) / blen AS mean_byte,
-               head_hex
+               -- NULL mean for an empty payload (mean of nothing), the
+               -- kernel masks it the same way
+               CASE WHEN blen > 0 THEN
+                   CAST(list_sum(list_transform(generate_series(1, blen),
+                       j -> (strpos('0123456789abcdef',
+                                    substring(hx, 2 * j - 1, 1)) - 1) * 16
+                            + strpos('0123456789abcdef',
+                                     substring(hx, 2 * j, 1)) - 1))
+                        AS DOUBLE) / blen
+               END AS mean_byte,
+               substring(hx, 1, 16) AS head_hex
         FROM codes
     """,
     doc="Arrow-batched mapInPandas decode over the binary column "

@@ -108,7 +108,10 @@ def fn_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_extendedprice * (1 - l_discount) AS net_price,
                CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
                CAST(l_partkey % 97 AS BIGINT) AS pmod97,
-               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               -- sqrt undefined for hostile negative quantities: NULL on
+               -- both engines (Spark would emit NaN, DuckDB hard-errors)
+               CASE WHEN l_quantity >= 0
+                    THEN round(sqrt(l_quantity), 6) END AS sqrt_qty,
                round(pow(l_discount, 2), 8) AS disc_sq,
                abs(l_quantity - 25) AS dev_from_25
         FROM lineitem
@@ -124,7 +127,9 @@ def fn_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_bucket"),
         (F.col("l_partkey") % 97).alias("pmod97"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(
+            F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 6
+        ).alias("sqrt_qty"),
         F.round(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
         F.abs(F.col("l_quantity") - 25).alias("dev_from_25"),
     )
@@ -136,7 +141,13 @@ def fn_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                concat('<b>Event:</b> ', coalesce(event_type, 'N/A'),
                       '<br><b>User:</b> ', CAST(user_id AS VARCHAR),
-                      '<br><b>Value:</b> ', coalesce(CAST(round(value, 2) AS VARCHAR), 'N/A'))
+                      '<br><b>Value:</b> ',
+                      -- render via DECIMAL so both engines print plain
+                      -- notation: Spark's double->string flips to
+                      -- scientific at 1e7 (hostile magnitudes), DuckDB's
+                      -- never does
+                      coalesce(CAST(CAST(round(value, 2) AS DECIMAL(38,2))
+                                    AS VARCHAR), 'N/A'))
                    AS popup
         FROM events
     """,
@@ -152,7 +163,12 @@ def fn_format_popup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("event_type"), F.lit("N/A")),
             F.lit("<br><b>User:</b> "), F.col("user_id").cast("string"),
             F.lit("<br><b>Value:</b> "),
-            F.coalesce(F.round(F.col("value"), 2).cast("string"), F.lit("N/A")),
+            # decimal render: double->string is scientific >= 1e7 on Spark
+            # but never on DuckDB — pin plain notation on both engines
+            F.coalesce(
+                F.round(F.col("value"), 2).cast("decimal(38,2)").cast("string"),
+                F.lit("N/A"),
+            ),
         ).alias("popup"),
     )
 
@@ -161,8 +177,14 @@ def fn_format_popup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json-extract",
     oracle="""
         SELECT event_id,
-               json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+               -- unparseable props are absent: Spark get_json_object
+               -- silently NULLs malformed JSON, DuckDB hard-errors — the
+               -- json_valid guard pins the same contract
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS k_str,
+               CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_int
         FROM events
     """,
     doc="JSON property extraction (reference GeoJSON envelope dissection "
@@ -179,7 +201,11 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json-to-map",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+               -- json_valid guard: unparseable hostile props -> NULL map
+               -- on Spark (PERMISSIVE from_json), NULL here
+               CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS DOUBLE) AS k_val
         FROM events
     """,
     doc="from_json into MapType then key access — the dynamic-property-bag "
@@ -234,8 +260,14 @@ def schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json-variant",
     oracle="""
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_variant,
-               json_extract_string(props, '$.missing') AS missing_key
+               -- json_valid guard matches Spark's try_parse_json -> NULL
+               -- variant for malformed hostile props
+               CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS DOUBLE) AS k_variant,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.missing') END
+                   AS missing_key
         FROM events
     """,
     doc="VariantType path (Spark 4): parse_json -> open-schema variant, "
@@ -245,7 +277,10 @@ def schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: one malformed props row at corpus scale must not
+    # kill the job — NULL variant, NULL extractions (= oracle's
+    # json_valid guard)
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "double").alias("k_variant"),
@@ -439,7 +474,9 @@ def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         count_vowels(F.col("text")).alias("n_vowels"),
         F.round(
-            count_vowels(F.col("text")).cast("double") / F.length("text"), 6
+            # try_divide: empty hostile text -> NULL ratio on both engines
+            F.try_divide(count_vowels(F.col("text")).cast("double"), F.length("text")),
+            6,
         ).alias("vowel_ratio"),
     )
 

@@ -1052,11 +1052,18 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan-binary-file",
     oracle="""
         WITH sel AS (
-            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+            -- binaryFile SKIPS zero-byte files (verified: an empty .bin
+            -- never appears in the scan) — a real ingest hazard at scale
+            -- (empty blobs vanish silently); the oracle pins the same
+            -- exclusion
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 50 = 0 AND octet_length(encode(text)) > 0
         )
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-               lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+               -- byte slice via hex (codepoint substring would overshoot
+               -- on multibyte hostile text)
+               substring(lower(hex(encode(text))), 1, 16) AS head_hex
         FROM sel ORDER BY doc_id
     """,
     doc="Spark's binaryFile datasource (the whole-file ingest path for "
@@ -1084,6 +1091,10 @@ def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(target):
         os.makedirs(target, exist_ok=True)
         for row in d.select("doc_id", "text").collect():
+            # NULL text has no bytes to write, and a zero-byte file would
+            # be skipped by binaryFile anyway (pinned in the oracle)
+            if not row["text"]:
+                continue
             with open(
                 os.path.join(target, f"doc_{row['doc_id']:08d}.bin"), "wb"
             ) as fh:

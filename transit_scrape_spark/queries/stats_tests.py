@@ -1593,7 +1593,13 @@ def stats_cmh_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders GROUP BY CAST(o_orderdate AS DATE)
         ),
         rets AS (
-            SELECT day, ln(rev / lag(rev) OVER (ORDER BY day)) AS r
+            -- log return defined only for positive rev on BOTH days:
+            -- hostile negated/zeroed totals would make DuckDB's ln()
+            -- hard-error while Spark silently NULLs — pin the exclusion
+            SELECT day,
+                   CASE WHEN rev > 0
+                             AND lag(rev) OVER (ORDER BY day) > 0
+                        THEN ln(rev / lag(rev) OVER (ORDER BY day)) END AS r
             FROM daily
         ),
         var_ AS (
@@ -1632,11 +1638,13 @@ def stats_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
+    # positive-domain guard on both days' revenue (see oracle comment)
+    prev = F.lag("rev").over(Window.orderBy("day"))
     rets = daily.select(
         "day",
-        F.log(F.col("rev") / F.lag("rev").over(Window.orderBy("day"))).alias(
-            "r"
-        ),
+        F.when(
+            (F.col("rev") > 0) & (prev > 0), F.log(F.col("rev") / prev)
+        ).alias("r"),
     ).filter(F.col("r").isNotNull())
     var_ = rets.agg(F.expr("percentile(r, 0.05)").alias("var05"))
     viol = rets.crossJoin(F.broadcast(var_)).agg(
@@ -1831,14 +1839,19 @@ def stats_runs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats-kruskal-wallis",
     oracle="""
         WITH daily AS (
+            -- a rank test has no place for missing observations: NULL-ts
+            -- rows have no day, and an all-NULL day has no mean — both
+            -- excluded explicitly (Spark ranks NULLs FIRST, DuckDB LAST,
+            -- so an unpinned NULL m shifts every rank; gauntlet catch)
             SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
         ),
         ranked AS (
             SELECT event_type,
                    CAST(row_number() OVER (ORDER BY m, event_type, day)
                         AS DOUBLE) AS r
-            FROM daily
+            FROM daily WHERE m IS NOT NULL
         ),
         per_group AS (
             SELECT event_type, count(*) AS ni, sum(r) AS ri
@@ -1868,11 +1881,12 @@ def stats_runs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("m")
     )
-    ranked = daily.select(
+    # missing observations are out of a rank test (see oracle comment)
+    ranked = daily.filter(F.col("m").isNotNull()).select(
         "event_type",
         F.row_number()
         .over(Window.orderBy("m", "event_type", "day"))

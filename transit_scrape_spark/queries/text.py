@@ -1251,10 +1251,16 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cu"))
     )
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    # guard: sequence(1, n-1) with n < 2 is DESCENDING ([1, 0, ...]) in
+    # Spark, driving element_at out of bounds — a doc with < 2 tokens
+    # (empty/non-latin hostile text) has no bigrams; explode(NULL)
+    # drops it, matching the oracle's `r.range < len(toks)` bound
     bi = d.select(
         "doc_id",
         "lang",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        F.explode(
+            F.when(F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1))
+        ).alias("i"),
         F.col("toks"),
     ).select(
         "doc_id",
@@ -2325,9 +2331,11 @@ def corpus_gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n = F.size(toks)
     mwl = (F.length("text") - n + 1.0) / n
-    sym = (
-        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
-        / F.length("text")
+    # try_divide: empty hostile text -> length 0 -> NULL ratio, and the
+    # `> 0.1` flag falls to 0 on both engines (DuckDB CASE ELSE 0).
+    sym = F.try_divide(
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double"),
+        F.length("text"),
     )
     alpha = (
         F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n

@@ -3093,14 +3093,18 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.agg(
         F.count("*").cast("long").alias("n_days"),
+        # try_divide: a zero actual (hostile values + NULL-thinned days)
+        # makes that day's MAPE/sMAPE term undefined — NULL on both
+        # engines (DuckDB x/0 is NULL), avg skips it identically
         F.round(
-            F.avg(F.abs(F.col("y") - F.col("f_snaive")) / F.col("y")), 6
+            F.avg(F.try_divide(F.abs(F.col("y") - F.col("f_snaive")), F.col("y"))), 6
         ).alias("mape"),
         F.round(
             F.avg(
-                2
-                * F.abs(F.col("y") - F.col("f_snaive"))
-                / (F.abs(F.col("y")) + F.abs(F.col("f_snaive")))
+                F.try_divide(
+                    2 * F.abs(F.col("y") - F.col("f_snaive")),
+                    F.abs(F.col("y")) + F.abs(F.col("f_snaive")),
+                )
             ),
             6,
         ).alias("smape"),

@@ -70,7 +70,14 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    ).agg(
+        # try_divide: hostile zero quantities -> NULL unit cost, skipped by
+        # min on both engines; an all-zero group yields NULL which the
+        # unit_cost = min_cost equi-join drops identically.
+        F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
+            "unit_cost"
+        )
+    )
     eu_cost = cost.join(F.broadcast(s_eu), cost.suppkey == s_eu.s_suppkey)
     part_min = eu_cost.groupBy(F.col("partkey").alias("pm_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
@@ -233,7 +240,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH val AS (
             SELECT l.l_partkey AS partkey,
                    sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                            AS DECIMAL(18,6))) AS value
+                            AS DECIMAL(30,6))) AS value
             FROM lineitem l
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
             WHERE s.s_nationkey < 5
@@ -250,7 +257,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery becomes a single-row aggregate cross-joined (broadcast) "
     "into the HAVING filter — the per-part aggregate is computed ONCE "
     "and reused for both sides, not recomputed per row. The summand is "
-    "quantized to DECIMAL(18,6) so the aggregate is exact and "
+    "quantized to DECIMAL(30,6) so the aggregate is exact, "
+    "order-insensitive, and wide enough for the hostile fixture's "
+    "1e15-scale products (a representable-range error on one row "
+    "must not kill the stage) — a plain double sum drifts and "
     "order-insensitive — a plain double sum drifts in the last bit "
     "with partition count and can flip round(x, 2) at a .005 boundary "
     "(observed at sf0.01: 585236.075 rounding both ways).",
@@ -264,7 +274,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
+                    "decimal(30,6)"
                 )
             ).alias("value")
         )

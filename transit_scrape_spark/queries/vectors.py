@@ -250,11 +250,15 @@ def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = b.column("emb").flatten().to_numpy(zero_copy_only=False)
             arr = flat.reshape(len(b), -1)  # constant-dim embeddings
             nrm = np.sqrt((arr * arr).sum(axis=1))
+            # zero-norm hostile vectors: 0/0 is numpy NaN, which is NOT
+            # SQL NULL — mask it to a real NULL (= DuckDB's x/0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                first_unit = np.round(arr[:, 0] / nrm, 6)
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_ids,
                     pa.array(np.round(nrm, 6), type=pa.float64()),
-                    pa.array(np.round(arr[:, 0] / nrm, 6), type=pa.float64()),
+                    pa.array(first_unit, type=pa.float64(), mask=(nrm == 0.0)),
                 ],
                 ["vec_id", "nrm", "first_unit"],
             )
@@ -729,8 +733,13 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
+            # try_divide: singleton/degenerate label groups have sd = 0
+            # (hostile label mutation creates them) -> NULL z-score, not
+            # an outlier, on both engines.
             F.sum(
-                F.when((F.col("d") - F.col("mu")) / F.col("sd") > 2, 1).otherwise(0)
+                F.when(
+                    F.try_divide(F.col("d") - F.col("mu"), F.col("sd")) > 2, 1
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),
@@ -1827,7 +1836,12 @@ def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT q.qid, c.vec_id,
-                   round(list_cosine_similarity(c.v, q.q), 6) AS sim
+                   -- explicit NULL-on-zero-norm cosine (x/0 is NULL in
+                   -- DuckDB), matching the Spark try_divide convention:
+                   -- list_cosine_similarity would clamp to -1 instead
+                   round(list_dot_product(c.v, q.q)
+                         / (sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(q.q, q.q))), 6) AS sim
             FROM corpus c JOIN queries q ON c.vec_id <> q.qid
         ),
         ranked AS (
