@@ -1,5 +1,5 @@
-"""Extreme-values parity sweep (r9 evidence axis #3): every batch op
-with a full DuckDB oracle must produce ORACLE-IDENTICAL values on a
+"""Extreme-values parity sweep (r9 evidence axis #3): every op
+(streaming included) with a full DuckDB oracle must produce ORACLE-IDENTICAL values on a
 warehouse variant whose payload VALUES are hostile
 (sources/extremegen.py): empty / whitespace-padded / multilingual+emoji
 strings (including malformed-JSON props), negated / x1e6 / zero
@@ -53,7 +53,7 @@ def _affected():
     return sorted(
         k
         for k, s in registry().items()
-        if s.oracle and not k.startswith("stream-")
+        if s.oracle
     )
 
 

@@ -1,5 +1,5 @@
 """Combined-hostility ("gauntlet") parity sweep (r9 capstone): every
-batch op with a full DuckDB oracle must be oracle-identical on a
+op (streaming included) with a full DuckDB oracle must be oracle-identical on a
 warehouse that chains BOTH r9 hostility overlays
 (sources/gauntlet.py): extreme values (empty/unicode/padded strings,
 malformed JSON, negated/x1e6/zero numerics, epoch-0/1905/2200
@@ -38,7 +38,7 @@ def _affected():
     return sorted(
         k
         for k, s in registry().items()
-        if s.oracle and not k.startswith("stream-")
+        if s.oracle
     )
 
 

@@ -19,9 +19,15 @@ classes invisible to every other sweep:
   real nondeterminism or uniqueness-assumption bug, never a tie
   artifact.
 
-Selection: every non-streaming op with a full oracle — all tables are
-modified by this axis, so (unlike the skew sweep) no table-based
-narrowing applies.
+Selection: EVERY op with a full oracle, streaming included — all
+tables are modified by this axis, so no table-based narrowing applies,
+and since r9 the hostility warehouses use the exact driver-testdata
+layout (single parquet file per table) so the streaming file source
+reads them natively. The streaming family's own catch from this axis:
+NULL event-time rows belong to NO window (Spark's windowed streaming
+agg drops them silently; DuckDB groups them) — pinned in the four
+windowed oracles — and an unpinned top-k tie-break flipped between
+NULLS FIRST (Spark) and NULLS LAST (DuckDB).
 
 float_sig=6 (vs skew's 7, driver-strict 9): NULL injection changes
 which rows enter float aggregates, and duplication doubles some, so
@@ -50,7 +56,7 @@ def _affected():
     return sorted(
         k
         for k, s in registry().items()
-        if s.oracle and not k.startswith("stream-")
+        if s.oracle
     )
 
 

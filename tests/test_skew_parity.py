@@ -15,9 +15,10 @@ uniform fixture where no user's events ever straddled the boundary,
 deterministic failure under zipf where the hot user has ~5k events.
 
 Selection: ops whose oracle references a skew-remapped fact table
-(events / lineitem / orders). Ops reading only dims/documents/
-embeddings see byte-identical inputs here, so re-running them would
-duplicate test_oracle_parity.
+(events / lineitem / orders), streaming included (the hot user's
+~5k-event stream densifies sessions and windows). Ops reading only
+dims/documents/embeddings see byte-identical inputs here, so
+re-running them would duplicate test_oracle_parity.
 
 float_sig=7 (vs the driver-strict 9): hot keys at this scale aggregate
 ~30k doubles per group, where engine summation-order drift can flip
@@ -44,7 +45,7 @@ def _affected():
     return sorted(
         k
         for k, s in registry().items()
-        if s.oracle and _FACT.search(s.oracle) and not k.startswith("stream-")
+        if s.oracle and _FACT.search(s.oracle)
     )
 
 

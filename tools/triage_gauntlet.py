@@ -30,10 +30,7 @@ def main() -> None:
     if not os.path.isdir(os.path.join(out, "events.parquet")):
         generate_gauntlet_warehouse(spark, sf_dir, out)
     duck = duck_conn(out)
-    ops = sorted(
-        k for k, s in registry().items()
-        if s.oracle and not k.startswith("stream-")
-    )
+    ops = sorted(k for k, s in registry().items() if s.oracle)
     if only:
         ops = [k for k in ops if k in set(only)]
     results: dict[str, dict] = {}

@@ -363,8 +363,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window-streaks",
     oracle="""
         WITH days AS (
+            -- NULL ts rows have no day and belong to no streak; also a
+            -- NULL partition/order key triggers a DuckDB parallel-window
+            -- flake (row_number restarts per thread chunk) — excluded
             SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         grouped AS (
             SELECT user_id, day,
@@ -397,7 +400,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = ev.select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).distinct()

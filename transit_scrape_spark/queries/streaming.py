@@ -151,7 +151,9 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                count(*) AS n,
                round(sum(value), 2) AS sum_value
-        FROM events
+        -- NULL event-time rows belong to NO window (Spark's windowed
+        -- streaming agg drops them silently; pinned on both engines)
+        FROM events WHERE ts IS NOT NULL
         GROUP BY date_trunc('hour', ts), event_type
     """,
     doc="Tumbling-window counts (reference per-load rollup "
@@ -182,6 +184,8 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - to_minutes(15 * s.i) AS TIMESTAMP) AS window_start
             FROM events e
             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+            -- NULL event-time rows belong to NO window (see tumbling)
+            WHERE e.ts IS NOT NULL
         )
         SELECT window_start, count(*) AS n
         FROM slides
@@ -444,7 +448,8 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts,
                    CASE WHEN ts - coalesce(lag(ts) OVER w, ts - INTERVAL 1 DAY)
                              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-            FROM events
+            -- NULL event-time rows belong to NO session (see tumbling)
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), tagged AS (
             SELECT user_id, ts,
@@ -964,7 +969,8 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH agg AS (
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2
+            -- NULL event-time rows belong to NO window (see tumbling)
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         )
         SELECT window_start, event_type, n
         FROM (
@@ -1000,8 +1006,11 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = spark.table(name).select(
         F.col("window.start").alias("window_start"), "event_type", "n"
     )
+    # NULLS LAST pinned on the tie-break: the NULL-type group is a real
+    # contender (unknown-type traffic), but Spark ranks NULL FIRST on
+    # asc while DuckDB ranks it LAST — an unpinned tie flips the winner
     wr = Window.partitionBy("window_start").orderBy(
-        F.col("n").desc(), "event_type"
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         mat.withColumn("rk", F.row_number().over(wr))

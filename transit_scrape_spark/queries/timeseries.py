@@ -441,7 +441,10 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY ts, event_id) AS rn_a,
                    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                       ORDER BY ts DESC, event_id DESC) AS rn_d
-            FROM events
+            -- a tick with no timestamp is in no bar; a NULL partition
+            -- key also triggers a DuckDB parallel-window flake
+            -- (row_number restarts per thread chunk -> close == high)
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT event_type, bar_ts,
                round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
@@ -463,7 +466,8 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # a tick with no timestamp is in no bar (see oracle comment)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     bar = F.date_trunc("hour", F.col("ts"))
     wa = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
     wd = Window.partitionBy("event_type", bar).orderBy(

@@ -52,7 +52,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from transit_scrape_spark.sources.hostilegen import PROTECTED, TABLES
+from transit_scrape_spark.sources.hostilegen import (
+    PROTECTED,
+    TABLES,
+    write_table_like_testdata,
+)
 
 # Multilingual but case-stable: ü/é/Δ upper-case identically in Java and
 # ICU; 東京/🚇 are caseless. 4-byte emoji exercises codepoint-vs-byte
@@ -103,7 +107,6 @@ def generate_extreme_warehouse(
     spark: SparkSession,
     src: str,
     out: str,
-    files_per_table: int = 4,
 ) -> None:
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
@@ -114,6 +117,4 @@ def generate_extreme_warehouse(
                 continue
             h = F.pmod(F.hash(*keys, F.lit(field.name), F.lit("__ext")), F.lit(100))
             df = df.withColumn(field.name, _mutate(F.col(field.name), field.dataType, h))
-        df.repartition(files_per_table).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        write_table_like_testdata(df, out, name)

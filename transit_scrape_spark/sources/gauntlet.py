@@ -38,9 +38,8 @@ def generate_gauntlet_warehouse(
     spark: SparkSession,
     src: str,
     out: str,
-    files_per_table: int = 4,
 ) -> None:
     mid = out.rstrip("/") + "_mid"
-    generate_extreme_warehouse(spark, src, mid, files_per_table=files_per_table)
-    generate_hostile_warehouse(spark, mid, out, files_per_table=files_per_table)
+    generate_extreme_warehouse(spark, src, mid)
+    generate_hostile_warehouse(spark, mid, out)
     shutil.rmtree(mid, ignore_errors=True)

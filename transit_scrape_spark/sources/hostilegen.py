@@ -65,13 +65,34 @@ PROTECTED = {
 }
 
 
+def write_table_like_testdata(df, out: str, name: str) -> None:
+    """Write one table in the EXACT driver-testdata layout: a single
+    parquet FILE named ``{name}.parquet`` directly under ``out``.
+
+    The hostility warehouses must be drop-in ``sf_dir`` replacements:
+    the streaming file source streams ``sf_dir`` with a
+    ``pathGlobFilter='events.parquet'`` that only matches a plain file
+    (a multi-file directory silently streams ZERO rows), and several
+    fixture bootstraps open the path as a file. Layout hostility
+    (multi-file, tiny splits) is the partition-invariance sweep's job,
+    not this one's — these warehouses vary the DATA, not the layout.
+    """
+    import glob
+    import shutil
+
+    tmp = f"{out}/_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{out}/{name}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def generate_hostile_warehouse(
     spark: SparkSession,
     src: str,
     out: str,
     null_pct: int = 10,
     dup_pct: int = 5,
-    files_per_table: int = 4,
 ) -> None:
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
@@ -84,6 +105,4 @@ def generate_hostile_warehouse(
             df = df.withColumn(c, F.when(keep, F.col(c)))
         dup = df.filter(F.pmod(F.hash(*keys, F.lit("__dup")), F.lit(100)) < dup_pct)
         df = df.unionAll(dup)
-        df.repartition(files_per_table).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        write_table_like_testdata(df, out, name)

@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transit_scrape_spark.sources.hostilegen import write_table_like_testdata
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -69,9 +71,7 @@ def _remap(df: DataFrame, col: str, dom: DataFrame, n: int, *seed_cols) -> DataF
     return out.select(df.columns)
 
 
-def generate_skew_warehouse(
-    spark: SparkSession, src: str, out: str, files_per_table: int = 8
-) -> None:
+def generate_skew_warehouse(spark: SparkSession, src: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     t = {name: spark.read.parquet(f"{src}/{name}.parquet") for name in TABLES}
 
@@ -94,6 +94,8 @@ def generate_skew_warehouse(
     skewed = {"events": ev, "lineitem": li, "orders": od}
     for name in TABLES:
         df = skewed.get(name, t[name])
-        df.repartition(files_per_table).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        # driver-testdata layout (single parquet FILE per table): the
+        # hostility warehouses double as sf_dir drop-ins for the
+        # streaming file source, which silently streams ZERO rows from
+        # a multi-file directory (see hostilegen.write_table_like_testdata)
+        write_table_like_testdata(df, out, name)
