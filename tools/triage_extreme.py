@@ -20,6 +20,7 @@ from tests.oracle_harness import compare, duck_conn  # noqa: E402
 from transit_scrape_spark.queries.registry import registry  # noqa: E402
 from transit_scrape_spark.session import get_spark, release_caches  # noqa: E402
 from transit_scrape_spark.sources.extremegen import generate_extreme_warehouse  # noqa: E402
+from transit_scrape_spark.sources.hostilegen import warehouse_needs_build  # noqa: E402
 
 
 def main() -> None:
@@ -28,7 +29,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("extreme-triage", shuffle_partitions=8)
     out = os.path.join(tempfile.gettempdir(), "extreme_sf001")
-    if not os.path.isdir(os.path.join(out, "events.parquet")):
+    if warehouse_needs_build(out):
         generate_extreme_warehouse(spark, sf_dir, out)
     duck = duck_conn(out)
     ops = sorted(k for k, s in registry().items() if s.oracle)

@@ -19,7 +19,10 @@ sys.path.insert(0, REPO)
 from tests.oracle_harness import compare, duck_conn  # noqa: E402
 from transit_scrape_spark.queries.registry import registry  # noqa: E402
 from transit_scrape_spark.session import get_spark, release_caches  # noqa: E402
-from transit_scrape_spark.sources.hostilegen import generate_hostile_warehouse  # noqa: E402
+from transit_scrape_spark.sources.hostilegen import (  # noqa: E402
+    generate_hostile_warehouse,
+    warehouse_needs_build,
+)
 
 
 def main() -> None:
@@ -28,7 +31,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("null-triage", shuffle_partitions=8)
     out = os.path.join(tempfile.gettempdir(), "hostile_sf001")
-    if not os.path.isdir(os.path.join(out, "events.parquet")):
+    if warehouse_needs_build(out):
         generate_hostile_warehouse(spark, sf_dir, out)
     duck = duck_conn(out)
     ops = sorted(k for k, s in registry().items() if s.oracle)

@@ -260,8 +260,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantized to DECIMAL(30,6) so the aggregate is exact, "
     "order-insensitive, and wide enough for the hostile fixture's "
     "1e15-scale products (a representable-range error on one row "
-    "must not kill the stage) — a plain double sum drifts and "
-    "order-insensitive — a plain double sum drifts in the last bit "
+    "must not kill the stage) — a plain double sum drifts in the last bit "
     "with partition count and can flip round(x, 2) at a .005 boundary "
     "(observed at sf0.01: 585236.075 rounding both ways).",
 )

@@ -78,9 +78,24 @@ def _mutate(col: F.Column, dtype: T.DataType, h: F.Column) -> F.Column:
             F.when(a, -col).when(b, col * F.lit(1e6)).when(c, F.lit(0.0)).otherwise(col)
         )
     if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+        # ×1000 computed in decimal(24,0) and clamped to the column's own
+        # type bounds: on the current fixtures every value is int32-scale
+        # so the clamp is a no-op, but a future fixture widening value
+        # ranges (or ANSI mode) must degrade to a saturated outlier, not
+        # wrap/error and silently weaken the axis (r9 advice).
+        mx = {
+            T.ShortType: 32767,
+            T.IntegerType: 2147483647,
+            T.LongType: 9223372036854775807,
+        }[type(dtype)]
+        big = (col.cast("decimal(24,0)") * F.lit(1000)).cast("decimal(24,0)")
+        clamped = F.least(
+            F.greatest(big, F.lit(-mx - 1).cast("decimal(24,0)")),
+            F.lit(mx).cast("decimal(24,0)"),
+        )
         return (
             F.when(a, -col)
-            .when(b, col * F.lit(1000))
+            .when(b, clamped.cast(dtype))
             .when(c, F.lit(0))
             .otherwise(col)
             .cast(dtype)

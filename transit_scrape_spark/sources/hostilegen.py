@@ -83,8 +83,35 @@ def write_table_like_testdata(df, out: str, name: str) -> None:
     tmp = f"{out}/_tmp_{name}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(f"{tmp}/part-*.parquet")[0]
-    shutil.move(part, f"{out}/{name}.parquet")
+    dest = f"{out}/{name}.parquet"
+    # a pre-r9 directory-layout leftover at dest would make shutil.move
+    # nest the new part file INSIDE it, silently mixing stale part files
+    # into the table (r9 advice) — clear any existing dest first
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(part, dest)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def warehouse_needs_build(out: str) -> bool:
+    """True if ``out`` lacks a current single-FILE-layout warehouse.
+
+    The r9 layout change made ``{out}/events.parquet`` a plain file;
+    checking ``isdir`` (the pre-r9 layout) both regenerated on every run
+    AND let a stale directory-layout warehouse pass, silently running
+    triage against a layout where streaming ops stream zero rows (r9
+    advice). A stale directory marker wipes the whole out dir so the
+    rebuild starts clean."""
+    import shutil
+
+    marker = os.path.join(out, "events.parquet")
+    if os.path.isfile(marker):
+        return False
+    if os.path.isdir(marker):
+        shutil.rmtree(out, ignore_errors=True)
+    return True
 
 
 def generate_hostile_warehouse(
