@@ -16,6 +16,7 @@ its configs.
 from __future__ import annotations
 
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -91,38 +92,27 @@ def test_full_registry_driver_sim():
 
 
 def test_rotating_driver_draw():
-    """Seeded driver-shaped sample (100/round since r9, VERDICT r8
-    task 4) over ops neither the REAL driver nor a prior round's local
-    draw has validated: the full sweep above already covers everything,
-    but this names a fresh reproducible batch each round (seed = round
-    number), certifying it in its own vanilla subprocess — the exact
-    shape of the driver's per-round check. The draw is printed (and
-    recorded in SCALING.md by tools/round_close.py)."""
+    """Seeded driver-shaped sample (100/round since r9; priority-first
+    over never-validated SURVEY §2/§2.12 ops and the seven r1
+    canonicalizer-crash rows since r10, VERDICT r9 task 1) over ops
+    neither the REAL driver nor a prior round's local draw has
+    validated: the full sweep above already covers everything, but this
+    names a fresh reproducible batch each round (seed = round number),
+    certifying it in its own vanilla subprocess with PER-OP verdicts —
+    the exact shape of the driver's per-round check. The verdict map is
+    recorded in LOCAL_SIM_DRAWS.json by tools/round_close.py."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from tools.driver_draw import current_round, rotating_draw
+    from tools.driver_draw import certify_draw, current_round, rotating_draw
 
     draw = rotating_draw()
     print(f"round {current_round()} rotating draw ({len(draw)} ops): {draw}")
-    code = _SWEEP.format(
-        repo=repo,
-        tests=os.path.join(repo, "tests"),
-        sf_dir="/root/testdata/sf0.01",
-        only=draw,
+    verdicts = certify_draw(pathlib.Path(repo), draw)
+    fails = {op: v for op, v in verdicts.items() if v != "pass"}
+    assert sorted(verdicts) == sorted(draw), (
+        f"verdict map incomplete: missing {set(draw) - set(verdicts)}"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        cwd=repo,
-    )
-    tail = "\n".join(proc.stdout.splitlines()[-40:])
-    assert proc.returncode == 0, (
-        f"rotating-draw sweep failed (draw: {draw}):\n{tail}\n--- stderr tail ---\n"
-        + "\n".join(proc.stderr.splitlines()[-15:])
-    )
-    assert f"SWEEP {len(draw)}/{len(draw)} green" in proc.stdout
+    assert not fails, f"rotating-draw sweep failed: {fails}"
 
 
 def test_full_registry_driver_sim_sf01():

@@ -45,26 +45,43 @@ def _run(cmd: list[str], tail: int = 3) -> str:
 
 
 def record_draw() -> None:
-    """Record the round's rotating driver-sim draw in LOCAL_SIM_DRAWS.json
-    and render the cumulative summary into SCALING.md's marked block."""
-    from tools.driver_draw import current_round, driver_validated_ops, rotating_draw
+    """Certify the round's rotating driver-sim draw in a vanilla
+    subprocess (driver's exact session shape + canonicalizer) and record
+    PER-OP VERDICTS in LOCAL_SIM_DRAWS.json (VERDICT r9 task 1 — r8/r9
+    entries are plain name lists, r10+ entries map op -> "pass"/"FAIL");
+    then render the cumulative summary into SCALING.md's marked block."""
+    from tools.driver_draw import (
+        certify_draw,
+        current_round,
+        driver_validated_ops,
+        rotating_draw,
+    )
 
     rnd = current_round(REPO)
     draw = rotating_draw(REPO)
+    verdicts = certify_draw(REPO, draw)
+    fails = {op: v for op, v in verdicts.items() if v != "pass"}
     store_path = REPO / "LOCAL_SIM_DRAWS.json"
     store = json.loads(store_path.read_text()) if store_path.exists() else {}
-    store[f"r{rnd}"] = draw
+    store[f"r{rnd}"] = verdicts
     store_path.write_text(json.dumps(store, indent=1))
+    if fails:
+        raise SystemExit(
+            f"rotating draw has {len(fails)} failing op(s) — fix before close: {fails}"
+        )
 
     cumulative = sorted({op for ops in store.values() for op in ops})
     lines = [
         DRAW_START,
         "",
-        "Per-round seeded draws (50/round r7-r8, 100/round since r9) over",
-        "ops neither the REAL driver nor a prior local draw has validated",
-        "(tools/driver_draw.py; certified green each round by",
-        "tests/test_driver_sim.py::test_rotating_driver_draw in a vanilla",
-        "subprocess session). Full lists in LOCAL_SIM_DRAWS.json.",
+        "Per-round seeded draws (50/round r7-r8, 100/round since r9;",
+        "priority-first over never-validated SURVEY §2/§2.12 ops and the",
+        "seven r1 canonicalizer-crash rows since r10) over ops neither",
+        "the REAL driver nor a prior local draw has validated",
+        "(tools/driver_draw.py; certified green each round in a vanilla",
+        "subprocess session with the driver's exact canonicalizer).",
+        "Per-op verdicts (r10+) / name lists (r8-r9) in",
+        "LOCAL_SIM_DRAWS.json.",
         "",
         f"- driver-validated ops (CORRECTNESS_r*.json): "
         f"{len(driver_validated_ops(REPO))}",
@@ -88,6 +105,41 @@ def record_draw() -> None:
     print(f"recorded r{rnd} draw ({len(draw)} ops, cumulative {len(cumulative)})")
 
 
+def record_loc() -> None:
+    """Append a builder-tagged LoC-breakdown line to PROGRESS.jsonl
+    (VERDICT r9 task 8): the driver's own entries report one aggregate
+    `loc` that counts tests+tools+docs, which drifted 26k from the
+    judge's non-test-source diagnostic. Emitting loc_source (package +
+    entry + bench + tools) and loc_tests separately makes rounds
+    comparable against the verdict formula. Builder lines are marked
+    `"source": "builder"` so the driver's reader can ignore them."""
+    import time
+
+    from tools.driver_draw import current_round
+
+    def _count(*roots: str) -> int:
+        total = 0
+        for root in roots:
+            p = REPO / root
+            files = [p] if p.is_file() else sorted(p.rglob("*.py"))
+            for f in files:
+                total += len(f.read_text().splitlines())
+        return total
+
+    entry = {
+        "ts": time.time(),
+        "round": current_round(REPO),
+        "source": "builder",
+        "loc_source": _count(
+            "transit_scrape_spark", "tools", "__spark_entry__.py", "bench.py"
+        ),
+        "loc_tests": _count("tests"),
+    }
+    with open(REPO / "PROGRESS.jsonl", "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+    print(f"recorded LoC breakdown: {entry}")
+
+
 def do_run(args) -> None:
     from tools.driver_draw import current_round
 
@@ -98,9 +150,13 @@ def do_run(args) -> None:
         raise SystemExit("PLAN_AUDIT.md is not 0-flagged/0-errored — fix before close")
     _run([sys.executable, "tools/gen_coverage.py"])
     record_draw()
+    record_loc()
     if not args.skip_bench:
         out = _run([sys.executable, "bench.py"], tail=1)
         json.loads(out.strip().splitlines()[-1])  # must be ONE JSON line
+        # per-op absolute budget gate (VERDICT r9 task 3): no op may
+        # exceed 10x the sweep median without a pinned justification
+        _run([sys.executable, "tools/check_perf_budget.py"], tail=2)
         _run([sys.executable, "tools/bench_isolated.py"], tail=1)
         shutil.copy(
             REPO / "BENCH_ISOLATED.json",
@@ -139,8 +195,14 @@ def do_check(_args) -> None:
     if not (REPO / f"BENCH_ISOLATED_r{rnd:02d}.json").exists():
         problems.append(f"BENCH_ISOLATED_r{rnd:02d}.json (round tag) missing")
     store_path = REPO / "LOCAL_SIM_DRAWS.json"
-    if not store_path.exists() or f"r{rnd}" not in json.loads(store_path.read_text()):
+    store = json.loads(store_path.read_text()) if store_path.exists() else {}
+    entry = store.get(f"r{rnd}")
+    if entry is None:
         problems.append(f"r{rnd} rotating draw not recorded (run step or record_draw)")
+    elif isinstance(entry, dict):
+        fails = {op: v for op, v in entry.items() if v != "pass"}
+        if fails:
+            problems.append(f"r{rnd} rotating draw has failing verdicts: {fails}")
     dirty = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
