@@ -30,6 +30,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+HEADLINE = [
+    "tpch-q3", "tpch-q6", "tpch-q10", "tpch-q17",
+    "join-fk-chain", "window-latest-per-key", "sessionize",
+    "dedup-near-minhash", "simsearch-topk", "text-quality-score",
+    "multimodal-cols", "stream-tumbling-agg",
+]
+
+# the driver tail-captures stdout; r1's 137-key line got its head
+# truncated and became unparseable. The summary is bounded (fixed
+# headline list, scalar fields) so its length must stay under this cap
+# REGARDLESS of registry size — asserted by tests/test_bench_protocol.py
+# at 1000 ops.
+SUMMARY_MAX_BYTES = 2048
+
+
+def summary_line(timings: dict[str, float], anchor: dict, sf_val, detail_name: str) -> str:
+    """The ONE short stdout JSON line (see module doc). Bounded: only
+    HEADLINE per-query timings are inlined; the full per-op map lives in
+    BENCH_DETAIL.json."""
+    import statistics as _st
+
+    total = sum(timings.values())
+    med = _st.median(timings.values()) if timings else 0.0
+    bf = anchor.get("box_factor") or 1.0
+    line = json.dumps(
+        {
+            "metric": "full_query_sweep_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: timings[k] for k in HEADLINE if k in timings},
+            "sf": sf_val,
+            "n_ops": len(timings),
+            "median_sec": round(med, 4),
+            # registry-size-normalized: the sweep total grows with
+            # every op added, so cross-round comparisons use this
+            "sec_per_op": round(total / len(timings), 4) if timings else 0.0,
+            # box-speed-adjusted (divide by box_factor): THE number
+            # to compare across rounds — see bench_anchor.py
+            "anchor_sec": anchor.get("anchor_sec"),
+            "box_factor": anchor.get("box_factor"),
+            "sec_per_op_norm": round(total / len(timings) / bf, 4)
+            if timings
+            else 0.0,
+            "detail": detail_name,
+        }
+    )
+    assert "\n" not in line and len(line.encode()) <= SUMMARY_MAX_BYTES, (
+        f"summary line {len(line.encode())}B exceeds the {SUMMARY_MAX_BYTES}B "
+        "tail-truncation budget — trim HEADLINE or fields"
+    )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -130,38 +183,8 @@ def main() -> None:
         json.dump(detail, fh)
     print(f"# full per-op detail -> {detail_path}", file=sys.stderr)
 
-    headline = [
-        "tpch-q3", "tpch-q6", "tpch-q10", "tpch-q17",
-        "join-fk-chain", "window-latest-per-key", "sessionize",
-        "dedup-near-minhash", "simsearch-topk", "text-quality-score",
-        "multimodal-cols", "stream-tumbling-agg",
-    ]
-    med = statistics.median(timings.values()) if timings else 0.0
     # LAST line: short, driver-parseable even under tail truncation
-    print(
-        json.dumps(
-            {
-                "metric": "full_query_sweep_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: timings[k] for k in headline if k in timings},
-                "sf": sf_val,
-                "n_ops": len(timings),
-                "median_sec": round(med, 4),
-                # registry-size-normalized: the sweep total grows with
-                # every op added, so cross-round comparisons use this
-                "sec_per_op": round(total / len(timings), 4) if timings else 0.0,
-                # box-speed-adjusted (divide by box_factor): THE number
-                # to compare across rounds — see bench_anchor.py
-                "anchor_sec": anchor["anchor_sec"],
-                "box_factor": anchor["box_factor"],
-                "sec_per_op_norm": round(total / len(timings) / bf, 4)
-                if timings
-                else 0.0,
-                "detail": os.path.basename(detail_path),
-            }
-        )
-    )
+    print(summary_line(timings, anchor, sf_val, os.path.basename(detail_path)))
 
 
 if __name__ == "__main__":

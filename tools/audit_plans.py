@@ -93,7 +93,6 @@ SCALAR_BROADCAST_OPS = {
     "dq-winsorize-impact",
     "embed-centroid-eval",
     "embed-effective-rank",
-    "embed-hubness",
     "embed-intrinsic-dim",
     "embed-norm-drift-ks",
     "featurestore-time-decay-score",
@@ -326,7 +325,7 @@ _BOUNDED_WINDOW_GROUPS: list[tuple[str, dict[str, int]]] = [
             "timeseries-drawdown-episodes": 1,
             "timeseries-forecast-backtest": 1,
             "timeseries-page-hinkley": 3,
-            "timeseries-ses-grid": 10,
+            "timeseries-ses-grid": 6,
             "timeseries-matrix-profile-discord": 2,
             # distinct first-view->first-purchase durations: bounded by
             # the calendar span (days), not the user count
@@ -478,8 +477,8 @@ STREAM_STATE_PINS: dict[str, tuple[str, str | None, str]] = {
     "stream-foreach-batch-upsert": ("keys", "n_user_type", "complete-mode count keyed by (user_id, event_type)"),
     "stream-session-window": ("watermark", "n_events", "open sessions, closed on watermark pass (bound: one session per event)"),
     "stream-stateful-count": ("keys", "n_users", "GroupState per user_id"),
-    "stream-dedup": ("data-keyed", "n_event_ids", "dropDuplicates state grows with distinct event ids — the documented unbounded form; the watermarked twin is the scale path"),
-    "stream-dedup-watermarked": ("watermark", "n_event_ids", "dedup keys evicted past the watermark horizon"),
+    "stream-dedup-unbounded-demo": ("data-keyed", "n_event_ids", "dropDuplicates state grows with distinct event ids — the documented unbounded demo; stream-dedup (the §2.10 contract id) is the watermarked scale path"),
+    "stream-dedup": ("watermark", "n_event_ids", "dedup keys evicted past the watermark horizon (dropDuplicatesWithinWatermark, SURVEY §2.10)"),
     "stream-outer-join": ("watermark", "n_view_purchase", "outer join buffers both sides until watermark proves no match"),
     "stream-transform-with-state": ("keys", "n_users", "ValueState per user_id (RocksDB provider)"),
     "stream-static-join": ("keys", "n_tier_type", "complete-mode agg keyed by (tier, event_type); static dim side is stateless"),
@@ -645,6 +644,7 @@ def _audit_streaming_op(op_id, spec, spark, sf_dir, bounds):
 
 
 PYTHON_SURFACE_OPS = {
+    "embed-hubness",  # Arrow-batched gemm anchor-distance kernel + partial top-k (r10)
     "fn-arrow-udf",
     "fn-os-grid-ref",  # expression path + udf cross-check column
     "geo-reproject",  # the one pandas_udf (numpy TM + Helmert)
