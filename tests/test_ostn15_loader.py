@@ -142,6 +142,61 @@ def test_dispatcher_falls_back_to_synthetic(spark, monkeypatch):
     assert cells.count() == GRID_NI * GRID_NJ
 
 
+def test_inverse_shift_roundtrips_forward_shift(spark):
+    """ostn15_inverse_shift must invert the forward field to sub-mm on
+    the synthetic grid: forward-shift known ETRS-like points into
+    OSGB-like ones, invert, and compare (always runs — the real-grid
+    golden below reuses exactly this machinery)."""
+    from transit_scrape_spark.functions.geo import ostn15_inverse_shift
+
+    cells = build_shift_grid_cells(spark)
+    etrs = spark.range(40).select(
+        (250000.0 + F.col("id") * 1499.0).alias("e"),
+        (550000.0 + F.col("id") * 2503.0).alias("n"),
+    )
+    fwd = gridshift_apply(etrs, cells, GRID_CELL_M).select(
+        F.col("e").alias("e_true"),
+        F.col("n").alias("n_true"),
+        (F.col("e") + F.col("shift_e")).alias("e"),
+        (F.col("n") + F.col("shift_n")).alias("n"),
+    )
+    inv = ostn15_inverse_shift(fwd, cells, GRID_CELL_M, iters=2)
+    err = inv.select(
+        F.max(F.abs(F.col("e_etrs") - F.col("e_true"))).alias("de"),
+        F.max(F.abs(F.col("n_etrs") - F.col("n_true"))).alias("dn"),
+    ).collect()[0]
+    assert err["de"] < 1e-3 and err["dn"] < 1e-3, dict(err.asDict())
+
+
+def test_grs80_tail_has_no_helmert_jump(spark):
+    """The with-grid TM tail (GRS80, no Helmert) and the no-grid tail
+    (Airy + Helmert) must differ by roughly the datum shift (~50-200 m)
+    on the same input — the guard that nobody re-chains Airy+Helmert
+    after a real-grid correction (which would double-apply the datum
+    jump; see reproject_etrs89_grid_to_wgs84_udf's doc)."""
+    from transit_scrape_spark.functions.geo import (
+        reproject_bng_to_wgs84_udf,
+        reproject_etrs89_grid_to_wgs84_udf,
+    )
+
+    pts = spark.createDataFrame([(400000.0, 500000.0)], "e double, n double")
+    airy = reproject_bng_to_wgs84_udf()
+    grs = reproject_etrs89_grid_to_wgs84_udf()
+    row = (
+        pts.withColumn("a", airy(F.col("e"), F.col("n")))
+        .withColumn("g", grs(F.col("e"), F.col("n")))
+        .collect()[0]
+    )
+    dlat_m = abs(row["a"]["lat"] - row["g"]["lat"]) * 111_320.0
+    dlon_m = (
+        abs(row["a"]["lon"] - row["g"]["lon"])
+        * 111_320.0
+        * math.cos(math.radians(row["g"]["lat"]))
+    )
+    dist = math.hypot(dlat_m, dlon_m)
+    assert 30.0 < dist < 300.0, f"expected a datum-sized gap, got {dist:.2f} m"
+
+
 # --- golden control point (needs the real Crown-copyright file) -----------
 
 # OS 'A guide to coordinate systems in Great Britain', worked example:
@@ -156,12 +211,23 @@ _CAISTER_LON = 1 + 42 / 60 + 57.787 / 3600
 
 
 def test_golden_control_point_real_grid(spark):
-    path = os.environ.get("SPARK_GRAFT_OSTN15_GRID")
+    """Exact-parity golden through the CORRECT real-grid pipeline
+    (VERDICT r9 task 6): iterative OSTN15 inverse shift, then inverse
+    TM on GRS80 with NO Helmert (ETRS89 == WGS84 at mm level). Gated on
+    the real Crown-copyright data file via $SPARK_GRAFT_OSTN15_GRID or
+    $SPARK_GRAFT_OSTN15_PATH."""
+    path = os.environ.get("SPARK_GRAFT_OSTN15_GRID") or os.environ.get(
+        "SPARK_GRAFT_OSTN15_PATH"
+    )
     if not path or not os.path.exists(path):
-        pytest.skip("set SPARK_GRAFT_OSTN15_GRID to the real OSTN15 data file")
+        pytest.skip(
+            "set SPARK_GRAFT_OSTN15_GRID (or SPARK_GRAFT_OSTN15_PATH) "
+            "to the real OSTN15 data file"
+        )
     from transit_scrape_spark.functions.geo import (
         OSTN15_CELL_M,
-        reproject_bng_to_wgs84_udf,
+        ostn15_inverse_shift,
+        reproject_etrs89_grid_to_wgs84_udf,
     )
 
     nodes = load_ostn15_datafile(spark, path)
@@ -169,12 +235,11 @@ def test_golden_control_point_real_grid(spark):
     pts = spark.createDataFrame(
         [(_CAISTER_E, _CAISTER_N)], "e double, n double"
     )
-    shifted = gridshift_apply(pts, cells, OSTN15_CELL_M).select(
-        (F.col("e") - F.col("shift_e")).alias("e_c"),
-        (F.col("n") - F.col("shift_n")).alias("n_c"),
-    )
-    rep = reproject_bng_to_wgs84_udf()
-    row = shifted.withColumn("ll", rep(F.col("e_c"), F.col("n_c"))).collect()[0]
+    etrs = ostn15_inverse_shift(pts, cells, OSTN15_CELL_M, iters=2)
+    rep = reproject_etrs89_grid_to_wgs84_udf()
+    row = etrs.withColumn(
+        "ll", rep(F.col("e_etrs"), F.col("n_etrs"))
+    ).collect()[0]
     # 1e-6 deg ~ 11 cm N-S; assert <= 10 cm in metres
     dlat_m = abs(row["ll"]["lat"] - _CAISTER_LAT) * 111_320.0
     dlon_m = (

@@ -308,12 +308,19 @@ def build_cells_from_nodes(
 
 def load_shift_grid(spark) -> tuple["DataFrame", float]:  # noqa: F821
     """The production dispatch: (cells, cell_m) from the real OSTN15
-    data file when $SPARK_GRAFT_OSTN15_GRID points at one, else the
-    synthetic 10 km demo grid. Everything downstream (broadcast join,
-    bilinear, TM inversion) is identical either way."""
+    data file when $SPARK_GRAFT_OSTN15_GRID (alias:
+    $SPARK_GRAFT_OSTN15_PATH, the r9 verdict's spelling) points at one,
+    else the synthetic 10 km demo grid. Everything downstream
+    (broadcast join, bilinear) is identical either way — but note the
+    TM tail differs: with the real grid use
+    ``ostn15_inverse_shift`` + ``reproject_etrs89_grid_to_wgs84_udf``
+    (GRS80, no Helmert); the Airy+Helmert UDF after a real-grid
+    correction would double-apply the datum shift."""
     import os
 
-    path = os.environ.get("SPARK_GRAFT_OSTN15_GRID")
+    path = os.environ.get("SPARK_GRAFT_OSTN15_GRID") or os.environ.get(
+        "SPARK_GRAFT_OSTN15_PATH"
+    )
     if path and os.path.exists(path):
         nodes = load_ostn15_datafile(spark, path)
         return build_cells_from_nodes(nodes, OSTN15_CELL_M), OSTN15_CELL_M
@@ -430,6 +437,125 @@ def reproject_bng_to_wgs84_udf():
 
         return pd.DataFrame(
             {"lon": np.degrees(lon_w), "lat": np.degrees(lat_w)}
+        )
+
+    return _reproject
+
+
+def ostn15_inverse_shift(
+    points: "DataFrame", cells: "DataFrame", cell_m: float = OSTN15_CELL_M, iters: int = 2
+) -> "DataFrame":  # noqa: F821
+    """OSGB36 (e, n) -> ETRS89 (e_etrs, n_etrs) by inverting the OSTN15
+    forward shift E_OSGB = E_ETRS + se(E_ETRS).
+
+    The shift field is indexed by the ETRS89 position, so the inverse
+    iterates: guess ETRS = OSGB - se(OSGB), then re-evaluate the shift
+    at the guess and subtract from the ORIGINAL coordinates. The field
+    varies < 1 mm per metre, so two iterations land at sub-mm — the
+    same fixed-point scheme the published OS transformation guide
+    prescribes. Each iteration is one broadcast grid join + bilinear
+    (gridshift_apply), all codegen. Points outside the grid extent keep
+    NULL e_etrs/n_etrs (gridshift_apply's left-join contract)."""
+    corner_cols = [f"{p}{t}" for p in ("se", "sn") for t in ("00", "10", "01", "11")]
+    cur = points.drop(*corner_cols).withColumn("_oe", F.col("e")).withColumn(
+        "_on", F.col("n")
+    )
+    for _ in range(max(1, iters)):
+        cur = (
+            gridshift_apply(cur, cells, cell_m)
+            .withColumn("e", F.col("_oe") - F.col("shift_e"))
+            .withColumn("n", F.col("_on") - F.col("shift_n"))
+            .drop("shift_e", "shift_n", "ci", "cj", *corner_cols)
+        )
+    return (
+        cur.withColumn("e_etrs", F.col("e"))
+        .withColumn("n_etrs", F.col("n"))
+        .withColumn("e", F.col("_oe"))
+        .withColumn("n", F.col("_on"))
+        .drop("_oe", "_on")
+    )
+
+
+def reproject_etrs89_grid_to_wgs84_udf():
+    """Vectorized ETRS89 National-Grid easting/northing -> lat/lon.
+
+    The REAL-OSTN15 tail: after ``ostn15_inverse_shift`` the
+    coordinates are ETRS89 expressed in the National Grid projection,
+    and the published transformation inverts the transverse Mercator on
+    the **GRS80** ellipsoid with NO Helmert step (ETRS89 is already
+    WGS84-equivalent at mm level). Chaining the Airy+Helmert UDF after
+    a real-grid correction would apply the OSGB36->ETRS89 datum jump
+    TWICE (~100 m error) — that UDF is the ~1 m no-grid path; this one
+    is the cm-accurate with-grid path. Same inverse-TM series (OS
+    'A guide to coordinate systems in Great Britain'), GRS80 constants.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_t = StructType(
+        [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def _reproject(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+        E = e.to_numpy(dtype=np.float64)
+        N = n.to_numpy(dtype=np.float64)
+
+        # GRS80 ellipsoid + the same National Grid projection constants
+        a, b = 6378137.0, 6356752.314140356
+        F0 = 0.9996012717
+        lat0 = np.radians(49.0)
+        lon0 = np.radians(-2.0)
+        N0, E0 = -100000.0, 400000.0
+        e2 = 1 - (b * b) / (a * a)
+        n_ = (a - b) / (a + b)
+
+        lat = (N - N0) / (a * F0) + lat0
+        M = np.zeros_like(lat)
+        for _ in range(8):
+            dlat = lat - lat0
+            slat = lat + lat0
+            M = (
+                b
+                * F0
+                * (
+                    (1 + n_ + 1.25 * n_**2 + 1.25 * n_**3) * dlat
+                    - (3 * n_ + 3 * n_**2 + 2.625 * n_**3)
+                    * np.sin(dlat)
+                    * np.cos(slat)
+                    + (1.875 * n_**2 + 1.875 * n_**3)
+                    * np.sin(2 * dlat)
+                    * np.cos(2 * slat)
+                    - (35 / 24) * n_**3 * np.sin(3 * dlat) * np.cos(3 * slat)
+                )
+            )
+            lat = lat + (N - N0 - M) / (a * F0)
+
+        sin_lat, cos_lat, tan_lat = np.sin(lat), np.cos(lat), np.tan(lat)
+        nu = a * F0 / np.sqrt(1 - e2 * sin_lat**2)
+        rho = a * F0 * (1 - e2) / (1 - e2 * sin_lat**2) ** 1.5
+        eta2 = nu / rho - 1
+
+        VII = tan_lat / (2 * rho * nu)
+        VIII = (
+            tan_lat
+            / (24 * rho * nu**3)
+            * (5 + 3 * tan_lat**2 + eta2 - 9 * tan_lat**2 * eta2)
+        )
+        IX = tan_lat / (720 * rho * nu**5) * (61 + 90 * tan_lat**2 + 45 * tan_lat**4)
+        X = 1.0 / (cos_lat * nu)
+        XI = (nu / rho + 2 * tan_lat**2) / (6 * cos_lat * nu**3)
+        XII = (5 + 28 * tan_lat**2 + 24 * tan_lat**4) / (120 * cos_lat * nu**5)
+        XIIA = (61 + 662 * tan_lat**2 + 1320 * tan_lat**4 + 720 * tan_lat**6) / (
+            5040 * cos_lat * nu**7
+        )
+        dE = E - E0
+        lat_e = lat - VII * dE**2 + VIII * dE**4 - IX * dE**6
+        lon_e = lon0 + X * dE - XI * dE**3 + XII * dE**5 - XIIA * dE**7
+
+        return pd.DataFrame(
+            {"lon": np.degrees(lon_e), "lat": np.degrees(lat_e)}
         )
 
     return _reproject

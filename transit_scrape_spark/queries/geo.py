@@ -866,17 +866,24 @@ from transit_scrape_spark.functions.geo_oracle import bng_to_wgs84_oracle_sql
 @query(
     "geo-reproject-corrected",
     oracle=bng_to_wgs84_oracle_sql(_gridshift_corrected_src_sql()),
-    doc="END-TO-END grid-corrected reprojection — the full OSTN15 "
-    "pipeline geo-reproject (Helmert-only) and geo-reproject-gridshift "
-    "(shift only) each demonstrate half of: broadcast-grid bilinear "
-    "shift corrects the easting/northing, THEN the Arrow-vectorized "
-    "inverse transverse-Mercator + Helmert produces lat/lon. With the "
-    "real OSTN15 grid dropped in, this op IS the reference's grid-aware "
-    "to_crs (process_cycle_networks.py:112) at cm accuracy. Oracle "
-    "chains the same bilinear arithmetic into the unrolled-iteration "
-    "reprojection CTE (functions/geo_oracle.py); a <=1-ulp libm "
-    "sin/cos divergence in the shift (~1e-14 m) is ~1e-19 deg after "
-    "the smooth TM inversion, vastly inside the 8-decimal rounding.",
+    doc="END-TO-END grid-corrected reprojection DEMO — the full OSTN15 "
+    "pipeline shape geo-reproject (Helmert-only) and "
+    "geo-reproject-gridshift (shift only) each demonstrate half of: "
+    "broadcast-grid bilinear shift corrects the easting/northing, THEN "
+    "the Arrow-vectorized inverse transverse-Mercator + Helmert "
+    "produces lat/lon, mirrored exactly by the oracle over the "
+    "synthetic field. NOTE (r10): with the REAL OSTN15 grid the correct "
+    "production tail is ostn15_inverse_shift + "
+    "reproject_etrs89_grid_to_wgs84_udf (GRS80 inverse TM, NO Helmert — "
+    "chaining Helmert after a real-grid correction double-applies the "
+    "datum jump); that path is what the env-gated golden "
+    "(tests/test_ostn15_loader.py) certifies against the reference's "
+    "grid-aware to_crs (process_cycle_networks.py:112) at cm accuracy. "
+    "Oracle chains the same bilinear arithmetic into the "
+    "unrolled-iteration reprojection CTE (functions/geo_oracle.py); a "
+    "<=1-ulp libm sin/cos divergence in the shift (~1e-14 m) is "
+    "~1e-19 deg after the smooth TM inversion, vastly inside the "
+    "8-decimal rounding.",
 )
 def geo_reproject_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_scrape_spark.functions.geo import (
