@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""sf10 scaling point for the three corpus heavies (VERDICT r7 task 7).
+"""sf10 scaling point for the sweep's heaviest ops (VERDICT r7 task 7;
+widened to 20 ops in r10 per VERDICT r9 task 5).
 
-Runs text-ngram-novelty, dedup-span-coverage (documents) and
-embed-hubness (embeddings) at sf1 (tools/gen_sf1.py output) AND sf10
+Runs the OPS list below at sf1 (tools/gen_sf1.py output) AND sf10
 (tools/gen_sf10.py output, 10x the sf1 corpus) and records the ratio in
 BENCH_SF10.json. With the existing sf0.1->sf1 soak this gives each op a
 measured TWO-DECADE curve (sf0.1 -> sf1 -> sf10, 100x end to end).
+Events-dependent heavies stay at the sf1 soak — the sf10 warehouse
+generates only the corpus (documents/embeddings) and chain
+(customer/supplier/orders/lineitem/nation) tables.
 
 Pass criterion mirrors bench_sf1.py: ratio <= RATIO_MAX (default 15)
 for 10x data. One rep by design (the fixtures are 100x the driver SF;
@@ -45,6 +48,24 @@ OPS = [
     # their time in (gen_sf10.py generates the chain tables).
     "graph-pagerank",
     "graph-components-iterative",
+    # r10 extension (VERDICT r9 task 5): the next tier of the sweep's
+    # heaviest ops whose tables the sf10 warehouse carries (events-
+    # dependent ops stay at the sf1 soak — .sf10 generates only the
+    # corpus + chain tables). Covers the named five plus the remaining
+    # heavy graph family and the lineitem/orders aggregate heavies.
+    "dedup-containment-score",
+    "graph-hits-scores",
+    "graph-clustering-coeff",
+    "graph-closeness-centrality",
+    "graph-adamic-adar",
+    "graph-bfs-distance",
+    "graph-jaccard-link-prediction",
+    "analytics-rfm",
+    "abc-revenue-deciles",
+    "basket-affinity",
+    "agg-percentile",
+    "agg-multi-distinct-expand",
+    "dedup-minhash-estimation-error",
 ]
 
 
