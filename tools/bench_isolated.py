@@ -43,6 +43,9 @@ HEADLINE = [
     "multimodal-cols", "stream-tumbling-agg",
     # r8: tracks the day-bucketed sweep rework (VERDICT r7 task 5)
     "window-session-concurrency",
+    # r10: tracks the Arrow-gemm anchor-distance rewrite (VERDICT r9
+    # task 3) across rounds in a clean process
+    "embed-hubness",
 ]
 
 _CHILD = r"""
