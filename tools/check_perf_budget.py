@@ -24,6 +24,12 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 BUDGET_X = 10.0  # flag ops slower than this multiple of the sweep median
+# run-to-run sweep noise is several percent; an op at 10.02x median on
+# one sweep and 9.7x on the next is the same op. Ops inside
+# BUDGET_X..BUDGET_X*(1+NOISE_BAND) warn (visible, not failing) so the
+# gate doesn't accumulate pins for boundary-hoverers; past the band the
+# gate fails hard.
+NOISE_BAND = 0.10
 STALE_X = 7.0  # a pinned op now under this multiple => the pin is stale
 
 # op -> why exceeding the budget is the op's intended cost shape, not a
@@ -80,12 +86,21 @@ def check(detail_path: pathlib.Path | None = None) -> list[str]:
     budget = BUDGET_X * med
     problems = []
     for op, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if sec > budget and op not in PERF_PINS:
-            problems.append(
-                f"{op}: {sec:.3f}s = {sec / med:.1f}x sweep median "
-                f"(budget {BUDGET_X:.0f}x = {budget:.3f}s) — optimize or pin "
-                "in tools/check_perf_budget.py with a justification"
+        if op in PERF_PINS or sec <= budget:
+            continue
+        if sec <= budget * (1 + NOISE_BAND):
+            print(
+                f"WARN perf-budget boundary: {op} at {sec / med:.2f}x median "
+                f"(inside the {NOISE_BAND:.0%} noise band over {BUDGET_X:.0f}x) "
+                "— optimize or pin if it stays here next sweep",
+                file=sys.stderr,
             )
+            continue
+        problems.append(
+            f"{op}: {sec:.3f}s = {sec / med:.1f}x sweep median "
+            f"(budget {BUDGET_X:.0f}x = {budget:.3f}s) — optimize or pin "
+            "in tools/check_perf_budget.py with a justification"
+        )
     for op in sorted(PERF_PINS):
         sec = timings.get(op)
         if sec is not None and sec < STALE_X * med:
