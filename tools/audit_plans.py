@@ -93,7 +93,6 @@ SCALAR_BROADCAST_OPS = {
     "dq-winsorize-impact",
     "embed-centroid-eval",
     "embed-effective-rank",
-    "embed-intrinsic-dim",
     "embed-norm-drift-ks",
     "featurestore-time-decay-score",
     "graph-modularity",
@@ -645,6 +644,7 @@ def _audit_streaming_op(op_id, spec, spark, sf_dir, bounds):
 
 PYTHON_SURFACE_OPS = {
     "embed-hubness",  # Arrow-batched gemm anchor-distance kernel + partial top-k (r10)
+    "embed-intrinsic-dim",  # same gemm kernel (operators/anndist.py, r10)
     "fn-arrow-udf",
     "fn-os-grid-ref",  # expression path + udf cross-check column
     "geo-reproject",  # the one pandas_udf (numpy TM + Helmert)

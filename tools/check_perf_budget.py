@@ -37,19 +37,10 @@ STALE_X = 7.0  # a pinned op now under this multiple => the pin is stale
 # adjudicated each of these as scale-safe designs — the local timing is
 # volume of work, not a shuffle/skew hazard.)
 PERF_PINS = {
-    "dedup-span-coverage": (
-        "explodes every doc into shingle hashes (corpus-size x shingles rows"
-        " by definition) before the group-by-hash df count; shuffles carry"
-        " 8-byte hashes only — cost is the explode volume, linear in corpus"
-    ),
     "dedup-containment-score": (
         "shingle-hash self-equi-join; the stop-shingle cap (>50 docs dropped)"
         " bounds fan-out — remaining cost is the capped candidate-pair"
         " volume, the op's actual output semantics"
-    ),
-    "text-ngram-novelty": (
-        "trigram explode + df counts over the whole corpus (explode volume"
-        " = token count x 3); broadcast totals, no global window — linear"
     ),
     "graph-components-iterative": (
         "iterative label propagation: fixed iteration count x one join per"

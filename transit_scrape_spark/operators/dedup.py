@@ -100,7 +100,15 @@ def shingle_hashes_from_tokens(th: Column, k: int = 3) -> Column:
 
 
 def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct shingle hash set for a document."""
+    """Distinct shingle hash set for a document.
+
+    PERF: prefer materializing ``token_hashes(text)`` as its OWN
+    projected column and calling ``shingle_hashes_from_tokens`` on the
+    column reference. Inlined like this, the md5 token-hash transform is
+    a subtree repeated once per slice reference inside
+    shingle_hashes_from_tokens (k slices + size = k+1 evaluations of
+    the full per-token md5 pass; measured 6x slower at k=8). Kept for
+    API completeness and small-k/test use."""
     return F.array_distinct(shingle_hashes_from_tokens(token_hashes(text), k))
 
 

@@ -320,7 +320,10 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array materialized as its own column: referenced inline in
+    # the lambda body below, the split(text) subtree re-evaluates per
+    # chunk access (the dedup-span-coverage lesson, r10)
+    toks = F.col("toks")
     nc = F.floor(F.size(toks) / 10).cast("int")
     # sequence(0, -1) REVERSES instead of returning empty — guard docs
     # shorter than one chunk
@@ -331,7 +334,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = d.select(
+    exploded = d.withColumn("toks", F.split("text", " ")).select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")

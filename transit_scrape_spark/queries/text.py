@@ -1616,7 +1616,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
+    # the token array is materialized in its OWN projection: referenced
+    # inline, the split(lower(text)) subtree re-evaluates on every
+    # element_at access inside the interpreted HOF lambda (3 re-splits
+    # per trigram per doc — measured 4.4 s -> 0.35 s for this explode at
+    # sf0.1, the dedup-span-coverage lesson). As an attribute reference
+    # it is bound once per row.
+    ws = F.col("ws")
     # generate trigram keys as 8-byte hashes DIRECTLY (multi-arg
     # xxhash64 over the three tokens — no concat string ever built;
     # tokens are space-split so (w1,w2,w3) <-> "w1 w2 w3" is injective
@@ -1638,7 +1644,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    tri = d.select("doc_id", F.explode(tri_hashes).alias("tg"))
+    tri = d.withColumn("ws", F.split(F.lower("text"), " ")).select(
+        "doc_id", F.explode(tri_hashes).alias("tg")
+    )
     grouped = tri.groupBy("tg", "doc_id").agg(F.count("*").alias("c"))
     wt = Window.partitionBy("tg")
     marked = grouped.withColumn("first_doc", F.min("doc_id").over(wt))

@@ -1297,8 +1297,11 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Facco et al.: ID = n / sum(ln(d2/d1)) over the ratio of each "
     "point's two nearest-neighbor distances) on a deterministic "
     "1-in-10 anchor sample: the estimator needs only each anchor's "
-    "NN ratio, so the scan is anchors x corpus with the anchor "
-    "side broadcast — bounded fan-out, corpus never shuffled. "
+    "NN ratio, so the scan is anchors x corpus with the bounded "
+    "anchor matrix closure-shipped into the shared Arrow-gemm "
+    "kernel (operators/anndist.py, r10 — one BLAS matmul per "
+    "corpus batch, partition-local top-2 per anchor emitted; "
+    "bounded fan-out, corpus never shuffled wholesale). "
     "Distances stay SQUARED throughout (d^2 = x.x - 2x.q + q.q via "
     "three dot products; ln(mu) = 0.5*ln(d2^2/d1^2)) — no sqrt, "
     "fewer rounding seams between engines. The curse-of-"
@@ -1308,42 +1311,25 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embed",),
 )
 def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from transit_scrape_spark.operators.anndist import anchor_sqdist_topk
 
-    # self-dots are per-VECTOR, not per-pair: compute ||x||^2 once on
-    # each side (n + n_anchors folds) so the anchors x corpus loop pays
-    # only the single cross dot — 1/3 the fold work of the naive
-    # aa - 2ab + bb per pair.
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("e"),
-    ).withColumn("bb", dot(F.col("e"), F.col("e")))
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", as_double(F.col("embedding")).alias("e"))
     # FIXED anchor set (ids < 2000), not a fixed fraction: a %-of-corpus
     # sample makes the anchors x corpus pair count grow QUADRATICALLY
     # with data size (10x corpus -> 100x pairs); a bounded anchor set
     # keeps the scan linear in the corpus at any scale, and the TwoNN
     # estimate needs only enough anchors for a stable mean, not a
-    # constant fraction.
-    anchors = emb.filter(
-        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000)
-    ).select(
-        F.col("vec_id").alias("aid"),
-        F.col("e").alias("ae"),
-        F.col("bb").alias("aa"),
+    # constant fraction. Bounded => collectable, so the distance loop is
+    # the shared Arrow-gemm kernel (operators/anndist.py, r10): one BLAS
+    # matmul per corpus batch, partition-local top-2 per anchor emitted.
+    anchor_rows = (
+        emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+        .orderBy("vec_id")
+        .collect()
     )
-    pairs = emb.join(
-        F.broadcast(anchors), F.col("aid") != F.col("vec_id")
-    ).select(
-        "aid",
-        F.col("vec_id").alias("bid"),
-        (
-            F.col("aa") - 2 * dot(F.col("ae"), F.col("e")) + F.col("bb")
-        ).alias("dd"),
-    )
-    w = Window.partitionBy("aid").orderBy("dd", "bid")
-    top2 = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 2
-    )
+    top2 = anchor_sqdist_topk(emb, anchor_rows, 2)
     d1 = F.max(F.when(F.col("rn") == 1, F.col("dd")))
     d2_ = F.max(F.when(F.col("rn") == 2, F.col("dd")))
     mu = (
@@ -1425,9 +1411,7 @@ def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embed", "simsearch"),
 )
 def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.window import Window
+    from transit_scrape_spark.operators.anndist import anchor_sqdist_topk
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
@@ -1435,56 +1419,14 @@ def embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed anchor set (ids < 2000) for the same linear-scan reason as
     # embed-intrinsic-dim: fraction-of-corpus anchors would square the
     # pair count under data growth. Bounded, so collecting it is k*dim
-    # driver traffic — the accepted IVF-centroid shape.
+    # driver traffic — the accepted IVF-centroid shape; the distance
+    # loop is the shared Arrow-gemm kernel (operators/anndist.py).
     anchor_rows = (
         emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2000))
         .orderBy("vec_id")
         .collect()
     )
-    if not anchor_rows:
-        topk = spark.createDataFrame([], "aid long, bid long, dd double")
-    else:
-        aid = np.array([r.vec_id for r in anchor_rows], dtype=np.int64)
-        A = np.vstack([np.asarray(r.e, dtype=np.float64) for r in anchor_rows])
-        aa = (A * A).sum(axis=1)
-
-        def partial_topk(batches):
-            # per-partition best-10 per anchor by (dd, bid); ties at the
-            # boundary (exact-duplicate vectors under the hostility axes)
-            # resolve by bid exactly as the global window will
-            best: pd.DataFrame | None = None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                E = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
-                )
-                bid = pdf["vec_id"].to_numpy(dtype=np.int64)
-                bb = (E * E).sum(axis=1)
-                dd = aa[None, :] - 2.0 * (E @ A.T) + bb[:, None]  # (B, m)
-                cand = pd.DataFrame(
-                    {
-                        "aid": np.repeat(aid, len(bid)),
-                        "bid": np.tile(bid, len(aid)),
-                        "dd": dd.T.reshape(-1),
-                    }
-                )
-                cand = cand[cand["aid"] != cand["bid"]]
-                if best is not None:
-                    cand = pd.concat([best, cand], ignore_index=True)
-                best = (
-                    cand.sort_values(["aid", "dd", "bid"], kind="mergesort")
-                    .groupby("aid", sort=False)
-                    .head(10)
-                )
-            if best is not None:
-                yield best
-
-        pairs = emb.mapInPandas(partial_topk, schema="aid long, bid long, dd double")
-        w = Window.partitionBy("aid").orderBy("dd", "bid")
-        topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= 10
-        )
+    topk = anchor_sqdist_topk(emb, anchor_rows, 10)
     occ = topk.groupBy("bid").agg(F.count("*").cast("double").alias("k_occ"))
     k = F.col("k_occ")
     m = occ.agg(
