@@ -66,9 +66,13 @@ spark.sparkContext.setLogLevel("ERROR")
 quiet_bounded_window_warnings(spark)
 spec = registry()[op_id]
 
-# warm-up: one full execution (not timed)
-spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-release_caches(spark)
+# warm-up: two full executions (not timed). Two, not one: the r11
+# dedup-near-minhash bisect (BENCH_REGRESSION_r10.md, experiment B)
+# showed run 2 is still materially JIT-warming for stage-heavy ops —
+# within-session runs decline monotonically past the first re-exec.
+for _ in range(2):
+    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    release_caches(spark)
 
 runs = []
 for _ in range(reps):
@@ -159,8 +163,10 @@ def main() -> None:
         "queries_norm": {k: round(v / bf, 4) for k, v in timings.items()},
         **{k: v for k, v in anchor.items() if k != "anchor_runs"},
         "runs": runs_detail,
+        "warmups": 2,
         "protocol": "fresh subprocess + fresh SparkSession per query, "
-        "1 warm-up + median of reps; anchor: fresh process, 2 warm-ups "
+        "2 warm-ups + median of reps (warmups 1 -> 2 in r11, see "
+        "BENCH_REGRESSION_r10.md); anchor: fresh process, 2 warm-ups "
         "+ min of 5 on the frozen pinned workload",
     }
     path = os.path.join(REPO, "BENCH_ISOLATED.json")
