@@ -31,10 +31,12 @@ def test_gate_flags_unpinned_outlier(tmp_path):
     assert len(problems) == 1 and "runaway-op" in problems[0]
 
 
-def test_gate_accepts_pinned_outlier(tmp_path):
-    pinned = next(iter(PERF_PINS))
+def test_gate_accepts_pinned_outlier(tmp_path, monkeypatch):
+    # PERF_PINS is empty since r11 (every pin retired by optimization);
+    # pin a synthetic op to verify the accept path still works
+    monkeypatch.setitem(PERF_PINS, "pinned-op", "synthetic pin for test")
     timings = {f"op-{i}": 1.0 for i in range(20)}
-    timings[pinned] = BUDGET_X + 5.0
+    timings["pinned-op"] = BUDGET_X + 5.0
     p = tmp_path / "detail.json"
     p.write_text(json.dumps({"queries": timings}))
     assert check(p) == []

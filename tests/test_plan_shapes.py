@@ -280,9 +280,19 @@ def test_window_percentile_single_window(spark, sf_dir):
     assert p.count("percentile") >= 2  # both exprs in the same Window node
 
 
-def test_multi_distinct_uses_expand(spark, sf_dir):
+def test_multi_distinct_two_phase_no_expand(spark, sf_dir):
+    # r11 rewrite: the native Expand plan (3x row replication into one
+    # wide-key hash aggregate) went superlinear at the sf10 soak. The
+    # two-phase form must keep Expand OUT of the plan: per-column
+    # groupBy(flag, col) partial dedup, then per-flag counts, combined
+    # by union + final groupBy.
     p = _plan(spark, sf_dir, "agg-multi-distinct-expand")
-    assert "Expand" in p
+    assert "Expand" not in p
+    assert "Union" in p
+    # every distinct branch is a two-level aggregate (map-side partial
+    # dedup on (flag, col), then the per-flag count) + the final
+    # combine groupBy: >= 3 branches x 2 levels + 1
+    assert p.count("HashAggregate") >= 7
 
 
 def test_readability_is_single_projection(spark, sf_dir):

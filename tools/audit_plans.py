@@ -643,6 +643,7 @@ def _audit_streaming_op(op_id, spec, spark, sf_dir, bounds):
 
 
 PYTHON_SURFACE_OPS = {
+    "dedup-semdedup-bucket",  # per-cell applyInPandas gemm kernel (r11)
     "embed-hubness",  # Arrow-batched gemm anchor-distance kernel + partial top-k (r10)
     "embed-intrinsic-dim",  # same gemm kernel (operators/anndist.py, r10)
     "fn-arrow-udf",

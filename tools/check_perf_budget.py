@@ -36,36 +36,12 @@ STALE_X = 7.0  # a pinned op now under this multiple => the pin is stale
 # plan bug. Every entry must name the irreducible work. (The r9 verdict
 # adjudicated each of these as scale-safe designs — the local timing is
 # volume of work, not a shuffle/skew hazard.)
-PERF_PINS = {
-    "dedup-containment-score": (
-        "shingle-hash self-equi-join; the stop-shingle cap (>50 docs dropped)"
-        " bounds fan-out — remaining cost is the capped candidate-pair"
-        " volume, the op's actual output semantics"
-    ),
-    "graph-components-iterative": (
-        "iterative label propagation: fixed iteration count x one join per"
-        " round (sf10 soak ratio 1.48x, effectively constant-factor) — the"
-        " multi-action loop IS the algorithm"
-    ),
-    "graph-hits-scores": (
-        "power iteration: fixed rounds x (join + two aggregates + 1-row"
-        " normalizer broadcast) per round — multi-action by construction"
-    ),
-    "graph-clustering-coeff": (
-        "triangle counting via two-hop join on the bounded-degree edge"
-        " list — candidate-wedge volume is the op's defined work"
-    ),
-    "dedup-semdedup-bucket": (
-        "KMeans-style centroid training (multi-action Lloyd iterations with"
-        " broadcast centroids) + per-cell pairwise check inside bounded"
-        " buckets — iteration count dominates at small sf"
-    ),
-    "simsearch-ivf-probe": (
-        "IVF index build = fixed Lloyd rounds, each a full corpus scan with"
-        " broadcast centroid literals (k*dim driver traffic only) before the"
-        " single-cell probe — the multi-action training loop IS the op;"
-        " hovers right at the 10x line (10.6x r10, 7.3x r9)"
-    ),
+PERF_PINS: dict[str, str] = {
+    # EMPTY since r11: all six r10 pins were retired by optimization
+    # (semdedup gemm kernel, containment persists, ivf-probe explode
+    # means) or by the resulting drop in their measured multiples
+    # (graph iteratives now 3-6x median). A new entry needs the
+    # irreducible-work argument the old ones carried.
 }
 
 

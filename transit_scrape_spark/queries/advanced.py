@@ -268,13 +268,23 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select("vec_id", "v", cell.cast("bigint").alias("cell"))
 
     # Lloyd iterations: assignment is lazy/codegen; the update's collect
-    # moves only k*dim doubles to the driver (MLlib KMeans does the same)
+    # moves only k*dim doubles to the driver (MLlib KMeans does the
+    # same). The per-cell mean goes through posexplode -> groupBy(cell,
+    # idx) rather than 64 avg(v[i]) aggregates in one node: a 64-wide
+    # element_at agg tree falls out of whole-stage codegen and ran
+    # interpreted (measured 2x slower, r11); the explode form shuffles
+    # the same k*dim partials after map-side combine.
     for _ in range(KMEANS_ITERS):
         assigned = assign(vecs, cents)
-        means = assigned.groupBy("cell").agg(
-            *[F.round(F.avg(F.col("v")[i]), 9).alias(f"m{i}") for i in range(DIM)]
+        mrows = (
+            assigned.select("cell", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.round(F.avg("val"), 9).alias("m"))
+            .collect()
         )
-        got = {int(r["cell"]): [r[f"m{i}"] for i in range(DIM)] for r in means.collect()}
+        got: dict[int, list] = {}
+        for r in mrows:
+            got.setdefault(int(r["cell"]), [None] * DIM)[r["idx"]] = r["m"]
         cents = [got.get(cells[j], cents[j]) for j in range(len(cells))]
 
     assigned = assign(vecs, cents)

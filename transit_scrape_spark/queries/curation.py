@@ -764,13 +764,17 @@ _CONTAIN_MIN = 0.5     # report pairs where either direction >= this
 )
 def dedup_containment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hash_rows(d.select("doc_id", "text"))
+    # both persists are load-bearing (r11, ~2x end-to-end): sh feeds the
+    # df-cap agg AND the kept join; kept feeds sizes AND both self-join
+    # sides — unpersisted, the explode/window shingle pipeline re-ran
+    # once per branch (4x)
+    sh = shingle_hash_rows(d.select("doc_id", "text")).persist()
     keepable = (
         sh.groupBy("sh").agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= _CONTAIN_MAX_DF)
         .select("sh")
     )
-    kept = sh.join(keepable, "sh")
+    kept = sh.join(keepable, "sh").persist()
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -1350,10 +1354,12 @@ _CENT64 = ", ".join(f"avg(v[{i + 1}])" for i in range(64))
     "as in the paper's clustered formulation — and CELL COUNT must "
     "grow with the corpus to keep cells bounded (3 sign bits at 5k "
     "vectors put ~600 per cell and made this the slowest op in the "
-    "sweep; 6 bits restored the contract). Pairwise cosines are "
-    "64-term CODEGEN dot products over pre-normalized vectors, not "
-    "interpreted zip_with folds — the other 10x on the hot pair "
-    "path. Complements dedup-near-embedding-lsh "
+    "sweep; 6 bits restored the contract). The per-cell tail "
+    "(centroid, cent_sim, gram-matrix pair search, removal counts) "
+    "is ONE Arrow-batched applyInPandas gemm kernel per bucket — "
+    "wide per-dimension expression trees fall out of whole-stage "
+    "codegen and ran interpreted (r11; see _semdedup_bucket_kernel). "
+    "Complements dedup-near-embedding-lsh "
     "(random-hyperplane LSH) with the cluster-centroid flavor.",
     tags=("dedup",),
 )
@@ -1388,76 +1394,85 @@ def dedup_semdedup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = v.join(F.broadcast(nbits)).select(
         "vec_id", "v", bucket.alias("bucket")
     )
-    cent = bucketed.groupBy("bucket").agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(64)]).alias("c")
+    # Per-bucket tail (centroid, cent_sim, pair search, removal choice,
+    # counts) as ONE Arrow-batched applyInPandas gemm kernel (r11,
+    # VERDICT r10 task 3 — the anndist treatment). The previous
+    # expression formulation built the pairwise cosine as a 64-term
+    # scalar Add tree over element_at; codegen bails on trees that wide
+    # and evaluates them INTERPRETED — measured 2.7 s for 62 k pairs vs
+    # 0.3 s for the bare join at sf0.1. In the kernel the whole bucket
+    # is one (occ x 64) matrix: pair cosines are a single BLAS gram
+    # matrix, and only 4 counter columns leave Python. Cell occupancy
+    # is BOUNDED by the adaptive-bits construction above, so per-group
+    # memory is bounded too — the precondition for applyInPandas here.
+    return bucketed.groupBy("bucket").applyInPandas(
+        _semdedup_bucket_kernel,
+        schema="bucket long, n_vecs long, n_dup_pairs long, n_removed long",
     )
-    scored = bucketed.join(F.broadcast(cent), "bucket").select(
-        "vec_id", "bucket", "v", cosine(F.col("v"), F.col("c")).alias("cent_sim")
-    )
-    # pre-normalize once so the hot pair path is a pure codegen dot
-    # product (interpreted zip_with folds over every candidate pair
-    # made this op the slowest in the sweep)
-    norm = F.sqrt(sum((F.col("v")[i] * F.col("v")[i] for i in range(64)), start=F.lit(0.0)))
-    nscored = scored.select(
-        "vec_id", "bucket", "cent_sim", "v", norm.alias("nrm")
-    ).select(
-        "vec_id",
-        "bucket",
-        "cent_sim",
-        # try_divide: a zero-norm hostile vector normalizes to NULL
-        # elements, so its pair dots are NULL and the > 0.85 gate drops
-        # them — exactly as the oracle's -1 sentinel fails the same gate.
-        F.array(
-            *[F.try_divide(F.col("v")[i], F.col("nrm")) for i in range(64)]
-        ).alias("u"),
-    ).persist()  # consumed by both pair sides + the per-bucket base
-    # counts; registry-level release_caches() reclaims after the op's
-    # output materializes (test_cache_hygiene contract)
-    a = nscored.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("ida"),
-        F.col("u").alias("ua"),
-        F.col("cent_sim").alias("sa"),
-    )
-    b = nscored.select(
-        F.col("bucket").alias("bucket_b"),
-        F.col("vec_id").alias("idb"),
-        F.col("u").alias("ub"),
-        F.col("cent_sim").alias("sb"),
-    )
-    pair_cos = sum(
-        (F.col("ua")[i] * F.col("ub")[i] for i in range(64)), start=F.lit(0.0)
-    )
-    pairs = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("ida") < F.col("idb")))
-        .filter(pair_cos > 0.85)
-        .select(
-            "bucket",
-            "ida",
-            "idb",
-            F.when(F.col("sa") >= F.col("sb"), F.col("ida"))
-            .otherwise(F.col("idb"))
-            .alias("removed_id"),
-        )
-        .persist()  # consumed by pair counts AND removal distinct
-    )
-    np = pairs.groupBy("bucket").agg(F.count("*").alias("np"))
-    nr = (
-        pairs.select("bucket", "removed_id")
-        .distinct()
-        .groupBy("bucket")
-        .agg(F.count("*").alias("nr"))
-    )
-    base = nscored.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
-    return (
-        base.join(np, "bucket", "left")
-        .join(nr, "bucket", "left")
-        .select(
-            "bucket",
-            "n_vecs",
-            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_dup_pairs"),
-            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_removed"),
-        )
+
+
+def _semdedup_bucket_kernel(pdf):
+    """One SemDeDup cell: (vec_id, v, bucket) rows -> one counter row.
+
+    Mirrors the SQL oracle in comparison OUTCOMES: pair gate
+    ``cos > 0.85`` (NaN compares False, as NULL does), removal choice
+    ``sa >= sb -> ida else idb`` (NaN False), ``ida < idb`` on id
+    VALUES (duplicate-id hostile copies never self-pair but do pair
+    with others — the join's exact multiplicity). NULL handling mirrors
+    the expression form: NULL / short / NULL-element vectors become NaN
+    rows (NaN propagates through the gram matrix and fails the gate,
+    as NULL fails it in SQL); the centroid is a per-element
+    NULL-skipping mean (nanmean == avg(v[i]) ignoring NULLs); a
+    zero-norm row normalizes to NaN (as try_divide -> NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = 64
+    nanrow = np.full(dim, np.nan)
+
+    def as_vec(x):
+        if x is None:
+            return nanrow
+        try:
+            a = np.asarray(x, dtype=np.float64)
+        except (TypeError, ValueError):
+            a = np.array(
+                [np.nan if e is None else float(e) for e in x],
+                dtype=np.float64,
+            )
+        if len(a) == dim:
+            return a
+        out = np.full(dim, np.nan)
+        out[: min(len(a), dim)] = a[:dim]
+        return out
+
+    V = np.vstack([as_vec(x) for x in pdf["v"]])
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    n = len(ids)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.nanmean(V, axis=0)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        cent_sim = (V @ c) / (nrm * np.sqrt((c * c).sum()))
+        U = V / nrm[:, None]
+        S = U @ U.T
+    with np.errstate(invalid="ignore"):
+        mask = (ids[None, :] > ids[:, None]) & (S > 0.85)
+    ii, jj = np.nonzero(mask)
+    n_pairs = len(ii)
+    if n_pairs:
+        with np.errstate(invalid="ignore"):
+            keep_a = cent_sim[ii] >= cent_sim[jj]
+        removed = np.where(keep_a, ids[ii], ids[jj])
+        n_removed = len(np.unique(removed))
+    else:
+        n_removed = 0
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "n_vecs": [n],
+            "n_dup_pairs": [n_pairs],
+            "n_removed": [n_removed],
+        }
     )
 
 

@@ -727,9 +727,11 @@ _EST_MATCH_SQL = " + ".join(
 )
 def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rows = shingle_hash_rows(_corpus(spark, sf_dir))
+    # persist: both self-join sides consume hashed — unpersisted, the
+    # whole explode/window/agg signature build ran twice (r11)
     hashed = sh_rows.groupBy("doc_id").agg(
         *signature_columns(NUM_PERM), F.collect_list("sh").alias("sh")
-    )
+    ).persist()
     a = hashed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),
@@ -907,29 +909,50 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - 1000000).alias("mid"), F.col("th").alias("mth")
     ).filter(F.col("mid") >= 0)
     pairs = o.join(m, F.col("oid") == F.col("mid"))
-    outs = []
+    # ONE pass over the join computes the per-k jaccards as sibling
+    # columns and aggregates them in a single action; the previous
+    # one-agg-per-k union re-ran the scan + token hashing + join 3x
+    # (r11). The 3-row output shape is rebuilt by exploding the 1-row
+    # aggregate (arrays stay internal — top-level schema is scalar).
+    jcols = []
     for k in (2, 3, 5):
         a = F.array_distinct(shingle_hashes_from_tokens(F.col("oth"), k))
         b = F.array_distinct(shingle_hashes_from_tokens(F.col("mth"), k))
         # try_divide: a doc with < k tokens (empty/whitespace hostile text)
         # has an empty shingle set on both sides -> 0/0 -> NULL, which
         # avg/min skip identically on both engines.
-        jac = F.try_divide(
-            F.size(F.array_intersect(a, b)).cast("double"),
-            F.size(F.array_union(a, b)),
+        jcols.append(
+            F.try_divide(
+                F.size(F.array_intersect(a, b)).cast("double"),
+                F.size(F.array_union(a, b)),
+            ).alias(f"_j{k}")
         )
-        outs.append(
-            pairs.agg(
-                F.lit(k).cast("long").alias("shingle_k"),
-                F.count("*").cast("long").alias("n_pairs"),
-                F.round(F.avg(jac), 6).alias("mean_jaccard"),
-                F.round(F.min(jac), 6).alias("min_jaccard"),
+    row = pairs.select(*jcols).agg(
+        F.count("*").cast("long").alias("_n"),
+        *[
+            agg
+            for k in (2, 3, 5)
+            for agg in (
+                F.round(F.avg(f"_j{k}"), 6).alias(f"_mean{k}"),
+                F.round(F.min(f"_j{k}"), 6).alias(f"_min{k}"),
             )
-        )
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionByName(p)
-    return out
+        ],
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("shingle_k"),
+                        F.col("_n").alias("n_pairs"),
+                        F.col(f"_mean{k}").alias("mean_jaccard"),
+                        F.col(f"_min{k}").alias("min_jaccard"),
+                    )
+                    for k in (2, 3, 5)
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*")
 
 
 @query(
