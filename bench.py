@@ -76,10 +76,14 @@ def summary_line(timings: dict[str, float], anchor: dict, sf_val, detail_name: s
             "detail": detail_name,
         }
     )
-    assert "\n" not in line and len(line.encode()) <= SUMMARY_MAX_BYTES, (
-        f"summary line {len(line.encode())}B exceeds the {SUMMARY_MAX_BYTES}B "
-        "tail-truncation budget — trim HEADLINE or fields"
-    )
+    # hard error, not assert: python -O strips asserts, silently
+    # disabling the tail-truncation protocol guard (r10 advice)
+    if "\n" in line or len(line.encode()) > SUMMARY_MAX_BYTES:
+        raise ValueError(
+            f"summary line {len(line.encode())}B exceeds the "
+            f"{SUMMARY_MAX_BYTES}B tail-truncation budget — trim "
+            "HEADLINE or fields"
+        )
     return line
 
 

@@ -137,11 +137,41 @@ def locally_drawn_ops(repo: pathlib.Path = REPO, before_round: int | None = None
     return ops
 
 
+def latest_local_pass_round(repo: pathlib.Path = REPO) -> dict[str, int]:
+    """op -> most recent round whose LOCAL draw certified it green.
+    r8/r9 name-list entries count as that round; r10+ dict entries count
+    only where verdict == "pass"."""
+    store_path = repo / "LOCAL_SIM_DRAWS.json"
+    if not store_path.exists():
+        return {}
+    try:
+        store = json.loads(store_path.read_text())
+    except Exception:
+        return {}
+    latest: dict[str, int] = {}
+    for key, entry in store.items():
+        m = re.match(r"r(\d+)$", key)
+        if not m:
+            continue
+        r = int(m.group(1))
+        ops = (
+            [op for op, v in entry.items() if v == "pass"]
+            if isinstance(entry, dict)
+            else entry
+        )
+        for op in ops:
+            latest[op] = max(latest.get(op, 0), r)
+    return latest
+
+
 def rotating_draw(repo: pathlib.Path = REPO, k: int = 100) -> list[str]:
     """Priority-first seeded k-op sample (see module doc): r1-red
     re-certification ops, then never-validated SURVEY §2/§2.12 ops,
-    then a seeded sample of the never-validated registry remainder;
-    topped up from the already-drawn pool when the tail runs dry."""
+    then the FULL §2 contract block every round (VERDICT r10 task 7 —
+    the 52 ids are the driver's contract surface and must never go
+    stale), then a seeded sample of the never-validated remainder;
+    topped up STALEST-FIRST from the already-drawn pool so the whole
+    registry keeps re-certifying on a bounded cadence."""
     sys.path.insert(0, str(repo))
     from transit_scrape_spark.queries.registry import registry
 
@@ -157,13 +187,22 @@ def rotating_draw(repo: pathlib.Path = REPO, k: int = 100) -> list[str]:
         op for op in SURVEY_S2_OPS
         if op in reg and op not in seen and op not in priority
     ]
+    # (3) the whole §2 block, every round (perpetually <= 1 round stale)
+    priority += [
+        op for op in SURVEY_S2_OPS if op in reg and op not in priority
+    ]
     rng = random.Random(rnd)
     eligible = sorted(reg - seen - set(priority))
     draw = priority[:k]
     draw += rng.sample(eligible, min(k - len(draw), len(eligible)))
     if len(draw) < k:
+        # stalest-first: oldest local certification re-runs first; ties
+        # broken by seeded shuffle so same-round cohorts rotate
+        latest = latest_local_pass_round(repo)
         refill = sorted(reg - set(draw))
-        draw += rng.sample(refill, min(k - len(draw), len(refill)))
+        rng.shuffle(refill)
+        refill.sort(key=lambda op: latest.get(op, 0))
+        draw += refill[: k - len(draw)]
     return sorted(draw)
 
 
@@ -224,7 +263,10 @@ def certify_draw(
     + canonicalizer) and return {op: "pass" | "FAIL: ..."} verdicts."""
     if draw is None:
         draw = rotating_draw(repo)
-    out = tempfile.mktemp(suffix=".json", prefix="draw_verdicts_")
+    # mkstemp, not the TOCTOU-racy deprecated mktemp: concurrent
+    # invocations must not collide on the verdict path (r10 advice)
+    fd, out = tempfile.mkstemp(suffix=".json", prefix="draw_verdicts_")
+    os.close(fd)
     code = _SWEEP_VERDICTS.format(
         repo=str(repo),
         tests=str(repo / "tests"),
@@ -239,7 +281,11 @@ def certify_draw(
         timeout=timeout,
         cwd=str(repo),
     )
-    if not os.path.exists(out):
+    # mkstemp pre-creates the file, so "child died before verdicts" now
+    # shows as an EMPTY file, not a missing one
+    if not os.path.exists(out) or os.path.getsize(out) == 0:
+        if os.path.exists(out):
+            os.remove(out)
         tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-20:])
         raise RuntimeError(f"certify_draw subprocess died before verdicts:\n{tail}")
     verdicts = json.loads(open(out).read())

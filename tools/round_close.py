@@ -70,7 +70,19 @@ def record_draw() -> None:
             f"rotating draw has {len(fails)} failing op(s) — fix before close: {fails}"
         )
 
-    cumulative = sorted({op for ops in store.values() for op in ops})
+    # pass-only, matching locally_drawn_ops(): a FAIL verdict persisted
+    # by an aborted close must not count as certified (r10 advice)
+    cumulative = sorted(
+        {
+            op
+            for entry in store.values()
+            for op in (
+                [o for o, v in entry.items() if v == "pass"]
+                if isinstance(entry, dict)
+                else entry
+            )
+        }
+    )
     lines = [
         DRAW_START,
         "",

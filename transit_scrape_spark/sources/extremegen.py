@@ -133,3 +133,8 @@ def generate_extreme_warehouse(
             h = F.pmod(F.hash(*keys, F.lit(field.name), F.lit("__ext")), F.lit(100))
             df = df.withColumn(field.name, _mutate(F.col(field.name), field.dataType, h))
         write_table_like_testdata(df, out, name)
+    # completion sentinel LAST — warehouse_needs_build requires it so a
+    # mid-generation crash triggers a rebuild (r10 advice; see
+    # hostilegen.warehouse_needs_build)
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write("")

@@ -107,7 +107,13 @@ def warehouse_needs_build(out: str) -> bool:
     import shutil
 
     marker = os.path.join(out, "events.parquet")
-    if os.path.isfile(marker):
+    # completion sentinel (r10 advice): events.parquet alone is not
+    # proof the whole warehouse was written — a generator crash after
+    # some tables leaves a partial warehouse that would never rebuild.
+    # The sentinel is written as the generator's LAST step; warehouses
+    # predating it (no sentinel) rebuild once and gain it.
+    sentinel = os.path.join(out, "_SUCCESS")
+    if os.path.isfile(marker) and os.path.isfile(sentinel):
         return False
     if os.path.isdir(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -133,3 +139,8 @@ def generate_hostile_warehouse(
         dup = df.filter(F.pmod(F.hash(*keys, F.lit("__dup")), F.lit(100)) < dup_pct)
         df = df.unionAll(dup)
         write_table_like_testdata(df, out, name)
+    # completion sentinel LAST: warehouse_needs_build keys on this, so a
+    # generator crash mid-way leaves a warehouse that rebuilds instead
+    # of a partial one that passes the presence check (r10 advice)
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write("")
