@@ -66,6 +66,31 @@ OPS = [
     "agg-percentile",
     "agg-multi-distinct-expand",
     "dedup-minhash-estimation-error",
+    # r11 extension (VERDICT r10 task 6): 20 -> 40 ops. The REST of the
+    # graph family (the r10 list sampled 8 of 20 — the judge flagged the
+    # gap), plus the heaviest corpus/chain ops not yet at this decade.
+    # All read only the tables the sf10 warehouse carries
+    # (documents/embeddings + chain + nation/region).
+    "graph-assortativity",
+    "graph-degree-histogram",
+    "graph-jaccard-neighbors",
+    "graph-k-core",
+    "graph-ktruss-support",
+    "graph-label-propagation",
+    "graph-modularity",
+    "graph-reciprocity",
+    "graph-rich-club",
+    "graph-spectral-radius",
+    "graph-triangle-count",
+    "graph-two-hop-neighbors",
+    "dedup-near-minhash",
+    "dedup-near-embedding-lsh",
+    "text-heaps-law",
+    "text-burrows-delta",
+    "eval-bm25-topk",
+    "simsearch-lsh-bucket",
+    "embed-covariance-block",
+    "tpch-q18",
 ]
 
 
