@@ -91,6 +91,14 @@ def with_global_order(
 
     skey = F.col(key) if ascending else -F.col(key)
     d = df.withColumn("__go_skey", skey.cast("double"))
+    # the input lineage is consumed THREE times below (boundary sketch,
+    # windowed main path, per-bucket offset summary); unpersisted, every
+    # caller paid its rollup pipeline 3x (r11 — text-heaps-law executed
+    # the token explode 4x). The frame is by construction the rollup the
+    # caller wants globally ordered, i.e. already reduced; registry-level
+    # release_caches() reclaims it after the op's output materializes.
+    if not d.isStreaming:
+        d = d.persist()
 
     # 1. boundary sketch (one distributed agg; result is ≤ n_buckets-1
     #    doubles broadcast to every task)
@@ -337,6 +345,10 @@ def with_global_orders(
                 )
             ).alias(f"__go_bnds{k}")
         )
+    # consumed 2+k times (sketch, main path, k per-spec offset passes) —
+    # same persist rationale as with_global_order (r11)
+    if not d.isStreaming:
+        d = d.persist()
     bnds = d.agg(*bnd_aggs)
     d = d.crossJoin(F.broadcast(bnds))
     def _bucketer(skey_col: str):

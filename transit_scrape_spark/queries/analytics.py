@@ -451,15 +451,30 @@ def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # one groupBy collects each basket's distinct item set and the pairs
+    # are generated in-row from the sorted array — the previous
+    # distinct + self-join form planned the distinct aggregate once per
+    # join side and shuffled both (4 exchanges vs 2, r11). Pair fanout
+    # is still quadratic only in BASKET SIZE. Semantics match exactly:
+    # collect_set == DISTINCT per basket (NULL partkeys drop on both
+    # forms — NULL never satisfies a < b), the NULL-orderkey basket is
+    # excluded as the old equi-join excluded it, and sorted-array index
+    # pairs (i < j) enumerate exactly the a.partkey < b.partkey pairs.
+    baskets = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
+    pair_expr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_expr).alias("p")).select("p.*")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_baskets"))

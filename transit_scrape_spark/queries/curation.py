@@ -1681,23 +1681,26 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (string_hash(F.col("w")) % _DSIR_BUCKETS).alias("f"),
     )
-    tgt = tok.filter(F.col("lang") == "en").groupBy("f").agg(
-        F.count("*").cast("double").alias("ct")
+    # source and target bucket counts in ONE pass over the exploded
+    # tokens (ct as a conditional sum), instead of a second full
+    # explode + md5 pass for the en-filtered target plus a src⟕tgt
+    # join to reassemble (r11). A bucket with no en tokens gets ct=0,
+    # identical to the old left join's coalesce(NULL, 0).
+    cnt = tok.groupBy("f").agg(
+        F.count("*").cast("double").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("ct"),
     )
-    src = tok.groupBy("f").agg(F.count("*").cast("double").alias("cs"))
-    tot = src.agg(F.sum("cs").alias("ns")).crossJoin(
-        tgt.agg(F.sum("ct").alias("nt"))
+    tot = cnt.agg(
+        F.sum("cs").alias("ns"), F.sum("ct").alias("nt")
     )
     ratio = (
-        src.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tot))
+        cnt.crossJoin(F.broadcast(tot))
         .select(
             "f",
             F.log(
-                (
-                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
-                    / (F.col("nt") + _DSIR_BUCKETS)
-                )
+                ((F.col("ct") + 1) / (F.col("nt") + _DSIR_BUCKETS))
                 / ((F.col("cs") + 1) / (F.col("ns") + _DSIR_BUCKETS))
             ).alias("lr"),
         )

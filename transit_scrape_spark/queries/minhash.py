@@ -56,13 +56,23 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id"])
     )
     toks = F.split("text", " ")
-    mutated = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
-        ).alias("text"),
+    mutated_text = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
     )
-    return d.unionByName(mutated)
+    # original + mutated twin generated from ONE pass via explode, not a
+    # self-referencing union: the union form planned the dropDuplicates
+    # subtree once PER BRANCH (two full scans + two sort-aggregate
+    # exchanges before the union, r11) because the mutated branch derives
+    # from the deduped frame. Output rows are identical to
+    # d UNION ALL mutated(d) — same pairs, same multiplicities.
+    pair = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            mutated_text.alias("text"),
+        ),
+    )
+    return d.select(F.explode(pair).alias("_r")).select("_r.*")
 
 
 @query(
@@ -741,7 +751,13 @@ def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id").alias("doc_b"),
         F.col("sh").alias("sh_b"),
         *[F.col(f"_m{k}").alias(f"b_m{k}") for k in range(NUM_PERM)],
-    )
+    ).filter((F.col("doc_b") - 1000000) % 5 == 0)
+    # the b-side filter is IMPLIED by the join: doc_b = doc_a + 1000000
+    # and doc_a % 5 == 0 force (doc_b - 1000000) % 5 == 0 (subtracting
+    # the same constant recovers doc_a exactly, so this holds under
+    # either overflow semantics). It drops 4/5 of the signatures +
+    # shingle arrays BEFORE the exchange/broadcast instead of after the
+    # join (guide: shuffle fewer bytes) and changes no output row.
     pairs = a.join(b, b.doc_b == a.doc_a + 1000000)
     matches = sum(
         (F.col(f"a_m{k}") == F.col(f"b_m{k}")).cast("int") for k in range(NUM_PERM)

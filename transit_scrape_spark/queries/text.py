@@ -1830,9 +1830,23 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     # corpus deciles via the two-phase bucketed rank
     # (operators/ranking.py): the per-doc frame grows with the corpus,
-    # so no ntile global window.
-    per_doc_tok = tok.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("n_tok")
+    # so no ntile global window. Per-doc token counts come from a
+    # per-ROW size(filter(split(...))) expression aggregated by doc_id —
+    # NOT from a second pass over the exploded token stream: counting
+    # doesn't need the rows, and the map-side expression shuffles one
+    # partial count per source row instead of one row per token (r11).
+    # Semantics match tok.groupBy(doc_id).count() exactly: text IS NOT
+    # NULL rows only (all-NULL docs produce no tok rows), empty tokens
+    # excluded by the same w != '' predicate, zero-token docs dropped
+    # (they have no tok rows to count).
+    n_tok_row = F.size(
+        F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    )
+    per_doc_tok = (
+        d.filter(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.sum(n_tok_row).cast("double").alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
     )
     # persist the per-doc decile frame: new_types and per_dec both
     # reference it, and uncached each re-runs the token explode + the
