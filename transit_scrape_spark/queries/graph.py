@@ -38,9 +38,19 @@ def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    return pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # symmetrize via explode, not a self-referencing union: the union
+    # form planned the whole lineitem->orders->customer->supplier chain
+    # join once PER DIRECTION (every graph op paid the edge derivation
+    # twice, r11). Output rows identical: each distinct (a, b) emits
+    # itself and its swap, and the outer distinct collapses the
+    # both-directions-present duplicates exactly as the union form did.
+    sym = F.explode(
+        F.array(
+            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+        )
+    )
+    return pairs.select(sym.alias("_e")).select("_e.*").distinct()
 
 
 _EDGES_SQL = """
@@ -220,7 +230,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph-components-iterative's hygiene: persist each generation,
     # unpersist the last, localCheckpoint every ~5 rounds to truncate
     # the growing lineage.
-    edges = _nation_edges(spark, sf_dir)
+    # persist: deg AND the out join both consume edges — unpersisted,
+    # the chain-join edge derivation ran twice (r11)
+    edges = _nation_edges(spark, sf_dir).persist()
     nodes = (
         load_table(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").cast("long").alias("node"))

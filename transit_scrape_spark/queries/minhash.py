@@ -827,11 +827,18 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.5 s -> 0.7 s for this explode at sf0.1). Catalyst's
     # CollapseProject keeps the split because the alias is referenced
     # more than once.
-    exploded = d.withColumn("th", token_hashes(F.col("text"))).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingle_hashes_from_tokens(F.col("th"), 8))
-        ).alias("h"),
+    # persist: the df pass AND the join probe both consume the exploded
+    # spans — unpersisted, the md5 tokenization + shingle explode ran
+    # twice (r11)
+    exploded = (
+        d.withColumn("th", token_hashes(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingle_hashes_from_tokens(F.col("th"), 8))
+            ).alias("h"),
+        )
+        .persist()
     )
     df_tab = exploded.groupBy("h").agg(F.count("*").alias("n_docs"))
     j = exploded.join(df_tab, "h")

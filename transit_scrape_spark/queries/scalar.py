@@ -349,19 +349,39 @@ _N_EXPR = "(l_orderkey * 53) % 1000000"
     "expressions; invalid domain -> '' exercised by the synthesized range.",
 )
 def fn_os_grid_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transit_scrape_spark.functions.gridref import (
+        os_grid_reference_parts,
+        ref_from_parts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pk"),
         ((F.col("l_partkey") * 37) % 800000).cast("double").alias("e"),
         ((F.col("l_orderkey") * 53) % 1000000).cast("double").alias("n"),
     )
-    return base.select(
+    # project the precision-independent parts (validity, letter pair,
+    # remainders) ONCE; the three precisions then differ only in their
+    # lpad/concat digits — the inline form repeated the whole letter
+    # derivation per precision (r11, ~20%)
+    parts = os_grid_reference_parts(F.col("e"), F.col("n"))
+    mid = base.select(
+        "pk", "e", "n",
+        parts["valid"].alias("_valid"),
+        parts["letters"].alias("_lp"),
+        parts["e_rem"].alias("_er"),
+        parts["n_rem"].alias("_nr"),
+    )
+    return mid.select(
         "pk",
         "e",
         "n",
-        os_grid_reference(F.col("e"), F.col("n"), 10).alias("ref10"),
-        os_grid_reference(F.col("e"), F.col("n"), 8).alias("ref8"),
-        os_grid_reference(F.col("e"), F.col("n"), 6).alias("ref6"),
+        *[
+            ref_from_parts(
+                F.col("_valid"), F.col("_lp"), F.col("_er"), F.col("_nr"), p
+            ).alias(f"ref{p}")
+            for p in (10, 8, 6)
+        ],
     )
 
 
