@@ -610,18 +610,24 @@ def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.approx_count_distinct("l_partkey")
     p50_exact = F.percentile("l_extendedprice", F.lit(0.5))
     p50_approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
-    # one groupBy computes every sketch-vs-exact column: the previous
-    # two-aggregate + eqNullSafe-join form scanned lineitem twice to
-    # reassemble columns that share a grouping key (r11). A single
-    # countDistinct among non-distinct aggs plans without the Expand
-    # operator, and the NULL l_returnflag group survives groupBy
-    # directly (the old join needed eqNullSafe only because it split
-    # the aggregate in two).
-    return li.groupBy("l_returnflag").agg(
+    # two SEPARATE aggregates, deliberately (see doc): folding the
+    # percentile columns into the countDistinct agg makes the
+    # single-distinct rewrite key the partial aggregate on
+    # (l_returnflag, l_partkey) — ~200k groups EACH carrying HLL,
+    # KLL-sketch AND exact-percentile value buffers through two
+    # ObjectHashAggregate merges (re-measured r11: 9.5s vs 2.2s
+    # isolated). Two thin scans of three parquet columns are far
+    # cheaper than one scan that buffers values per distinct key.
+    cd = li.groupBy("l_returnflag").agg(
         exact.cast("long").alias("exact_parts"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
-        (F.abs(p50_approx - p50_exact) <= 0.05 * p50_exact).alias("p50_within_5pct"),
     )
+    pct = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        (F.abs(p50_approx - p50_exact) <= 0.05 * p50_exact).alias("p50_within_5pct")
+    )
+    # NULL-safe join key: a plain equi-join silently drops the NULL
+    # group that GROUP BY keeps (caught by the null-hostility sweep)
+    return cd.join(pct, F.col("l_returnflag").eqNullSafe(F.col("rf"))).drop("rf")
 
 
 @query(
@@ -1329,23 +1335,21 @@ def abc_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = g.withColumn(
         "decile", exact_ntile(F.col("__rn"), F.col("__n"), 10)
     )
-    # total revenue = sum of the 10 per-decile decimal sums (decimal
-    # addition is exact, so this equals the old separate
-    # per_cust.agg(sum) — which re-ran the whole orders rollup scan,
-    # r11). The 10-row frame is persisted because both the total agg
-    # and the final projection consume it.
-    dec = (
+    # total revenue from a separate per_cust.agg, deliberately: deriving
+    # it from the persisted 10-row decile frame (tried r11) chains THREE
+    # nested cache materializations (helper d -> dec -> broadcast total)
+    # and measured slower cold AND warm than one extra thin scan of the
+    # orders rollup (fresh-process: first-run 10-17s vs 8-9.5s, warm
+    # 1.8-3.1s vs 1.3-2.1s).
+    total = per_cust.agg(F.sum("revenue").alias("total_rev"))
+    return (
         ranked.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
             F.count("*").alias("n_customers"),
             F.round(F.sum("revenue"), 2).cast("double").alias("decile_revenue"),
             F.sum("revenue").alias("_rev"),
         )
-        .persist()
-    )
-    total = dec.agg(F.sum("_rev").alias("total_rev"))
-    return (
-        dec.join(F.broadcast(total))
+        .join(F.broadcast(total))
         .withColumn(
             "revenue_share",
             F.round(F.col("_rev").cast("double") / F.col("total_rev").cast("double"), 6),
