@@ -2177,12 +2177,18 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # persist: the doc-frequency rollup AND both sides of the
+    # co-occurrence self-join consume tok — unpersisted, the
+    # explode + distinct (a full token-row shuffle) was planned three
+    # times (r11). One (doc_id, word) row per distinct pair; the
+    # registry-level release_caches() reclaims it.
     tok = (
         d.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .distinct()
+        .persist()
     )
     df = tok.groupBy("w").agg(F.count("*").cast("double").alias("d"))
     nd = d.agg(F.count("*").cast("double").alias("n"))
