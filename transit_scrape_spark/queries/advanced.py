@@ -1423,6 +1423,13 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
+    # NOTE(r11): persisting a narrowed scored relation was tried (12
+    # scans -> 2) and REVERTED — ABBA (+15%) and two consecutive sweeps
+    # (+13%, +52%) agreed: unpersisted, the optimizer prunes the cosine
+    # out of the candidate/count branches entirely (only the exact-arm
+    # pass pays the interpreted HOF dots), so the three "redundant"
+    # plans are each far cheaper than one cache build that must
+    # materialize every cosine.
     scored = (
         tagged.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1712,17 +1719,22 @@ def simsearch_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") == 1).select(
         F.col("e").alias("qv"), F.col("bucket").alias("qb")
     )
+    # persist the scored relation: the bucket-filtered rerank (approx +
+    # n_cand) AND the brute-force truth arm all consume it — unpersisted
+    # the corpus cosine + 8-plane lsh_bucket pass (interpreted HOF dots)
+    # planned 3x (6 embeddings scans in the r11 before-plan). Projected
+    # to three narrow columns; release_caches() reclaims it.
     scored = (
         v.filter(F.col("vec_id") != 1)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            "bucket",
-            "qb",
+            (F.col("bucket") == F.col("qb")).alias("is_cand"),
             cosine(F.col("e"), F.col("qv")).alias("sim"),
         )
+        .persist()
     )
-    cands = scored.filter(F.col("bucket") == F.col("qb"))
+    cands = scored.filter(F.col("is_cand"))
     approx = cands.orderBy(F.col("sim").desc(), "vec_id").limit(10).select(
         "vec_id"
     )

@@ -783,6 +783,10 @@ def analytics_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hour = F.expr("INTERVAL 1 HOUR")
+    # NOTE(r11): persisting v/c (6 scans -> 3) was tried and REVERTED —
+    # the conf-off sweep measured a 5x outlier and the conf-on runs sat
+    # at parity; the per-user replans are cheap and cache machinery
+    # only adds variance here.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1512,7 +1516,10 @@ def analytics_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_month = o.groupBy(
         "o_custkey",
         F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev")).persist()
+    # persist the per-(customer, month) revenue: the month spine and
+    # both retention-join sides consume it — unpersisted each
+    # re-planned the orders rollup (3 scans in the r11 before-plan)
     months = cust_month.select("month").distinct().select(
         F.col("month").alias("cur_month")
     )
@@ -1643,6 +1650,9 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def analytics_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NOTE(r11): persisting du (3 scans -> 1) was tried and REVERTED —
+    # the conf-off sweep measured +50%; the distinct replans are
+    # cheaper than the cache machinery.
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
@@ -1895,6 +1905,10 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("i"),
         F.lead("event_type").over(w).alias("j"),
     ).filter(F.col("j").isNotNull())
+    # persist the tiny transition matrix (|event_type|^2 rows): the
+    # stationary-vector init AND all 4 power iterations consume it —
+    # unpersisted each re-planned the full per-user lead window over
+    # events (5 fact scans / 48 Exchanges in the r11 before-plan).
     t = (
         seq.groupBy("i", "j")
         .agg(F.count("*").alias("n"))
@@ -1902,6 +1916,7 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p", F.col("n") / F.sum("n").over(Window.partitionBy("i"))
         )
         .select("i", "j", "p")
+        .persist()
     )
     pi = t.select("i").distinct().withColumn(
         "pi", 1.0 / F.count("*").over(Window.partitionBy())
@@ -2220,6 +2235,12 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    # persist the two shared relations: uw (events scan + distinct
+    # shuffle) feeds first_wk / labeled / max_wk / the anti-join probe,
+    # and labeled feeds both the state labels and the churn anti-join —
+    # unpersisted each consumer re-planned the full chain (12 events
+    # scans / 50 Exchanges in the r11 before-plan). Both are (user,
+    # week)-bounded; release_caches() reclaims them.
     uw = (
         ev.crossJoin(F.broadcast(d0))
         .select(
@@ -2229,12 +2250,13 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wk"),
         )
         .distinct()
+        .persist()
     )
     first_wk = uw.groupBy("user_id").agg(F.min("wk").alias("fw"))
     wlag = Window.partitionBy("user_id").orderBy("wk")
     labeled = uw.join(first_wk, "user_id").select(
         "user_id", "wk", "fw", F.lag("wk").over(wlag).alias("prev_wk")
-    )
+    ).persist()
     states = labeled.select(
         "wk",
         F.when(F.col("wk") == F.col("fw"), "new")
@@ -2616,12 +2638,18 @@ def analytics_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0"))
+    # persist the two shared per-user relations: firsts feeds the
+    # activity join AND the cohort rollup, activity feeds the age
+    # universe AND the active counts — unpersisted each consumer
+    # re-planned the purchase scan + rollups (6 events scans / 28
+    # Exchanges in the r11 before-plan).
+    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0")).persist()
     maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
     activity = (
         p.join(firsts, "user_id")
         .select("user_id", F.datediff(F.col("day"), F.col("d0")).cast("long").alias("age"))
         .distinct()
+        .persist()
     )
     cohorts = (
         firsts.crossJoin(F.broadcast(maxd))
@@ -3115,6 +3143,9 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spend")
     )
+    # NOTE(r11): persisting seg (4 scans -> 2) was tried and REVERTED —
+    # the conf-off sweep measured +29%; the rollup replans are cheaper
+    # than the cache machinery.
     seg = scored.select(
         "user_id",
         "period",
@@ -3351,7 +3382,12 @@ def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
-    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0"))
+    # persist the shared per-user relations (the retention-decay-fit
+    # pattern): firsts feeds the activity join AND the cohort rollup,
+    # activity feeds the age universe AND the active counts —
+    # unpersisted each consumer re-planned the purchase scan + rollups
+    # (7 events scans / 36 Exchanges in the r11 before-plan)
+    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0")).persist()
     maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
     activity = (
         p.join(firsts, "user_id")
@@ -3360,6 +3396,7 @@ def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("d0")).cast("long").alias("age"),
         )
         .distinct()
+        .persist()
     )
     cohorts = (
         firsts.crossJoin(F.broadcast(maxd))
@@ -4179,6 +4216,9 @@ def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NOTE(r11): persisting ud (5 scans -> 1) was tried and REVERTED —
+    # the conf-off sweep measured +66%; the distinct replans are
+    # cheaper than the cache machinery.
     ud = ev.select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct()

@@ -84,7 +84,10 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    hashed = shingle_hash_rows(d.select("doc_id", "text"))
+    # persist the shingle rows: the benchmark shingle universe AND the
+    # contamination probe both consume them — unpersisted the explode
+    # re-planned per consumer (3 documents scans in the r11 before-plan)
+    hashed = shingle_hash_rows(d.select("doc_id", "text")).persist()
     bench_sh = hashed.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
     contaminated = (
         hashed.filter(F.col("doc_id") % 97 != 0)
@@ -1672,6 +1675,11 @@ _DSIR_BUCKETS = 64
 )
 def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # persist the hashed token stream: the bucket histogram (cnt) and
+    # the per-doc scoring join BOTH consume it — unpersisted, the
+    # explode + per-token md5 re-planned per consumer (3 documents
+    # scans in the r11 before-plan). Same pattern as the persisted
+    # dedup-span-coverage explode.
     tok = d.select(
         "doc_id",
         "lang",
@@ -1680,7 +1688,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (string_hash(F.col("w")) % _DSIR_BUCKETS).alias("f"),
-    )
+    ).persist()
     # source and target bucket counts in ONE pass over the exploded
     # tokens (ct as a conditional sum), instead of a second full
     # explode + md5 pass for the en-filtered target plus a src⟕tgt
@@ -1691,7 +1699,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("double")
         .alias("ct"),
-    )
+    ).persist()  # 64 rows, consumed by tot AND ratio
     tot = cnt.agg(
         F.sum("cs").alias("ns"), F.sum("ct").alias("nt")
     )

@@ -60,15 +60,75 @@ from transit_scrape_spark.sources.tables import load_table
 def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    c1 = li.agg(
-        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_violations")
-    ).select(F.lit("l_orderkey_not_null").alias("check_name"), "n_violations")
-    c2 = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("li_no_orphans").alias("check_name"), "n_violations")
+    # c1 + c4 are both plain conditional counts over lineitem: ONE scan
+    # emits both rows (was two full scans). Counts are integer-exact, so
+    # the fusion cannot move any value.
+    c14 = (
+        li.agg(
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("v1"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 0) | (F.col("l_quantity") > 60), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v4"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("l_orderkey_not_null").alias("check_name"),
+                        F.col("v1").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("l_quantity_in_range").alias("check_name"),
+                        F.col("v4").alias("n_violations"),
+                    ),
+                )
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
+    # c2 + c5 share ONE left join (was an anti-join scan pair plus an
+    # inner-join scan pair): an orphan lineitem row emits exactly one
+    # null-extended row (duplicate orders only multiply MATCHED rows,
+    # which c2 never counts), so sum(right IS NULL) == the anti-join
+    # count; matched-row multiplicity under duplicate keys is identical
+    # to the inner join's, so the shipdate count matches too.
+    lo = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    c25 = (
+        lo.agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("v2"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("v5"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("li_no_orphans").alias("check_name"),
+                        F.col("v2").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("l_shipdate_after_orderdate").alias("check_name"),
+                        F.col("v5").alias("n_violations"),
+                    ),
+                )
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
     c3 = (
         o.groupBy("o_orderkey")
@@ -77,22 +137,10 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("n_violations"))
         .select(F.lit("o_orderkey_unique").alias("check_name"), "n_violations")
     )
-    c4 = li.agg(
-        F.sum(
-            F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 60), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_violations")
-    ).select(F.lit("l_quantity_in_range").alias("check_name"), "n_violations")
-    c5 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
-        .agg(F.count("*").alias("n_violations"))
-        .select(
-            F.lit("l_shipdate_after_orderdate").alias("check_name"), "n_violations"
-        )
-    )
-    return c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5)
+    # row ORDER is free (driver + oracle compare order-insensitively),
+    # so the fused frames union directly — re-splitting them with
+    # filters would re-plan each shared aggregate per branch.
+    return c14.unionByName(c25).unionByName(c3)
 
 
 @query(
@@ -425,6 +473,10 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+    # NOTE(r11): persisting the classified diff was tried (6 orders
+    # scans -> 2) and REVERTED — two consecutive sweeps (+147%, +109%)
+    # measured the full-width cache build costing more than the three
+    # branch replans, each of which prunes to two columns.
     closed = diff.filter(F.col("change_type").isin("update", "delete")).select(
         F.col("k").alias("o_orderkey"),
         F.col("old_price").alias("price"),
@@ -1417,12 +1469,16 @@ def dq_drift_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    # persist the 2-column reference/current tagging: the extent
+    # aggregate AND the histogram both consume it — unpersisted each
+    # re-planned the events scan + span join (4 fact scans in the r11
+    # before-plan)
     s = ev.crossJoin(F.broadcast(span)).select(
         F.col("value").alias("v"),
         F.when(
             F.to_date("ts") < F.date_add(F.col("d0"), 14), 1
         ).otherwise(0).alias("is_ref"),
-    )
+    ).persist()
     ext = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     binned = (
         s.crossJoin(F.broadcast(ext))

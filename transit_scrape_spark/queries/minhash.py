@@ -44,7 +44,7 @@ _CORPUS_SQL = """
 """
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus(spark: SparkSession, sf_dir: str, doc_filter=None) -> DataFrame:
     # docs with NULL text cannot be shingled (engines disagree on how
     # NULL propagates through split/concat chains), and doc_id is the
     # document KEY: re-crawled duplicate rows collapse to one so the
@@ -55,6 +55,15 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .dropDuplicates(["doc_id"])
     )
+    if doc_filter is not None:
+        # pre-filter on the ORIGINAL doc_id, for callers whose join keeps
+        # only a doc_id-derived subset: dropping docs before the
+        # shingle/signature build is the guide-§3.4 "reduce the big side
+        # before shuffling" move. Filtering on the dedup key commutes
+        # with dropDuplicates, and a predicate of the form
+        # doc_id % m == r survives the +1000000 twin shift whenever
+        # m divides 1000000 (both corpus rows keep or lose together).
+        d = d.filter(doc_filter)
     toks = F.split("text", " ")
     mutated_text = F.array_join(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
@@ -331,15 +340,16 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates evaluate interpreted): the pair-side cosine becomes a
     # single dot + scalar division, dot/(na*nb) — the SAME arithmetic
     # as the oracle's dot/(sqrt(dot aa)*sqrt(dot bb)), so doubles stay
-    # bit-identical. Eager localCheckpoint materializes the tagging
-    # once; a lazy persist lets the self-join's two branches race and
-    # compute it twice.
+    # bit-identical. Lazy persist, not localCheckpoint: a 6-round ABBA
+    # A/B (r11) measured persist ~0.25 s faster end-to-end — the RDD
+    # serialization the checkpoint pays on the array column costs more
+    # than any duplicate compute from the self-join's branch race.
     tagged = corpus.select(
         "vec_id",
         "v",
         lsh_bucket(F.col("v")).alias("bucket"),
         norm(F.col("v")).alias("nrm"),
-    ).localCheckpoint()
+    ).persist()
     a = tagged.alias("a")
     b = tagged.alias("b")
     # try_divide: zero-norm vectors (hostile fixture) make cosine NULL on
@@ -736,7 +746,16 @@ _EST_MATCH_SQL = " + ".join(
     "dedup-minhash-signature.",
 )
 def dedup_minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh_rows = shingle_hash_rows(_corpus(spark, sf_dir))
+    # the join keeps only doc_a % 5 == 0 originals and their twins
+    # (doc_b - 1000000) % 5 == 0; both predicates test divisibility by 5
+    # of the ORIGINAL id (1000000 % 5 == 0), so filtering documents to
+    # doc_id % 5 == 0 BEFORE shingling drops 4/5 of the explode +
+    # 12-permutation signature work instead of discarding it after the
+    # persisted aggregate (the persist boundary blocks the optimizer
+    # from pushing the filter down itself). Output rows identical.
+    sh_rows = shingle_hash_rows(
+        _corpus(spark, sf_dir, doc_filter=F.col("doc_id") % 5 == 0)
+    )
     # persist: both self-join sides consume hashed — unpersisted, the
     # whole explode/window/agg signature build ran twice (r11)
     hashed = sh_rows.groupBy("doc_id").agg(

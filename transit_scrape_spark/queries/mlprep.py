@@ -378,6 +378,10 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 7 == 0
     )
+    # NOTE(r11): persisting items + freq was tried (4 scans -> 1) and
+    # REVERTED — two consecutive sweeps (+86%, +18%) measured the
+    # distinct-relation cache build costing more than the pruned
+    # replans (freq's consumers prune to item only).
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
@@ -579,6 +583,10 @@ def rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 7 == 0
     )
+    # NOTE(r11): persisting items + freq was tried (10 scans -> 1) and
+    # REVERTED — ABBA (+70%) and two consecutive sweeps (+109%, +35%)
+    # agreed the cache builds cost more than the column-pruned replans
+    # (most freq consumers prune items to the single item column).
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
@@ -1214,13 +1222,20 @@ _NB_SALT = ":nb-salt-r5"
     tags=("ml",),
 )
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NOTE(r11): persisting this projection (3 scans -> 1) was tried
+    # and REVERTED — the conf-off sweep measured +52%; three pruned
+    # fact scans are cheaper than caching the 4-column projection.
+    # hb projected once is kept (same floor(hour/6) expression, so
+    # values are identical).
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.hour("ts") / 6).cast("int").alias("hb"),
+    )
     ev_np = ev.filter(F.col("event_type") != "purchase")
     uval = ev_np.groupBy("user_id").agg(F.avg("value").alias("mv"))
-    ub = ev_np.groupBy(
-        "user_id",
-        F.floor(F.hour("ts") / 6).cast("int").alias("hb"),
-    ).agg(F.count("*").alias("cnt"))
+    ub = ev_np.groupBy("user_id", "hb").agg(F.count("*").alias("cnt"))
     uhour = ub.groupBy("user_id").agg(
         F.substring_index(
             F.max(
@@ -1495,6 +1510,9 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = string_hash(
         F.concat(F.col("user_id").cast("string"), F.lit(_LC_SALT))
     ) % 100
+    # NOTE(r11): persisting base (6 scans -> 2) was tried and REVERTED
+    # — the conf-off sweep measured +49%; the per-user replans are
+    # cheaper than the cache machinery.
     base = ev_np.join(lab, "user_id").select(
         "user_id",
         F.when(F.col("mv") < 48, "lo")

@@ -90,15 +90,19 @@ def eval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # persist the token stream (tf / dl / qterms all aggregate it) and
+    # the tf relation (the df count and the scoring join both consume
+    # it) — unpersisted the regexp tokenization + explode re-planned per
+    # consumer (5 documents scans / 24 Exchanges in the r11 before-plan).
     tok = d.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
         ).alias("token"),
-    )
+    ).persist()
     tf = tok.groupBy("doc_id", "token").agg(
         F.count("*").cast("double").alias("tf")
-    )
+    ).persist()
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -491,6 +495,11 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("slot"),
     )
+    # persist the salted projection (train rates + test slice both read
+    # it) and the scored test rows (bins + tot both aggregate them) —
+    # unpersisted the per-event md5 + join re-planned per consumer
+    # (4 events scans / 16 Exchanges in the r11 before-plan).
+    tagged = tagged.persist()
     rates = (
         tagged.filter(F.col("slot") < 4)
         .groupBy("h")
@@ -500,6 +509,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.filter(F.col("slot") >= 4)
         .join(F.broadcast(rates), "h")
         .select("o", "p")
+        .persist()
     )
     bins = te.groupBy("p").agg(
         F.count("*").cast("double").alias("n_k"),
@@ -750,6 +760,9 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("slot"),
     )
+    # NOTE(r11): persisting tagged + lg (4 scans -> 1) was tried and
+    # REVERTED — the conf-off sweep measured +43%; the pruned replans
+    # are cheaper than the event-width cache build.
     rates = (
         tagged.filter(F.col("slot") < 4)
         .groupBy("h")

@@ -175,11 +175,17 @@ def timeseries_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist the 3-column observation projection: g/ma/mb/mc/ss_err all
+    # aggregate over it and each re-planned its own events scan (5 fact
+    # scans in the r11 before-plan even with the summary persists below).
+    # One scan + one narrow cache; release_caches() reclaims it. At
+    # cluster scale the projection is a fraction of the table width and
+    # DataFrame persist spills to disk, so the shape survives 100 TB.
     obs = ev.select(
         F.col("event_type").alias("a"),
         F.floor(F.hour("ts") / 6).cast("int").alias("b"),
         F.col("value").alias("y"),
-    )
+    ).persist()
     g = obs.agg(
         F.avg("y").alias("gm"), F.count("*").cast("double").alias("n")
     ).persist()
@@ -989,6 +995,9 @@ def timeseries_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("y")
     )
     d0 = daily.agg(F.min("d").alias("d0"))
+    # NOTE(r11): persisting pts/res (14 scans -> 2) was tried and
+    # REVERTED — ABBA (+23%) and the conf-off sweep (+30%) measured the
+    # cache machinery costing more than the tiny per-day replans.
     pts = daily.crossJoin(F.broadcast(d0)).select(
         F.datediff("d", "d0").cast("double").alias("t"), "y"
     )
@@ -1218,6 +1227,9 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("d0"),
         (F.datediff(F.max("d"), F.min("d")) / 2).cast("long").alias("t0"),
     )
+    # NOTE(r11): persisting pts (4 scans -> 2) was tried and REVERTED —
+    # the conf-off sweep measured +42%; the per-day replans are cheaper
+    # than the cache machinery.
     pts = daily.crossJoin(F.broadcast(bounds)).select(
         F.datediff("d", "d0").cast("double").alias("t"),
         "y",
@@ -1583,9 +1595,13 @@ def stats_friedman_nemenyi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("r"),
     )
+    # persist the 5-row mean-rank summary: k and BOTH pair sides consume
+    # it — unpersisted each re-planned the daily rollup + completeness
+    # filter + rank window (6 events scans / 40 Exchanges in the r11
+    # before-plan; conf-off sweep 0.93x)
     rbar = ranked.groupBy("event_type").agg(
         F.avg("r").alias("rbar"), F.count("*").cast("double").alias("n")
-    )
+    ).persist()
     k = rbar.agg(
         F.count("*").cast("double").alias("k"), F.max("n").alias("n")
     )
@@ -1871,6 +1887,8 @@ def timeseries_seasonal_mann_kendall(
         F.count("*").cast("double").alias("y")
     )
     d0 = daily.agg(F.min("d").alias("d0"))
+    # NOTE(r11): persisting keyed (6 scans -> 2) was tried and REVERTED
+    # — the conf-off sweep measured +16%; per-day replans are cheaper.
     keyed = daily.crossJoin(F.broadcast(d0)).select(
         F.dayofweek("d").alias("dow"),
         F.floor(F.datediff("d", "d0") / 7).cast("long").alias("wk"),
@@ -2236,6 +2254,9 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.hour("ts") / 6).cast("int").alias("g"),
         F.round("value", 2).alias("v"),
     )
+    # NOTE(r11): persisting cells (5 scans -> 2) was tried and REVERTED
+    # — the conf-off sweep measured +26%; the cell replans are cheaper
+    # than the cache machinery at this cardinality.
     cells = obs.groupBy("g", "v").agg(
         F.count("*").cast("double").alias("c")
     )

@@ -523,7 +523,13 @@ def event_mcf_recurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ends = ev.agg(F.to_date(F.max("ts")).alias("obs_end"))
-    fu = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("enter_d"))
+    # persist the per-user entry dates: the purchase join, the risk-span
+    # fan-out and the user count all consume them — unpersisted each
+    # re-planned the events rollup (5 fact scans / 24 Exchanges in the
+    # r11 before-plan)
+    fu = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("enter_d")
+    ).persist()
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .join(fu, "user_id")
@@ -662,6 +668,9 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             died.alias("died"),
         )
     )
+    # NOTE(r11): persisting dur (4 scans -> 2) was tried and REVERTED —
+    # the conf-off sweep measured +28%; the rollup replans are cheaper
+    # than the cache machinery.
     n_users = dur.agg(F.count("*").cast("long").alias("n_users"))
     per_t = dur.groupBy("t").agg(
         F.sum("died").cast("double").alias("d"),

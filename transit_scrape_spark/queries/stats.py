@@ -192,6 +192,9 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NOTE(r11): persisting cells (5 scans -> 1) was tried and REVERTED
+    # — the conf-off sweep measured +48%; the bounded-cell replans are
+    # cheaper than the cache machinery.
     cells = ev.groupBy(
         F.col("event_type").alias("x"),
         (F.col("user_id") % 4).cast("long").alias("y"),
@@ -2118,6 +2121,9 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
+    # NOTE(r11): persisting daily + cvs (5 scans -> 1) was tried and
+    # REVERTED — the conf-off sweep measured +72%; per-day replans are
+    # cheaper than two chained cache builds.
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("x")
     )
@@ -2138,7 +2144,9 @@ def stats_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n - 2)
         ).alias("var_i"),
     )
-    cvs = loo.select("n", (F.sqrt("var_i") / F.col("mu_i")).alias("cv_i"))
+    cvs = loo.select(
+        "n", (F.sqrt("var_i") / F.col("mu_i")).alias("cv_i")
+    )
     full_cv = tot.select(
         (F.sqrt((ss - n * F.pow(s / n, 2)) / (n - 1)) / (s / n)).alias("cv")
     )
@@ -2700,6 +2708,9 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(noisy, (base + 1 + shift) % 3).otherwise(base).alias("cat"),
     )
+    # NOTE(r11): persisting cell (3 scans -> 1) was tried and REVERTED
+    # — the conf-off sweep measured +18%; the two replans of the rater
+    # fan-out are cheaper than the per-subject-cardinality cache build.
     cell = ratings.groupBy("event_id", "cat").agg(
         F.count("*").cast("double").alias("nij")
     )

@@ -586,6 +586,9 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     dated = ev.crossJoin(F.broadcast(span)).select(
         "user_id", F.to_date("ts").alias("day"), "d0"
     )
+    # NOTE(r11): persisting s1/s2 (8 scans -> 4) was tried and REVERTED
+    # — the conf-off sweep measured +51%; the filtered-distinct replans
+    # are cheaper than two cache builds.
     s1 = dated.filter(
         (F.col("day") >= F.col("d0"))
         & (F.col("day") <= F.date_add(F.col("d0"), 6))

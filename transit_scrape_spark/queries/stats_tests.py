@@ -540,11 +540,15 @@ def stats_levene_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("md")).alias("z")
     )
+    # persist the 5-row per-group deviation summary: the grand means and
+    # the F-ratio join both consume it — unpersisted each re-planned the
+    # exact-percentile median + deviation join (4 events scans in the
+    # r11 before-plan)
     g = dev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.avg("z").alias("mz"),
         F.var_samp("z").alias("s2"),
-    )
+    ).persist()
     grand = g.agg(
         (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gm"),
         F.sum("n").alias("n_tot"),
@@ -2445,6 +2449,9 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NOTE(r11): persisting daily + cells (4 scans -> 1) was tried and
+    # REVERTED — the conf-off sweep measured +89%; the per-day replans
+    # are cheaper than two chained cache builds.
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("m")
     )

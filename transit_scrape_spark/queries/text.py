@@ -1238,6 +1238,13 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1.",
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE(r11): persisting d and the bigram stream was tried (4
+    # documents scans -> 1) and REVERTED — both the interleaved ABBA
+    # A/B (+38%) and two consecutive sweeps (+54%, +176%) measured the
+    # cache build of the exploded relations costing more than the
+    # pruned replans it saves (each consumer prunes to different
+    # columns, so the "redundant" passes were each cheaper than the
+    # full tokenization).
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -2524,6 +2531,10 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE(r11): persisting toks + z was tried (8 documents scans -> 1)
+    # and REVERTED — ABBA (+24%) and two consecutive sweeps (+51%,
+    # +74%) agreed the exploded-token cache build costs more than the
+    # column-pruned replans it saves.
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     src_tot = toks.groupBy("source").agg(F.count("*").alias("nt"))
     top = (
@@ -2623,6 +2634,9 @@ def corpus_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE(r11): persisting tok + vocab (4 scans -> 1) was tried and
+    # REVERTED — the conf-off sweep measured +16%; the exploded-token
+    # cache build costs more than the pruned replans.
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("n"))
     total = vocab.agg(F.sum("n").alias("total_n"))
@@ -2829,12 +2843,17 @@ def text_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 53 == 0) & (F.col("doc_id") < 5300)
     )
+    # persist the distinct token vocabulary of the sample: the per-doc
+    # sizes AND both overlap-join sides consume it — unpersisted the
+    # explode + distinct re-planned per consumer (4 documents scans /
+    # 20 Exchanges in the r11 before-plan)
     v = (
         d.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .distinct()
+        .persist()
     )
     sizes = v.groupBy("doc_id").agg(F.count("*").cast("double").alias("sz"))
     a = v.select(F.col("doc_id").alias("da"), "w")
@@ -3008,6 +3027,10 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE(r11): persisting tok / the bigram stream / uni was tried
+    # (5 documents scans -> 1) and REVERTED — two consecutive sweeps
+    # (+70%, +59%) measured the exploded-relation cache builds costing
+    # more than the column-pruned replans they save.
     tok = d.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("i", "token"),
@@ -3019,19 +3042,18 @@ def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("w2"),
         F.lag("token").over(w).alias("w1"),
     )
+    bigrams = big.filter(F.col("w1").isNotNull())
     uni = tok.groupBy(F.col("token").alias("w")).agg(
         F.count("*").cast("double").alias("c1")
     )
     tot = uni.agg(F.sum("c1").alias("n"))
-    bi = (
-        big.filter(F.col("w1").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count("*").cast("double").alias("c2"))
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c2")
     )
     u1 = uni.select(F.col("w").alias("u1_w"), F.col("c1").alias("u1_c"))
     u2 = uni.select(F.col("w").alias("u2_w"), F.col("c1").alias("u2_c"))
     return (
-        big.filter(F.col("w1").isNotNull())
+        bigrams
         .join(bi, ["w1", "w2"])
         .join(u1, F.col("w1") == F.col("u1_w"))
         .join(u2, F.col("w2") == F.col("u2_w"))

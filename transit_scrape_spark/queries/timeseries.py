@@ -1846,13 +1846,17 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.count("*").over(w_all).cast("double").alias("n"),
     )
+    # persist the bucketed day frame and the 10-row bucket means: the
+    # means, the context join and its two shifted copies all consume
+    # them — unpersisted each re-planned the global row_number window
+    # (4 events scans / 22 Exchanges in the r11 before-plan)
     bucketed = idx.withColumn(
         "bucket",
         F.least(F.lit(9), F.floor(F.col("t") * 10 / F.col("n")).cast("int")),
-    )
+    ).persist()
     means = bucketed.groupBy("bucket").agg(
         F.avg("t").alias("mt"), F.avg("y").alias("my")
-    )
+    ).persist()
     lp = means.select(
         (F.col("bucket") + 1).alias("bucket"),
         F.col("mt").alias("prev_mt"),
@@ -2277,6 +2281,11 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
         )
     )
+    # persist the tiny per-day frame: unpersisted, the stats aggregate
+    # AND the lag pipeline each re-planned the events scan + daily agg,
+    # and the 7 per-lag branches re-planned the whole window pipeline
+    # (14 events scans / 70 Exchanges in the r11 before-plan).
+    daily = daily.persist()
     stats = daily.agg(
         F.avg("x").alias("mx"), F.stddev_pop("x").alias("sx"),
         F.avg("y").alias("my"), F.stddev_pop("y").alias("sy"),
@@ -2292,24 +2301,44 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "x", *[c.alias(f"y_{k + 3}") for k, c in shifted.items()]
     ).join(F.broadcast(stats))
-    parts = []
+    # all 7 lags in ONE aggregation pass instead of 7 filtered single-row
+    # aggregates unioned (each re-ran the window pipeline). The per-lag
+    # filter yc IS NOT NULL is reproduced exactly by null-skipping
+    # aggregates: avg ignores null products (x null on a lag-valid row
+    # was skipped before too), and the conditional max over the
+    # broadcast constants returns the same constant — or NULL on an
+    # empty lag, as the filtered branch did. Same contributing rows,
+    # same accumulation order: bit-identical r.
+    cols = []
     for k in range(-3, 4):
         yc = F.col(f"y_{k + 3}")
-        parts.append(
-            lagged.filter(yc.isNotNull()).agg(
-                F.max("n").cast("long").alias("n_days"),
-                F.lit(k).cast("long").alias("lag"),
-                F.round(
-                    F.avg((F.col("x") - F.col("mx")) * (yc - F.col("my")))
-                    / (F.max("sx") * F.max("sy")),
-                    6,
-                ).alias("r"),
-            )
+        cols.append(
+            F.max(F.when(yc.isNotNull(), F.col("n")))
+            .cast("long")
+            .alias(f"nd_{k + 3}")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        cols.append(
+            F.round(
+                F.avg((F.col("x") - F.col("mx")) * (yc - F.col("my")))
+                / (
+                    F.max(F.when(yc.isNotNull(), F.col("sx")))
+                    * F.max(F.when(yc.isNotNull(), F.col("sy")))
+                ),
+                6,
+            ).alias(f"r_{k + 3}")
+        )
+    fused = lagged.agg(*cols)
+    rows = F.array(
+        *[
+            F.struct(
+                F.col(f"nd_{k + 3}").alias("n_days"),
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"r_{k + 3}").alias("r"),
+            )
+            for k in range(-3, 4)
+        ]
+    )
+    return fused.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 @query(

@@ -407,19 +407,22 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_assignments(spark: SparkSession, sf_dir: str, subs=None) -> DataFrame:
     """(vec_id, label, m, centroid_id): nearest codebook entry per sub-space.
 
     The codebook is tiny (M*K rows) -> broadcast; the argmin is a
     per-(vec, m) window over K=8 candidates, partitioned on the vector
-    id, so no skew and no global sort anywhere.
+    id, so no skew and no global sort anywhere. Pass a (persisted)
+    ``subs`` to share the sub-vector explode with other branches of the
+    same op instead of re-planning it.
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
-    subs = _pq_subvectors(emb)
+    if subs is None:
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+        subs = _pq_subvectors(emb)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
     )
@@ -495,9 +498,13 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shortlist against exact vectors (simsearch-topk's plan).",
 )
 def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _pq_assignments(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    subs = _pq_subvectors(emb)
+    # persist the sub-vector explode ONCE and share it with the
+    # assignment helper: unpersisted, the explode + slice fan-out
+    # re-planned for assigned / cb / qsubs (4 embeddings scans in the
+    # r11 before-plan).
+    subs = _pq_subvectors(emb).persist()
+    assigned = _pq_assignments(spark, sf_dir, subs=subs)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
     )
@@ -714,6 +721,9 @@ def simsearch_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # NOTE(r11): persisting pos + dist (4 scans -> 1) was tried and
+    # REVERTED — the conf-off sweep measured +22%; the explode replans
+    # are cheaper than caching the position-exploded relation.
     pos = emb.select(
         "vec_id",
         "label",
@@ -840,17 +850,25 @@ _COV_DIMS = 8
 )
 def embed_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # extract the 8 dims as scalar columns ONCE per row: inlined, the
+    # cast(embedding as array<double>) + element_at subtree re-evaluated
+    # ~90x per row inside the 45-function aggregate (visible verbatim in
+    # the r11 before-plan). A Project below an Aggregate is not inlined
+    # back by the optimizer, so the agg update reads 8 ready doubles.
+    # Same cast -> same index -> same multiply: arithmetic unchanged.
     v = as_double(F.col("embedding"))
+    dims = e.select(*[v[i].alias(f"x_{i}") for i in range(_COV_DIMS)])
+    x = [F.col(f"x_{i}") for i in range(_COV_DIMS)]
     aggs = []
     for i in range(_COV_DIMS):
         for j in range(i, _COV_DIMS):
             aggs.append(
-                F.sum(v[i] * v[j]).alias(f"sij_{i}_{j}")
+                F.sum(x[i] * x[j]).alias(f"sij_{i}_{j}")
             )
     for i in range(_COV_DIMS):
-        aggs.append(F.sum(v[i]).alias(f"s_{i}"))
+        aggs.append(F.sum(x[i]).alias(f"s_{i}"))
     aggs.append(F.count("*").alias("n"))
-    flat = e.agg(*aggs)
+    flat = dims.agg(*aggs)
     pairs = [
         F.struct(
             F.lit(i).cast("int").alias("i"),
@@ -1911,7 +1929,9 @@ def embed_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    subs = _pq_subvectors(emb)
+    # persist the sub-vector explode: cb, the scoring join and the
+    # energy aggregate all consume it (3 embeddings scans before)
+    subs = _pq_subvectors(emb).persist()
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("centroid_id"), "m", F.col("sv").alias("cv")
     )

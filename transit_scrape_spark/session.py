@@ -51,6 +51,16 @@ def get_spark(
         # 100 TB, bytesPerCore >> openCost so this floor never binds —
         # it only matters for small single-file local reads.
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # NOTE(r11): spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # = true was TRIED (it lets AQE coalesce cached-plan output, which
+        # helped several small persisted summaries: e.g. isolated
+        # rec-coverage-novelty 2.1 s -> 1.35 s) and REVERTED: it also
+        # coalesces caches that feed parallel-heavy consumers, and
+        # dedup-near-minhash (headline) regressed 1.33 s -> 2.6-3.8 s
+        # consistently across three conf-on sweeps — the persisted
+        # signature relation collapsed to few partitions and serialized
+        # the band self-join. Default (false) keeps cached plans at the
+        # static width.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
