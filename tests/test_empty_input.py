@@ -36,6 +36,12 @@ import pytest
 from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import release_caches
 
+# full-suite tier only (see pytest.ini): one of the exhaustive
+# hostile-axis batteries — re-runs every registered op, so it is
+# excluded from the default driver-budget tier and exercised by the
+# once-per-round full run (pytest -m "").
+pytestmark = pytest.mark.slow
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -29,6 +29,12 @@ from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import release_caches
 from transit_scrape_spark.sources.gauntlet import generate_gauntlet_warehouse
 
+# full-suite tier only (see pytest.ini): one of the exhaustive
+# hostile-axis batteries — re-runs every registered op, so it is
+# excluded from the default driver-budget tier and exercised by the
+# once-per-round full run (pytest -m "").
+pytestmark = pytest.mark.slow
+
 # op_id -> reason. Populated only where the divergence is adjudicated
 # as inherent to the hostile fixture rather than an op bug.
 EXEMPT: dict[str, str] = {}

@@ -35,6 +35,12 @@ from tests.oracle_harness import _norm
 from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import release_caches
 
+# full-suite tier only (see pytest.ini): one of the exhaustive
+# hostile-axis batteries — re-runs every registered op, so it is
+# excluded from the default driver-budget tier and exercised by the
+# once-per-round full run (pytest -m "").
+pytestmark = pytest.mark.slow
+
 # the contrast knobs: every value chosen to maximally perturb physical
 # layout while leaving logical semantics untouched
 _CONTRAST = {

@@ -38,6 +38,12 @@ from transit_scrape_spark.queries.registry import registry
 from transit_scrape_spark.session import release_caches
 from transit_scrape_spark.sources.skewgen import generate_skew_warehouse
 
+# full-suite tier only (see pytest.ini): one of the exhaustive
+# hostile-axis batteries — re-runs every registered op, so it is
+# excluded from the default driver-budget tier and exercised by the
+# once-per-round full run (pytest -m "").
+pytestmark = pytest.mark.slow
+
 _FACT = re.compile(r"\b(events|lineitem|orders)\b")
 
 

@@ -276,6 +276,34 @@ def fact_scan_count(plan: str) -> int:
             n += 1
     return n
 
+
+def per_table_scan_counts(plan: str) -> dict[str, int]:
+    """Scans per fact table — the guide-§2.5 repeated-subtree signature:
+    one table scanned >= 3x in a single plan almost always means a
+    multiply-consumed relation that was not persisted (or a fusable set
+    of per-branch aggregates)."""
+    import re as _re
+
+    counts: dict[str, int] = {}
+    for m in _re.finditer(r"(?:Scan parquet|FileScan)[^\n]*", plan):
+        line = m.group(0)
+        for t in FACT_TABLES:
+            if f"{t}.parquet" in line:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+TABLE_RESCAN_THRESHOLD = 3
+# Ops allowed to scan one fact table >= TABLE_RESCAN_THRESHOLD times,
+# each with the recorded justification (VERDICT r11 task 4). Two legal
+# reasons: (a) the re-scan IS the op's contract (independent arms /
+# probes whose fusion would change what is being compared), or (b) a
+# persist was tried and MEASURED slower — in that case the op carries a
+# NOTE(r11)/NOTE(r12) comment at the decision site with the numbers,
+# and the entry here names it. The stale-pin check flags any entry
+# whose plan no longer re-scans, so this list cannot rot silently.
+MULTI_SCAN_JUSTIFIED: dict[str, str] = {}
+
 # Ops allowed to keep empty-partition (single-task) Window nodes because
 # the frame is BOUNDED — its cardinality is fixed by calendar, bin
 # count, vocabulary of a low-cardinality column, or an explicit prune —
@@ -690,6 +718,7 @@ def main() -> None:
     stream_details = []
     observed_gw: dict[str, int] = {}
     observed_bnlj: dict[str, bool] = {}
+    observed_rescan: dict[str, int] = {}
     for op_id, spec in sorted(registry().items()):
         if op_id.startswith("stream-"):
             try:
@@ -736,6 +765,17 @@ def main() -> None:
             and op_id not in SCAN_FANOUT_OPS
         ):
             flag += f"SCAN-FANOUT({n_scans}) "
+        per_table = per_table_scan_counts(p)
+        worst_t, worst_n = ("", 0)
+        for t, n in per_table.items():
+            if n > worst_n:
+                worst_t, worst_n = t, n
+        observed_rescan[op_id] = worst_n
+        if (
+            worst_n >= TABLE_RESCAN_THRESHOLD
+            and op_id not in MULTI_SCAN_JUSTIFIED
+        ):
+            flag += f"TABLE-RESCAN({worst_t}x{worst_n}) "
         rows.append(
             (
                 op_id,
@@ -760,6 +800,11 @@ def main() -> None:
         op for op in SCALAR_BROADCAST_OPS
         if op in observed_bnlj and not observed_bnlj[op]
     )
+    stale_rescan = sorted(
+        op for op in MULTI_SCAN_JUSTIFIED
+        if op in observed_rescan
+        and observed_rescan[op] < TABLE_RESCAN_THRESHOLD
+    )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"
@@ -777,7 +822,11 @@ def main() -> None:
             "Python-surface ops), GLOBAL-WINDOW (empty-partition Window "
             "over a frame not pinned as bounded in BOUNDED_WINDOW_OPS — "
             "the single-task scale hazard; unbounded frames must use the "
-            "two-phase rank in operators/ranking.py), WATERMARK-MISSING / "
+            "two-phase rank in operators/ranking.py), TABLE-RESCAN "
+            "(one fact table scanned >= 3x in a single plan — the "
+            "repeated-subtree signature; justified ops carry a reason "
+            "in MULTI_SCAN_JUSTIFIED backed by a code NOTE), "
+            "WATERMARK-MISSING / "
             "STATE-UNPINNED / STATE-OVER-BOUND / NO-STREAM-CAPTURED "
             "(streaming state-boundedness checks against "
             "STREAM_STATE_PINS and batch-computed row bounds).\n\n"
@@ -791,7 +840,7 @@ def main() -> None:
             for r in flagged:
                 fh.write(f"| `{r[0]}` | {r[1]} | {r[2]} |\n")
             fh.write("\n")
-        if loose_windows or stale_bnlj:
+        if loose_windows or stale_bnlj or stale_rescan:
             fh.write(
                 "## Stale allowances (hygiene, not failures)\n\n"
                 "Pins looser than the measured plan — tighten or remove:\n\n"
@@ -800,6 +849,11 @@ def main() -> None:
                 fh.write(f"- `{op}`: pinned {pinned} global windows, measured {got}\n")
             for op in stale_bnlj:
                 fh.write(f"- `{op}`: in SCALAR_BROADCAST_OPS but no BNLJ in plan\n")
+            for op in stale_rescan:
+                fh.write(
+                    f"- `{op}`: in MULTI_SCAN_JUSTIFIED but no table is "
+                    f"re-scanned >= {TABLE_RESCAN_THRESHOLD}x\n"
+                )
             fh.write("\n")
         if stream_details:
             fh.write(

@@ -195,15 +195,16 @@ def _ivf_kmeans_oracle() -> str:
     oracle=_ivf_kmeans_oracle(),
     doc="IVF ANN probe with centroids TRAINED by distributed Lloyd "
     "k-means (2 iterations, deterministic vec_id-sampled init): each "
-    "iteration is one groupBy(cell) with 64 element-wise avg aggregates "
-    "(map-side partial aggregation; one shuffle of k x dim partials per "
-    "iteration) followed by an O(k*dim) centroid collect — the MLlib "
-    "KMeans shape, driver traffic independent of corpus size. Squared-L2 "
-    "assignment against broadcast centroid literals is pure codegen. "
-    "Final: query probes only its own cell, exact cosine top-k within. "
-    "Cell is a partition key at scale; centroids round to 9 dp each "
-    "iteration so the DuckDB oracle (same unrolled Lloyd steps) matches "
-    "independent of Spark's partial-agg summation order.",
+    "iteration is ONE Arrow kernel pass that assigns vectors "
+    "(vectorized numpy squared-L2, bit-identical fold order to the "
+    "expression form) and emits per-partition (cell, count, sum) "
+    "partials, then a k x dim shuffle + O(k*dim) centroid collect — "
+    "the MLlib KMeans shape, driver traffic independent of corpus "
+    "size. Final: squared-L2 assignment against broadcast centroid "
+    "literals in codegen; query probes only its own cell, exact "
+    "cosine top-k within. Cell is a partition key at scale; centroids "
+    "round to 9 dp each iteration so the DuckDB oracle (same unrolled "
+    "Lloyd steps) matches independent of partial-agg summation order.",
 )
 def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
@@ -267,19 +268,104 @@ def simsearch_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell = F.element_at(F.array(*[F.lit(c) for c in cells]), pos)
         return df.select("vec_id", "v", cell.cast("bigint").alias("cell"))
 
-    # Lloyd iterations: assignment is lazy/codegen; the update's collect
-    # moves only k*dim doubles to the driver (MLlib KMeans does the
-    # same). The per-cell mean goes through posexplode -> groupBy(cell,
-    # idx) rather than 64 avg(v[i]) aggregates in one node: a 64-wide
-    # element_at agg tree falls out of whole-stage codegen and ran
-    # interpreted (measured 2x slower, r11); the explode form shuffles
-    # the same k*dim partials after map-side combine.
+    # Lloyd iterations: ONE Arrow kernel per iteration computes the
+    # assignment AND the per-partition (cell, count, sum-vector)
+    # partials in vectorized numpy — the MLlib KMeans shape (partial
+    # aggregation per partition, a k x dim shuffle, an O(k*dim)
+    # driver collect). r11's HOF form (transform/aggregate/zip_with
+    # over broadcast centroid literals) is an INTERPRETED expression
+    # tree — ~20M lambda evaluations per pass dominated the op (guide
+    # §4.2: hand whole batches to native code). The kernel's distance
+    # fold adds (v[i]-c[i])^2 in ascending-i order, bit-identical to
+    # the zip_with/aggregate fold it replaces, and NaN/argmin
+    # tie-breaking mirrors array_min/array_position (NaN never wins
+    # unless every distance is NaN; first minimum = lowest cell).
+    # Per-cell means stay round(sum/count, 9), absorbing partial-order
+    # drift exactly as before. The final probe assignment below keeps
+    # the expression path (one pass; its output feeds codegen cosine).
+    def lloyd_partials(cs: list[list[float]]):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cs, dtype=np.float64)  # k x DIM
+        k = C.shape[0]
+
+        def fn(batches):
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, DIM), dtype=np.float64)
+            import pyarrow.compute as pc
+
+            for b in batches:
+                col = b.column(b.schema.get_field_index("v"))
+                if (
+                    col.null_count == 0
+                    and len(col) > 0
+                    and pc.min(pc.list_value_length(col)).as_py() == DIM
+                    and pc.max(pc.list_value_length(col)).as_py() == DIM
+                    and col.flatten().null_count == 0
+                ):
+                    # rectangular, null-free: zero-copy reshape
+                    V = col.flatten().to_numpy(
+                        zero_copy_only=False
+                    ).reshape(-1, DIM)
+                else:
+                    # rows that would assign to a NULL cell in the
+                    # expression form (wrong length / null element)
+                    # contribute to no mean — drop them
+                    rows = col.to_pylist()
+                    ok = [
+                        r for r in rows
+                        if r is not None and len(r) == DIM
+                        and all(x is not None for x in r)
+                    ]
+                    if not ok:
+                        continue
+                    V = np.asarray(ok, dtype=np.float64)  # n x DIM
+                D = np.zeros((V.shape[0], k), dtype=np.float64)
+                for i in range(DIM):  # ascending-i fold = zip_with order
+                    d = V[:, i, None] - C[None, :, i]
+                    D += d * d
+                valid = ~np.isnan(D)
+                Dm = np.where(valid, D, np.inf)
+                mv = Dm.min(axis=1)
+                eq = (Dm == mv[:, None]) & valid
+                idx = eq.argmax(axis=1)  # first minimum (lowest cell)
+                idx[~valid.any(axis=1)] = 0  # all-NaN: first position
+                for j in range(k):
+                    m = idx == j
+                    if m.any():
+                        cnt[j] += int(m.sum())
+                        sums[j] += V[m].sum(axis=0)
+            present = cnt > 0
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "cell": int(cells[j]),
+                        "cnt": int(cnt[j]),
+                        "sums": [float(x) for x in sums[j]],
+                    }
+                    for j in range(k)
+                    if present[j]
+                ],
+                schema=pa.schema(
+                    [
+                        ("cell", pa.int64()),
+                        ("cnt", pa.int64()),
+                        ("sums", pa.list_(pa.float64())),
+                    ]
+                ),
+            )
+
+        return fn
+
     for _ in range(KMEANS_ITERS):
-        assigned = assign(vecs, cents)
+        partials = vecs.select("v").mapInArrow(
+            lloyd_partials(cents), "cell long, cnt long, sums array<double>"
+        )
         mrows = (
-            assigned.select("cell", F.posexplode("v").alias("idx", "val"))
+            partials.select("cell", "cnt", F.posexplode("sums").alias("idx", "val"))
             .groupBy("cell", "idx")
-            .agg(F.round(F.avg("val"), 9).alias("m"))
+            .agg(F.round(F.sum("val") / F.sum("cnt"), 9).alias("m"))
             .collect()
         )
         got: dict[int, list] = {}

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -783,14 +784,19 @@ def analytics_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hour = F.expr("INTERVAL 1 HOUR")
-    # NOTE(r11): persisting v/c (6 scans -> 3) was tried and REVERTED —
-    # the conf-off sweep measured a 5x outlier and the conf-on runs sat
-    # at parity; the per-user replans are cheap and cache machinery
-    # only adds variance here.
+    # persist the per-stage survivor summaries: v feeds the click join
+    # AND the funnel count, c feeds the purchase join AND its count (6
+    # events scans unpersisted). r11's attempt cached them at the
+    # static 32-partition width and reverted on variance; the cached
+    # shape now coalesces to summary width (session.cache_width) while
+    # the grouped-min exchanges keep the full user_id spread.
+    w = cache_width(spark)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .coalesce(w)
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -801,6 +807,8 @@ def funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .coalesce(w)
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1650,10 +1658,18 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def analytics_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # NOTE(r11): persisting du (3 scans -> 1) was tried and REVERTED —
-    # the conf-off sweep measured +50%; the distinct replans are
-    # cheaper than the cache machinery.
-    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # persist the distinct (day, user) pair summary: spine, dau and the
+    # 30-day range-join probe all re-consumed it (3 events scans). The
+    # dedup exchange stays keyed on (day, user) — the scale-safe spread
+    # — and only the CACHED shape coalesces to summary width (r11's
+    # attempt cached at the static 32-partition width and measured +50%;
+    # see session.cache_width).
+    du = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .coalesce(cache_width(spark))
+        .persist()
+    )
     spine = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     p = du.select(F.col("day").alias("pday"), "user_id")
@@ -3386,8 +3402,16 @@ def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): firsts feeds the activity join AND the cohort rollup,
     # activity feeds the age universe AND the active counts —
     # unpersisted each consumer re-planned the purchase scan + rollups
-    # (7 events scans / 36 Exchanges in the r11 before-plan)
-    firsts = p.groupBy("user_id").agg(F.min("day").alias("d0")).persist()
+    # (7 events scans / 36 Exchanges in the r11 before-plan). The
+    # cached shapes coalesce to summary width (session.cache_width):
+    # at the session's static 32-partition cache width this op measured
+    # 1.43 s conf-off vs 0.92 s with AQE-coalesced caches (r11).
+    w = cache_width(spark)
+    firsts = (
+        p.groupBy("user_id").agg(F.min("day").alias("d0"))
+        .coalesce(w)
+        .persist()
+    )
     maxd = ev.agg(F.max(F.to_date("ts")).alias("md"))
     activity = (
         p.join(firsts, "user_id")
@@ -3396,6 +3420,7 @@ def analytics_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("d0")).cast("long").alias("age"),
         )
         .distinct()
+        .coalesce(w)
         .persist()
     )
     cohorts = (
@@ -4216,12 +4241,20 @@ def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # NOTE(r11): persisting ud (5 scans -> 1) was tried and REVERTED —
-    # the conf-off sweep measured +66%; the distinct replans are
-    # cheaper than the cache machinery.
-    ud = ev.select(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).distinct()
+    # persist the distinct (user, day, type) unit relation
+    # CO-PARTITIONED on (user, day): hash(user_id, day) co-locates
+    # equal triples, so the dedup adds no second exchange, the
+    # user-day self-join below reads both sides from the cache with
+    # zero join exchanges, and tot's (user, day) distinct needs no
+    # exchange either. r11's plain distinct().persist() cached at the
+    # static 32-partition width measured +66% and was reverted; this
+    # is the width-controlled co-partitioned form (session.cache_width).
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .repartition(cache_width(spark), "user_id", "day")
+        .dropDuplicates(["user_id", "day", "event_type"])
+        .persist()
+    )
     tot = ud.select("user_id", "day").distinct().agg(F.count("*").alias("n"))
     marg = ud.groupBy("event_type").agg(F.count("*").alias("n_days"))
     a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))

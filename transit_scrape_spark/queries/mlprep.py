@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -123,10 +124,17 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # one scan builds the per-type totals; the global prior mu =
+    # sum(s)/sum(count(value)) is DERIVED from them instead of a second
+    # full scan (avg ignores nulls, so the null-aware count is carried
+    # alongside; regrouping the sum only moves float last-bits, the
+    # same drift class as partition-order variation)
     tot = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("s")
-    )
-    prior = ev.agg(F.avg("value").alias("mu"))
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.count("value").alias("nn"),
+    ).coalesce(1).persist()  # bounded by the event-type vocabulary
+    prior = tot.agg((F.sum("s") / F.sum("nn")).alias("mu"))
     e = (
         ev.join(F.broadcast(tot), "event_type")
         .crossJoin(F.broadcast(prior))
@@ -220,14 +228,25 @@ def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(
-        F.log(1 + F.count("*")).alias("x"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    # persist the per-user design matrix: each IRLS step plus the final
+    # log-loss pass re-consumes it (3 events scans + 3 per-user rollups
+    # unpersisted). Cached at summary width (session.cache_width) so the
+    # cache machinery does not drag 32 near-empty partitions through
+    # build and readers (the r11 static-width trap).
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.log(1 + F.count("*")).alias("x"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
         )
-        .cast("double")
-        .alias("y"),
-    ).select("x", "y")
+        .select("x", "y")
+        .coalesce(cache_width(spark))
+        .persist()
+    )
     s1 = pu.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x").alias("sx"),
@@ -378,13 +397,21 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 7 == 0
     )
-    # NOTE(r11): persisting items + freq was tried (4 scans -> 1) and
-    # REVERTED — two consecutive sweeps (+86%, +18%) measured the
-    # distinct-relation cache build costing more than the pruned
-    # replans (freq's consumers prune to item only).
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # persist the distinct basket-item relation CO-PARTITIONED on the
+    # basket key (same shape as rec-coverage-novelty, which rides this
+    # op's plan): one hash(ok) exchange, per-key dedup with no second
+    # exchange, and the co-basket self-join reads both sides from the
+    # cache with zero join exchanges. r11's plain distinct().persist()
+    # at static 32-partition cache width measured +86%/+18% and was
+    # reverted; the width-controlled co-partitioned form is different.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+        )
+        .repartition(cache_width(spark), "ok")
+        .dropDuplicates(["ok", "item"])
+        .persist()
+    )
     freq = items.groupBy("item").agg(F.count("*").cast("double").alias("n"))
     a = items.select("ok", F.col("item").alias("ia"))
     b = items.select(F.col("ok").alias("ok2"), F.col("item").alias("ib"))
@@ -583,13 +610,23 @@ def rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") % 7 == 0
     )
-    # NOTE(r11): persisting items + freq was tried (10 scans -> 1) and
-    # REVERTED — ABBA (+70%) and two consecutive sweeps (+109%, +35%)
-    # agreed the cache builds cost more than the column-pruned replans
-    # (most freq consumers prune items to the single item column).
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # persist the distinct basket-item relation CO-PARTITIONED on the
+    # basket key: repartition(w, ok) then per-key dedup (hash(ok)
+    # co-locates equal (ok, item) pairs, so dropDuplicates adds no
+    # second exchange) means the co-basket self-join below reads both
+    # sides from one cache already partitioned on its join key — zero
+    # join exchanges. r11 tried a plain distinct().persist() (cache at
+    # the static 32-partition width, join still re-shuffling both
+    # sides) and measured it LOSING (+70% ABBA); the width-controlled
+    # co-partitioned form is the shape that wins.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+        )
+        .repartition(cache_width(spark), "ok")
+        .dropDuplicates(["ok", "item"])
+        .persist()
+    )
     freq = items.groupBy("item").agg(F.count("*").cast("double").alias("n"))
     tot = freq.agg(
         F.sum("n").alias("z"), F.count("*").cast("double").alias("n_items")
@@ -935,12 +972,15 @@ def ml_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x3"),
     )
+    # persist the 1-row correlation summary: each per-feature union
+    # branch below re-planned the events scan + per-user rollup (3
+    # fact scans for one 4-cell aggregate)
     c = pu.agg(
         F.corr("x1", "x2").alias("r12"),
         F.corr("x1", "x3").alias("r13"),
         F.corr("x2", "x3").alias("r23"),
         F.count("*").cast("long").alias("n"),
-    )
+    ).coalesce(1).persist()
     r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
     r2_1 = (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23) / (1 - r23 * r23)
     r2_2 = (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13) / (1 - r13 * r13)
@@ -1073,7 +1113,10 @@ def ml_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_samp("x1", "y").alias("sy1"),
         F.covar_samp("x2", "y").alias("sy2"),
         F.var_samp("y").alias("syy"),
-    )
+    ).coalesce(1).persist()
+    # ^ persist the 1-row moments summary: each per-term union branch
+    # below re-planned the events scan + per-user rollup (3 fact scans
+    # for one 10-cell aggregate)
     n, mx1, mx2, my = F.col("n"), F.col("mx1"), F.col("mx2"), F.col("my")
     s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
     sy1, sy2, syy = F.col("sy1"), F.col("sy2"), F.col("syy")
@@ -1280,6 +1323,10 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             slot.alias("slot"),
         )
+        # summary width (session.cache_width): cached at the session's
+        # static 32-partition width the five near-empty-partition
+        # consumers each dragged 32-task exchanges (the r11 trap)
+        .coalesce(cache_width(spark))
     ).persist()
     tr = base.filter(F.col("slot") < 4)
     te = base.filter(F.col("slot") >= 4)
@@ -1510,9 +1557,11 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = string_hash(
         F.concat(F.col("user_id").cast("string"), F.lit(_LC_SALT))
     ) % 100
-    # NOTE(r11): persisting base (6 scans -> 2) was tried and REVERTED
-    # — the conf-off sweep measured +49%; the per-user replans are
-    # cheaper than the cache machinery.
+    # persist the per-user feature/label summary: the 5-fraction
+    # broadcast fan-out AND the held-out test slice both re-consumed it
+    # (6 events scans). r11's attempt cached it at the static
+    # 32-partition width and measured +49%; the cached shape now
+    # coalesces to summary width (session.cache_width).
     base = ev_np.join(lab, "user_id").select(
         "user_id",
         F.when(F.col("mv") < 48, "lo")
@@ -1521,7 +1570,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_val"),
         "label",
         h.alias("h"),
-    )
+    ).coalesce(cache_width(spark)).persist()
     fr = spark.createDataFrame(
         [(16,), (32,), (48,), (64,), (80,)], ["frac"]
     )

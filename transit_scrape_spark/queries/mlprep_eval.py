@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -760,9 +761,14 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("slot"),
     )
-    # NOTE(r11): persisting tagged + lg (4 scans -> 1) was tried and
-    # REVERTED — the conf-off sweep measured +43%; the pruned replans
-    # are cheaper than the event-width cache build.
+    # persist the tagged event projection (train pass + test pass both
+    # consume it) and, below, the <=24-row bin summary (the WLS moment
+    # pass and the final slope pass both consume THAT, replaying the
+    # whole rate/bin chain). r11 tried this pair at the static
+    # 32-partition cache width and reverted (+43%); the cached shapes
+    # now size to the data (session.cache_width for the event-width
+    # relation, one partition for the bounded bin summary).
+    tagged = tagged.coalesce(cache_width(spark)).persist()
     rates = (
         tagged.filter(F.col("slot") < 4)
         .groupBy("h")
@@ -784,7 +790,7 @@ def ml_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("obar") * F.col("n_k") + 0.5)
             / ((1 - F.col("obar")) * F.col("n_k") + 0.5)
         ).alias("z"),
-    )
+    ).coalesce(1).persist()  # <= 24 forecast bins at any scale
     m = lg.agg(
         F.sum("n_k").alias("sw"),
         (F.sum(F.col("n_k") * F.col("x")) / F.sum("n_k")).alias("mx"),

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -567,6 +568,11 @@ def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("double").alias("x"),
         F.col("value").alias("y"),
     )
+    # persist the BOUNDED per-group moments (<= #event_types rows at
+    # any scale): the pooled rollup and the per-group output both
+    # re-consumed them, re-planning the events scan (3 scans -> 2; the
+    # total-moments pass keeps its own scan — deriving it from group
+    # moments would change the float path under the 4-dp F statistic)
     per_g = obs.groupBy("g").agg(
         F.count("*").cast("double").alias("n_g"),
         F.avg("x").alias("xbar_g"),
@@ -574,7 +580,7 @@ def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.count("*") - 1) * F.var_samp("x")).alias("sxx_g"),
         ((F.count("*") - 1) * F.covar_samp("x", "y")).alias("sxy_g"),
         ((F.count("*") - 1) * F.var_samp("y")).alias("syy_g"),
-    )
+    ).coalesce(1).persist()
     pooled = per_g.agg(
         F.sum("n_g").alias("n"),
         F.count("*").cast("double").alias("k"),
@@ -660,11 +666,14 @@ def stats_ancova(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # persist the BOUNDED per-group summary (<= #event_types rows at
+    # any scale): the MSE rollup and both sides of the pairwise
+    # broadcast join re-consumed it (3 events scans -> 1)
     grp = ev.groupBy(F.col("event_type").alias("g")).agg(
         F.count("*").cast("double").alias("n_g"),
         F.avg("value").alias("m_g"),
         ((F.count("*") - 1) * F.var_samp("value")).alias("ss_g"),
-    )
+    ).coalesce(1).persist()
     mse = grp.agg(
         (F.sum("ss_g") / (F.sum("n_g") - F.count("*"))).alias("mse"),
         (F.sum("n_g") - F.count("*")).alias("df_err"),
@@ -991,13 +1000,21 @@ def timeseries_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").cast("double").alias("y")
+    # persist the CALENDAR-BOUNDED daily rollup (<= ~3650 rows at any
+    # scale) as ONE cached partition: every downstream stage (OLS fit,
+    # residual window, rho, the transformed re-fit) re-consumed it, so
+    # unpersisted the plan scanned events 14 times. r11 tried persisting
+    # pts/res at the session's static 32-partition cache width and
+    # measured the cache machinery LOSING (+23% ABBA); coalesce(1)
+    # removes that width drag — the relation is a bounded summary, so a
+    # single partition is the scale-correct cache shape (r12 ABBA -47%).
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+        .coalesce(1)
+        .persist()
     )
     d0 = daily.agg(F.min("d").alias("d0"))
-    # NOTE(r11): persisting pts/res (14 scans -> 2) was tried and
-    # REVERTED — ABBA (+23%) and the conf-off sweep (+30%) measured the
-    # cache machinery costing more than the tiny per-day replans.
     pts = daily.crossJoin(F.broadcast(d0)).select(
         F.datediff("d", "d0").cast("double").alias("t"), "y"
     )
@@ -1227,13 +1244,20 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("d0"),
         (F.datediff(F.max("d"), F.min("d")) / 2).cast("long").alias("t0"),
     )
-    # NOTE(r11): persisting pts (4 scans -> 2) was tried and REVERTED —
-    # the conf-off sweep measured +42%; the per-day replans are cheaper
-    # than the cache machinery.
-    pts = daily.crossJoin(F.broadcast(bounds)).select(
-        F.datediff("d", "d0").cast("double").alias("t"),
-        "y",
-        (F.datediff("d", "d0") >= F.col("t0")).cast("int").alias("post"),
+    # persist the CALENDAR-BOUNDED regression points (<= ~3650 rows at
+    # any scale) as ONE cached partition: the per-segment and pooled
+    # fits both re-consume them (4 events scans unpersisted). r11 tried
+    # this persist at the static 32-partition cache width and reverted
+    # (+42%); one bounded-summary partition removes the width drag.
+    pts = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff("d", "d0").cast("double").alias("t"),
+            "y",
+            (F.datediff("d", "d0") >= F.col("t0")).cast("int").alias("post"),
+        )
+        .coalesce(1)
+        .persist()
     )
 
     def sse_expr():
@@ -1789,6 +1813,12 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("user_id") % 4).cast("long").alias("seg"), "x"
         )
+        # persist the per-user spend summary: the grand moments, the
+        # per-segment means and the within-segment entropy pass all
+        # re-consumed it (3 events scans -> 1); summary cache width
+        # per session.cache_width
+        .coalesce(cache_width(spark))
+        .persist()
     )
     g = pu.agg(
         F.avg("x").alias("mu"), F.count("*").cast("double").alias("n")
@@ -1887,12 +1917,21 @@ def timeseries_seasonal_mann_kendall(
         F.count("*").cast("double").alias("y")
     )
     d0 = daily.agg(F.min("d").alias("d0"))
-    # NOTE(r11): persisting keyed (6 scans -> 2) was tried and REVERTED
-    # — the conf-off sweep measured +16%; per-day replans are cheaper.
-    keyed = daily.crossJoin(F.broadcast(d0)).select(
-        F.dayofweek("d").alias("dow"),
-        F.floor(F.datediff("d", "d0") / 7).cast("long").alias("wk"),
-        "y",
+    # persist the CALENDAR-BOUNDED keyed series (<= ~3650 rows at any
+    # scale) as ONE cached partition: both sides of the within-season
+    # pairwise join and the per-season counts re-consume it (6 events
+    # scans unpersisted). r11 tried this persist at the static
+    # 32-partition cache width and reverted (+16%); one bounded-summary
+    # partition removes the width drag.
+    keyed = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(
+            F.dayofweek("d").alias("dow"),
+            F.floor(F.datediff("d", "d0") / 7).cast("long").alias("wk"),
+            "y",
+        )
+        .coalesce(1)
+        .persist()
     )
     a = keyed.select(
         F.col("dow").alias("a_dow"), F.col("wk").alias("a_wk"),
@@ -2254,11 +2293,17 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.hour("ts") / 6).cast("int").alias("g"),
         F.round("value", 2).alias("v"),
     )
-    # NOTE(r11): persisting cells (5 scans -> 2) was tried and REVERTED
-    # — the conf-off sweep measured +26%; the cell replans are cheaper
-    # than the cache machinery at this cardinality.
-    cells = obs.groupBy("g", "v").agg(
-        F.count("*").cast("double").alias("c")
+    # persist the per-(group, bin) cell counts: the group/value
+    # universes, the densified grid and the pairwise b-side all
+    # re-consume them (5 events scans unpersisted). r11 tried this
+    # persist at the static 32-partition cache width and reverted
+    # (+26%); the cached shape now coalesces to summary width
+    # (session.cache_width), which removes the width drag.
+    cells = (
+        obs.groupBy("g", "v")
+        .agg(F.count("*").cast("double").alias("c"))
+        .coalesce(cache_width(spark))
+        .persist()
     )
     # Densify onto the full (group x distinct-value) grid: the cumulative
     # "below" count must exist at every value for every group, or b-cells

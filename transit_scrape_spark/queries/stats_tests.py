@@ -67,9 +67,12 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
+    # persist the BOUNDED contingency cells (<= #event_types x 4 rows
+    # at any scale): both densify-universe projections and the grid
+    # join re-consumed them (3 events scans -> 1)
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 4).cast("long").alias("seg")
-    ).agg(F.count("*").alias("obs"))
+    ).agg(F.count("*").alias("obs")).coalesce(1).persist()
     # densify: empty cells contribute E to chi2 (see oracle note)
     grid = (
         cells.select("event_type").distinct()
@@ -2449,11 +2452,17 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # NOTE(r11): persisting daily + cells (4 scans -> 1) was tried and
-    # REVERTED — the conf-off sweep measured +89%; the per-day replans
-    # are cheaper than two chained cache builds.
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.avg("value").alias("m")
+    # persist the BOUNDED (type, day) rollup (<= #types x ~3650 rows at
+    # any scale) as ONE cached partition: the grand median and the
+    # above-median cell counts both re-consume it (4 events scans
+    # unpersisted). r11 tried daily+cells at the static 32-partition
+    # cache width and reverted (+89%); a single bounded-summary
+    # partition removes the width drag.
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("m"))
+        .coalesce(1)
+        .persist()
     )
     med = daily.agg(F.median("m").alias("gm"))
     cells = daily.join(F.broadcast(med)).groupBy("event_type").agg(

@@ -69,6 +69,31 @@ def get_spark(
     return spark
 
 
+def cache_width(spark: SparkSession, divisor: int = 4, floor: int = 8) -> int:
+    """Partition count for a persisted summary-level relation.
+
+    An InMemoryRelation keeps the static shuffle-partition count
+    (`canChangeCachedPlanOutputPartitioning` is false by default — see
+    the NOTE in get_spark): a small persisted summary built under a
+    32-partition session is stored as 32 near-empty partitions and
+    every consumer drags 32-task exchanges through build and read. AQE
+    would coalesce the uncached plan by observed bytes; this helper is
+    the cached-plan equivalent the optimizer cannot apply itself
+    (r11 measured ~15 persists flipping from regression to win once
+    their cache width was allowed to shrink).
+
+    max(floor, defaultParallelism // divisor) scales with the cluster —
+    on local[32] it is 8; on a 2 000-core cluster, 500 — so it is a
+    width POLICY, not a local[32] constant. Use it for relations that
+    scale with the data but are summary-sized (per-user/per-item
+    rollups). Relations bounded by calendar/vocabulary (<= ~10k rows at
+    ANY scale) can use an explicit coalesce(1) instead; relations whose
+    consumers are compute-bound (e.g. a self-join fan-out) should keep
+    the full session width.
+    """
+    return max(floor, spark.sparkContext.defaultParallelism // divisor)
+
+
 def release_caches(spark: SparkSession) -> int:
     """Drop every cached/persisted relation from the session.
 
