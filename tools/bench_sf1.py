@@ -141,6 +141,23 @@ R7_GRAPH = [
     "graph-hits-scores",
     "graph-rich-club",
 ]
+# r12: the heaviest consumers of the r11/r12 width-controlled persists
+# (VERDICT r11 task 1) — pins that the persisted relations' cache
+# build / memory cost does not invert the win at 10x data
+R12_PERSIST = [
+    "dedup-minhash-estimation-error",
+    "eval-bm25-topk",
+    "analytics-ltv-projection",
+    "analytics-retention-decay-fit",
+    "timeseries-lttb-downsample",
+    "ml-logistic-irls",
+    "rec-coverage-novelty",
+    "rec-item-item-cosine",
+    "event-cooccurrence-lift",
+    "event-audience-overlap",
+    "timeseries-cochrane-orcutt",
+    "simsearch-ivf-probe",
+]
 
 
 def main() -> None:
@@ -155,7 +172,8 @@ def main() -> None:
     # appear in two waves, and a second (warmer-session) run would silently
     # overwrite the first timing in the results dict
     for op in dict.fromkeys(EXPENSIVE + LSH_DEDUP + R4_HEAVY + R5_REWORKED
-                            + R5_NEW + R5_WAVE2 + R6_PERSIST + R7_GRAPH):
+                            + R5_NEW + R5_WAVE2 + R6_PERSIST + R7_GRAPH
+                            + R12_PERSIST):
         if op not in reg:
             print(f"# {op}: not registered, skipped", file=sys.stderr)
             continue

@@ -85,6 +85,9 @@ OPS = [
     "graph-two-hop-neighbors",
     "dedup-near-minhash",
     "dedup-near-embedding-lsh",
+    # r12: the §3.4-pre-filtered estimation op (documents-only, so this
+    # decade's fixtures cover it — VERDICT r11 task 1 named it)
+    "dedup-minhash-estimation-error",
     "text-heaps-law",
     "text-burrows-delta",
     "eval-bm25-topk",

@@ -9,10 +9,14 @@ lineitem.l_partkey -> part, ...) holds across copies and per-key
 cardinalities match the original distribution exactly (each order still
 has the same lineitems, each customer the same orders).
 
-Text/embedding payloads are PERTURBED per copy (prefix token / small
-deterministic vector offset): 10 verbatim clones of every document
-would hand the near-dup ops a quadratic candidate blowup by
-construction, which is a property of degenerate input, not of scale.
+Text/embedding payloads are PERTURBED per copy (every 3rd token
+copy-tagged / copy-specific vector offset at norm magnitude): clones
+of every document that stay shingle- or cosine-similar across copies
+would hand the near-dup ops a quadratic candidate AND OUTPUT blowup by
+construction, which is a property of degenerate input, not of scale
+(r12: the original prefix-token form left copies ~99% shingle-identical
+and dedup-near-minhash paid copies^2 output rows at sf10 — 23.7x for
+10x data).
 
 nation/region keep their fixed 25/5 rows (dims, per TPC-H).
 
@@ -89,24 +93,57 @@ def main() -> None:
                 c, (F.col(c) + F.col("_copy") * strides[col_space[c]]).cast(dt)
             )
         if t == "documents":
-            # perturb: distinct shingle stream per copy, same length stats
+            # perturb: tag every 3rd TOKEN with the copy id so every
+            # 3-token shingle contains a copy-specific token — cross-copy
+            # shingle overlap (and hence minhash/LSH similarity) drops to
+            # ~0 while length stats and within-copy near-dup structure
+            # are preserved. (r12: the previous single PREFIX token left
+            # copies ~99% shingle-identical, handing shingle-level
+            # near-dup ops a copies^2 candidate/output blowup at sf10 —
+            # exactly the degenerate-input artifact this perturbation
+            # exists to prevent; dedup-near-minhash measured 23.7x at
+            # the 10x decade from output rows alone.)
             out = out.withColumn(
                 "text",
                 F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                    F.concat(F.lit("c"), F.col("_copy").cast("string"),
-                             F.lit(" "), F.col("text"))
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w, i: F.when(
+                                i % 3 == 0,
+                                F.concat(
+                                    w, F.lit("c"),
+                                    F.col("_copy").cast("string"),
+                                ),
+                            ).otherwise(w),
+                        ),
+                        " ",
+                    )
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         if t == "embeddings":
-            # deterministic small offset so copies aren't cosine-identical
+            # deterministic copy-specific offset with magnitude on the
+            # order of the vector norm, direction varying per copy —
+            # cross-copy cosine falls well below ANN/near-dup thresholds
+            # (r12: the previous +-0.003*copy pattern left adjacent
+            # copies cosine~1, the same copies^2 cluster artifact as the
+            # prefix-token text perturbation). Copy 0 stays verbatim.
             out = out.withColumn(
                 "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, i: (
-                        x + F.col("_copy").cast("float") * 0.003
-                        * ((i % 7) - 3).cast("float")
-                    ).cast("float"),
+                F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            + 0.8
+                            * (
+                                (
+                                    (i * 31 + F.col("_copy") * 17) % 13
+                                ).cast("float")
+                                - 6.0
+                            )
+                        ).cast("float"),
+                    )
                 ),
             )
         return out.drop("_copy")

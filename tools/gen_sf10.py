@@ -11,10 +11,13 @@ full warehouse 100x would cost ~100M event rows for ops that never
 read them.
 
 Method matches tools/gen_sf1.py: 100 copies via broadcast cross join,
-ids shifted by copy*stride, text given a distinct per-copy prefix
-token and embeddings a small deterministic per-copy offset so near-dup
-and ANN candidate generation see realistic (non-degenerate) input
-rather than verbatim clones.
+ids shifted by copy*stride, every 3rd text token copy-tagged and
+embeddings given a copy-specific offset at vector-norm magnitude so
+near-dup and ANN candidate generation see realistic (non-degenerate)
+input rather than shingle-/cosine-level clones (r12: the earlier
+prefix-token / tiny-offset perturbation left cross-copy similarity
+above the ops' thresholds, so candidate AND output sizes grew
+copies^2 — dedup-near-minhash hit 23.7x at this decade).
 
 Output: $OUT (default /root/repo/.sf10). Idempotent: skips tables whose
 output already exists unless FORCE=1.
@@ -119,28 +122,49 @@ def main() -> None:
             key, (F.col(key) + F.col("_copy") * F.lit(stride)).cast(dt)
         )
         if t == "documents":
+            # tag every 3rd TOKEN with the copy id (see tools/gen_sf1.py
+            # — the single prefix token left copies ~99% shingle-identical
+            # and blew shingle-level near-dup ops up copies^2-fold:
+            # dedup-near-minhash measured 23.7x at this decade from
+            # output rows alone, a degenerate-input artifact)
             out = out.withColumn(
                 "text",
                 F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.lit("c"),
-                        F.col("_copy").cast("string"),
-                        F.lit(" "),
-                        F.col("text"),
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w, i: F.when(
+                                i % 3 == 0,
+                                F.concat(
+                                    w, F.lit("c"),
+                                    F.col("_copy").cast("string"),
+                                ),
+                            ).otherwise(w),
+                        ),
+                        " ",
                     )
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         else:
+            # copy-specific offset at vector-norm magnitude (see
+            # tools/gen_sf1.py): cross-copy cosine falls below ANN
+            # thresholds instead of sitting at ~1
             out = out.withColumn(
                 "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, i: (
-                        x
-                        + F.col("_copy").cast("float")
-                        * 0.0003
-                        * ((i % 7) - 3).cast("float")
-                    ).cast("float"),
+                F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            + 0.8
+                            * (
+                                (
+                                    (i * 31 + F.col("_copy") * 17) % 13
+                                ).cast("float")
+                                - 6.0
+                            )
+                        ).cast("float"),
+                    )
                 ),
             )
         out.drop("_copy").repartition(32).write.mode("overwrite").parquet(dest)

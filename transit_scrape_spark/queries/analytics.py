@@ -1601,9 +1601,12 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # persist the per-user cohort assignment: the cohort sizes and the
+    # purchase join both re-consumed it (3 events scans -> 2); summary
+    # cache width per session.cache_width
     first = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
-    )
+    ).coalesce(cache_width(spark)).persist()
     sizes = first.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2153,7 +2156,17 @@ def analytics_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # persist the distinct (type, user) relation CO-PARTITIONED on
+    # user_id: hash(user_id) co-locates equal pairs so the dedup needs
+    # no second exchange, and the audience self-join below reads both
+    # sides from the cache with zero join exchanges (3 events scans ->
+    # 1); summary cache width per session.cache_width
+    tu = (
+        ev.select("event_type", "user_id")
+        .repartition(cache_width(spark), "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .persist()
+    )
     sizes = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")
@@ -3994,6 +4007,9 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     coal = per_user.groupBy(
         (F.col("c") * 4 + F.col("v") * 2 + F.col("s")).alias("mask")
     ).agg(F.avg(F.col("converted").cast("double")).alias("rate"))
+    # persist the 1-row coalition pivot: each per-channel union branch
+    # below re-planned the events scan + per-user rollup (3 fact scans
+    # for one 8-cell literal-math row)
     piv = coal.agg(
         *[
             F.coalesce(
@@ -4001,7 +4017,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"v{m:03b}")
             for m in range(8)
         ]
-    )
+    ).coalesce(1).persist()
     c = lambda name: F.col(name)  # noqa: E731
     click = (
         2 * (c("v100") - c("v000")) + (c("v110") - c("v010"))

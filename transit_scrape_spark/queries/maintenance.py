@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.operators.dedup import sql_string_hash
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.fixtures import fixture_dir
 from transit_scrape_spark.sources.tables import load_table
 
@@ -473,10 +474,12 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
-    # NOTE(r11): persisting the classified diff was tried (6 orders
-    # scans -> 2) and REVERTED — two consecutive sweeps (+147%, +109%)
-    # measured the full-width cache build costing more than the three
-    # branch replans, each of which prunes to two columns.
+    # persist the classified diff: the three row-action branches each
+    # re-ran the full-outer join (6 orders scans -> 2). r11 tried this
+    # at the session's static 32-partition cache width and reverted
+    # (+147%/+109% sweeps); the cached shape now coalesces to summary
+    # width (session.cache_width), which removes the width drag.
+    diff = diff.coalesce(cache_width(spark)).persist()
     closed = diff.filter(F.col("change_type").isin("update", "delete")).select(
         F.col("k").alias("o_orderkey"),
         F.col("old_price").alias("price"),

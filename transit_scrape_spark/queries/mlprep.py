@@ -1449,9 +1449,12 @@ _CB_SALT = ":classbal-salt-r5"
 )
 def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # persist the BOUNDED per-language counts (<= #langs rows at any
+    # scale): the min and the keep-rate join both re-consumed them
+    # (3 documents scans -> 2)
     counts = d.groupBy("lang").agg(
         F.count("*").cast("double").alias("n_c")
-    )
+    ).coalesce(1).persist()
     m = counts.agg(F.min("n_c").alias("m"))
     keep = (
         string_hash(

@@ -443,9 +443,12 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # persist the BOUNDED contingency cells (<= #langs x #sources rows
+    # at any scale): the margin windows and both reciprocal-margin
+    # rollups re-consumed them (3 documents scans -> 1)
     cells = d.groupBy("lang", "source").agg(
         F.count("*").cast("double").alias("obs")
-    )
+    ).coalesce(1).persist()
     tot = cells.select(
         "lang",
         "source",
@@ -1130,9 +1133,12 @@ def stats_cohen_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ra"),
         F.when(spaces < 40, 0).when(spaces < 70, 1).otherwise(2).alias("rb"),
     )
+    # persist the BOUNDED rating cells (<= 3 x 3 rows at any scale):
+    # both densify-universe projections and the grid join re-consumed
+    # them (3 documents scans -> 1)
     o = rated.groupBy("ra", "rb").agg(
         F.count("*").cast("double").alias("n_ij")
-    )
+    ).coalesce(1).persist()
     # densify onto the full k x k grid: the chance-agreement denominator
     # sums v_ij * p_i * p_j over EVERY cell, and empty cells carry the
     # LARGEST weights (the extreme-disagreement corners) — summing over
@@ -1514,9 +1520,12 @@ def stats_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ra"),
         F.when(spaces < 40, 0).when(spaces < 70, 1).otherwise(2).alias("rb"),
     )
+    # persist the BOUNDED rating cells (<= 3 x 3 rows at any scale):
+    # the total and the discordant-pair fold both re-consumed them
+    # (2 documents scans -> 1)
     o = rated.groupBy("ra", "rb").agg(
         F.count("*").cast("double").alias("n_ij")
-    )
+    ).coalesce(1).persist()
     tot = o.agg(F.sum("n_ij").alias("n_docs"))
     pairs = (
         o.filter(F.col("ra") != F.col("rb"))
@@ -2194,10 +2203,18 @@ def timeseries_sen_slope_seasonal(
         F.count("*").cast("double").alias("y")
     )
     d0 = daily.agg(F.min("d").alias("d0"))
-    keyed = daily.crossJoin(F.broadcast(d0)).select(
-        F.dayofweek("d").alias("dow"),
-        F.datediff("d", "d0").cast("double").alias("t"),
-        "y",
+    # persist the CALENDAR-BOUNDED keyed series (<= ~3650 rows at any
+    # scale) as ONE cached partition: both pairwise-join sides
+    # re-consumed it (4 events scans -> 1)
+    keyed = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(
+            F.dayofweek("d").alias("dow"),
+            F.datediff("d", "d0").cast("double").alias("t"),
+            "y",
+        )
+        .coalesce(1)
+        .persist()
     )
     a = keyed.select(
         F.col("dow").alias("a_dow"), F.col("t").alias("a_t"),

@@ -226,15 +226,20 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    total = c.agg(F.count("*").cast("double").alias("n_total"))
-    glob = (
-        c.groupBy(F.col("c_mktsegment").alias("s"))
-        .agg(F.count("*").cast("double").alias("seg_n"))
-        .crossJoin(F.broadcast(total))
-        .select("s", (F.col("seg_n") / F.col("n_total")).alias("p"))
-    )
+    # ONE scan builds the BOUNDED (nation, segment) cells (<= 25 x
+    # #segments rows at any scale, persisted as one partition); the
+    # global segment distribution and the total are EXACT integer sums
+    # over those cells, so the former three customer scans (total /
+    # per-segment / per-cell) collapse to one
     grp = c.groupBy("c_nationkey", F.col("c_mktsegment").alias("s")).agg(
         F.count("*").cast("long").alias("n")
+    ).coalesce(1).persist()
+    total = grp.agg(F.sum("n").cast("double").alias("n_total"))
+    glob = (
+        grp.groupBy("s")
+        .agg(F.sum("n").cast("double").alias("seg_n"))
+        .crossJoin(F.broadcast(total))
+        .select("s", (F.col("seg_n") / F.col("n_total")).alias("p"))
     )
     gsz = grp.groupBy("c_nationkey").agg(F.sum("n").cast("long").alias("group_n"))
     cells = (

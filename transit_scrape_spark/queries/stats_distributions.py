@@ -1030,13 +1030,16 @@ def timeseries_approx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.partitionBy()
     w = Window.orderBy("day")
+    # persist the CALENDAR-BOUNDED indexed series (<= ~3650 rows at any
+    # scale) as ONE cached partition: both sides of both template
+    # self-joins re-consumed it (4 events scans -> 1)
     idx = daily.select(
         "x",
         F.lead("x").over(w).alias("x1"),
         F.row_number().over(w).alias("i"),
         (0.2 * F.stddev_samp("x").over(w_all)).alias("r"),
         F.count("*").over(w_all).alias("n"),
-    )
+    ).coalesce(1).persist()
     a = idx.alias("a")
     b = idx.alias("b")
     c1 = (

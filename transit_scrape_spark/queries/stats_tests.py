@@ -2317,7 +2317,15 @@ def stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    # persist the CALENDAR-BOUNDED daily rollup (<= ~3650 rows at any
+    # scale) as ONE cached partition: both pairwise sides and the count
+    # re-consumed it (3 events scans -> 1)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+        .coalesce(1)
+        .persist()
+    )
     a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
     b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
     pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 _STOPWORDS = ("a", "the")
@@ -557,7 +558,15 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # persist the per-token counts: the corpus total and the scoring
+    # join both re-consumed them, re-running the tokenize/explode
+    # (3 documents scans -> 2); summary cache width per
+    # session.cache_width
+    vocab = (
+        tok.groupBy("token").agg(F.count("*").alias("n"))
+        .coalesce(cache_width(spark))
+        .persist()
+    )
     total = vocab.agg(F.sum("n").alias("total_n"))
     return (
         tok.join(vocab, "token")
@@ -729,8 +738,19 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("_"))
         .select("token", "doc_id")
     )
-    a = postings.filter(F.col("token") == "the").select("doc_id")
-    b = postings.filter(F.col("token") == "of").select("doc_id")
+    # persist the two query terms' postings in ONE pass: Catalyst
+    # already pushes the per-term filter below the dedup, but the two
+    # term branches (and the AND join built from them) each re-ran the
+    # tokenize/explode — 3 documents scans -> 1. The persisted slice is
+    # bounded by the terms' document frequency; summary cache width per
+    # session.cache_width.
+    qpost = (
+        postings.filter(F.col("token").isin("the", "of"))
+        .coalesce(cache_width(spark))
+        .persist()
+    )
+    a = qpost.filter(F.col("token") == "the").select("doc_id")
+    b = qpost.filter(F.col("token") == "of").select("doc_id")
     both = a.join(b, "doc_id")
     return (
         a.agg(F.count("*").alias("df_the"))
@@ -1948,12 +1968,19 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # persist the VOCABULARY-BOUNDED distinct (lang, token) relation:
+    # the English slice, the per-language sizes and the overlap probe
+    # all re-consumed it, each re-running the tokenize/explode/distinct
+    # (3 documents scans -> 1); summary cache width per
+    # session.cache_width
     v = (
         d.select(
             "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .distinct()
+        .coalesce(cache_width(spark))
+        .persist()
     )
     en = v.filter(F.col("lang") == "en").select("w")
     sizes = v.groupBy("lang").agg(

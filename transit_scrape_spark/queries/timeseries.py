@@ -707,10 +707,13 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
+    # persist the CALENDAR-BOUNDED holed series (<= ~3650 rows at any
+    # scale) as ONE cached partition: the fence windows and both
+    # known-value lookup sides re-consumed it (3 events scans -> 1)
     holed = daily.select(
         "day",
         F.when(F.dayofmonth("day") % 4 != 1, F.col("v")).alias("v_known"),
-    )
+    ).coalesce(1).persist()
     known_day = F.when(F.col("v_known").isNotNull(), F.col("day"))
     wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     wnext = Window.orderBy("day").rowsBetween(1, Window.unboundedFollowing)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from transit_scrape_spark.functions.vectors import as_double, cosine, dot, norm
 from transit_scrape_spark.queries.registry import query
+from transit_scrape_spark.session import cache_width
 from transit_scrape_spark.sources.tables import load_table
 
 _QUERY_VEC_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)"
@@ -721,9 +722,12 @@ def simsearch_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # NOTE(r11): persisting pos + dist (4 scans -> 1) was tried and
-    # REVERTED — the conf-off sweep measured +22%; the explode replans
-    # are cheaper than caching the position-exploded relation.
+    # persist only the per-vector distance summary below (NOT the
+    # 64x position-exploded relation): r11 persisted pos + dist and
+    # reverted (+22%) — the exploded cache build dwarfed its savings.
+    # dist is one row per vector and its un-persisted replan re-ran the
+    # whole explode/centroid/join chain for the final z-score branch
+    # (4 embeddings scans -> 2); summary width per session.cache_width.
     pos = emb.select(
         "vec_id",
         "label",
@@ -734,6 +738,8 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("d"))
+        .coalesce(cache_width(spark))
+        .persist()
     )
     stats = dist.groupBy("label").agg(
         F.avg("d").alias("mu"), F.stddev_pop("d").alias("sd")
